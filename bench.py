@@ -1,0 +1,91 @@
+"""Benchmark harness: runs the engine's headline queries and prints ONE
+JSON line with per-query wall-clock seconds.
+
+Usage: python bench.py
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+
+Each query is executed to completion with a cheap terminal action
+(count of a noop-projection) so results are materialized but not shipped
+to the driver. A warmup query amortizes JVM/codegen startup out of the
+per-query numbers (total includes everything).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ecs_ecommerce_data_pipeline_spark import catalog
+from ecs_ecommerce_data_pipeline_spark.session import get_spark
+
+# Headline set: the reference-parity KPI core + validation + a spread of
+# extension operators (kept in sync with the catalog as coverage widens).
+HEADLINE = [
+    "daily_kpis",
+    "category_kpis",
+    "category_kpis_corrected",
+    "order_revenue",
+    "prepared_items",
+    "validation_null_counts",
+    "validation_referential_integrity",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+
+    all_queries = catalog.queries()
+    names = [n for n in HEADLINE if n in all_queries]
+    extra = sorted(
+        n for n in all_queries
+        if n not in names and not n.startswith("_") and n in _BENCH_EXTRA
+    )
+    names += extra
+
+    # Warmup: trigger JVM + parquet footer reads once.
+    all_queries[names[0]](spark, sf_dir).count()
+
+    t_start = time.time()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = all_queries[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_start, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()),
+            }
+        )
+    )
+    spark.stop()
+
+
+# Extension queries included in bench once implemented.
+_BENCH_EXTRA: set[str] = {
+    "dedup_exact",
+    "dedup_minhash_candidates",
+    "text_quality",
+    "sim_bruteforce_topk",
+    "window_topk_per_category",
+    "rollup_revenue",
+    "events_sessionize",
+}
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup families over ``documents(doc_id, text, ...)``:
+
+* **exact**        — md5(normalized text) groupBy. One shuffle on the
+  16-byte hash, not the full text.
+* **MinHash + LSH**— shingle → per-seed min-md5 signature → band →
+  bucket self-join. Candidate pairs only ever compare within a bucket,
+  so the cost is Σ|bucket|², not n².
+* **n-gram Jaccard** — exact Jaccard over shingle sets for candidate
+  pairs (verification stage after LSH blocking).
+* **SimHash**      — 32-bit sign-aggregated token-hash fingerprint;
+  near-dups have small Hamming distance.
+* **embedding cosine** — see ``operators.similarity``.
+
+Portability: ALL hashing is md5-based (``functions.textfn``) so DuckDB
+oracle SQL reproduces every signature bit-for-bit. Spark's murmur
+``hash()``/``minhash`` MLlib would be faster per-byte but unverifiable
+against an independent engine; at 100 TB the md5 cost is still scan-
+dominated and the pipeline shape (explode → min-agg → band join) is
+identical.
+
+Scale design:
+
+* shingling/explode is a flatMap — no shuffle;
+* signatures are one groupBy(doc_id) — the only full shuffle;
+* the LSH self-join shuffles on (band_idx, band_key): hot buckets (very
+  common bands) are the skew risk — AQE skew-join handles moderate skew,
+  and ``max_bucket`` caps pathological buckets (boilerplate docs) the
+  same way production dedup pipelines drop mega-clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import tokens, word_shingles
+
+
+def normalize_text(text_col: str = "text") -> F.Column:
+    """Canonical form for exact dedup: lowercase, trim, collapse runs of
+    whitespace."""
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def exact_duplicates(doc: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: hash-groupBy on md5(normalized text).
+
+    Returns one row per distinct content: (text_hash, n_docs,
+    canonical_doc_id = min doc_id). Shuffles 16-byte hashes + ids only.
+    """
+    return (
+        doc.select("doc_id", F.md5(normalize_text(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def shingle_docs(doc: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded pairs — distinct k-word shingles."""
+    return doc.select(
+        "doc_id", F.explode(word_shingles(tokens(text_col), k)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed i, sig_i = min(md5(i || ':' ||
+    shingle)) as a hex string (string min is engine-portable; a uniform
+    permutation proxy exactly like integer minhash).
+
+    One explode (×num_hashes) + one groupBy(doc_id) with num_hashes
+    conditional min-aggregates.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = shingles.select("doc_id", "shingle", seeds).select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))
+        .alias("h"),
+    )
+    aggs = [
+        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """LSH banding: band key = md5(concat of band's signature slots);
+    docs sharing any band key become candidate pairs (doc_a < doc_b).
+
+    ``max_bucket`` drops buckets larger than the cap before the self-join
+    — the standard guard against boilerplate mega-clusters that would
+    otherwise quadratically dominate (and skew one reducer) at scale.
+    """
+    n_bands = num_hashes // band_size
+    band_cols = []
+    for b in range(n_bands):
+        slots = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *slots)).alias("band_key"))
+        )
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+    if max_bucket is not None:
+        counts = banded.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        banded = banded.join(
+            counts.filter(F.col("_n") <= max_bucket).drop("_n"),
+            ["band_idx", "band_key"],
+        )
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, candidates: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (the verify stage after
+    LSH blocking): |A ∩ B| / |A ∪ B| over distinct shingle sets.
+
+    Computed via the exploded representation: join candidates to both
+    sides' shingles, count matches, combine with per-doc set sizes —
+    set-arithmetic only, no array materialization of big docs.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sized = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "size_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "size_b"}), "doc_b")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return sized.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(doc: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per distinct token take a 32-bit md5-derived
+    hash; each output bit is the sign of Σ(±1) over tokens; near-duplicate
+    texts land at small Hamming distance.
+
+    Shape: explode(distinct tokens) → groupBy(doc_id) with ``bits``
+    conditional sums → bit-pack. All integer arithmetic — exact.
+    """
+    tok = doc.select(
+        "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    # first 8 hex chars -> 32-bit non-negative int
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    tok = tok.select("doc_id", h.alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_aggs)
+    packed = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        packed = term if packed is None else packed + term
+    return agg.select("doc_id", packed.alias("simhash"))

@@ -1,0 +1,191 @@
+"""KPI computation — the analytics core of the reference pipeline.
+
+Re-expresses ``ecs/transformation/transform_task.py`` (reference) as pure
+DataFrame transformations:
+
+* ``prepare_items``    ← ``prepare_data_for_kpis`` (transform_task.py:159-211):
+  enrich order_items with product category (J1) and order attributes (J2),
+  derive return flags (P6).
+* ``category_kpis``    ← ``compute_category_kpis`` (transform_task.py:213-229).
+* ``daily_kpis``       ← ``compute_order_kpis`` (transform_task.py:231-274),
+  with SURVEY §2.8 Q3 fixed: ``return_rate`` is computed from the orders
+  table's own ``returned_at`` (the README-declared semantics) instead of a
+  column that never exists on that DataFrame in the reference.
+* ``avg_order_value`` keeps the reference's actual semantics (mean *item*
+  price, SURVEY §2.8 Q5); ``category_kpis_corrected`` offers the
+  order-total variant.
+
+Scale notes (100 TB posture):
+
+* The products dimension join (J1) is explicitly ``broadcast`` — master
+  data is small relative to the item fact table, so the join is a
+  map-side hash join with no shuffle of the big side.
+* The items×orders join (J2) shuffles both sides on ``order_id`` — the
+  natural key; AQE handles skew splitting.
+* ``incremental_dates`` narrows computation to a date list (reference
+  P5, transform_task.py:220,240). On date-partitioned storage this
+  predicate becomes partition pruning — the scan never touches other
+  dates.
+* All money aggregation is decimal-routed (see ``functions.numeric``) —
+  exact, associative, partitioning-independent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import money_avg, money_sum, rate
+
+
+def with_optional_column(df: DataFrame, name: str, dtype: str) -> DataFrame:
+    """Synthesize a typed null column when absent (reference
+    transform_task.py:177-186, P8)."""
+    if name not in df.columns:
+        df = df.withColumn(name, F.lit(None).cast(dtype))
+    return df
+
+
+def prepare_items(
+    order_items: DataFrame, orders: DataFrame, products: DataFrame
+) -> DataFrame:
+    """Enriched item-grain DataFrame: every order_item + its product
+    ``category`` + its order's ``order_date``/``user_id`` + return flags.
+
+    Mirrors reference transform_task.py:159-211 (renames, casts, optional
+    column synthesis, left joins J1+J2, flag derivation P6).
+    """
+    items = with_optional_column(order_items, "returned_at", "timestamp")
+    orders = with_optional_column(orders, "returned_at", "timestamp")
+
+    items = items.withColumnRenamed("returned_at", "returned_at_item").withColumn(
+        "sale_price", F.col("sale_price").cast("double")
+    )
+
+    product_dim = products.select(
+        F.col("id").alias("product_id"), F.col("category")
+    )
+    order_side = orders.select(
+        "order_id",
+        F.to_date("created_at").alias("order_date"),
+        "user_id",
+        F.col("returned_at").alias("returned_at_order"),
+    )
+
+    # J1: dimension enrich — broadcast hash join, no shuffle of the fact side.
+    enriched = items.join(F.broadcast(product_dim), "product_id", "left")
+    # J2: fact-fact equi-join on order_id — shuffle join on the natural key.
+    enriched = enriched.join(order_side, "order_id", "left")
+
+    return enriched.withColumn(
+        "returned_item_flag",
+        F.when(F.col("returned_at_item").isNotNull(), 1).otherwise(0).cast("int"),
+    ).withColumn(
+        "returned_order_flag",
+        F.when(F.col("returned_at_order").isNotNull(), 1).otherwise(0).cast("int"),
+    )
+
+
+def incremental_dates(df: DataFrame, dates: Iterable[str] | None, col: str) -> DataFrame:
+    """Restrict to target dates (reference P5/A5). ``None`` = full history.
+
+    On date-partitioned storage Catalyst turns this IN-list into partition
+    pruning, which is the engine's replacement for the reference's
+    S3-prefix-level file selection (SURVEY §4.1).
+    """
+    if dates is None:
+        return df
+    return df.filter(F.col(col).isin(list(dates)))
+
+
+def category_kpis(prepared: DataFrame, target_dates: Iterable[str] | None = None) -> DataFrame:
+    """Per-(category, order_date) KPIs — reference transform_task.py:213-229.
+
+    ``avg_order_value`` deliberately keeps the reference's actual behavior
+    (mean item sale_price, SURVEY §2.8 Q5).
+    """
+    scoped = incremental_dates(prepared, target_dates, "order_date")
+    return scoped.groupBy("category", "order_date").agg(
+        money_sum("sale_price").alias("daily_revenue"),
+        money_avg("sale_price").alias("avg_order_value"),
+        rate("returned_item_flag").alias("avg_return_rate"),
+    )
+
+
+def category_kpis_corrected(prepared: DataFrame) -> DataFrame:
+    """Variant with ``avg_order_value`` = mean *order total* per
+    (category, date) — the semantics the reference's column name implies.
+    An order spanning categories counts its per-category item subtotal.
+    """
+    per_order = prepared.groupBy("category", "order_date", "order_id").agg(
+        money_sum("sale_price").alias("order_total")
+    )
+    return per_order.groupBy("category", "order_date").agg(
+        money_sum("order_total").alias("daily_revenue"),
+        money_avg("order_total").alias("avg_order_value"),
+    )
+
+
+def order_revenue(order_items: DataFrame) -> DataFrame:
+    """Per-order revenue (reference A2, transform_task.py:244)."""
+    return order_items.groupBy("order_id").agg(
+        money_sum("sale_price").alias("order_revenue")
+    )
+
+
+def daily_kpis(
+    orders: DataFrame,
+    order_items: DataFrame,
+    target_dates: Iterable[str] | None = None,
+) -> DataFrame:
+    """Per-day KPIs — reference transform_task.py:231-274 with Q3 fixed.
+
+    * ``total_orders`` / ``unique_customers`` — exact countDistinct (A4).
+    * ``total_revenue`` — sum of per-order revenue (A2 + J3).
+    * ``return_rate`` — share of orders with ``returned_at`` set, computed
+      over orders directly (README-declared semantics; fixes Q3).
+    * ``total_items_sold`` — item-row count per item ``created_at`` day
+      (A3), left-joined onto the order-day grain (J4) and null-backfilled
+      (P7) exactly as the reference does.
+    """
+    orders = with_optional_column(orders, "returned_at", "timestamp")
+
+    rev = order_revenue(order_items)
+    orders_scoped = incremental_dates(
+        orders.withColumn("date_key", F.to_date("created_at")), target_dates, "date_key"
+    )
+
+    orders_with_rev = orders_scoped.join(rev, "order_id", "left").na.fill(
+        0, subset=["order_revenue"]
+    ).withColumn(
+        "returned_order_flag",
+        F.when(F.col("returned_at").isNotNull(), 1).otherwise(0).cast("int"),
+    )
+
+    daily = orders_with_rev.groupBy("date_key").agg(
+        F.countDistinct("order_id").alias("total_orders"),
+        money_sum("order_revenue").alias("total_revenue"),
+        rate("returned_order_flag").alias("return_rate"),
+        F.countDistinct("user_id").alias("unique_customers"),
+    )
+
+    items_per_day = incremental_dates(
+        order_items.withColumn("date_key", F.to_date("created_at")),
+        target_dates,
+        "date_key",
+    ).groupBy("date_key").agg(F.count("order_id").alias("total_items_sold"))
+
+    return (
+        daily.join(items_per_day, "date_key", "left")
+        .na.fill(0, subset=["total_items_sold"])
+        .select(
+            "date_key",
+            "total_orders",
+            "total_revenue",
+            "total_items_sold",
+            "return_rate",
+            "unique_customers",
+        )
+    )

@@ -1,0 +1,110 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Operates on the ``documents`` table (``doc_id, text, lang, source,
+n_chars``). All operators are pure Catalyst column expressions — no Python
+UDFs — so they run JVM-side inside whole-stage codegen and scale linearly:
+a per-document map with no shuffle (aggregations happen only in the
+queries that consume these columns).
+
+Portability contract: every hash is md5-based (``functions.textfn``) so a
+SQL oracle reproduces values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import tokens
+
+# Small fixed stopword profiles for the language-ID heuristic. Deliberately
+# tiny and deterministic — the point is the *operator shape* (profile
+# overlap scoring), not linguistic quality.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "to", "and", "is", "in", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "que", "est", "en"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "in"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不"],
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"] + ["it", "for", "on", "with", "as"]
+
+
+def token_stats(doc: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + distinct tokens + mean token
+    length. Integer sums → exact double division (deterministic)."""
+    toks = tokens(text_col)
+    tok_lens = F.transform(toks, lambda t: F.length(t))
+    return doc.withColumn("_toks", toks).select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("bigint").alias("n_unique_tokens"),
+        (
+            F.aggregate("_toks", F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+            .cast("double")
+            / F.size("_toks")
+        ).alias("mean_token_len"),
+    )
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """Sub-word-ish token count: words + digit runs + punctuation marks
+    counted separately (a cheap BPE proxy: splits on letter/digit/punct
+    class boundaries). Pure regexp_count — JVM-side.
+
+    Oracle: ``len(regexp_extract_all(x, pattern, 0))`` in DuckDB with the
+    same pattern (character classes behave identically in Java regex and
+    RE2 for ASCII classes).
+    """
+    return F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def quality_scores(doc: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, punctuation density, stopword ratio,
+    alpha ratio, mean word length — the standard cheap pre-filters for
+    LLM corpus cleaning."""
+    toks = tokens(text_col)
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    return doc.select(
+        "doc_id",
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?,;]")).cast("bigint")
+        .alias("n_punct"),
+        bpe_ish_token_count(text_col).cast("bigint").alias("n_bpe_tokens"),
+        n_toks.cast("bigint").alias("n_words"),
+        (n_stop.cast("double") / F.size(F.array_distinct(toks)))
+        .alias("stopword_ratio"),
+        (
+            F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]")).cast("double")
+            / F.length(text_col)
+        ).alias("alpha_ratio"),
+    )
+
+
+def lang_id(doc: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword-profile language ID heuristic: score = |distinct
+    tokens ∩ profile| per language; argmax with lexicographic tie-break.
+
+    Expressed as a greatest()+chained-CASE over per-language overlap
+    counts — branch-free Catalyst expressions, no shuffle.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_PROFILES.items()
+    }
+    langs = sorted(scores)  # lexicographic tie-break: first max wins
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    # build reversed so earlier (lexicographically smaller) langs win ties
+    for lang in reversed(langs):
+        pred = F.when((scores[lang] == best) & (best > 0), lang).otherwise(pred)
+    return doc.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].cast("bigint").alias(f"score_{lang}") for lang in langs],
+        pred.alias("predicted_lang"),
+    )

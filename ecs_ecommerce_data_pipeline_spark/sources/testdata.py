@@ -1,0 +1,86 @@
+"""Loaders for the driver-provided testdata and the e-commerce mapping views.
+
+The driver generates deterministic parquet at ``/root/testdata/sf*/``
+(TPC-H-ish star schema + ``events``/``documents``/``embeddings``). The
+reference engine's native tables (products / orders / order_items) are
+derived from them with the FIXTURES.md §B column mapping, so the KPI
+operators defined over the reference schemas run unchanged on testdata.
+
+Mapping (FIXTURES.md §B):
+
+* ``orders``      ← orders(o_orderkey→order_id, o_custkey→user_id,
+                    o_orderdate→created_at, returned_at derived from
+                    ``o_orderstatus = 'F'``)
+* ``order_items`` ← lineitem(l_orderkey→order_id, l_partkey→product_id,
+                    l_extendedprice→sale_price, l_shipdate→created_at,
+                    returned_at derived from ``l_returnflag = 'R'``)
+* ``products``    ← part(p_partkey→id, p_name→sku, p_type→category,
+                    p_retailprice→retail_price, cost derived)
+
+The return-signal derivations are deterministic row-local expressions so
+the DuckDB oracle SQL can reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata parquet table. Columnar scan with pushdown."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for ``spark.sql``."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def ecommerce_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Project the testdata star schema into the reference's e-commerce
+    shapes (products / orders / order_items).
+
+    These are plain column projections + row-local CASE expressions —
+    Catalyst collapses them into the parquet scan (column pruning +
+    pushdown), so there is no materialization cost.
+    """
+    orders_raw = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    orders = orders_raw.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("created_at"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_orderdate"))
+        .otherwise(F.lit(None))
+        .alias("returned_at"),
+    )
+
+    order_items = lineitem.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_extendedprice").alias("sale_price"),
+        F.col("l_shipdate").alias("created_at"),
+        F.when(F.col("l_returnflag") == "R", F.col("l_shipdate"))
+        .otherwise(F.lit(None))
+        .alias("returned_at"),
+    )
+
+    products = part.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("sku"),
+        (F.col("p_retailprice") * F.lit(0.6)).alias("cost"),
+        F.col("p_type").alias("category"),
+        F.col("p_retailprice").alias("retail_price"),
+    )
+
+    return {"orders": orders, "order_items": order_items, "products": products}
