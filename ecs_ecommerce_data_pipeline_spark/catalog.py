@@ -58,6 +58,14 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .queries import core_kpis, relational, validation_q  # noqa: F401
+    from .queries import (  # noqa: F401
+        core_kpis,
+        dedup_q,
+        events_q,
+        relational,
+        similarity_q,
+        text_q,
+        validation_q,
+    )
 
     _LOADED = True

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+Two paths over ``embeddings(vec_id, embedding, label)``:
+
+* **Brute-force cosine top-k** — the exactness baseline: broadcast the
+  (small) query set against the corpus, per-row sequential dot product
+  via ``F.zip_with`` + ``F.aggregate`` (JVM-side, codegen), window top-k.
+  Cost O(|corpus| × |queries|) — fine when queries are few; the corpus
+  side stays distributed and is scanned once.
+* **Random-hyperplane LSH buckets** — the scale path: H deterministic
+  md5-derived hyperplanes map every vector to an H-bit bucket; neighbor
+  candidates share a bucket (Charikar SimHash-LSH). Bucketing is a
+  per-row map (no shuffle); candidate generation is an equi-join on
+  bucket id instead of a cross join.
+
+Determinism: hyperplane weights derive from md5(plane:dim) — the oracle
+SQL reproduces them exactly; per-row fold order (array index order) is
+identical in Spark ``aggregate`` and DuckDB ``list_dot_product``
+(verified empirically), so cosine values are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two ARRAY<DOUBLE> columns.
+
+    Oracle equivalent: ``list_dot_product(a, b)`` (same index-order
+    accumulation in double).
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    """L2 norm, same fold order as ``dot``. Oracle: sqrt(list_dot_product(a, a))."""
+    return F.sqrt(dot(a, a))
+
+
+def as_double_array(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    The query side (|query_ids| rows) is broadcast; the corpus is scanned
+    once with no shuffle until the final per-query top-k window over
+    |queries| × k candidate rows. Ties break on corpus id — fully
+    deterministic output set.
+    """
+    from pyspark.sql import Window as W
+
+    v = as_double_array(vec_col)
+    corpus = embeddings.select(
+        F.col(id_col).alias("corpus_id"), v.alias("corpus_vec")
+    )
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), v.alias("query_vec")
+    )
+    scored = corpus.join(F.broadcast(queries), F.col("corpus_id") != F.col("query_id")).select(
+        "query_id",
+        "corpus_id",
+        cosine(F.col("query_vec"), F.col("corpus_vec")).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def hyperplane_weight(plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random weight in [-1, 1) for (plane, dim):
+    md5-derived 60-bit uniform scaled. Oracle reproduces with the same
+    string formula."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", plane.cast("string"), dim.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("double")
+    return h / F.lit(float(2**60)) * 2.0 - 1.0
+
+
+def lsh_bucket_assignments(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) — bucket = integer of sign bits of ⟨w_p, v⟩ over
+    ``n_planes`` hyperplanes.
+
+    Per-plane projections are decimal-routed sums of per-element double
+    products, so bucket ids are partitioning- and engine-independent.
+    Implementation: posexplode dims → per (id, plane) sum — two narrow
+    shuffles on id; at scale this is a map-side-combinable aggregation.
+    """
+    dims = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(as_double_array(vec_col)).alias("dim", "x"),
+    )
+    planes = dims.select(
+        "vid",
+        "dim",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("plane"),
+    )
+    proj = planes.select(
+        "vid",
+        "plane",
+        (F.col("x") * hyperplane_weight(F.col("plane"), F.col("dim")))
+        .cast("decimal(25,15)")
+        .alias("term"),
+    ).groupBy("vid", "plane").agg(F.sum("term").alias("proj"))
+    bits = proj.select(
+        "vid",
+        # shiftleft's python API needs a literal shift amount; use expr for
+        # a column-valued shift
+        F.when(F.col("proj") > 0, F.expr("shiftleft(cast(1 as bigint), cast(plane as int))"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("bit"),
+    )
+    return bits.groupBy("vid").agg(F.sum("bit").cast("bigint").alias("bucket")).select(
+        F.col("vid").alias(id_col), "bucket"
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine, but only within the query's LSH
+    bucket — the join is on bucket id, never a cross join."""
+    from pyspark.sql import Window as W
+
+    buckets = lsh_bucket_assignments(embeddings, n_planes, id_col, vec_col)
+    v = as_double_array(vec_col)
+    with_bucket = embeddings.join(buckets, id_col).select(
+        F.col(id_col).alias("corpus_id"), v.alias("corpus_vec"), "bucket"
+    )
+    queries = with_bucket.filter(F.col("corpus_id").isin(query_ids)).select(
+        F.col("corpus_id").alias("query_id"),
+        F.col("corpus_vec").alias("query_vec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = with_bucket.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("corpus_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "corpus_id",
+        cosine(F.col("query_vec"), F.col("corpus_vec")).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )

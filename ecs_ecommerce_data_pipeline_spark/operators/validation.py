@@ -98,6 +98,11 @@ def validate_batch(
         if miss:
             res.ok = False
             res.reasons.append(f"{name}: missing required columns {miss}")
+    if not res.ok:
+        # schema failure short-circuits like the reference's exit-1 at
+        # validate_task.py:158-159 — downstream checks would reference
+        # columns that don't exist
+        return res
 
     for name, df in frames.items():
         for col, n in null_counts(df, required.get(name, [])).items():

@@ -1,0 +1,142 @@
+"""Incremental recompute + idempotent batch orchestration.
+
+Replaces the reference's entire AWS control plane (SURVEY §3.1):
+
+* Lambda completeness gate + DynamoDB ``BatchFileTracker`` conditional
+  update (``Lambda/lambda_function.py:99-265``)  →  ``BatchLedger``, a
+  tiny JSON ledger with the same exactly-once semantics (mark-running →
+  process → mark-done; reruns of done batches are no-ops).
+* S3 prefix choreography (raw/validated/processed)  →  date-partitioned
+  Parquet + dynamic partition overwrite: recomputing a date atomically
+  replaces exactly that date's partition
+  (``spark.sql.sources.partitionOverwriteMode=dynamic``, set in
+  ``session.get_spark``).
+* Target-date discovery (``transform_task.py:389-399``)  →
+  ``target_dates``: distinct order dates in the incoming batch; the KPI
+  recompute then filters on those dates, which Catalyst turns into
+  partition pruning against the partitioned store.
+
+At 100 TB: a daily batch touches a bounded set of ``date_key``
+partitions; recompute cost is O(batch), not O(history) — the single
+biggest scale win over the reference, which re-reads all history every
+run (``transform_task.py:409-413``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import kpis
+
+
+class BatchLedger:
+    """Idempotent batch ledger: the engine twin of the reference's
+    DynamoDB conditional-update exactly-once gate
+    (``lambda_function.py:174,250-265``).
+
+    File-backed JSON (one small control file — NOT data-plane state; on a
+    cluster this would live in any transactional store). States:
+    absent → running → done.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _load(self) -> dict:
+        if os.path.exists(self.path):
+            with open(self.path) as fh:
+                return json.load(fh)
+        return {}
+
+    def _save(self, state: dict) -> None:
+        d = os.path.dirname(self.path) or "."
+        fd, tmp = tempfile.mkstemp(dir=d)
+        with os.fdopen(fd, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, self.path)  # atomic on POSIX
+
+    def try_start(self, batch_id: str) -> bool:
+        """Returns False if the batch already ran (exactly-once trigger,
+        mirroring the DynamoDB ConditionExpression)."""
+        state = self._load()
+        if state.get(batch_id) == "done":
+            return False
+        state[batch_id] = "running"
+        self._save(state)
+        return True
+
+    def mark_done(self, batch_id: str) -> None:
+        state = self._load()
+        state[batch_id] = "done"
+        self._save(state)
+
+    def status(self, batch_id: str) -> str | None:
+        return self._load().get(batch_id)
+
+
+def target_dates(new_orders: DataFrame, created_col: str = "created_at") -> list[str]:
+    """Distinct order dates in the incoming batch (reference A5,
+    ``transform_task.py:397-399``). The one intentional driver boundary:
+    result cardinality = #dates in the batch (tiny)."""
+    rows = (
+        new_orders.select(F.to_date(created_col).cast("string").alias("d"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["d"] for r in rows)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str = "date_key") -> None:
+    """Keyed KPI sink: Parquet partitioned by date, dynamic-overwrite mode
+    — rewriting a date's KPIs replaces exactly that partition (the upsert
+    semantics of the reference's keyed DynamoDB ``put_item``,
+    ``transform_task.py:297,332``, without a driver collect)."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def process_batch(
+    spark: SparkSession,
+    ledger: BatchLedger,
+    batch_id: str,
+    orders: DataFrame,
+    order_items: DataFrame,
+    products: DataFrame,
+    daily_out: str,
+    category_out: str,
+    new_orders: DataFrame | None = None,
+) -> bool:
+    """One orchestrated batch run: gate → scope → recompute → upsert →
+    mark done. Returns False if the ledger suppressed a duplicate run.
+
+    ``new_orders`` is the incremental slice (defaults to full recompute
+    when None — the bootstrap path).
+    """
+    if not ledger.try_start(batch_id):
+        return False
+
+    dates: Iterable[str] | None = None
+    if new_orders is not None:
+        dates = target_dates(new_orders)
+        if not dates:
+            # empty batch: nothing to recompute; mark done so the rerun
+            # gate still holds (reference tolerates empty prefixes)
+            ledger.mark_done(batch_id)
+            return True
+
+    daily = kpis.daily_kpis(orders, order_items, target_dates=dates)
+    prepared = kpis.prepare_items(order_items, orders, products)
+    category = kpis.category_kpis(prepared, target_dates=dates).withColumn(
+        "date_key", F.col("order_date")
+    )
+
+    write_partitioned(daily, daily_out, "date_key")
+    write_partitioned(category.drop("order_date"), category_out, "date_key")
+
+    ledger.mark_done(batch_id)
+    return True

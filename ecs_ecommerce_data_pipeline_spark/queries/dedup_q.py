@@ -1,0 +1,193 @@
+"""Deduplication queries over ``documents`` (LLM-pipeline extension
+surface). Spark side: ``operators.dedup``. Oracle side: the same
+md5-based signature algebra in DuckDB SQL — every hash, band key and
+Jaccard value is reproduced bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register
+from ..operators import dedup
+from ..sources.testdata import load_table
+
+_NUM_HASHES = 8
+_BAND_SIZE = 2
+_MAX_BUCKET = 50
+_SHINGLE_K = 3
+_JACCARD_T = 0.5
+
+_EXACT_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS canonical_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", _EXACT_SQL)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(normalized text) — shuffles
+    16-byte hashes, never full texts."""
+    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+# Shared CTEs: tokens -> distinct k-word shingles -> exploded pairs ->
+# per-seed md5 -> per-doc signature.
+_SHINGLE_CTES = f"""
+toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) < {_SHINGLE_K}
+                THEN [array_to_string(t, ' ')]
+                ELSE list_distinct(list_transform(
+                         range(1, len(t) - {_SHINGLE_K} + 2),
+                         i -> array_to_string(t[i : i + {_SHINGLE_K} - 1], ' ')))
+                END AS shingles
+    FROM toks
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+"""
+
+_sig_aggs = ",\n       ".join(
+    f"MIN(CASE WHEN seed = {i} THEN h END) AS sig_{i}" for i in range(_NUM_HASHES)
+)
+
+_SIG_CTES = f"""{_SHINGLE_CTES},
+hashed AS (
+    SELECT doc_id, seed, md5(seed || ':' || shingle) AS h
+    FROM ex CROSS JOIN (SELECT unnest(range(0, {_NUM_HASHES})) AS seed)
+),
+sigs AS (
+    SELECT doc_id,
+       {_sig_aggs}
+    FROM hashed GROUP BY doc_id
+)
+"""
+
+_MINHASH_SIG_SQL = f"""
+WITH {_SIG_CTES}
+SELECT * FROM sigs
+"""
+
+
+@register("dedup_minhash_signatures", _MINHASH_SIG_SQL)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (8 seeds, min-md5-hex). One explode +
+    one groupBy(doc_id)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(
+        dedup.shingle_docs(doc, k=_SHINGLE_K), num_hashes=_NUM_HASHES
+    )
+
+
+_band_selects = "\n    UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"md5(sig_{b * _BAND_SIZE} || '|' || sig_{b * _BAND_SIZE + 1}) AS band_key FROM sigs"
+    for b in range(_NUM_HASHES // _BAND_SIZE)
+)
+
+_CANDIDATES_CTES = f"""{_SIG_CTES},
+bands AS (
+    {_band_selects}
+),
+bucket_counts AS (
+    SELECT band_idx, band_key, COUNT(*) AS n FROM bands GROUP BY 1, 2
+),
+kept AS (
+    SELECT b.doc_id, b.band_idx, b.band_key
+    FROM bands b JOIN bucket_counts c USING (band_idx, band_key)
+    WHERE c.n <= {_MAX_BUCKET}
+),
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM kept a JOIN kept b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+)
+"""
+
+_MINHASH_CAND_SQL = f"""
+WITH {_CANDIDATES_CTES}
+SELECT doc_a, doc_b FROM candidates
+"""
+
+
+@register("dedup_minhash_candidates", _MINHASH_CAND_SQL)
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding candidates (4 bands × 2 rows, bucket cap 50): the
+    near-dup pair generator whose cost is Σ|bucket|², not n²."""
+    doc = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        dedup.shingle_docs(doc, k=_SHINGLE_K), num_hashes=_NUM_HASHES
+    )
+    return dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE, max_bucket=_MAX_BUCKET
+    )
+
+
+_JACCARD_SQL = f"""
+WITH {_CANDIDATES_CTES},
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ex GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+    FROM candidates c
+    JOIN ex ea ON ea.doc_id = c.doc_a
+    JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common)
+           AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common)
+      >= {_JACCARD_T}
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_SQL)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification over the LSH candidates
+    (LSH blocks, Jaccard verifies — the standard two-stage near-dup
+    pipeline). Set arithmetic on exploded shingles; int/int division."""
+    doc = load_table(spark, sf_dir, "documents")
+    shingles = dedup.shingle_docs(doc, k=_SHINGLE_K)
+    sigs = dedup.minhash_signatures(shingles, num_hashes=_NUM_HASHES)
+    cands = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE, max_bucket=_MAX_BUCKET
+    )
+    return dedup.jaccard_pairs(shingles, cands, threshold=_JACCARD_T)
+
+
+_SIMHASH_SQL = """
+WITH toks AS (
+    SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+    FROM documents
+),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM ex),
+bits AS (
+    SELECT doc_id, b,
+           SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+    GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS BIGINT)
+           AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (sign-aggregated token hashes);
+    near-dups land at small Hamming distance. Integer-exact."""
+    return dedup.simhash(load_table(spark, sf_dir, "documents"), bits=32)

@@ -1,0 +1,197 @@
+"""Event-stream-shaped queries over ``events`` plus multimodal-column
+plumbing (LLM-pipeline extension surface).
+
+These are the *batch* equivalents of the streaming operators in
+``streaming/`` — tumbling windows, sessionization, JSON prop extraction —
+each with a DuckDB oracle. The Structured Streaming variants (watermarks,
+``Trigger.AvailableNow``) are exercised in ``tests/test_streaming.py``;
+their windowed semantics are pinned here via identical batch logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..functions.numeric import money_sum
+from ..sources.testdata import load_table
+
+_JSON_SQL = """
+SELECT event_id, event_type,
+       json_extract_string(props, '$.k')::BIGINT AS k_value
+FROM events
+"""
+
+
+@register("events_json_props", _JSON_SQL)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column → typed value (get_json_object —
+    JVM-side JSON path, no UDF)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+_TUMBLING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_tumbling_5min", _TUMBLING_SQL)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windowed aggregation — the batch twin of the
+    streaming windowed count (same epoch-aligned buckets as
+    ``F.window``)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT *, SUM(is_new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessioned
+GROUP BY 1, 2
+"""
+
+
+@register("events_sessionize", _SESSIONIZE_SQL)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag + cumulative-sum
+    session ids over a total per-user order, then per-session rollup.
+    Batch twin of streaming ``session_window``. Integer microsecond
+    arithmetic — exact."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > _SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("is_new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint"),
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        money_sum("value").alias("session_value"),
+    )
+
+
+_TYPE_STATS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_type_stats", _TYPE_STATS_SQL)
+def q_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        money_sum("value").alias("total_value"),
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value"))
+        .alias("avg_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns: opaque binary payload + typed metadata
+# ---------------------------------------------------------------------------
+
+_BINARY_META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       substr(md5(text), 1, 8) AS content_key
+FROM documents
+"""
+
+
+@register("multimodal_binary_meta", _BINARY_META_SQL)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payloads as opaque BINARY + derived
+    metadata (byte length, content hash — md5 of the UTF-8 bytes, so the
+    VARCHAR-side oracle is identical). The pattern generalizes to
+    image/audio blobs where only metadata is relational."""
+    doc = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return doc.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+        F.substring(F.md5(payload), 1, 8).alias("content_key"),
+    )
+
+
+@register("multimodal_decode_features", None)
+def q_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode stage (rows-only check: decoding is a stub —
+    image/audio libs are not in this container; the Spark-side plumbing
+    is real). See ``operators.multimodal``."""
+    from ..operators.multimodal import decode_features, with_binary_payload
+
+    doc = load_table(spark, sf_dir, "documents")
+    return decode_features(with_binary_payload(doc))

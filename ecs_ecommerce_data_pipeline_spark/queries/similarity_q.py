@@ -1,0 +1,161 @@
+"""Similarity-search queries over ``embeddings`` (LLM-pipeline extension
+surface). Spark side: ``operators.similarity``. Oracles reproduce cosine
+values bit-for-bit (same per-row fold order) and LSH buckets exactly
+(md5-derived hyperplanes + decimal-routed projections).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..functions.numeric import money_sum
+from ..operators import similarity
+from ..sources.testdata import load_table
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+_K = 10
+_N_PLANES = 8
+_DIMS = 64
+
+_qids = ", ".join(str(i) for i in _QUERY_IDS)
+
+_BRUTE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({_qids})),
+scored AS (
+    SELECT q.query_id, e.vec_id AS corpus_id,
+           list_dot_product(q.qv, e.v)
+             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+             AS cosine_sim
+    FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, corpus_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rnk
+    FROM scored
+) WHERE rnk <= {_K}
+"""
+
+
+@register("sim_bruteforce_topk", _BRUTE_SQL)
+def q_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast query set × distributed corpus scan
+    + per-query top-k window. The correctness baseline for ANN."""
+    return similarity.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=_K
+    )
+
+
+def _w_sql(p: int) -> str:
+    """Hyperplane weight w(p, d) with d = i-1 for 1-based list index i."""
+    return (
+        f"(('0x' || substr(md5({p} || ':' || (i - 1)), 1, 15))::BIGINT"
+        f" / 1152921504606846976.0 * 2.0 - 1.0)"
+    )
+
+
+_proj_terms = ",\n       ".join(
+    f"list_sum(list_transform(range(1, {_DIMS} + 1),"
+    f" i -> CAST(v[i] * {_w_sql(p)} AS DECIMAL(25,15)))) AS proj_{p}"
+    for p in range(_N_PLANES)
+)
+_bucket_expr = " + ".join(
+    f"(CASE WHEN proj_{p} > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+    for p in range(_N_PLANES)
+)
+
+_LSH_BUCKETS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (
+    SELECT vec_id,
+       {_proj_terms}
+    FROM e
+)
+SELECT vec_id, CAST({_bucket_expr} AS BIGINT) AS bucket
+FROM proj
+"""
+
+
+@register("sim_lsh_buckets", _LSH_BUCKETS_SQL)
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (8 planes → 256
+    buckets): the per-row map that replaces a cross join with an
+    equi-join at scale."""
+    return similarity.lsh_bucket_assignments(
+        load_table(spark, sf_dir, "embeddings"), n_planes=_N_PLANES
+    )
+
+
+_LSH_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (
+    SELECT vec_id, v,
+       {_proj_terms}
+    FROM e
+),
+bucketed AS (
+    SELECT vec_id AS corpus_id, v AS corpus_vec,
+           CAST({_bucket_expr} AS BIGINT) AS bucket
+    FROM proj
+),
+q AS (
+    SELECT corpus_id AS query_id, corpus_vec AS query_vec, bucket AS qbucket
+    FROM bucketed WHERE corpus_id IN ({_qids})
+),
+scored AS (
+    SELECT q.query_id, b.corpus_id,
+           list_dot_product(q.query_vec, b.corpus_vec)
+             / (sqrt(list_dot_product(q.query_vec, q.query_vec))
+                * sqrt(list_dot_product(b.corpus_vec, b.corpus_vec)))
+             AS cosine_sim
+    FROM q JOIN bucketed b
+      ON b.bucket = q.qbucket AND b.corpus_id <> q.query_id
+)
+SELECT query_id, corpus_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rnk
+    FROM scored
+) WHERE rnk <= {_K}
+"""
+
+
+@register("sim_lsh_topk", _LSH_TOPK_SQL)
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's LSH bucket —
+    the scale path (equi-join on bucket instead of cross join)."""
+    return similarity.lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=_K, n_planes=_N_PLANES
+    )
+
+
+_EMB_STATS_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CAST(sqrt(list_dot_product(v, v)) AS DECIMAL(20,12))) AS DOUBLE)
+           / COUNT(*) AS mean_norm,
+       CAST(SUM(CAST(list_sum(v) AS DECIMAL(20,12)) ) AS DOUBLE) / COUNT(*)
+           AS mean_component_sum
+FROM e GROUP BY label
+"""
+
+
+@register("embedding_norm_stats", _EMB_STATS_SQL)
+def q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics — typed array columns as first-class
+    analytics input (decimal-routed means, deterministic)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = similarity.as_double_array("embedding")
+    nrm = similarity.norm(v)
+    comp_sum = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.sum(nrm.cast("decimal(20,12)")).cast("double") / F.count(F.lit(1)))
+        .alias("mean_norm"),
+        (F.sum(comp_sum.cast("decimal(20,12)")).cast("double") / F.count(F.lit(1)))
+        .alias("mean_component_sum"),
+    )

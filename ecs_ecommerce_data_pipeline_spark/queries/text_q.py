@@ -1,0 +1,174 @@
+"""Text-analysis queries over ``documents`` (LLM-pipeline extension
+surface, SURVEY §7.2 M7).
+
+Oracle parity notes: tokenization is ``string_split_regex(lower(trim(x)),
+'\\s+')`` on the DuckDB side — byte-identical to Spark ``split``; all
+ratios are int-sum / int-count double divisions (exact); fingerprint
+hashes are md5 hex strings compared lexicographically (engine-portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..operators.text import LANG_PROFILES, STOPWORDS_EN, lang_id, quality_scores, token_stats
+from ..sources.testdata import load_table
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+_TOKEN_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+           AS mean_token_len
+FROM t
+"""
+
+
+@register("text_token_stats", _TOKEN_STATS_SQL)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+_stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '[.!?,;]')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(len(list_intersect(list_distinct(toks), [{_stop_list}])) AS DOUBLE)
+           / len(list_distinct(toks)) AS stopword_ratio,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)
+           AS alpha_ratio
+FROM t
+"""
+
+
+@register("text_quality", _QUALITY_SQL)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap corpus-cleaning quality signals — all JVM-side regexp/array
+    expressions, linear scan, no shuffle."""
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _profile_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return f"len(list_intersect(dt, [{words}]))"
+
+
+_langs = sorted(LANG_PROFILES)
+_score_cols = ",\n       ".join(
+    f"CAST({_profile_sql(lang)} AS BIGINT) AS score_{lang}" for lang in _langs
+)
+_best = "greatest(" + ", ".join(_profile_sql(lang) for lang in _langs) + ")"
+_pred_case = "CASE "
+for lang in _langs:
+    _pred_case += f"WHEN {_profile_sql(lang)} = {_best} AND {_best} > 0 THEN '{lang}' "
+_pred_case += "ELSE 'und' END"
+
+_LANGID_SQL = f"""
+WITH t AS (SELECT doc_id, lang, list_distinct({_TOKS}) AS dt FROM documents)
+SELECT doc_id,
+       lang AS labeled_lang,
+       {_score_cols},
+       {_pred_case} AS predicted_lang
+FROM t
+"""
+
+
+@register("text_langid", _LANGID_SQL)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language-ID heuristic with deterministic
+    (lexicographic) tie-break — SQL CASE picks the first max, matching
+    the Spark chained-when construction."""
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+# Winnowing fingerprints: char 4-grams → md5 → sliding-window (w=5) minima
+# → distinct set. Hex-string minima are engine-portable.
+_K, _W = 4, 5
+
+_FINGERPRINT_SQL = f"""
+WITH t AS (
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           CASE WHEN length(nt) >= {_K}
+                THEN list_transform(range(1, length(nt) - {_K} + 2),
+                                    i -> md5(substr(nt, i, {_K})))
+                ELSE [] END AS hashes
+    FROM t
+),
+w AS (
+    SELECT doc_id,
+           CASE WHEN len(hashes) >= {_W}
+                THEN list_distinct(list_transform(range(1, len(hashes) - {_W} + 2),
+                                   j -> list_min(hashes[j : j + {_W} - 1])))
+                ELSE list_distinct(CASE WHEN len(hashes) > 0 THEN [list_min(hashes)] ELSE [] END)
+                END AS fps
+    FROM g
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       list_min(fps) AS min_fingerprint
+FROM w
+"""
+
+
+@register("text_fingerprint", _FINGERPRINT_SQL)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash dedup signature):
+    per-row array pipeline — char shingles → md5 → window minima →
+    distinct. Pure Catalyst expressions, linear scan."""
+    doc = load_table(spark, sf_dir, "documents")
+
+    # Stage each array as a NAMED column: referencing `hashes` from four
+    # places in one expression tree would make Catalyst duplicate the O(n)
+    # md5-array computation inside the per-window transform → O(n²) md5
+    # calls per document (observed 520 s at sf0.01 vs <2 s staged).
+    nt = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    staged = doc.select("doc_id", nt.alias("nt"))
+
+    n_grams = F.length(F.col("nt")) - F.lit(_K - 1)
+    hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.col("nt").substr(i, F.lit(_K))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.select("doc_id", hashes.alias("hashes"))
+
+    n_wins = F.size(F.col("hashes")) - F.lit(_W - 1)
+    fps = F.when(
+        n_wins >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_wins),
+                lambda j: F.array_min(F.slice(F.col("hashes"), j, _W)),
+            )
+        ),
+    ).otherwise(
+        F.array_distinct(
+            F.when(F.size(F.col("hashes")) > 0, F.array(F.array_min(F.col("hashes"))))
+            .otherwise(F.array().cast("array<string>"))
+        )
+    )
+    staged = staged.select("doc_id", fps.alias("fps"))
+
+    return staged.select(
+        "doc_id",
+        F.size(F.col("fps")).cast("bigint").alias("n_fingerprints"),
+        F.array_min(F.col("fps")).alias("min_fingerprint"),
+    )

@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # -- scans: keep parquet row-groups parallel-friendly --
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # -- testdata events.parquet carries TIMESTAMP(NANOS) which the
+        #    vectorized reader rejects; read as long and normalize in the
+        #    loader (sources/testdata.py) --
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # -- partitioned-sink upserts (SURVEY §4.1 incremental computation) --
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # -- quieter local runs --

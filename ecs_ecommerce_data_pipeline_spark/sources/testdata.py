@@ -31,7 +31,24 @@ from ..schemas import TESTDATA_TABLES
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table. Columnar scan with pushdown."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_nanos_ts(df, "ts")
+    return df
+
+
+def _normalize_nanos_ts(df: DataFrame, col: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long of
+    epoch-nanoseconds. Convert to a proper timestamp via integer division
+    (``div`` keeps long arithmetic — a double roundtrip at 1e18 magnitude
+    would lose sub-microsecond precision and diverge from the DuckDB
+    oracle's truncation)."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema[col].dataType, LongType):
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

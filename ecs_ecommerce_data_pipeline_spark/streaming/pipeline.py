@@ -1,0 +1,108 @@
+"""Structured Streaming variants of the engine's event operators.
+
+The reference's "near real-time" surface is poll-driven micro-batch
+orchestration (SURVEY §2.7): Lambda polls S3, a DynamoDB conditional
+update provides exactly-once triggering, late data waits for the next
+cycle. The Spark-native equivalents:
+
+* file-source ``readStream`` + ``Trigger.AvailableNow`` = "process
+  everything that has arrived, then stop" — the reference's batch
+  completeness gate as a trigger mode;
+* watermarks = the reference's implicit "late files wait for the next
+  poll" policy, made explicit per-event;
+* checkpointing + idempotent ``foreachBatch`` sinks = the DynamoDB
+  conditional-update exactly-once semantics.
+
+Batch/stream parity: these transformations are the same logical plans as
+``queries/events_q.py`` (oracle-checked in batch); Spark's unified
+DataFrame API means the streaming runs reuse them unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import money_sum
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch unit; at scale this is a cloud-storage listing source or
+    Kafka).
+
+    The stream reads the file's RAW schema (``ts`` arrives as
+    epoch-nanos long under ``spark.sql.legacy.parquet.nanosAsLong``) and
+    applies the same normalization as the batch loader, so batch and
+    stream plans stay twins.
+    """
+    from ..sources.testdata import _normalize_nanos_ts
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        # the file source requires a directory; glob-filter to the events
+        # table only (other parquet files in the dir have other schemas)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return _normalize_nanos_ts(stream, "ts")
+
+
+def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 5-minute windowed aggregation with a late-data watermark —
+    the streaming twin of ``events_tumbling_5min``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native streaming sessionization via ``session_window`` (dynamic-gap
+    windows) — the streaming twin of ``events_sessionize``."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a streaming query to completion over currently-available data
+    (the test/driver harness path): memory sink + processAllAvailable.
+    Production sinks swap in ``foreachBatch`` with an idempotent keyed
+    write + checkpointLocation."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
