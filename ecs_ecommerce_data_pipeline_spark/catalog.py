@@ -64,6 +64,8 @@ def _load_all() -> None:
         events_q,
         relational,
         similarity_q,
+        stats_q,
+        temporal_q,
         text_q,
         validation_q,
     )

@@ -61,31 +61,36 @@ def exact_duplicates(doc: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_docs(doc: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded pairs — distinct k-word shingles."""
-    return doc.select(
-        "doc_id", F.explode(word_shingles(tokens(text_col), k)).alias("shingle")
+    """(doc_id, shingle) exploded pairs — distinct k-word shingles.
+
+    Tokenization is staged as a named column before shingling:
+    ``word_shingles`` references its token array 4× and inlining would
+    make Catalyst re-run the regex split per reference.
+    """
+    toks = doc.select("doc_id", tokens(text_col).alias("toks"))
+    return toks.select(
+        "doc_id", F.explode(word_shingles(F.col("toks"), k)).alias("shingle")
     )
 
 
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 8
 ) -> DataFrame:
-    """Per-doc MinHash signature: for seed i, sig_i = min(md5(i || ':' ||
-    shingle)) as a hex string (string min is engine-portable; a uniform
-    permutation proxy exactly like integer minhash).
+    """Per-doc MinHash signature via Kirsch-Mitzenmacher double hashing:
+    ONE md5 per shingle → two independent 60-bit ints (h1 = hex[1:15],
+    h2 = hex[16:30]) → hash_i = h1 + i·h2; sig_i = min(hash_i).
 
-    One explode (×num_hashes) + one groupBy(doc_id) with num_hashes
-    conditional min-aggregates.
+    Shape: one projection (single md5 per shingle — not per seed) +
+    one groupBy(doc_id) carrying ``num_hashes`` min-aggregates. No seed
+    explode, so the shuffle moves |shingles| rows, not |shingles|×seeds.
+    Max value h1 + 7·h2 < 8·2^60 = 2^63 — fits signed BIGINT exactly in
+    both engines.
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = shingles.select("doc_id", "shingle", seeds).select(
-        "doc_id",
-        "seed",
-        F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))
-        .alias("h"),
-    )
+    h1 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(F.col("shingle")), 16, 15), 16, 10).cast("bigint")
+    hashed = shingles.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"sig_{i}")
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
     return hashed.groupBy("doc_id").agg(*aggs)

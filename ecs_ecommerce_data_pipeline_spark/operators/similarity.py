@@ -69,16 +69,23 @@ def brute_force_topk(
     from pyspark.sql import Window as W
 
     v = as_double_array(vec_col)
+    # precompute per-row norms BEFORE the join: computing cosine() per
+    # pair would re-fold each vector's norm |queries| times
     corpus = embeddings.select(
         F.col(id_col).alias("corpus_id"), v.alias("corpus_vec")
-    )
-    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), v.alias("query_vec")
+    ).withColumn("corpus_norm", norm(F.col("corpus_vec")))
+    queries = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), v.alias("query_vec"))
+        .withColumn("query_norm", norm(F.col("query_vec")))
     )
     scored = corpus.join(F.broadcast(queries), F.col("corpus_id") != F.col("query_id")).select(
         "query_id",
         "corpus_id",
-        cosine(F.col("query_vec"), F.col("corpus_vec")).alias("cosine_sim"),
+        (
+            dot(F.col("query_vec"), F.col("corpus_vec"))
+            / (F.col("query_norm") * F.col("corpus_norm"))
+        ).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
     return (
@@ -145,6 +152,48 @@ def lsh_bucket_assignments(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-based near-duplicate pairs: (id_a < id_b) with cosine >=
+    ``threshold``, candidates blocked by LSH bucket — the embedding
+    member of the dedup family (exact / MinHash / SimHash / n-gram /
+    embedding).
+
+    The pair join is an equi-join on bucket id: cost Σ|bucket|²
+    instead of n². More planes → smaller buckets → higher speed, lower
+    recall (standard LSH trade-off).
+    """
+    buckets = lsh_bucket_assignments(embeddings, n_planes, id_col, vec_col)
+    v = as_double_array(vec_col)
+    side = (
+        embeddings.join(buckets, id_col)
+        .select(F.col(id_col).alias("vid"), v.alias("vec"), "bucket")
+        .withColumn("nrm", norm(F.col("vec")))
+    )
+    a = side.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"), "bucket",
+    )
+    b = side.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"), "bucket",
+    )
+    # each vector has exactly one bucket, so a pair arises at most once —
+    # no distinct needed (and no extra shuffle)
+    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")))
+        .alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -159,13 +208,16 @@ def lsh_topk(
 
     buckets = lsh_bucket_assignments(embeddings, n_planes, id_col, vec_col)
     v = as_double_array(vec_col)
-    with_bucket = embeddings.join(buckets, id_col).select(
-        F.col(id_col).alias("corpus_id"), v.alias("corpus_vec"), "bucket"
+    with_bucket = (
+        embeddings.join(buckets, id_col)
+        .select(F.col(id_col).alias("corpus_id"), v.alias("corpus_vec"), "bucket")
+        .withColumn("corpus_norm", norm(F.col("corpus_vec")))
     )
     queries = with_bucket.filter(F.col("corpus_id").isin(query_ids)).select(
         F.col("corpus_id").alias("query_id"),
         F.col("corpus_vec").alias("query_vec"),
         F.col("bucket").alias("qbucket"),
+        F.col("corpus_norm").alias("query_norm"),
     )
     scored = with_bucket.join(
         F.broadcast(queries),
@@ -173,7 +225,10 @@ def lsh_topk(
     ).select(
         "query_id",
         "corpus_id",
-        cosine(F.col("query_vec"), F.col("corpus_vec")).alias("cosine_sim"),
+        (
+            dot(F.col("query_vec"), F.col("corpus_vec"))
+            / (F.col("query_norm") * F.col("corpus_norm"))
+        ).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
     return (

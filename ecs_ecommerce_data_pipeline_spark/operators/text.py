@@ -64,22 +64,27 @@ def quality_scores(doc: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality scoring: length, punctuation density, stopword ratio,
     alpha ratio, mean word length — the standard cheap pre-filters for
     LLM corpus cleaning."""
-    toks = tokens(text_col)
-    n_toks = F.size(toks)
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
-    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
-    return doc.select(
+    # stage the token arrays as named columns: referencing the split/
+    # array_distinct expressions more than once would make Catalyst
+    # re-run the regex split per reference
+    staged = doc.select(
         "doc_id",
-        F.length(text_col).cast("bigint").alias("n_chars"),
-        F.regexp_count(F.col(text_col), F.lit(r"[.!?,;]")).cast("bigint")
+        F.col(text_col).alias("_text"),
+        tokens(text_col).alias("_toks"),
+    ).withColumn("_dtoks", F.array_distinct(F.col("_toks")))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.array_intersect(F.col("_dtoks"), stop_arr))
+    return staged.select(
+        "doc_id",
+        F.length("_text").cast("bigint").alias("n_chars"),
+        F.regexp_count(F.col("_text"), F.lit(r"[.!?,;]")).cast("bigint")
         .alias("n_punct"),
-        bpe_ish_token_count(text_col).cast("bigint").alias("n_bpe_tokens"),
-        n_toks.cast("bigint").alias("n_words"),
-        (n_stop.cast("double") / F.size(F.array_distinct(toks)))
-        .alias("stopword_ratio"),
+        bpe_ish_token_count("_text").cast("bigint").alias("n_bpe_tokens"),
+        F.size("_toks").cast("bigint").alias("n_words"),
+        (n_stop.cast("double") / F.size("_dtoks")).alias("stopword_ratio"),
         (
-            F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]")).cast("double")
-            / F.length(text_col)
+            F.regexp_count(F.col("_text"), F.lit(r"[A-Za-z]")).cast("double")
+            / F.length("_text")
         ).alias("alpha_ratio"),
     )
 
@@ -91,18 +96,28 @@ def lang_id(doc: DataFrame, text_col: str = "text") -> DataFrame:
     Expressed as a greatest()+chained-CASE over per-language overlap
     counts — branch-free Catalyst expressions, no shuffle.
     """
-    toks = F.array_distinct(tokens(text_col))
-    scores = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in LANG_PROFILES.items()
-    }
-    langs = sorted(scores)  # lexicographic tie-break: first max wins
+    # stage: the distinct-token array feeds 2 expressions per language
+    # plus the argmax CASE — inline it and Catalyst re-splits per use
+    staged = doc.select(
+        "doc_id", "lang", F.array_distinct(tokens(text_col)).alias("_dtoks")
+    )
+    langs = sorted(LANG_PROFILES)  # lexicographic tie-break: first max wins
+    score_cols = [
+        F.size(
+            F.array_intersect(
+                F.col("_dtoks"), F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+            )
+        ).alias(f"score_{lang}")
+        for lang in langs
+    ]
+    staged = staged.select("doc_id", "lang", *score_cols)
+    scores = {lang: F.col(f"score_{lang}") for lang in langs}
     best = F.greatest(*[scores[lang] for lang in langs])
     pred = F.lit("und")
     # build reversed so earlier (lexicographically smaller) langs win ties
     for lang in reversed(langs):
         pred = F.when((scores[lang] == best) & (best > 0), lang).otherwise(pred)
-    return doc.select(
+    return staged.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         *[scores[lang].cast("bigint").alias(f"score_{lang}") for lang in langs],

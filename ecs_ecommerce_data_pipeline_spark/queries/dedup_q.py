@@ -54,14 +54,18 @@ sh AS (
 ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
 """
 
+# Kirsch-Mitzenmacher double hashing: one md5 per shingle, two 60-bit
+# halves, hash_i = h1 + i*h2 (matches operators.dedup.minhash_signatures).
 _sig_aggs = ",\n       ".join(
-    f"MIN(CASE WHEN seed = {i} THEN h END) AS sig_{i}" for i in range(_NUM_HASHES)
+    f"MIN(h1 + {i} * h2) AS sig_{i}" for i in range(_NUM_HASHES)
 )
 
 _SIG_CTES = f"""{_SHINGLE_CTES},
 hashed AS (
-    SELECT doc_id, seed, md5(seed || ':' || shingle) AS h
-    FROM ex CROSS JOIN (SELECT unnest(range(0, {_NUM_HASHES})) AS seed)
+    SELECT doc_id,
+           ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+           ('0x' || substr(md5(shingle), 16, 15))::BIGINT AS h2
+    FROM ex
 ),
 sigs AS (
     SELECT doc_id,

@@ -132,6 +132,43 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS_THRESH = 0.3
+
+_COS_DEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (
+    SELECT vec_id, v,
+       {_proj_terms}
+    FROM e
+),
+bucketed AS (
+    SELECT vec_id, v, CAST({_bucket_expr} AS BIGINT) AS bucket
+    FROM proj
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         AS cosine_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= {_COS_THRESH}
+"""
+
+
+@register("dedup_embedding_cosine", _COS_DEDUP_SQL)
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: the fifth
+    dedup family member. Equi-join on bucket id (Σ|bucket|² cost, never
+    n²); norms precomputed per row."""
+    return similarity.cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=_COS_THRESH,
+        n_planes=_N_PLANES,
+    )
+
+
 _EMB_STATS_SQL = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT label,

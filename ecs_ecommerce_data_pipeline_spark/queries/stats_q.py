@@ -1,0 +1,97 @@
+"""Statistical-moment aggregates with cross-engine determinism.
+
+Native ``stddev``/``corr`` stream doubles through Welford-style updates,
+so Spark and DuckDB (and two different partitionings of the same Spark
+job!) disagree in the last ulps. Here every sufficient statistic
+(Σx, Σx², Σxy) is an EXACT decimal sum — associative, partitioning-
+independent — and the moment formulas are evaluated once, in double, from
+those exact inputs: bit-identical everywhere.
+
+At 100 TB this is also the right shape: the decimal sums are one
+map-side-combinable aggregation; no second pass, no sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..sources.testdata import load_table
+
+_D = "decimal(18,4)"
+
+
+def _moments(df: DataFrame, group: str, x: str, y: str) -> DataFrame:
+    xd = F.col(x).cast(_D)
+    yd = F.col(y).cast(_D)
+    agg = df.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd).alias("sy"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    var_y = (syy - sy * sy / n) / (n - F.lit(1.0))
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        group,
+        F.col("n").cast("bigint").alias("n"),
+        (sx / n).alias("mean_x"),
+        var_x.alias("var_x"),
+        F.sqrt(var_x).alias("stddev_x"),
+        (sy / n).alias("mean_y"),
+        var_y.alias("var_y"),
+        corr.alias("corr_xy"),
+    )
+
+
+_MOMENTS_SQL = """
+WITH s AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+           SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(20,4))) AS sxx,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(20,4))) AS syy,
+           SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(20,4))) AS sxy
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+-- NOTE: decimal→double goes through VARCHAR: DuckDB's direct cast rounds
+-- twice (int128→double, then ÷10^scale) and can be off by one ulp from
+-- Java BigDecimal's correctly-rounded conversion; strtod is correctly
+-- rounded and matches Spark exactly.
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+       (CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0) AS var_x,
+       sqrt((CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0)) AS stddev_x,
+       CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+       (CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0) AS var_y,
+       (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+           AS corr_xy
+FROM s
+"""
+
+
+@register("stats_moments", _MOMENTS_SQL)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / variance / stddev / correlation of (l_quantity,
+    l_extendedprice) per return flag — exact-decimal sufficient
+    statistics, single aggregation pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return _moments(li, "l_returnflag", "l_quantity", "l_extendedprice")
