@@ -194,6 +194,103 @@ def cosine_near_dup_pairs(
     ).filter(F.col("cosine_sim") >= threshold)
 
 
+def ivf_centroid_scores(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rank every vector against the IVF coarse quantizer's centroids.
+
+    Centroids are the vectors of the ``n_centroids`` smallest ids — a
+    deterministic, training-free quantizer the oracle can reproduce (a
+    production build would k-means these; the search-path plumbing is
+    identical). Returns (vid, vec, nrm, cid, cos, rn) where rn=1 is the
+    vector's cell. The centroid side is tiny and broadcast; the corpus
+    scan stays distributed, followed by one per-vid window (a single
+    shuffle on vid — map-side combinable at scale).
+    """
+    from pyspark.sql import Window as W
+
+    v = as_double_array(vec_col)
+    base = embeddings.select(F.col(id_col).alias("vid"), v.alias("vec")).withColumn(
+        "nrm", norm(F.col("vec"))
+    )
+    centroids = (
+        base.orderBy("vid")
+        .limit(n_centroids)
+        .select(
+            F.col("vid").alias("cid"),
+            F.col("vec").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    scored = base.crossJoin(F.broadcast(centroids)).select(
+        "vid",
+        "vec",
+        "nrm",
+        "cid",
+        (dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))).alias(
+            "cos"
+        ),
+    )
+    w = W.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cid"))
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each corpus vector lives in exactly one
+    cell (its nearest centroid); a query probes its ``nprobe`` nearest
+    cells and runs exact cosine only there.
+
+    Scale shape: candidate generation is an equi-join on cell id —
+    cost Σ(probed-cell sizes), never |corpus| × |queries|. Recall/cost
+    is tuned by (n_centroids, nprobe), independent of corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    ranked = ivf_centroid_scores(embeddings, n_centroids, id_col, vec_col)
+    cells = ranked.filter(F.col("rn") == 1).select(
+        F.col("vid").alias("corpus_id"),
+        F.col("vec").alias("corpus_vec"),
+        F.col("nrm").alias("corpus_norm"),
+        F.col("cid").alias("cell"),
+    )
+    probes = (
+        ranked.filter(F.col("vid").isin(query_ids) & (F.col("rn") <= nprobe))
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("vec").alias("query_vec"),
+            F.col("nrm").alias("query_norm"),
+            F.col("cid").alias("cell"),
+        )
+    )
+    scored = cells.join(
+        F.broadcast(probes),
+        (cells["cell"] == probes["cell"]) & (F.col("corpus_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "corpus_id",
+        (
+            dot(F.col("query_vec"), F.col("corpus_vec"))
+            / (F.col("query_norm") * F.col("corpus_norm"))
+        ).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -132,6 +132,62 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_CENTROIDS = 16
+_NPROBE = 4
+
+_IVF_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (SELECT vec_id AS vid, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+c AS (
+    SELECT vid AS cid, v AS cv, nrm AS cnrm FROM base
+    ORDER BY vid LIMIT {_N_CENTROIDS}
+),
+ranked AS (
+    SELECT vid, v, nrm, cid,
+           list_dot_product(v, cv) / (nrm * cnrm) AS cos,
+           ROW_NUMBER() OVER (
+               PARTITION BY vid
+               ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cid) AS rn
+    FROM base CROSS JOIN c
+),
+cells AS (
+    SELECT vid AS corpus_id, v AS corpus_vec, nrm AS corpus_norm, cid AS cell
+    FROM ranked WHERE rn = 1
+),
+probes AS (
+    SELECT vid AS query_id, v AS query_vec, nrm AS query_norm, cid AS cell
+    FROM ranked WHERE vid IN ({_qids}) AND rn <= {_NPROBE}
+),
+scored AS (
+    SELECT p.query_id, cells.corpus_id,
+           list_dot_product(p.query_vec, cells.corpus_vec)
+             / (p.query_norm * cells.corpus_norm) AS cosine_sim
+    FROM cells JOIN probes p
+      ON cells.cell = p.cell AND cells.corpus_id <> p.query_id
+)
+SELECT query_id, corpus_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rnk
+    FROM scored
+) WHERE rnk <= {_K}
+"""
+
+
+@register("sim_ivf_topk", _IVF_TOPK_SQL)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic coarse quantizer (first-N-id
+    centroids standing in for k-means), one cell per corpus vector,
+    nprobe-cell probing — the classic ANN index shape as DataFrame ops."""
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        k=_K,
+        n_centroids=_N_CENTROIDS,
+        nprobe=_NPROBE,
+    )
+
+
 _COS_THRESH = 0.3
 
 _COS_DEDUP_SQL = f"""

@@ -41,3 +41,61 @@ def test_session_windows_run(spark):
     assert len(rows) > 0
     r = rows[0]
     assert r["n_events"] >= 1 and r["session_start"] <= r["session_end"]
+
+
+def test_stateful_running_totals_multi_batch(spark, tmp_path):
+    """applyInPandasWithState: state must accumulate ACROSS micro-batches
+    (maxFilesPerTrigger=1 over a multi-file copy of events), and the final
+    per-user state must equal the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.stateful import (
+        user_running_totals,
+    )
+
+    batch = load_table(spark, SF, "events").select("user_id", "value")
+    src = str(tmp_path / "events_parts")
+    batch.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        user_running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 4, "expected one micro-batch per file"
+
+    # memory sink in update mode appends each batch's emissions; per-user
+    # counts strictly increase per emission, so the final state is the row
+    # with the largest n_events (robust to sink row order).
+    emitted = spark.sql("SELECT * FROM running_totals").toPandas()
+    final = (
+        emitted.sort_values("n_events").groupby("user_id").last()
+    )
+
+    want = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total"),
+        )
+        .collect()
+    }
+    assert set(final.index) == set(want)
+    for uid, row in final.iterrows():
+        n, total = want[uid]
+        assert row["n_events"] == n, uid
+        assert abs(row["total_value"] - (total or 0.0)) < 1e-6, uid
