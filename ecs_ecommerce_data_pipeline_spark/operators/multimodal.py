@@ -89,3 +89,77 @@ def decode_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_decode, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, new_width int, new_height int, "
+    "resized_checksum string"
+)
+
+
+def resize_features(decoded: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Arrow-batched resize stage over decode output: fit (width, height)
+    into a ``max_dim`` box preserving aspect ratio.
+
+    Integer-only math (floor division) so the transformation is exactly
+    reproducible by the SQL oracle; the resized payload checksum is
+    md5(checksum:WxH) — the stub for "bytes of the resized image". A real
+    build swaps the kernel for PIL's ``thumbnail``; the plumbing (batch
+    iteration, schema contract, 1:1 row mapping) is what's under test.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].astype(int)
+            h = pdf["height"].astype(int)
+            longest = w.combine(h, max)
+            scale_needed = longest > max_dim
+            nw = w.where(~scale_needed, (w * max_dim // longest).clip(lower=1))
+            nh = h.where(~scale_needed, (h * max_dim // longest).clip(lower=1))
+            checksum = [
+                hashlib.md5(f"{c}:{a}x{b}".encode()).hexdigest()
+                for c, a, b in zip(pdf["checksum"], nw, nh)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "new_width": nw,
+                    "new_height": nh,
+                    "resized_checksum": checksum,
+                }
+            )
+
+    return decoded.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_checksum string"
+
+
+def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage for video-like payloads: ONE input row →
+    N output rows (one per sampled frame), N derived deterministically
+    from the payload bytes (stub for "decode container, sample every
+    k-th frame"; swap in ffmpeg in production).
+
+    The Spark-side shape is the real subject: a 1→N expansion streamed
+    through ``mapInPandas`` — no explode of a pre-materialized array, no
+    driver involvement, output size discovered per batch.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                digest = hashlib.md5(bytes(payload)).hexdigest()
+                n_frames = 1 + int(digest[:4], 16) % max_frames
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(hashlib.md5(f"{digest}:{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums}
+            )
+
+    return df.mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -186,12 +186,96 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features", None)
+# The decode/resize/frame-sample kernels are md5-deterministic stubs
+# (image/audio libs absent in this container), which makes them fully
+# oracle-expressible: DuckDB reproduces the same md5-derived fake
+# dimensions, so the Arrow plumbing is hash-checked end-to-end.
+_HEXDIM = "(('0x' || substr(md5(text), {a}, {n}))::BIGINT % {mod} + 1)"
+
+_DECODE_SQL = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST({_HEXDIM.format(a=1, n=4, mod=2048)} AS INT) AS width,
+       CAST({_HEXDIM.format(a=5, n=4, mod=2048)} AS INT) AS height,
+       CAST({_HEXDIM.format(a=9, n=2, mod=4)} AS INT) AS n_channels,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+@register("multimodal_decode_features", _DECODE_SQL)
 def q_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode stage (rows-only check: decoding is a stub —
-    image/audio libs are not in this container; the Spark-side plumbing
-    is real). See ``operators.multimodal``."""
+    """Multimodal decode stage: Arrow-batched ``mapInPandas`` over binary
+    payloads (stub kernel — see ``operators.multimodal``)."""
     from ..operators.multimodal import decode_features, with_binary_payload
 
     doc = load_table(spark, sf_dir, "documents")
     return decode_features(with_binary_payload(doc))
+
+
+_MAX_DIM = 256
+
+_RESIZE_SQL = f"""
+WITH decoded AS (
+    SELECT doc_id,
+           {_HEXDIM.format(a=1, n=4, mod=2048)} AS width,
+           {_HEXDIM.format(a=5, n=4, mod=2048)} AS height,
+           md5(text) AS checksum
+    FROM documents
+),
+sized AS (
+    SELECT doc_id, width, height, checksum,
+           GREATEST(width, height) AS longest,
+           CASE WHEN GREATEST(width, height) <= {_MAX_DIM} THEN width
+                ELSE GREATEST(1, width * {_MAX_DIM} // GREATEST(width, height))
+           END AS new_width,
+           CASE WHEN GREATEST(width, height) <= {_MAX_DIM} THEN height
+                ELSE GREATEST(1, height * {_MAX_DIM} // GREATEST(width, height))
+           END AS new_height
+    FROM decoded
+)
+SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(new_width AS INT) AS new_width, CAST(new_height AS INT) AS new_height,
+       md5(checksum || ':' || new_width || 'x' || new_height) AS resized_checksum
+FROM sized
+"""
+
+
+@register("multimodal_resize_meta", _RESIZE_SQL)
+def q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage: integer aspect-fit into a 256px box,
+    Arrow-batched; 1:1 row contract hash-checked against the oracle."""
+    from ..operators.multimodal import (
+        decode_features,
+        resize_features,
+        with_binary_payload,
+    )
+
+    doc = load_table(spark, sf_dir, "documents")
+    return resize_features(decode_features(with_binary_payload(doc)), max_dim=_MAX_DIM)
+
+
+_MAX_FRAMES = 4
+
+_FRAMES_SQL = f"""
+WITH d AS (SELECT doc_id, md5(text) AS m FROM documents),
+f AS (
+    SELECT doc_id, m,
+           1 + (('0x' || substr(m, 1, 4))::BIGINT % {_MAX_FRAMES}) AS n_frames
+    FROM d
+)
+SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+       md5(m || ':' || idx) AS frame_checksum
+FROM (SELECT doc_id, m, unnest(range(0, n_frames)) AS idx FROM f)
+"""
+
+
+@register("multimodal_frame_sample", _FRAMES_SQL)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: 1 payload row → N frame rows through
+    ``mapInPandas`` (N payload-derived) — the video-pipeline expansion
+    shape, hash-checked."""
+    from ..operators.multimodal import sample_frames, with_binary_payload
+
+    doc = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(doc), max_frames=_MAX_FRAMES)

@@ -34,3 +34,37 @@ def test_decode_features_deterministic(spark):
         assert r["checksum"] == want
         assert r["n_bytes"] == len(src[doc_id].encode())
         assert 1 <= r["width"] <= 2048 and 1 <= r["n_channels"] <= 4
+
+
+def test_resize_preserves_aspect_and_bounds(spark):
+    from ecs_ecommerce_data_pipeline_spark.operators.multimodal import (
+        resize_features,
+    )
+
+    doc = load_table(spark, SF, "documents").limit(50)
+    out = resize_features(decode_features(with_binary_payload(doc)), max_dim=256)
+    for r in out.collect():
+        assert 1 <= r["new_width"] <= 256 and 1 <= r["new_height"] <= 256
+        if max(r["width"], r["height"]) <= 256:
+            assert (r["new_width"], r["new_height"]) == (r["width"], r["height"])
+        else:
+            # floor division can only shrink; aspect drift bounded by 1px
+            longest = max(r["width"], r["height"])
+            assert r["new_width"] == max(1, r["width"] * 256 // longest)
+            assert r["new_height"] == max(1, r["height"] * 256 // longest)
+
+
+def test_frame_sample_expands_rows(spark):
+    from ecs_ecommerce_data_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    doc = load_table(spark, SF, "documents").limit(30)
+    out = sample_frames(with_binary_payload(doc), max_frames=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert len(by_doc) == 30
+    for doc_id, idxs in by_doc.items():
+        assert sorted(idxs) == list(range(len(idxs)))  # contiguous 0..n-1
+        assert 1 <= len(idxs) <= 4
