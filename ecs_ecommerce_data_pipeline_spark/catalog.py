@@ -59,14 +59,17 @@ def _load_all() -> None:
     if _LOADED:
         return
     from .queries import (  # noqa: F401
+        advanced_q,
         core_kpis,
         dedup_q,
         events_q,
         relational,
+        scale_q,
         similarity_q,
         stats_q,
         temporal_q,
         text_q,
+        tpch_q,
         validation_q,
     )
 
