@@ -85,6 +85,17 @@ _BENCH_EXTRA: set[str] = {
     "window_topk_per_category",
     "rollup_revenue",
     "events_sessionize",
+    # multi-join analytical pipelines
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_forecast",
+    "tpch_q10_returned_items",
+    # skew-mitigation rewrites
+    "agg_salted_skew",
+    "join_salted_orders_customer",
+    # window frames
+    "window_frames",
 }
 
 if __name__ == "__main__":
