@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just the fixtures.
+
+Three families:
+
+* **rewrite transparency** — the skew-mitigation rewrites (salted agg,
+  salted join) must equal their naive equivalents on arbitrary data,
+  including hot-key distributions, empty frames, and null-free/nullable
+  mixes;
+* **validation soundness** — ``validate_batch`` rejects iff a defect
+  (missing column / null in critical field / orphan FK) actually exists;
+* **dedup correctness** — exact-dedup group counts always partition the
+  corpus: Σ n_docs = |docs| and groups = |distinct normalized texts|.
+
+Spark jobs are slow per-example, so examples are capped and deadlines
+disabled — breadth comes from the generators, not the example count.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ecs_ecommerce_data_pipeline_spark.functions.numeric import MONEY
+from ecs_ecommerce_data_pipeline_spark.operators.dedup import exact_duplicates, normalize_text
+from ecs_ecommerce_data_pipeline_spark.operators.skew import salted_agg, salted_join
+from ecs_ecommerce_data_pipeline_spark.operators.validation import validate_batch
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# Skewed key space: few distinct keys over many rows
+_key = st.sampled_from(["hot", "warm", "cold-1", "cold-2"])
+_row = st.tuples(_key, st.integers(min_value=-10_000, max_value=10_000))
+_rows = st.lists(_row, min_size=1, max_size=60)
+
+
+@given(rows=_rows, buckets=st.integers(min_value=1, max_value=5))
+@_SETTINGS
+def test_salted_agg_equals_plain(spark, rows, buckets):
+    df = spark.createDataFrame(rows, "k string, v long")
+    salted = salted_agg(
+        df,
+        keys=["k"],
+        aggs={
+            "sum_v": F.sum("v"),
+            "n": F.count(F.lit(1)),
+            "min_v": F.min("v"),
+            "max_v": F.max("v"),
+        },
+        buckets=buckets,
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("sum_v"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+@given(
+    large=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=40),
+    small=st.lists(st.integers(0, 5), min_size=0, max_size=6, unique=True),
+    buckets=st.integers(min_value=1, max_value=4),
+    how=st.sampled_from(["inner", "left"]),
+)
+@_SETTINGS
+def test_salted_join_equals_plain(spark, large, small, buckets, how):
+    ldf = spark.createDataFrame(large or [(0, 0)], "k long, v long")
+    if large == []:
+        ldf = ldf.filter(F.lit(False))
+    sdf = spark.createDataFrame(
+        [(k, f"dim-{k}") for k in small] or [(99, "x")], "k long, label string"
+    )
+    if small == []:
+        sdf = sdf.filter(F.lit(False))
+    salted = salted_join(ldf, sdf, on="k", buckets=buckets, how=how)
+    plain = ldf.join(sdf, "k", how)
+    key = lambda r: tuple((x is None, str(x)) for x in r)
+    assert sorted(map(tuple, salted.collect()), key=key) == sorted(
+        map(tuple, plain.collect()), key=key
+    )
+
+
+@given(
+    orphan_items=st.booleans(),
+    null_user=st.booleans(),
+    drop_col=st.booleans(),
+)
+@_SETTINGS
+def test_validation_rejects_iff_defect(spark, orphan_items, null_user, drop_col):
+    """reject ⇔ ∃ defect — the SURVEY §5 property, all 8 combinations."""
+    orders_rows = [(1, 100 if not null_user else None, "2024-01-01")]
+    orders = spark.createDataFrame(
+        orders_rows, "order_id long, user_id long, created_at string"
+    )
+    item_order = 999 if orphan_items else 1
+    items = spark.createDataFrame(
+        [(item_order, 7, 19.99)], "order_id long, product_id long, sale_price double"
+    )
+    products = spark.createDataFrame(
+        [(7, "sku-7", 5.0, "cat", 9.99)],
+        "id long, sku string, cost double, category string, retail_price double",
+    )
+    if drop_col:
+        orders = orders.drop("user_id")
+
+    res = validate_batch(
+        orders,
+        items,
+        products,
+        required={
+            "orders": ["order_id", "user_id", "created_at"],
+            "order_items": ["order_id", "product_id", "sale_price"],
+            "products": ["id", "sku", "cost", "category", "retail_price"],
+        },
+    )
+    defect = orphan_items or null_user or drop_col
+    assert res.ok == (not defect), res.reasons
+
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("abc XYZ\t")), min_size=0, max_size=20
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(texts=_texts)
+@_SETTINGS
+def test_exact_dedup_partitions_corpus(spark, texts):
+    doc = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    groups = exact_duplicates(doc).collect()
+    assert sum(r["n_docs"] for r in groups) == len(texts)
+    n_norm = doc.select(normalize_text("text")).distinct().count()
+    assert len(groups) == n_norm
