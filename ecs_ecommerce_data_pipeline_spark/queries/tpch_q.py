@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import register
+from ..functions.numeric import MONEY
 from ..sources.testdata import load_table
 
 
@@ -262,4 +263,680 @@ def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lost_revenue"), "custkey")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order-priority checking: EXISTS (correlated semi-join) + agg
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o_orderpriority AS order_priority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY order_priority
+ORDER BY order_priority
+"""
+
+
+@register("tpch_q4_order_priority", _Q4_SQL)
+def q_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority check (TPC-H Q4 shape; 'late' adapted to
+    ship-lag > 60 days since the testdata carries no commit/receipt
+    dates). The correlated EXISTS compiles to a ``left_semi`` join whose
+    condition spans both inputs — Spark evaluates it as a semi hash join
+    keyed on order_id with the date comparison as a residual, so each
+    order is emitted at most once regardless of how many late items it
+    has. The quarter predicate pushes to the orders scan."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            lineitem,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("order_priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations (dual-aliased dimension join)
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+       {_REV_SQL} AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("tpch_q7_volume_shipping", _Q7_SQL)
+def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral shipping volume (TPC-H Q7 shape): the same dimension
+    (nation) joins the pipeline twice under different roles, and the
+    disjunctive pair predicate can only be applied after both are
+    attached. Both nation joins broadcast; restricting each side to the
+    two candidate nations *before* the pair filter keeps the fact rows
+    that survive the join to the minimum."""
+    two = ["NATION_1", "NATION_2"]
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.filter(F.col("n_name").isin(two)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(two)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    return (
+        li.join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(_revenue().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share (conditional share of exact cent sums)
+# ---------------------------------------------------------------------------
+
+_CENTS = "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+
+_Q8_SQL = f"""
+SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_CENTS} ELSE 0 END) AS DOUBLE)
+           / CAST(SUM({_CENTS}) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n1.n_regionkey
+JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+WHERE r.r_name = 'AMERICA'
+  AND p.p_type = 'PROMO'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("tpch_q8_market_share", _Q8_SQL)
+def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): numerator and denominator
+    are computed in ONE aggregation pass as conditional sums of exact
+    integer cents, then divided — never two scans. Customer-side nation
+    is pre-filtered through region (broadcast chain); supplier-side
+    nation is attached only to name the share nation."""
+    nation = load_table(spark, sf_dir, "nation")
+    n_cust = nation.join(
+        F.broadcast(
+            load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+        ),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cust_nkey"))
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "orders").filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(F.broadcast(n_cust), F.col("cust_nkey") == F.col("c_nationkey"))
+        .join(F.broadcast(n_supp), F.col("supp_nkey") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", cents).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum(cents).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit (LIKE filter + derived cost, nation×year)
+# ---------------------------------------------------------------------------
+
+_Q9_SQL = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)
+                            - 0.6 * p.p_retailprice * l.l_quantity) * 100 + 0.5)
+                AS BIGINT)) AS DOUBLE) / 100 AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("tpch_q9_product_profit", _Q9_SQL)
+def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape; supply cost modeled as
+    0.6·retail per the FIXTURES.md cost derivation since the testdata has
+    no partsupp table). The substring LIKE on p_name prunes parts before
+    the fact join; profit is per-row floored to integer cents so the
+    distributed sum is exact under any partitioning, including negative
+    margins."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    profit_cents = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+        + 0.5
+    ).cast("bigint")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            load_table(spark, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg((F.sum(profit_cents).cast("double") / 100).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer join + double aggregation)
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("tpch_q13_customer_distribution", _Q13_SQL)
+def q_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count histogram (TPC-H Q13 shape): a LEFT OUTER
+    join with an extra non-key condition (the condition filters the right
+    side but must preserve order-less customers), then two aggregation
+    levels. COUNT(o_orderkey) counts only matched rows — nulls from the
+    outer join fall out, giving c_count=0 customers their own histogram
+    bucket. The second agg is over ~#customers rows keyed by a tiny int
+    domain — map-side partial aggregation collapses it before the
+    shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect (conditional revenue share, single pass)
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = f"""
+SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_CENTS} ELSE 0 END) AS DOUBLE) * 100
+           / CAST(SUM({_CENTS}) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+@register("tpch_q14_promo_effect", _Q14_SQL)
+def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14 shape): promo share of one month's
+    revenue. One aggregation pass computes both the conditional numerator
+    and the full denominator over exact integer cents; the month
+    predicate reaches the lineitem scan (row-group min/max skip on
+    l_shipdate), and part is join-pruned to the month's partkeys by AQE
+    broadcast."""
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    return (
+        li.join(
+            load_table(spark, sf_dir, "part"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+                ).cast("double")
+                * 100
+                / F.sum(cents).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (scalar-subquery max against an aggregated view)
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+             AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT CAST(s.s_suppkey AS BIGINT) AS suppkey,
+       s.s_name AS name,
+       CAST(r.total_cents AS DOUBLE) / 100 AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_cents = (SELECT MAX(total_cents) FROM revenue)
+ORDER BY suppkey
+"""
+
+
+@register("tpch_q15_top_supplier", _Q15_SQL)
+def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): an aggregated 'view' consumed
+    twice — once for the per-supplier revenue, once for its global max.
+    The scalar subquery becomes a 1-row aggregate cross-joined
+    (broadcast) into the per-supplier frame: no second scan of lineitem,
+    no window over a single partition, no driver collect. Ties all
+    surface (= comparison on exact cents)."""
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+                ).cast("bigint")
+            ).alias("total_cents")
+        )
+    )
+    max_rev = rev.agg(F.max("total_cents").alias("max_cents"))
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_cents") == F.col("max_cents"))
+        .join(
+            load_table(spark, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            (F.col("total_cents").cast("double") / 100).alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated per-part average)
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100 / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register("tpch_q17_small_quantity", _Q17_SQL)
+def q_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity revenue (TPC-H Q17 shape): the correlated per-part
+    AVG decorrelates into groupBy(partkey).avg + an equi-join back to the
+    fact — the standard Catalyst rewrite, expressed directly. Quantities
+    are integer-valued doubles, so sum/count per part is exact and the
+    0.2·avg threshold is bit-identical across engines. At scale both
+    sides shuffle on l_partkey once; the brand-filtered probe side is the
+    small one and AQE broadcasts it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        ((F.sum("l_quantity") / F.count("l_quantity")) * 0.2).alias("qty_threshold")
+    )
+    brand = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    return (
+        li.join(F.broadcast(brand), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part_avg, F.col("avg_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+                .cast("double")
+                / 100
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers (HAVING semi-join then enrich)
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = """
+SELECT c.c_name AS name,
+       CAST(c.c_custkey AS BIGINT) AS custkey,
+       CAST(o.o_orderkey AS BIGINT) AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+GROUP BY name, custkey, orderkey, order_date, total_price
+ORDER BY total_price DESC, orderkey
+LIMIT 100
+"""
+
+
+@register("tpch_q18_large_volume", _Q18_SQL)
+def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): IN (GROUP BY … HAVING)
+    becomes an aggregate → filter → left_semi join, so the qualifying
+    order keys (few) prune the fact join early; AQE broadcasts the tiny
+    qualifying set. The final regroup re-sums quantities exactly via
+    DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select(F.col("l_orderkey").alias("qual_orderkey"))
+    )
+    orders = load_table(spark, sf_dir, "orders").join(
+        qualifying, F.col("qual_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    return (
+        orders.join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").cast("bigint").alias("custkey"),
+            F.col("o_orderkey").cast("bigint").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_totalprice").cast(MONEY).cast("double").alias("total_price"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast(MONEY)).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("total_price"), "orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue (disjunctive multi-attribute predicate)
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = f"""
+SELECT {_REV_SQL} AS revenue, CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("tpch_q19_discounted_revenue", _Q19_SQL)
+def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (TPC-H Q19 shape): a 3-branch disjunction mixing
+    part attributes with lineitem attributes. Catalyst extracts the
+    per-table approximations (brand∈{...} onto the part scan,
+    quantity∈[1,30] onto the lineitem scan) so both inputs shrink before
+    the join; the exact disjunction is the post-join residual."""
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "part"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .filter(cond)
+        .agg(
+            _revenue().alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+SELECT s.s_name AS supplier, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY supplier
+ORDER BY numwait DESC, supplier
+LIMIT 20
+"""
+
+
+@register("tpch_q21_waiting_supplier", _Q21_SQL)
+def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole-late-supplier report (TPC-H Q21 shape; 'late' adapted to
+    ship-lag > 90 days). The EXISTS/NOT-EXISTS pair over the same fact
+    table is rewritten as ONE per-order aggregate — n distinct suppliers
+    and n distinct *late* suppliers — joined back to the late rows:
+    a row survives iff its order has >1 supplier (EXISTS another) and
+    exactly 1 late supplier (NOT EXISTS another late). Equivalent to the
+    correlated form but scans lineitem twice instead of three times, and
+    both passes shuffle on the same key (l_orderkey)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    flagged = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    per_order = flagged.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    return (
+        flagged.filter(F.col("late"))
+        .join(per_order, F.col("po_orderkey") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(
+            load_table(spark, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "supplier")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — dormant high-balance customers (anti-join + scalar subquery)
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+  FROM customer WHERE c_acctbal > 0)
+SELECT right(c.c_name, 1) AS cgroup,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.v
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY cgroup
+ORDER BY cgroup
+"""
+
+
+@register("tpch_q22_dormant_customers", _Q22_SQL)
+def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant high-balance customers (TPC-H Q22 shape; country code
+    adapted to the last digit of c_name, 'no orders' adapted to 'no
+    orders since 2000' because every testdata customer has history). The
+    scalar AVG subquery is a 1-row broadcast cross join (no collect); the
+    NOT EXISTS is a left_anti join against date-pruned orders. Balances
+    aggregate exactly via DECIMAL."""
+    customer = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(MONEY)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.expr("right(c_name, 1)").alias("cgroup"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(MONEY)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cgroup")
     )
