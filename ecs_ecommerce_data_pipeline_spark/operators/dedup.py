@@ -101,13 +101,27 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     max_bucket: int = 50,
+    prefilter_buckets: bool = False,
 ) -> DataFrame:
     """LSH banding: band key = md5(concat of band's signature slots);
     docs sharing any band key become candidate pairs (doc_a < doc_b).
 
-    ``max_bucket`` drops buckets larger than the cap before the self-join
-    — the standard guard against boilerplate mega-clusters that would
-    otherwise quadratically dominate (and skew one reducer) at scale.
+    Pair generation is ONE aggregation per bucket (sorted collect_list)
+    followed by an in-bucket pair explode — not a bucket self-join. The
+    self-join form duplicates the whole upstream plan (shingle → md5 →
+    min-aggs) on both sides and costs two extra shuffles; here the
+    pipeline is shuffle(doc_id for signatures) → shuffle(band key) →
+    shuffle(pair distinct), and Σ|bucket|² work happens inside the
+    explode with no second pass over the input.
+
+    ``max_bucket`` drops buckets above the cap — the standard guard
+    against boilerplate mega-clusters that would otherwise quadratically
+    dominate. The cap is applied to the collected bucket (cheap: a
+    10M-doc degenerate bucket is still only ~80 MB of ids in one agg
+    buffer). For corpora where a single band bucket might exceed agg
+    memory (billions of identical-boilerplate docs), set
+    ``prefilter_buckets=True`` to count-and-drop oversized buckets in a
+    separate pass *before* any list is collected.
     """
     n_bands = num_hashes // band_size
     band_cols = []
@@ -120,7 +134,7 @@ def lsh_candidate_pairs(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_key")
 
-    if max_bucket is not None:
+    if prefilter_buckets and max_bucket is not None:
         counts = banded.groupBy("band_idx", "band_key").agg(
             F.count(F.lit(1)).alias("_n")
         )
@@ -129,17 +143,17 @@ def lsh_candidate_pairs(
             ["band_idx", "band_key"],
         )
 
-    left = banded.alias("a")
-    right = banded.alias("b")
+    buckets = banded.groupBy("band_idx", "band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("docs") <= max_bucket)
     return (
-        left.join(
-            right,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.filter(F.size("docs") >= 2)
+        .select(F.posexplode("docs").alias("pos", "doc_a"), F.col("docs"))
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            "doc_a",
+            F.explode(F.slice("docs", F.col("pos") + 2, F.size("docs"))).alias("doc_b"),
         )
         .distinct()
     )
