@@ -85,12 +85,24 @@ _BENCH_EXTRA: set[str] = {
     "window_topk_per_category",
     "rollup_revenue",
     "events_sessionize",
-    # multi-join analytical pipelines
+    # multi-join analytical pipelines (TPC-H-shaped suite)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_revenue_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_customers",
     # skew-mitigation rewrites
     "agg_salted_skew",
     "join_salted_orders_customer",
