@@ -71,3 +71,52 @@ def test_kpi_core_uses_wholestage_codegen(spark):
 def test_salted_join_output_hides_salt(spark):
     df = catalog.queries()["join_salted_orders_customer"](spark, SF_SMOKE)
     assert "__salt" not in df.columns
+
+
+def test_q19_partial_pushdown_of_disjunction(spark):
+    """Catalyst must extract per-table approximations of the 3-branch
+    disjunction: brand bounds onto the part scan, quantity bounds onto
+    the lineitem scan — neither input may be scanned unfiltered."""
+    df = catalog.queries()["tpch_q19_discounted_revenue"](spark, SF_SMOKE)
+    plan = _formatted(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l for l in pushed), "brand bounds not pushed to part scan"
+    assert any("l_quantity" in l for l in pushed), "quantity bounds not pushed to lineitem scan"
+
+
+def test_q4_semi_join_not_inner(spark):
+    """The EXISTS must compile to a LeftSemi join (one output row per
+    order), never an inner join + dedup."""
+    df = catalog.queries()["tpch_q4_order_priority"](spark, SF_SMOKE)
+    assert "LeftSemi" in _plan(df)
+
+
+def test_q18_having_filter_before_enrich_join(spark):
+    """IN (GROUP BY ... HAVING) must become agg -> filter -> semi join:
+    the qualifying-orders aggregate appears below the customer join, and
+    the semi join keeps orders single-emission."""
+    plan = _plan(catalog.queries()["tpch_q18_large_volume"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_and_no_collect(spark):
+    """NOT EXISTS compiles to LeftAnti; the scalar AVG subquery is a
+    broadcast (BroadcastNestedLoopJoin of a 1-row aggregate), not a
+    driver-side collect baked into the plan as a literal."""
+    plan = _plan(catalog.queries()["tpch_q22_dormant_customers"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q7_both_nation_roles_broadcast(spark):
+    """The dual-aliased nation dimension must broadcast on BOTH sides —
+    the fact pipeline is never exchanged for a 25-row table."""
+    plan = _plan(catalog.queries()["tpch_q7_volume_shipping"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_minhash_candidates_single_aggregation_shape(spark):
+    """The LSH candidate generator must not self-join the signature
+    subtree: exactly one scan of documents in the physical plan."""
+    plan = _plan(catalog.queries()["dedup_minhash_candidates"](spark, SF_SMOKE))
+    assert plan.count("documents.parquet") <= 1, "signature subtree duplicated"
