@@ -853,35 +853,57 @@ LIMIT 20
 @register("tpch_q21_waiting_supplier", _Q21_SQL)
 def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sole-late-supplier report (TPC-H Q21 shape; 'late' adapted to
-    ship-lag > 90 days). The EXISTS/NOT-EXISTS pair over the same fact
-    table is rewritten as ONE per-order aggregate — n distinct suppliers
-    and n distinct *late* suppliers — joined back to the late rows:
-    a row survives iff its order has >1 supplier (EXISTS another) and
-    exactly 1 late supplier (NOT EXISTS another late). Equivalent to the
-    correlated form but scans lineitem twice instead of three times, and
-    both passes shuffle on the same key (l_orderkey)."""
+    ship-lag > 90 days). The EXISTS/NOT-EXISTS pair is rewritten as a
+    pure aggregation cascade with a SINGLE scan of each table — no
+    self-join, no join-back (which would plan the lineitem⋈orders
+    subtree twice):
+
+    1. per (order, supplier): count of late rows;
+    2. per order: #suppliers, #late suppliers, and — when exactly one
+       supplier is late — that supplier's key and late-row count
+       (recoverable inside the same aggregate via conditional max);
+    3. orders with >1 supplier (EXISTS another) and exactly 1 late
+       supplier (NOT EXISTS another late) contribute their late-row
+       count to that supplier's numwait.
+
+    Shuffle keys: (orderkey, suppkey) → orderkey (map-side-combined) →
+    suppkey. Row-count semantics match the correlated form: each late
+    l1 row counts once."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    flagged = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).withColumn(
-        "late",
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    per_os = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+                ).cast("long")
+            ).alias("n_late_rows")
+        )
     )
-    per_order = flagged.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("n_late_rows") > 0).cast("long")).alias("n_late_supp"),
+        F.max(
+            F.when(F.col("n_late_rows") > 0, F.col("l_suppkey"))
+        ).alias("late_suppkey"),
+        F.max(
+            F.when(F.col("n_late_rows") > 0, F.col("n_late_rows"))
+        ).alias("late_rows"),
     )
     return (
-        flagged.filter(F.col("late"))
-        .join(per_order, F.col("po_orderkey") == F.col("l_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy(F.col("late_suppkey"))
+        .agg(F.sum("late_rows").alias("numwait"))
         .join(
             load_table(spark, sf_dir, "supplier"),
-            F.col("s_suppkey") == F.col("l_suppkey"),
+            F.col("s_suppkey") == F.col("late_suppkey"),
         )
-        .groupBy(F.col("s_name").alias("supplier"))
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .select(F.col("s_name").alias("supplier"), "numwait")
         .orderBy(F.desc("numwait"), "supplier")
         .limit(20)
     )
