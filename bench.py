@@ -108,6 +108,8 @@ _BENCH_EXTRA: set[str] = {
     "join_salted_orders_customer",
     # window frames
     "window_frames",
+    # end-to-end corpus curation (quality gate → lang-ID → dedup → stats)
+    "corpus_curation_pipeline",
 }
 
 if __name__ == "__main__":

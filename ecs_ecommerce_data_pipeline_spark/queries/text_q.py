@@ -172,3 +172,111 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.col("fps")).cast("bigint").alias("n_fingerprints"),
         F.array_min(F.col("fps")).alias("min_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite: the full corpus-curation pipeline as ONE query
+# ---------------------------------------------------------------------------
+
+_CURATION_SQL = f"""
+WITH scored AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+           CAST(len({_TOKS}) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           list_distinct({_TOKS}) AS dt
+    FROM documents
+),
+langed AS (
+    SELECT *, {_pred_case.replace("dt", "dt")} AS predicted_lang
+    FROM scored
+    WHERE n_words >= 5 AND n_alpha * 10 >= n_chars * 4
+),
+dedup AS (
+    SELECT text_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_in_group,
+           MIN(predicted_lang) AS predicted_lang,
+           MIN(n_words) AS n_words,
+           MIN(n_alpha) AS n_alpha,
+           MIN(n_chars) AS n_chars
+    FROM langed
+    GROUP BY text_hash
+)
+SELECT predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_canonical_docs,
+       CAST(SUM(n_in_group - 1) AS BIGINT) AS n_duplicate_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_alpha) AS DOUBLE) / SUM(n_chars) AS alpha_pct
+FROM dedup
+GROUP BY predicted_lang
+ORDER BY predicted_lang
+"""
+
+
+@register("corpus_curation_pipeline", _CURATION_SQL)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation flow as one logical plan:
+    quality gate → language ID → exact dedup (canonical = min doc_id) →
+    per-language corpus stats.
+
+    Composition notes:
+
+    * the quality gate is integer arithmetic (``n_alpha·10 ≥ n_chars·4``
+      ⇔ alpha ratio ≥ 0.4) — no double comparison at a filter boundary;
+    * per-language alpha percentage aggregates integer character counts
+      and divides ONCE — exact under any partitioning (a mean of per-doc
+      double ratios would be order-dependent);
+    * the whole pipeline is scan → project → filter → two hash
+      aggregations; the only shuffles are the dedup groupBy (16-byte
+      hashes) and the tiny per-language rollup.
+
+    Within a duplicate group every metric is identical (same text), so
+    MIN picks the canonical row's values without a join back.
+    """
+    from ..operators.dedup import normalize_text
+    from ..operators.text import LANG_PROFILES
+
+    doc = load_table(spark, sf_dir, "documents")
+    staged = doc.select(
+        "doc_id",
+        F.md5(normalize_text("text")).alias("text_hash"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint").alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]")).cast("bigint").alias("n_alpha"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("dt"),
+    ).filter((F.col("n_words") >= 5) & (F.col("n_alpha") * 10 >= F.col("n_chars") * 4))
+
+    langs = sorted(LANG_PROFILES)
+    scores = {
+        lang: F.size(
+            F.array_intersect(F.col("dt"), F.array(*[F.lit(w) for w in LANG_PROFILES[lang]]))
+        )
+        for lang in langs
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((scores[lang] == best) & (best > 0), lang).otherwise(pred)
+    langed = staged.select("doc_id", "text_hash", "n_words", "n_alpha", "n_chars",
+                           pred.alias("predicted_lang"))
+
+    dedup = langed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_in_group"),
+        F.min("predicted_lang").alias("predicted_lang"),
+        F.min("n_words").alias("n_words"),
+        F.min("n_alpha").alias("n_alpha"),
+        F.min("n_chars").alias("n_chars"),
+    )
+    return (
+        dedup.groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_canonical_docs"),
+            F.sum(F.col("n_in_group") - 1).alias("n_duplicate_docs"),
+            F.sum("n_words").alias("total_words"),
+            (F.sum("n_alpha").cast("double") / F.sum("n_chars")).alias("alpha_pct"),
+        )
+        .orderBy("predicted_lang")
+    )
