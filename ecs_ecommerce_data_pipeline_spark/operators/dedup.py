@@ -218,3 +218,43 @@ def simhash(doc: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame
         )
         packed = term if packed is None else packed + term
     return agg.select("doc_id", packed.alias("simhash"))
+
+
+def fuzzy_verify_pairs(
+    doc: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    prefix_len: int = 80,
+) -> DataFrame:
+    """Edit-distance verification over candidate pairs (the character-
+    level sibling of :func:`jaccard_pairs`): Levenshtein on a bounded
+    normalized prefix, plus a normalized similarity in [0, 1].
+
+    Levenshtein is O(L²) per comparison, so it NEVER runs all-pairs —
+    only on the LSH-filtered candidate set, and only on the first
+    ``prefix_len`` normalized characters. Both caps hold at any corpus
+    size: cost is |candidates| · prefix_len², independent of document
+    length and of n². ``F.levenshtein`` is a JVM codegen expression —
+    no UDF in the loop.
+    """
+    nt = doc.select(
+        "doc_id",
+        F.substring(normalize_text(text_col), 1, prefix_len).alias("prefix"),
+    )
+    a = nt.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    b = nt.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    d = F.levenshtein("pa", "pb")
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            d.cast("bigint").alias("edit_distance"),
+            (
+                F.lit(1.0)
+                - d.cast("double")
+                / F.greatest(F.length("pa"), F.length("pb"), F.lit(1))
+            ).alias("prefix_similarity"),
+        )
+    )

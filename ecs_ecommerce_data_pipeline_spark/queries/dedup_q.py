@@ -195,3 +195,39 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (sign-aggregated token hashes);
     near-dups land at small Hamming distance. Integer-exact."""
     return dedup.simhash(load_table(spark, sf_dir, "documents"), bits=32)
+
+
+_PREFIX_LEN = 80
+
+_FUZZY_SQL = f"""
+WITH {_CANDIDATES_CTES},
+nt AS (
+    SELECT doc_id,
+           substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                  1, {_PREFIX_LEN}) AS prefix
+    FROM documents
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_distance,
+       1.0 - CAST(levenshtein(a.prefix, b.prefix) AS DOUBLE)
+             / greatest(length(a.prefix), length(b.prefix), 1)
+           AS prefix_similarity
+FROM candidates c
+JOIN nt a ON c.doc_a = a.doc_id
+JOIN nt b ON c.doc_b = b.doc_id
+"""
+
+
+@register("dedup_fuzzy_verify", _FUZZY_SQL)
+def q_fuzzy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein verification over LSH candidates — the character-level
+    verify stage (vs ``dedup_ngram_jaccard``'s set-level one). Cost is
+    bounded at |candidates|·prefix², never n²·len²."""
+    doc = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        dedup.shingle_docs(doc, k=_SHINGLE_K), num_hashes=_NUM_HASHES
+    )
+    cands = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE, max_bucket=_MAX_BUCKET
+    )
+    return dedup.fuzzy_verify_pairs(doc, cands, prefix_len=_PREFIX_LEN)

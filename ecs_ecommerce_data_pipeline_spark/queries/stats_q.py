@@ -95,3 +95,40 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics, single aggregation pass."""
     li = load_table(spark, sf_dir, "lineitem")
     return _moments(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+_QUANTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25_quantity,
+       quantile_cont(l_quantity, 0.5)  AS median_quantity,
+       quantile_cont(l_quantity, 0.75) AS q75_quantity,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("stats_quantiles_exact", _QUANTILES_SQL)
+def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per return flag.
+
+    Bit-identical across engines: both Spark ``percentile`` and DuckDB
+    ``quantile_cont`` compute lo + (hi−lo)·frac at rank (n−1)·q, and for
+    q ∈ {.25, .5, .75, .9} every intermediate is exactly representable
+    ⇒ identical doubles.
+
+    Scale note: exact percentile materializes each group's values (one
+    shuffle, per-group sort buffer) — correct but memory-bound per group.
+    The 100 TB path is ``approx_percentile`` (t-digest sketch, map-side
+    combinable, bounded memory) — registered as ``approx_quantiles_price``
+    with the driver's weaker rows-only check, since sketch internals are
+    engine-specific by design. This pair documents the exact/approx
+    trade-off explicitly.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_quantity"), F.lit(0.25)).alias("q25_quantity"),
+        F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("median_quantity"),
+        F.percentile(F.col("l_quantity"), F.lit(0.75)).alias("q75_quantity"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.9)).alias("p90_price"),
+    )
