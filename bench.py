@@ -87,6 +87,7 @@ _BENCH_EXTRA: set[str] = {
     "events_sessionize",
     # multi-join analytical pipelines (TPC-H-shaped suite)
     "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
@@ -95,12 +96,16 @@ _BENCH_EXTRA: set[str] = {
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q11_important_values",
+    "tpch_q12_shipping_tiers",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect",
     "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
     "tpch_q17_small_quantity",
     "tpch_q18_large_volume",
     "tpch_q19_discounted_revenue",
+    "tpch_q20_dominant_suppliers",
     "tpch_q21_waiting_supplier",
     "tpch_q22_dormant_customers",
     # skew-mitigation rewrites

@@ -962,3 +962,355 @@ def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cgroup")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated scalar MIN subquery, decorrelated)
+# ---------------------------------------------------------------------------
+
+_SUPPLY_SQL = """
+supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT))
+             AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2)
+"""
+
+_Q2_SQL = f"""
+WITH {_SUPPLY_SQL},
+eu_supply AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+  FROM supply JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT s_acctbal AS acctbal, s_name AS supp_name, n_name AS nation,
+       CAST(p_partkey AS BIGINT) AS partkey, p_type AS part_type,
+       CAST(ps_supplycost AS DOUBLE) / 100 AS supplycost
+FROM part JOIN eu_supply ON ps_partkey = p_partkey
+WHERE p_type = 'LARGE' AND p_size <= 25
+  AND ps_supplycost = (SELECT MIN(e2.ps_supplycost) FROM eu_supply e2
+                       WHERE e2.ps_partkey = p_partkey)
+ORDER BY acctbal DESC, nation, supp_name, partkey
+LIMIT 100
+"""
+
+
+def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The part–supplier supply relation (TPC-H ``partsupp`` analog)
+    derived from lineitem: per (part, supplier), the minimum observed
+    unit price in integer cents. ``floor(x·100 + 0.5)`` is pure IEEE
+    multiply/add/floor, so the bigint cents are engine-independent and
+    MIN over them is exact under any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100 + 0.5
+    ).cast("bigint")
+    return (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min(cost).alias("ps_supplycost"))
+    )
+
+
+@register("tpch_q2_min_cost_supplier", _Q2_SQL)
+def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape; the ``partsupp`` relation
+    is derived from lineitem since the testdata carries none — supply
+    cost = min observed unit price per (part, supplier)).
+
+    The correlated scalar MIN subquery is decorrelated the way Catalyst
+    itself would: a per-part MIN aggregate joined back on the part key
+    with an exact integer-cents equality — no per-row subquery
+    execution. Scale posture: supply is a single shuffle keyed on
+    (part, supplier); the per-part MIN reuses the same rows; nation and
+    region broadcast; the part filter (type + size) pushes to the
+    parquet scan, pruning before the join."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 25)
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    eu_supply = (
+        _supply(spark, sf_dir)
+        .join(supplier, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(
+            F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = eu_supply.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eu_supply.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(part, F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+            F.col("p_partkey").cast("bigint").alias("partkey"),
+            F.col("p_type").alias("part_type"),
+            (F.col("ps_supplycost").cast("double") / 100).alias("supplycost"),
+        )
+        .orderBy(F.desc("acctbal"), "nation", "supp_name", "partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important part values (HAVING against a global scalar subquery)
+# ---------------------------------------------------------------------------
+
+_Q11_SQL = """
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             AS BIGINT)) AS cents
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE' GROUP BY 1)
+SELECT CAST(partkey AS BIGINT) AS partkey,
+       CAST(cents AS DOUBLE) / 100 AS value
+FROM val
+WHERE CAST(cents AS DOUBLE) > 1.5 * (SELECT AVG(CAST(cents AS DOUBLE)) FROM val)
+ORDER BY value DESC, partkey
+"""
+
+
+@register("tpch_q11_important_values", _Q11_SQL)
+def q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important part values (TPC-H Q11 shape; ``partsupp`` value is
+    derived from EUROPE-supplier lineitems; the fixed fraction becomes
+    1.5× the mean per-part value so the predicate stays selective-but-
+    non-empty at every scale factor).
+
+    The HAVING-against-scalar-subquery compiles to: one grouped
+    aggregate (exact integer cents), then a 1-row global AVG broadcast
+    cross-joined back — the grouped aggregate is computed once and
+    reused for both sides, not re-scanned. region/nation broadcast;
+    supplier joins before the groupBy so the shuffle carries only
+    surviving rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    val = (
+        li.join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    threshold = val.agg(
+        (F.lit(1.5) * F.avg(F.col("cents").cast("double"))).alias("threshold")
+    )
+    return (
+        val.crossJoin(F.broadcast(threshold))
+        .filter(F.col("cents").cast("double") > F.col("threshold"))
+        .select(
+            F.col("partkey").cast("bigint").alias("partkey"),
+            (F.col("cents").cast("double") / 100).alias("value"),
+        )
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping tiers vs order priority (join + CASE-conditional agg)
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN '1-FAST'
+            WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN '2-NORMAL'
+            ELSE '3-SLOW' END AS ship_tier,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY ship_tier ORDER BY ship_tier
+"""
+
+
+@register("tpch_q12_shipping_tiers", _Q12_SQL)
+def q_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-tier / priority matrix (TPC-H Q12 shape; ``l_shipmode``
+    and commit/receipt dates don't exist in the testdata, so 'mode'
+    becomes a ship-lag tier — days between order and ship date — and
+    'late' semantics live in the tier itself).
+
+    Pure join + CASE-conditional aggregation: the year predicate pushes
+    to the lineitem scan, the fact–fact join shuffles once on the order
+    key, and both CASE sums fold into a single hash aggregate over three
+    groups — whole-stage codegen end to end, output is 3 rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.when(lag <= 30, "1-FAST")
+            .when(lag <= 90, "2-NORMAL")
+            .otherwise("3-SLOW")
+            .alias("ship_tier")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier counts by part attributes (NOT IN exclusion + countDistinct)
+# ---------------------------------------------------------------------------
+
+_Q16_SQL = """
+WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand AS brand, p_type AS part_type,
+       CAST(p_size AS INTEGER) AS size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM supply JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500)
+GROUP BY brand, part_type, size
+ORDER BY supplier_cnt DESC, brand, part_type, size
+"""
+
+
+@register("tpch_q16_supplier_counts", _Q16_SQL)
+def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier counts per part attribute (TPC-H Q16 shape; the
+    'complaints' comment filter becomes an account-balance filter since
+    the testdata has no comment columns; supply pairs derive from
+    lineitem).
+
+    The NOT IN subquery is a ``left_anti`` join against the (tiny,
+    broadcast) excluded-supplier set — NULL-safe here because keys are
+    never null by schema. The brand/type/size predicates push to the
+    part scan; countDistinct expands then two-phase aggregates, the
+    standard exact plan."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    excluded = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1500
+    )
+    return (
+        li.distinct()
+        .join(
+            F.broadcast(excluded.select("s_suppkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("part_type"),
+            F.col("p_size").cast("int").alias("size"),
+        )
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "part_type", "size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — dominant promo suppliers (nested IN subqueries → semi-join chain)
+# ---------------------------------------------------------------------------
+
+_Q20_SQL = """
+WITH sq AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS supp_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2),
+pt AS (SELECT l_partkey, SUM(supp_qty) AS part_qty FROM sq GROUP BY 1)
+SELECT DISTINCT s_name AS supp_name, n_name AS nation
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM sq JOIN pt USING (l_partkey)
+                    WHERE CAST(supp_qty AS DOUBLE) > 0.5 * CAST(part_qty AS DOUBLE))
+ORDER BY supp_name
+"""
+
+
+@register("tpch_q20_dominant_suppliers", _Q20_SQL)
+def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant promo-part suppliers (TPC-H Q20 shape; 'availqty > half
+    of shipped quantity' adapted to 'supplier shipped more than half of
+    a promo part's 1997 volume', since there is no ``partsupp.
+    ps_availqty`` — the nested-IN-subqueries shape is preserved).
+
+    Decorrelation: per-(part, supplier) quantity aggregate, per-part
+    total via a second aggregate over the first (no rescan), ratio
+    filter, then a ``left_semi`` into supplier — each IN level becomes
+    one semi-join, never a per-row subquery. Quantities are integral
+    doubles → exact bigint sums. The part-type and year predicates both
+    push to their scans before the fact join."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    sq = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("supp_qty"))
+    )
+    pt = sq.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    dominant = (
+        sq.join(pt, F.col("l_partkey") == F.col("pt_partkey"))
+        .filter(
+            F.col("supp_qty").cast("double")
+            > 0.5 * F.col("part_qty").cast("double")
+        )
+        .select("l_suppkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(F.col("s_name").alias("supp_name"), F.col("n_name").alias("nation"))
+        .distinct()
+        .orderBy("supp_name")
+    )

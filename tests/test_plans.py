@@ -120,3 +120,46 @@ def test_minhash_candidates_single_aggregation_shape(spark):
     subtree: exactly one scan of documents in the physical plan."""
     plan = _plan(catalog.queries()["dedup_minhash_candidates"](spark, SF_SMOKE))
     assert plan.count("documents.parquet") <= 1, "signature subtree duplicated"
+
+
+def test_q2_single_supply_aggregation_reused(spark):
+    """The correlated MIN subquery is decorrelated into a per-part MIN
+    over the SAME supply aggregate — the plan may scan lineitem at most
+    twice (supply + min side), never once per part."""
+    df = catalog.queries()["tpch_q2_min_cost_supplier"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") <= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q11_scalar_threshold_is_broadcast_not_collect(spark):
+    """The HAVING-threshold scalar must enter the plan as a broadcast of
+    a 1-row aggregate (BroadcastNestedLoopJoin), not a driver collect
+    folded to a literal."""
+    df = catalog.queries()["tpch_q11_important_values"](spark, SF_SMOKE)
+    assert "BroadcastNestedLoopJoin" in _plan(df)
+
+
+def test_q12_year_predicate_pushed_to_lineitem_scan(spark):
+    df = catalog.queries()["tpch_q12_shipping_tiers"](spark, SF_SMOKE)
+    plan = _formatted(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed), "year bounds not pushed"
+
+
+def test_q16_exclusion_is_anti_join(spark):
+    """NOT IN over never-null keys must compile to LeftAnti against the
+    broadcast excluded-supplier set."""
+    plan = _plan(catalog.queries()["tpch_q16_supplier_counts"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+
+
+def test_q20_semi_join_and_part_filter_pushed(spark):
+    """Each IN level is one semi-join; the p_type predicate reaches the
+    part scan."""
+    df = catalog.queries()["tpch_q20_dominant_suppliers"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    fmt = _formatted(df)
+    pushed = [l for l in fmt.splitlines() if "PushedFilters" in l]
+    assert any("p_type" in l for l in pushed), "p_type not pushed to part scan"
