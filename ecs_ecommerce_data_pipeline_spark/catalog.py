@@ -64,6 +64,7 @@ def _load_all() -> None:
         dedup_q,
         events_q,
         relational,
+        sampling_q,
         scale_q,
         similarity_q,
         stats_q,

@@ -1,0 +1,147 @@
+"""Deterministic sampling, dataset splitting, and token-budget shard
+packing — the reproducibility operators of a training-data pipeline.
+
+The reference has no sampling surface at all beyond a row-limit probe
+(reference ``ecs/validation/validate_task.py:28,131`` — ``nrows=100``
+sample reads, and even those are effectively disabled, SURVEY §2.8 Q1).
+A corpus pipeline needs more: train/val/test membership must be a pure
+function of the record key (stable under reruns, re-partitioning, and
+data growth — a doc never migrates between splits when the corpus
+doubles), samples must be reproducible without materializing a seed
+table, and training shards must pack to a token budget without a
+driver-side loop.
+
+Scale posture (100 TB):
+
+* ``assign_split`` / ``hash_sample`` are **map-only** — a row-local md5
+  over the key, no shuffle, no state, trivially parallel at any width.
+  This is why the hash is md5 and not ``rand(seed)``: ``rand`` is
+  partitioning-dependent (seed is per-partition), so the same row lands
+  in different splits under AQE re-planning; md5-of-key is not.
+* ``stratified_sample`` shuffles once on the stratum key (the window
+  partition). Hot strata are bounded by the per-stratum output cap, but
+  the *input* window still sorts each stratum; for a stratum that is
+  most of the corpus, cap its sort width by pre-filtering on
+  ``hash_bucket < ~2×fraction`` before ranking (noted inline).
+* ``pack_shards`` packs per ``part_col`` group with a running-sum
+  window — parallelism = number of groups. A global pack (one group)
+  would serialize; partition the pack by a coarse key (source, date,
+  language) so each group's window sorts independently.
+
+Cross-engine determinism: every hash routes through
+``functions.textfn.md5_bigint`` (md5 hex → BIGINT), reproducible in the
+DuckDB oracle as ``('0x' || substr(md5(x),1,15))::BIGINT`` — never
+Spark's murmur ``hash()``/``xxhash64``/``rand``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfn import md5_bigint
+
+
+def hash_bucket(key: str | Column, buckets: int = 100, salt: str = "") -> Column:
+    """Deterministic bucket in ``[0, buckets)`` from md5 of the key.
+
+    ``salt`` derives independent bucketings from the same key (e.g. one
+    for splitting, one for sampling) — concatenated into the hashed
+    string, so DuckDB reproduces it as
+    ``('0x' || substr(md5(salt || CAST(k AS VARCHAR)), 1, 15))::BIGINT % buckets``.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return md5_bigint(F.concat(F.lit(salt), c.cast("string"))) % buckets
+
+
+def assign_split(
+    df: DataFrame,
+    key: str,
+    splits: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split by
+    hash-bucket range. ``splits`` maps name → percent (must sum to 100);
+    default 90/5/5 train/val/test.
+
+    Membership is a pure function of ``key`` — stable under reruns,
+    repartitioning, and corpus growth. Map-only: no shuffle.
+    """
+    splits = splits or {"train": 90, "val": 5, "test": 5}
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percents must sum to 100: {splits}")
+    b = hash_bucket(key, 100, salt=salt)
+    expr: Column | None = None
+    lo = 0
+    for name, pct in splits.items():
+        cond = (b >= lo) & (b < lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return df.withColumn("split", expr)
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose hash bucket
+    (out of 1e6) falls below the cutoff. Map-only; the same rows are
+    kept on every run and on any cluster layout."""
+    cutoff = int(fraction * 1_000_000)
+    return df.filter(hash_bucket(key, 1_000_000, salt=salt) < cutoff)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Exact per-stratum sample: ``ceil(fraction × n)`` rows from every
+    stratum, chosen by hash rank (deterministic, seedless).
+
+    One shuffle on ``stratum``; each stratum sorts by hash rank inside
+    its window. For a stratum that dominates the corpus, pre-filter with
+    ``hash_sample(df, key, 2*fraction)`` first to bound the sort — the
+    rank of the survivors is unchanged (md5 order is preserved under
+    filtering), so the top-``ceil(f·n)`` set is identical as long as the
+    pre-filter keeps at least that many rows per stratum.
+    """
+    h = hash_bucket(key, 1_000_000_000, salt=salt)
+    w = Window.partitionBy(stratum).orderBy(h, F.col(key))
+    wn = Window.partitionBy(stratum)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("_rk") <= F.ceil(F.col("_n") * F.lit(fraction)))
+        .drop("_rk", "_n")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    cost_col: str | Column,
+    budget: int,
+) -> DataFrame:
+    """Streaming shard packing: within each ``part_col`` group, walk rows
+    in ``order_col`` order and assign ``shard_id = floor(exclusive-
+    prefix-sum(cost) / budget)`` — consecutive rows fill a shard until
+    the budget spills into the next one (a shard may overshoot by at
+    most one row's cost, the standard greedy-streaming bound).
+
+    Expressed as one running-sum window per group — no driver loop, no
+    collect; parallelism = number of groups, so pick ``part_col`` at
+    least as wide as the cluster (source, date, lang-bucket…).
+    """
+    cost = F.col(cost_col) if isinstance(cost_col, str) else cost_col
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix_incl = F.sum(cost).over(w)
+    return df.withColumn(
+        "shard_id", F.floor((prefix_incl - cost) / F.lit(budget)).cast("bigint")
+    )

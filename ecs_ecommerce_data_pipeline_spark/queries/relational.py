@@ -559,6 +559,45 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNPIVOT_SQL = """
+WITH w AS (
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS DOUBLE) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_order_value
+    FROM orders
+    GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'revenue' AS metric, revenue AS value FROM w
+UNION ALL
+SELECT o_orderpriority, 'n_orders', n_orders FROM w
+UNION ALL
+SELECT o_orderpriority, 'avg_order_value', avg_order_value FROM w
+"""
+
+
+@register("unpivot_priority_metrics", _UNPIVOT_SQL)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (``DataFrame.unpivot``, the inverse of pivot):
+    per-priority KPI columns melt to (metric, value) rows. The melt is a
+    row-local ``expand`` — no shuffle beyond the feeding aggregation —
+    so a wide metrics table reshapes for a generic metrics sink at scan
+    cost."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        money_sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        (money_sum("o_totalprice") / F.count(F.lit(1))).alias("avg_order_value"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["revenue", "n_orders", "avg_order_value"],
+        "metric",
+        "value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q1-style aggregate battery
 # ---------------------------------------------------------------------------

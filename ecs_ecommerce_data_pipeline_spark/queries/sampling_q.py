@@ -1,0 +1,145 @@
+"""Deterministic sampling / split / shard-packing queries over
+``documents`` — the reproducibility surface of a training-data pipeline
+(operators in ``operators.sampling``; rationale + 100 TB posture there).
+
+Oracle parity: the bucket hash is md5-hex→BIGINT on both sides —
+Spark ``conv(substr(md5(k),1,15),16,10)`` ≡ DuckDB
+``('0x' || substr(md5(k),1,15))::BIGINT`` — and sample fractions are
+binary-exact (0.25) or integer cutoffs, so no float-rounding divergence
+can flip a membership decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..operators.sampling import (
+    assign_split,
+    hash_sample,
+    pack_shards,
+    stratified_sample,
+)
+from ..sources.testdata import load_table
+
+# DuckDB rendering of operators.sampling.hash_bucket(doc_id, buckets)
+_BUCKET = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {m}"
+
+
+_SPLIT_SQL = f"""
+WITH b AS (
+    SELECT doc_id, n_chars, {_BUCKET.format(m=100)} AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b
+GROUP BY 1
+"""
+
+
+@register("split_train_val_test", _SPLIT_SQL)
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test assignment as a pure function of doc_id
+    (map-only, rerun- and layout-stable), summarized per split with
+    membership checksums."""
+    doc = load_table(spark, sf_dir, "documents")
+    return (
+        assign_split(doc, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+_HASH_SAMPLE_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE {_BUCKET.format(m=1000000)} < 100000
+"""
+
+
+@register("sample_hash_10pct", _HASH_SAMPLE_SQL)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample (integer bucket cutoff, no
+    ``rand``), checksummed. The same rows survive every rerun."""
+    doc = load_table(spark, sf_dir, "documents")
+    return hash_sample(doc, "doc_id", 0.1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+_STRATIFIED_SQL = f"""
+WITH h AS (
+    SELECT doc_id, lang, {_BUCKET.format(m=1000000000)} AS hk
+    FROM documents
+),
+r AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM h
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM r
+WHERE rk <= CEIL(n * 0.25)
+GROUP BY lang
+"""
+
+
+@register("stratified_sample_lang", _STRATIFIED_SQL)
+def q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 25%-per-language sample by hash rank — every stratum is
+    represented at the same rate regardless of corpus imbalance."""
+    doc = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(doc, "lang", "doc_id", 0.25)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+    )
+
+
+_PACK_SQL = """
+WITH p AS (
+    SELECT source, doc_id, n_chars,
+           SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_chars AS prefix
+    FROM documents
+)
+SELECT source,
+       CAST(FLOOR(prefix / 20000) AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+FROM p
+GROUP BY source, 2
+"""
+
+
+@register("pack_char_shards", _PACK_SQL)
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-streaming shard packing: per source, consecutive docs fill
+    a ~20k-char shard (running-sum window, no driver loop); returns
+    per-shard doc counts and sizes."""
+    doc = load_table(spark, sf_dir, "documents")
+    packed = pack_shards(doc, "source", "doc_id", "n_chars", budget=20_000)
+    return packed.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("shard_chars"),
+    )
