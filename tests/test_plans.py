@@ -163,3 +163,47 @@ def test_q20_semi_join_and_part_filter_pushed(spark):
     fmt = _formatted(df)
     pushed = [l for l in fmt.splitlines() if "PushedFilters" in l]
     assert any("p_type" in l for l in pushed), "p_type not pushed to part scan"
+
+
+def test_split_assignment_is_map_only(spark):
+    """Split membership is a row-local md5 of the key: the assignment
+    plan must contain NO Exchange — at 100 TB the split is free, a scan
+    decoration, never a shuffle."""
+    from ecs_ecommerce_data_pipeline_spark.operators.sampling import assign_split
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    doc = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(assign_split(doc, "doc_id"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # pure Column exprs, no UDF
+
+
+def test_hash_sample_is_map_only(spark):
+    from ecs_ecommerce_data_pipeline_spark.operators.sampling import hash_sample
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    doc = load_table(spark, SF_SMOKE, "documents")
+    assert "Exchange" not in _plan(hash_sample(doc, "doc_id", 0.1))
+
+
+def test_stratified_sample_single_shuffle_on_stratum(spark):
+    """One hash exchange on the stratum key feeds both window functions
+    (rank + per-stratum count) — the partitioning is reused, not
+    re-shuffled per window."""
+    from ecs_ecommerce_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    doc = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(stratified_sample(doc, "lang", "doc_id", 0.25))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pack_shards_single_shuffle_on_part_col(spark):
+    from ecs_ecommerce_data_pipeline_spark.operators.sampling import pack_shards
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    doc = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(pack_shards(doc, "source", "doc_id", "n_chars", 20_000))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
