@@ -100,6 +100,86 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str = "date_key")
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """Row-level MERGE (upsert) into a plain-Parquet table — the
+    ``MERGE INTO`` capability without a transactional table format.
+
+    Semantics: an update row replaces the target row with the same
+    ``key_cols``; unmatched update rows append. Implementation is
+    anti-join + union: ``target ⟕anti updates  ∪  updates``.
+
+    Scale path (``partition_col`` given): only the partitions that
+    contain updated keys are touched. The affected-partition list comes
+    off the updates (distinct partition values — driver-side, cardinality
+    = partitions in the batch, mirroring ``target_dates``); the target
+    read prunes to those partitions; dynamic partition overwrite swaps
+    exactly them. Cost is O(affected partitions), never O(table).
+
+    Without ``partition_col`` the whole table rewrites through staging —
+    correct, but O(table); partition your tables.
+
+    Atomicity: per-partition (the dynamic-overwrite guarantee). A crash
+    mid-write can leave some partitions new and some old — reruns are
+    safe because the merge is idempotent (same updates → same result);
+    gate reruns with ``BatchLedger`` exactly like ``process_batch``.
+    Spark refuses to overwrite a path it is reading, so the merged slice
+    detours through a staging directory first.
+    """
+    import shutil
+
+    if not os.path.exists(target_path):
+        w = updates.write.mode("overwrite")
+        if partition_col:
+            w = w.partitionBy(partition_col)
+        w.parquet(target_path)
+        return
+
+    target = spark.read.parquet(target_path)
+    if partition_col:
+        # partition-directory type inference may widen the partition col
+        # (e.g. '2024-01-01' → DATE); align the updates side so join keys
+        # and union types agree
+        updates = updates.withColumn(
+            partition_col,
+            F.col(partition_col).cast(target.schema[partition_col].dataType),
+        )
+        parts = [
+            r["p"]
+            for r in updates.select(
+                F.col(partition_col).alias("p")
+            ).distinct().collect()
+        ]
+        target_slice = target.filter(F.col(partition_col).isin(parts))
+    else:
+        target_slice = target
+
+    merged = target_slice.join(updates, key_cols, "left_anti").unionByName(
+        updates
+    )
+
+    staging = target_path.rstrip("/") + "__merge_staging"
+    merged.write.mode("overwrite").parquet(staging)
+    merged_back = spark.read.parquet(staging)
+    try:
+        if partition_col:
+            merged_back.write.mode("overwrite").partitionBy(
+                partition_col
+            ).parquet(target_path)
+        else:
+            final = target_path.rstrip("/") + "__merge_final"
+            merged_back.write.mode("overwrite").parquet(final)
+            shutil.rmtree(target_path)
+            os.replace(final, target_path)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def process_batch(
     spark: SparkSession,
     ledger: BatchLedger,

@@ -38,7 +38,8 @@ Cluster posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_clustered(
@@ -53,6 +54,73 @@ def write_clustered(
     (
         df.repartitionByRange(files, *cluster_cols)
         .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_expr(
+    ranks: list[Column], bits: int = 8
+) -> Column:
+    """Interleave the low ``bits`` bits of per-column rank codes into one
+    Z-value (Morton code) — bit ``b`` of column ``c`` lands at position
+    ``b*ncols + c``. Pure shift/and/or Column arithmetic: JVM-side,
+    codegen'd, no UDF."""
+    ncols = len(ranks)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for c, r in enumerate(ranks):
+            bit = F.shiftright(r.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * ncols + c))
+    return z
+
+
+def quantile_rank(col_name: str, boundaries: list[float]) -> Column:
+    """Rank of a value among precomputed quantile boundaries: the count
+    of boundaries ≤ value. The boundary list is a tiny driver-side
+    constant folded into the plan (like a broadcast of ~2^bits doubles);
+    the rank itself is a row-local array filter — map-only."""
+    bnds = F.lit(boundaries)
+    v = F.col(col_name).cast("double")
+    return F.size(F.filter(bnds, lambda b: b <= v))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` parquet clustered on the **Z-order** (Morton
+    interleaving) of ``cluster_cols`` — the multi-dimensional complement
+    of ``write_clustered``.
+
+    Lexicographic clustering makes file ranges tight on the major column
+    and useless on the others; Z-order quantizes every column to a
+    ``2^bits``-level quantile rank and interleaves the bits, so each
+    file covers a small hyper-rectangle — footer min/max stay tight on
+    EVERY cluster column and a predicate on any of them skips most
+    files. The trade: per-column ranges are ~k-th-root-tight rather than
+    exactly tight, so prefer ``write_clustered`` when one column
+    dominates the workload's filters.
+
+    Cost shape at scale: one ``approxQuantile`` pass per column to learn
+    boundaries (aggregate tree, driver receives only ~2^bits doubles per
+    column), then the same single range-shuffle-plus-sort as
+    ``write_clustered``. Columns must be numeric/castable to double
+    (dates: cast to epoch first).
+    """
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    ranks = [
+        quantile_rank(c, df.approxQuantile(c, probs, 0.001))
+        for c in cluster_cols
+    ]
+    (
+        df.withColumn("_z", zorder_expr(ranks, bits))
+        .repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
         .write.mode("overwrite")
         .parquet(path)
     )

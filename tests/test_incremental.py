@@ -104,3 +104,70 @@ def test_process_batch_end_to_end(spark, tmp_path):
         spark, ledger, day, t["orders"], t["order_items"], t["products"],
         str(tmp_path / "daily"), str(tmp_path / "category"), new_orders=new,
     )
+
+
+def test_merge_upsert_row_level(spark, tmp_path):
+    """MERGE semantics on plain parquet: updated keys replaced, new keys
+    appended, untouched partitions byte-identical (pruned, not
+    rewritten)."""
+    import os
+
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import merge_upsert
+
+    path = str(tmp_path / "kpis")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0), ("2024-01-02", 3, 30.0)],
+        "date_key string, k int, v double",
+    )
+    merge_upsert(spark, path, base, ["date_key", "k"], partition_col="date_key")
+
+    untouched_dir = os.path.join(path, "date_key=2024-01-02")
+    before = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+        if f.endswith(".parquet")
+    }
+
+    updates = spark.createDataFrame(
+        [("2024-01-01", 2, 99.0), ("2024-01-01", 4, 40.0), ("2024-01-03", 5, 50.0)],
+        "date_key string, k int, v double",
+    )
+    merge_upsert(spark, path, updates, ["date_key", "k"], partition_col="date_key")
+
+    got = {
+        (str(r["date_key"]), r["k"]): r["v"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1): 10.0,  # untouched row in touched partition
+        ("2024-01-01", 2): 99.0,  # replaced
+        ("2024-01-01", 4): 40.0,  # appended into existing partition
+        ("2024-01-02", 3): 30.0,  # untouched partition
+        ("2024-01-03", 5): 50.0,  # brand-new partition
+    }
+    after = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+        if f.endswith(".parquet")
+    }
+    assert after == before, "unaffected partition was rewritten"
+
+
+def test_merge_upsert_unpartitioned_fallback(spark, tmp_path):
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import merge_upsert
+
+    path = str(tmp_path / "flat")
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"),
+        ["k"],
+    )
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k int, s string"),
+        ["k"],
+    )
+    got = {(r["k"], r["s"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
