@@ -258,3 +258,60 @@ def fuzzy_verify_pairs(
             ).alias("prefix_similarity"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a pair graph by iterative min-label
+    propagation — turns near-dup candidate PAIRS into duplicate
+    CLUSTERS (pick one canonical doc per component; drop the rest).
+
+    Each iteration: every node offers its current component label to its
+    neighbors (edges walked both directions), and every node keeps the
+    min of its own and all offered labels — one join + one min-agg per
+    round. Converges in O(component diameter) rounds; LSH dedup
+    clusters are near-cliques (diameter ≤ ~2), so 3-4 rounds in
+    practice, with ``max_iter`` as the pathological-chain guard.
+
+    Driver boundary: ONE scalar per iteration (the changed-label count
+    for the convergence test — the idiomatic driver loop of iterative
+    Spark algorithms). ``localCheckpoint`` truncates lineage each round
+    so the plan doesn't deepen with iterations.
+
+    Returns (node, component) with component = min node id reachable.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
+    und = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+
+    for _ in range(max_iter):
+        offered = (
+            und.join(labels, und.u == labels.node)
+            .select(F.col("v").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(offered)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -7,6 +7,7 @@ Jaccard value is reproduced bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..operators import dedup
@@ -231,3 +232,46 @@ def q_fuzzy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE, max_bucket=_MAX_BUCKET
     )
     return dedup.fuzzy_verify_pairs(doc, cands, prefix_len=_PREFIX_LEN)
+
+
+_CC_SQL = f"""
+WITH RECURSIVE {_CANDIDATES_CTES},
+und AS (
+    SELECT doc_a AS u, doc_b AS v FROM candidates
+    UNION ALL
+    SELECT doc_b, doc_a FROM candidates
+),
+cc_nodes AS (SELECT DISTINCT u AS node FROM und),
+reach(node, r) AS (
+    SELECT node, node FROM cc_nodes
+    UNION
+    SELECT e.v, r.r FROM reach r JOIN und e ON e.u = r.node
+),
+labeled AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(node) AS BIGINT) AS sum_members
+FROM labeled
+GROUP BY component
+"""
+
+
+@register("dedup_cc_clusters", _CC_SQL)
+def q_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from candidate PAIRS: iterative min-label
+    connected components (the step that turns pairwise LSH output into
+    keep-one-per-cluster decisions). Oracle is a recursive-CTE
+    transitive closure — the Spark side must reach the identical
+    fixpoint. Component id = min doc_id (the canonical survivor)."""
+    doc = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        dedup.shingle_docs(doc, k=_SHINGLE_K), num_hashes=_NUM_HASHES
+    )
+    cands = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE, max_bucket=_MAX_BUCKET
+    )
+    cc = dedup.connected_components(cands)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("node").cast("bigint").alias("sum_members"),
+    )

@@ -280,3 +280,49 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("predicted_lang")
     )
+
+
+_VOCAB_K = 100
+
+_VOCAB_SQL = f"""
+WITH t AS (
+    SELECT unnest({_TOKS}) AS token FROM documents
+),
+counts AS (
+    SELECT token, COUNT(*) AS n FROM t WHERE token <> '' GROUP BY token
+),
+ranked AS (
+    SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk
+    FROM counts
+)
+SELECT CAST(rk AS BIGINT) AS rank, token,
+       CAST(n AS BIGINT) AS n_occurrences
+FROM ranked WHERE rk <= {_VOCAB_K}
+"""
+
+
+@register("text_vocabulary", _VOCAB_SQL)
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by frequency (ties broken
+    lexically, so the cut is deterministic). The top-k is
+    ``orderBy().limit()`` — Spark's TakeOrdered reduction, a per-
+    partition heap + driver merge of k rows, NOT a global sort shuffle;
+    the rank window then runs over just k rows."""
+    from pyspark.sql import Window
+
+    doc = load_table(spark, sf_dir, "documents")
+    counts = (
+        doc.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), "token").limit(_VOCAB_K)
+    w = Window.orderBy(F.desc("n"), "token")
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "token",
+        F.col("n").cast("bigint").alias("n_occurrences"),
+    )
