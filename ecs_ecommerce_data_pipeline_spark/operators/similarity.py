@@ -22,6 +22,7 @@ identical in Spark ``aggregate`` and DuckDB ``list_dot_product``
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -332,3 +333,103 @@ def lsh_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def assign_to_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (ties → smallest
+    centroid id). ``centroids`` is (cluster_id, centroid ARRAY<DOUBLE>)
+    — tiny, broadcast; the corpus side streams through one scan, the
+    argmax is a per-vector window over k scored rows."""
+    scored = (
+        embeddings.select(id_col, as_double_array(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            id_col,
+            "cluster_id",
+            cosine(F.col("_v"), F.col("centroid")).alias("_cos"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("cluster_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "cluster_id")
+    )
+
+
+def recompute_centroids(
+    embeddings: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster element-wise mean → new centroids, with EXACT decimal
+    sums so the result is partitioning-independent and bit-identical to
+    the oracle (a running double sum would drift in the last ulps and
+    flip downstream argmax decisions).
+
+    Shape: posexplode to (cluster, dim, val) → one map-side-combinable
+    aggregation → re-assemble arrays with an order-pinned collect
+    (sort_array over (pos, val) structs — collect_list alone has no
+    deterministic order)."""
+    el = (
+        embeddings.select(id_col, F.posexplode(as_double_array(vec_col)))
+        .join(assignment, id_col)
+        .select("cluster_id", "pos", "col")
+    )
+    dims = el.groupBy("cluster_id", "pos").agg(
+        (
+            F.sum(F.col("col").cast("decimal(25,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_val")
+    )
+    return dims.groupBy("cluster_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "mean_val"))),
+            lambda s: s.mean_val,
+        ).alias("centroid")
+    )
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means for ``iters`` FIXED iterations (no convergence
+    probe → no per-iteration driver boundary at all, and a deterministic
+    plan) refining the IVF coarse quantizer: init = the k smallest-id
+    vectors (same deterministic seeding as ``ivf_centroid_scores``),
+    then assign → recompute per round. Returns the final (vec_id,
+    cluster_id) assignment.
+
+    Per iteration: one broadcast-scored scan + one explode-aggregate —
+    both map-side-combinable shuffles of k·dims rows, O(n·k·dims) work,
+    no state on the driver (centroids never leave the cluster)."""
+    centroids = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).cast("bigint").alias("_seed_id"),
+            as_double_array(vec_col).alias("centroid"),
+        )
+        .withColumn(
+            "cluster_id",
+            F.row_number()
+            .over(W.orderBy("_seed_id"))
+            .cast("bigint") - 1,
+        )
+        .select("cluster_id", "centroid")
+    )
+    assignment = assign_to_centroids(embeddings, centroids, id_col, vec_col)
+    for _ in range(iters):
+        centroids = recompute_centroids(embeddings, assignment, id_col, vec_col)
+        assignment = assign_to_centroids(embeddings, centroids, id_col, vec_col)
+    return assignment

@@ -252,3 +252,71 @@ def q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(comp_sum.cast("decimal(20,12)")).cast("double") / F.count(F.lit(1)))
         .alias("mean_component_sum"),
     )
+
+
+_KM_K = 8
+_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _km_assign_cte(name: str, cents: str) -> str:
+    cos = _COS.format(a="e.v", b="c.centroid")
+    return f"""{name} AS (
+    SELECT vec_id, cluster_id FROM (
+        SELECT e.vec_id, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {cos} DESC, c.cluster_id) AS rk
+        FROM e CROSS JOIN {cents} c
+    ) WHERE rk = 1
+)"""
+
+
+def _km_recompute_cte(name: str, assign: str) -> str:
+    # decimal sum → VARCHAR → DOUBLE: DuckDB's direct decimal→double cast
+    # rounds twice and can sit one ulp off Spark's BigDecimal conversion
+    return f"""{name} AS (
+    SELECT cluster_id, list(mean_val ORDER BY pos) AS centroid FROM (
+        SELECT a.cluster_id, el.pos,
+               CAST(CAST(SUM(CAST(el.val AS DECIMAL(25,12))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS mean_val
+        FROM el JOIN {assign} a USING (vec_id)
+        GROUP BY a.cluster_id, el.pos
+    ) GROUP BY cluster_id
+)"""
+
+
+_KMEANS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+el AS (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+c0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id, v AS centroid
+    FROM e ORDER BY vec_id LIMIT {_KM_K}
+),
+{_km_assign_cte("a0", "c0")},
+{_km_recompute_cte("c1", "a0")},
+{_km_assign_cte("a1", "c1")},
+{_km_recompute_cte("c2", "a1")},
+{_km_assign_cte("a2", "c2")}
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_members
+FROM a2
+GROUP BY cluster_id
+"""
+
+
+@register("sim_kmeans_clusters", _KMEANS_SQL)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations refining the IVF coarse quantizer
+    (deterministic smallest-id seeding, decimal-exact centroid means so
+    every argmax decision is bit-reproducible), summarized per cluster.
+    The oracle unrolls the same two iterations in SQL — the engines must
+    agree on every intermediate centroid to land identical memberships."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignment = similarity.kmeans_refine(emb, k=_KM_K, iters=2)
+    return assignment.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("vec_id").cast("bigint").alias("sum_members"),
+    )
