@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 from ..functions.numeric import money_sum
 
@@ -47,7 +48,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return _normalize_nanos_ts(stream, "ts")
+    stream = _normalize_nanos_ts(stream, "ts")
+    # Watermarks require TIMESTAMP (instant), not TIMESTAMP_NTZ. The session
+    # timezone is pinned to UTC, so the cast preserves wall-clock values and
+    # the stream stays the exact twin of the batch plan.
+    if isinstance(stream.schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
