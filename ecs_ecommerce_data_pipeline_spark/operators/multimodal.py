@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 DECODE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, width int, height int, n_channels int, "
-    "checksum string"
+    "checksum string, kernel string"
 )
 
 
@@ -51,13 +51,11 @@ def _decode_payload(payload: bytes) -> tuple[int, int, int, str]:
     decoder (PIL/libvips not available in this container).
 
     Derives (width, height, n_channels, checksum) purely from the bytes
-    so results are stable for tests. Replace with a real decoder:
-
-        from PIL import Image; img = Image.open(io.BytesIO(payload))
-        return img.width, img.height, len(img.getbands()), sha
-
-    Raises ``NotImplementedError`` for payloads that declare a real image
-    mime — making accidental production use loud.
+    so results are stable for tests. ``decode_features`` below selects a
+    real PIL kernel instead when (a) the payload declares an ``image/*``
+    mime and (b) PIL is importable on the worker; the output ``kernel``
+    column records which kernel produced each row so a stubbed result
+    can never silently masquerade as a real decode.
     """
     digest = hashlib.md5(payload).hexdigest()
     width = 1 + int(digest[:4], 16) % 2048
@@ -68,25 +66,87 @@ def _decode_payload(payload: bytes) -> tuple[int, int, int, str]:
 
 def decode_features(df: DataFrame) -> DataFrame:
     """Arrow-batched decode stage: (doc_id, payload, media_meta) →
-    (doc_id, n_bytes, width, height, n_channels, checksum).
+    (doc_id, n_bytes, width, height, n_channels, checksum, kernel).
 
     ``mapInPandas`` so each Python worker sees an iterator of pandas
     batches — vectorized transfer, per-partition streaming.
+
+    Kernel selection happens ON THE WORKER, per row:
+
+    * ``image/*`` mime + PIL importable → real decode, ``kernel='pil'``;
+    * ``image/*`` mime, no PIL → ``NotImplementedError`` (loud — a
+      production cluster missing its codec libs must not emit fakes);
+    * any other mime → deterministic stub, ``kernel='stub'``.
+
+    The closure is deliberately self-contained (no references to this
+    module's globals): cloudpickle then serializes it by value, so the
+    job runs on executors that do NOT have this package on their import
+    path — no ``--py-files`` shipping requirement.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            decoded = [_decode_payload(bytes(p)) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "n_channels": [d[2] for d in decoded],
-                    "checksum": [d[3] for d in decoded],
-                }
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        try:
+            import io as _io
+
+            from PIL import Image as _Image  # type: ignore
+
+            def _pil_kernel(payload: bytes) -> tuple[int, int, int, str]:
+                img = _Image.open(_io.BytesIO(payload))
+                return (
+                    img.width,
+                    img.height,
+                    len(img.getbands()),
+                    _hl.md5(payload).hexdigest(),
+                )
+
+        except ImportError:
+            _pil_kernel = None
+
+        def _stub_kernel(payload: bytes) -> tuple[int, int, int, str]:
+            digest = _hl.md5(payload).hexdigest()
+            return (
+                1 + int(digest[:4], 16) % 2048,
+                1 + int(digest[4:8], 16) % 2048,
+                1 + int(digest[8:10], 16) % 4,
+                digest,
             )
+
+        for pdf in batches:
+            rows = {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [],
+                "width": [],
+                "height": [],
+                "n_channels": [],
+                "checksum": [],
+                "kernel": [],
+            }
+            for payload, meta in zip(pdf["payload"], pdf["media_meta"]):
+                b = bytes(payload)
+                mime = (meta or {}).get("mime", "") or ""
+                if mime.startswith("image/"):
+                    if _pil_kernel is None:
+                        raise NotImplementedError(
+                            f"payload declares mime={mime!r} but no image "
+                            "codec (PIL) is available on this worker; "
+                            "refusing to emit stub dimensions for real media"
+                        )
+                    w, h, c, ck = _pil_kernel(b)
+                    kern = "pil"
+                else:
+                    w, h, c, ck = _stub_kernel(b)
+                    kern = "stub"
+                rows["n_bytes"].append(len(b))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_channels"].append(c)
+                rows["checksum"].append(ck)
+                rows["kernel"].append(kern)
+            yield _pd.DataFrame(rows)
 
     return df.mapInPandas(_decode, schema=DECODE_SCHEMA)
 

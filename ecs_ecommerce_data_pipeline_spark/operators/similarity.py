@@ -98,7 +98,9 @@ def brute_force_topk(
 def hyperplane_weight(plane: Column, dim: Column) -> Column:
     """Deterministic pseudo-random weight in [-1, 1) for (plane, dim):
     md5-derived 60-bit uniform scaled. Oracle reproduces with the same
-    string formula."""
+    string formula. (Column form — kept for ad-hoc use; the hot path
+    precomputes the same weights driver-side, see
+    ``_hyperplane_weights_py``.)"""
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws(":", plane.cast("string"), dim.cast("string"))), 1, 15
@@ -109,48 +111,79 @@ def hyperplane_weight(plane: Column, dim: Column) -> Column:
     return h / F.lit(float(2**60)) * 2.0 - 1.0
 
 
+def _hyperplane_weights_py(plane: int, dims: int) -> list[float]:
+    """Python twin of ``hyperplane_weight``: w(p, d) for d in [0, dims).
+
+    Bit-identical to the Column/oracle formula — the 60-bit md5 prefix is
+    converted int→double (IEEE round-to-nearest, same as Spark's cast and
+    DuckDB's ``::BIGINT`` division) then scaled with the same operation
+    order ``h / 2^60 * 2.0 - 1.0``.
+    """
+    import hashlib
+
+    out = []
+    for d in range(dims):
+        h = int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:15], 16)
+        out.append(float(h) / 1152921504606846976.0 * 2.0 - 1.0)
+    return out
+
+
+def _vector_dims(embeddings: DataFrame, vec_col: str) -> int:
+    """Fixed dimensionality of the embedding column.
+
+    One tiny driver lookup (first row's array length) — the weight
+    matrix is H×D literals and must be known at plan time. At scale this
+    is metadata (a real deployment pins dims in the table schema).
+    """
+    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer dimensionality of {vec_col!r}")
+    return int(row["d"])
+
+
 def lsh_bucket_assignments(
     embeddings: DataFrame,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """(id, bucket) — bucket = integer of sign bits of ⟨w_p, v⟩ over
-    ``n_planes`` hyperplanes.
+    ``n_planes`` hyperplanes (Charikar random-hyperplane LSH).
 
-    Per-plane projections are decimal-routed sums of per-element double
-    products, so bucket ids are partitioning- and engine-independent.
-    Implementation: posexplode dims → per (id, plane) sum — two narrow
-    shuffles on id; at scale this is a map-side-combinable aggregation.
+    MAP-ONLY: the H×D hyperplane weight matrix is precomputed driver-side
+    (bit-identical md5 derivation, see ``_hyperplane_weights_py``) and
+    embedded as literal arrays; each projection is a per-row
+    ``zip_with`` product + decimal-exact ``aggregate`` fold, and the
+    bucket id is a ``when``-chain over the sign bits. Zero shuffles,
+    zero runtime md5, no row explosion — at 100 TB this stage is a pure
+    scan that pipelines into the downstream bucket join. (The previous
+    shape posexploded dims × planes rows per vector and shuffled twice —
+    768-dim × 8 planes = 6,144 rows per vector of pure overhead.)
+
+    Projections accumulate in DECIMAL(25,15) (exact addition), so the
+    sign — and therefore the bucket — is partitioning- and
+    engine-independent; the DuckDB oracle reproduces it exactly.
     """
-    dims = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(as_double_array(vec_col)).alias("dim", "x"),
-    )
-    planes = dims.select(
-        "vid",
-        "dim",
-        "x",
-        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("plane"),
-    )
-    proj = planes.select(
-        "vid",
-        "plane",
-        (F.col("x") * hyperplane_weight(F.col("plane"), F.col("dim")))
-        .cast("decimal(25,15)")
-        .alias("term"),
-    ).groupBy("vid", "plane").agg(F.sum("term").alias("proj"))
-    bits = proj.select(
-        "vid",
-        # shiftleft's python API needs a literal shift amount; use expr for
-        # a column-valued shift
-        F.when(F.col("proj") > 0, F.expr("shiftleft(cast(1 as bigint), cast(plane as int))"))
-        .otherwise(F.lit(0).cast("bigint"))
-        .alias("bit"),
-    )
-    return bits.groupBy("vid").agg(F.sum("bit").cast("bigint").alias("bucket")).select(
-        F.col("vid").alias(id_col), "bucket"
-    )
+    if dims is None:
+        dims = _vector_dims(embeddings, vec_col)
+    v = as_double_array(vec_col)
+
+    def proj(p: int) -> Column:
+        w = F.lit(_hyperplane_weights_py(p, dims))
+        terms = F.zip_with(v, w, lambda x, wd: (x * wd).cast("decimal(25,15)"))
+        return F.aggregate(
+            terms,
+            F.lit(0).cast("decimal(25,15)"),
+            lambda acc, t: (acc + t).cast("decimal(25,15)"),
+        )
+
+    bucket: Column = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        bucket = bucket + F.when(
+            proj(p) > 0, F.lit(1 << p).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return embeddings.select(F.col(id_col), bucket.cast("bigint").alias("bucket"))
 
 
 def cosine_near_dup_pairs(

@@ -198,7 +198,8 @@ SELECT doc_id,
        CAST({_HEXDIM.format(a=1, n=4, mod=2048)} AS INT) AS width,
        CAST({_HEXDIM.format(a=5, n=4, mod=2048)} AS INT) AS height,
        CAST({_HEXDIM.format(a=9, n=2, mod=4)} AS INT) AS n_channels,
-       md5(text) AS checksum
+       md5(text) AS checksum,
+       'stub' AS kernel
 FROM documents
 """
 

@@ -36,6 +36,49 @@ def test_decode_features_deterministic(spark):
         assert 1 <= r["width"] <= 2048 and 1 <= r["n_channels"] <= 4
 
 
+def test_decode_kernel_flag_is_stub_for_opaque_payloads(spark):
+    """Non-image mimes route through the deterministic stub kernel and
+    say so in the output — a stubbed decode can't masquerade as real."""
+    doc = load_table(spark, SF, "documents").limit(5)
+    out = decode_features(with_binary_payload(doc))
+    assert "kernel" in out.columns
+    assert {r["kernel"] for r in out.collect()} == {"stub"}
+
+
+def test_decode_image_mime_without_codec_is_loud(spark):
+    """An ``image/*`` payload on a worker without PIL must raise, not
+    fall back to fake dimensions. (If PIL ever lands in the container the
+    pil kernel path takes over; this test then needs a real image byte
+    payload instead.)"""
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        import pytest
+
+        pytest.skip("PIL present: loud-failure path not reachable")
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    doc = load_table(spark, SF, "documents").limit(3)
+    wrapped = with_binary_payload(doc).withColumn(
+        "media_meta",
+        F.struct(
+            F.col("media_meta.n_bytes").alias("n_bytes"),
+            F.lit("image/png").alias("mime"),
+        ),
+    )
+    with pytest.raises(Exception) as exc_info:
+        decode_features(wrapped).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
 def test_resize_preserves_aspect_and_bounds(spark):
     from ecs_ecommerce_data_pipeline_spark.operators.multimodal import (
         resize_features,

@@ -207,3 +207,20 @@ def test_pack_shards_single_shuffle_on_part_col(spark):
     doc = load_table(spark, SF_SMOKE, "documents")
     plan = _plan(pack_shards(doc, "source", "doc_id", "n_chars", 20_000))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_lsh_bucket_assignment_is_map_only(spark):
+    """Bucket assignment embeds the hyperplane matrix as literals and
+    folds per row: the plan must contain NO Exchange and NO Generate
+    (explode) — at 100 TB this stage is a pure scan that pipelines into
+    the downstream bucket join. (Round-1 shape posexploded dims × planes
+    rows per vector through two shuffles.)"""
+    from ecs_ecommerce_data_pipeline_spark.operators.similarity import (
+        lsh_bucket_assignments,
+    )
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(lsh_bucket_assignments(emb, n_planes=8))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
