@@ -38,51 +38,16 @@ def asof_join(
     (ties on the timestamp break toward the largest ``right_val``).
 
     Returns ``left``'s columns + ``out_col`` (default: ``asof_<right_val>``).
+
+    The full left row rides through the union (right rows carry nulls
+    for the payload columns), so there is exactly ONE shuffle and no
+    join-back. This is deliberately the only implementation: an earlier
+    variant re-attached the payload by joining back on ``[key, ts]``,
+    which silently fans out when ``left`` has duplicate (key, ts) rows —
+    the union-carry shape is duplicate-safe by construction (each left
+    row is its own window element; see
+    ``tests/test_temporal.py::test_asof_duplicate_left_timestamps``).
     """
-    out_col = out_col or f"asof_{right_val}"
-    l_tagged = left.withColumn("_is_right", F.lit(0)).withColumn(
-        "_rv", F.lit(None).cast(dict(right.dtypes)[right_val])
-    )
-    r_tagged = right.select(
-        F.col(key),
-        F.col(right_ts).alias(left_ts),
-        F.lit(1).alias("_is_right"),
-        F.col(right_val).alias("_rv"),
-    )
-    unioned = l_tagged.select(
-        key, left_ts, "_is_right", "_rv"
-    ).unionByName(r_tagged)
-
-    # at equal ts the right row must sort BEFORE the left row (<= semantics);
-    # _rv ascending makes last() break timestamp ties toward the max value
-    w = (
-        W.partitionBy(key)
-        .orderBy(F.col(left_ts).asc(), F.col("_is_right").desc(), F.col("_rv").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    filled = unioned.withColumn(
-        out_col, F.last(F.when(F.col("_is_right") == 1, F.col("_rv")), ignorenulls=True).over(w)
-    ).filter(F.col("_is_right") == 0)
-
-    # re-attach the left payload columns (the union carried only key+ts)
-    payload_cols = [c for c in left.columns if c not in {key, left_ts}]
-    if payload_cols:
-        filled = filled.join(left, [key, left_ts])
-    return filled.select(*left.columns, out_col)
-
-
-def asof_join_dense(
-    left: DataFrame,
-    right: DataFrame,
-    key: str,
-    left_ts: str,
-    right_ts: str,
-    right_val: str,
-    out_col: str | None = None,
-) -> DataFrame:
-    """As-of join carrying the full left row through the union (no
-    re-join). Preferred when ``left`` has few payload columns; the union
-    then carries nulls for right rows — one shuffle total."""
     out_col = out_col or f"asof_{right_val}"
     rv_type = dict(right.dtypes)[right_val]
     payload = [c for c in left.columns if c not in {key, left_ts}]
@@ -100,6 +65,8 @@ def asof_join_dense(
         F.lit(1).alias("_is_right"),
         F.col(right_val).alias("_rv"),
     )
+    # at equal ts the right row must sort BEFORE the left row (<= semantics);
+    # _rv ascending makes last() break timestamp ties toward the max value
     w = (
         W.partitionBy(key)
         .orderBy(F.col(left_ts).asc(), F.col("_is_right").desc(), F.col("_rv").asc())
@@ -114,6 +81,11 @@ def asof_join_dense(
         .filter(F.col("_is_right") == 0)
         .select(key, left_ts, *payload, out_col)
     )
+
+
+# Back-compat name: "dense" was the duplicate-safe variant before it
+# became the only implementation.
+asof_join_dense = asof_join
 
 
 def range_join(

@@ -24,6 +24,7 @@ run (``transform_task.py:409-413``).
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import tempfile
@@ -33,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import kpis
+from ..operators.validation import ValidationResult, validate_batch
 
 
 class BatchLedger:
@@ -76,8 +78,63 @@ class BatchLedger:
         state[batch_id] = "done"
         self._save(state)
 
+    def mark_failed(self, batch_id: str) -> None:
+        """A failed batch stays retryable: ``try_start`` only refuses
+        ``done`` batches, so the next run re-attempts it (the reference's
+        Step Functions retry-from-failed semantics)."""
+        state = self._load()
+        state[batch_id] = "failed"
+        self._save(state)
+
     def status(self, batch_id: str) -> str | None:
         return self._load().get(batch_id)
+
+
+RUN_STATUS_SCHEMA = (
+    "batch_id string, stage string, status string, reasons array<string>, "
+    "ts timestamp"
+)
+
+
+class RunStatusLog:
+    """Queryable pipeline run status — the engine analogue of the
+    reference's SNS failure notifications (the step function routes every
+    stage failure to an alerting topic,
+    ``infra/step-function-definition.json:86-97,169-181``).
+
+    Instead of pushing opaque messages to a topic, each stage transition
+    appends one JSON line to a control file (same storage class as
+    ``BatchLedger`` — tiny, driver-side, transactional-store-shaped) and
+    the whole history reads back as a DataFrame, so "which batches failed
+    validation this week and why" is a query, not a log dive.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def record(
+        self,
+        batch_id: str,
+        stage: str,
+        status: str,
+        reasons: list[str] | None = None,
+    ) -> None:
+        entry = {
+            "batch_id": batch_id,
+            "stage": stage,
+            "status": status,
+            "reasons": reasons or [],
+            "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        }
+        with open(self.path, "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """The run-status table: (batch_id, stage, status, reasons, ts)."""
+        if not os.path.exists(self.path):
+            return spark.createDataFrame([], RUN_STATUS_SCHEMA)
+        df = spark.read.schema(RUN_STATUS_SCHEMA).json(self.path)
+        return df
 
 
 def target_dates(new_orders: DataFrame, created_col: str = "created_at") -> list[str]:
@@ -190,33 +247,65 @@ def process_batch(
     daily_out: str,
     category_out: str,
     new_orders: DataFrame | None = None,
+    required: dict[str, list[str]] | None = None,
+    status_log: RunStatusLog | None = None,
 ) -> bool:
-    """One orchestrated batch run: gate → scope → recompute → upsert →
-    mark done. Returns False if the ledger suppressed a duplicate run.
+    """One orchestrated batch run: gate → validate → scope → recompute →
+    upsert → mark done. Returns False if the ledger suppressed a
+    duplicate run OR validation failed (the failed batch stays retryable
+    in the ledger; reasons land in ``status_log``).
 
     ``new_orders`` is the incremental slice (defaults to full recompute
-    when None — the bootstrap path).
+    when None — the bootstrap path). ``required`` (table → critical
+    columns) switches on the validation stage; ``status_log`` records
+    every stage transition as the queryable twin of the reference's SNS
+    failure route (step failures → alert topic,
+    ``infra/step-function-definition.json:86-97``).
     """
+
+    def emit(stage: str, status: str, reasons: list[str] | None = None) -> None:
+        if status_log is not None:
+            status_log.record(batch_id, stage, status, reasons)
+
     if not ledger.try_start(batch_id):
+        emit("gate", "suppressed", ["batch already done"])
         return False
+    emit("gate", "started")
 
-    dates: Iterable[str] | None = None
-    if new_orders is not None:
-        dates = target_dates(new_orders)
-        if not dates:
-            # empty batch: nothing to recompute; mark done so the rerun
-            # gate still holds (reference tolerates empty prefixes)
-            ledger.mark_done(batch_id)
-            return True
+    if required is not None:
+        vres: ValidationResult = validate_batch(
+            orders, order_items, products, required
+        )
+        if not vres.ok:
+            emit("validate", "failed", vres.reasons)
+            ledger.mark_failed(batch_id)
+            return False
+        emit("validate", "passed")
 
-    daily = kpis.daily_kpis(orders, order_items, target_dates=dates)
-    prepared = kpis.prepare_items(order_items, orders, products)
-    category = kpis.category_kpis(prepared, target_dates=dates).withColumn(
-        "date_key", F.col("order_date")
-    )
+    try:
+        dates: Iterable[str] | None = None
+        if new_orders is not None:
+            dates = target_dates(new_orders)
+            if not dates:
+                # empty batch: nothing to recompute; mark done so the rerun
+                # gate still holds (reference tolerates empty prefixes)
+                emit("done", "ok", ["empty batch"])
+                ledger.mark_done(batch_id)
+                return True
 
-    write_partitioned(daily, daily_out, "date_key")
-    write_partitioned(category.drop("order_date"), category_out, "date_key")
+        daily = kpis.daily_kpis(orders, order_items, target_dates=dates)
+        prepared = kpis.prepare_items(order_items, orders, products)
+        category = kpis.category_kpis(prepared, target_dates=dates).withColumn(
+            "date_key", F.col("order_date")
+        )
 
+        write_partitioned(daily, daily_out, "date_key")
+        write_partitioned(category.drop("order_date"), category_out, "date_key")
+    except Exception as e:  # noqa: BLE001 — any stage failure must alert
+        emit("transform", "failed", [f"{type(e).__name__}: {e}"])
+        ledger.mark_failed(batch_id)
+        raise
+
+    emit("done", "ok")
     ledger.mark_done(batch_id)
     return True

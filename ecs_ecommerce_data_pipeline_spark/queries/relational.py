@@ -649,27 +649,108 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate aggregates (no oracle — DuckDB's sketches differ by design;
-# driver records rows-only)
+# Approximate aggregates with ERROR-BOUND oracles. Sketch internals
+# (HLL++ registers, t-digest centroids) are engine-specific by design, so
+# the raw approx values can't be oracle-compared — instead both sides emit
+# the EXACT value plus a boolean "the sketch landed inside its published
+# error bound". Spark computes the boolean for real; the oracle asserts
+# TRUE — so a sketch regression outside its bound hash-mismatches.
 # ---------------------------------------------------------------------------
 
+_APPROX_RSD = 0.05  # approx_count_distinct default relative std deviation
 
-@register("approx_distinct_parts", None)
+_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS parts_within_bounds,
+       TRUE AS orders_within_bounds
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("approx_distinct_parts", _APPROX_DISTINCT_SQL)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct — the 100 TB alternative to exact
-    countDistinct (A4): one pass, no expand, fixed memory."""
+    countDistinct (A4): one pass, no expand, fixed memory.
+
+    Gated: |approx − exact| ≤ 3·rsd·exact (3σ of the sketch's published
+    relative standard deviation). The exact count rides along only to
+    anchor the oracle; a production query would emit the approx value
+    alone.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    bound = 3.0 * _APPROX_RSD
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", _APPROX_RSD).alias("_ap"),
+        F.approx_count_distinct("l_orderkey", _APPROX_RSD).alias("_ao"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("_ap") - F.col("exact_parts"))
+            <= F.lit(bound) * F.col("exact_parts")
+        ).alias("parts_within_bounds"),
+        (
+            F.abs(F.col("_ao") - F.col("exact_orders"))
+            <= F.lit(bound) * F.col("exact_orders")
+        ).alias("orders_within_bounds"),
     )
 
 
-@register("approx_quantiles_price", None)
+# percentile_approx(accuracy=10000) guarantees rank error ≤ 1/accuracy;
+# we gate with a generous ±0.01 rank slack: each sketched quantile must
+# lie between the exact quantiles at p−0.01 and p+0.01.
+_APPROX_Q_PS = [0.25, 0.5, 0.75, 0.95]
+_APPROX_Q_SLACK = 0.01
+
+_APPROX_QUANTILES_SQL = " ".join(
+    ["SELECT"]
+    + [
+        ", ".join(
+            f"TRUE AS q{int(p * 100)}_within_bounds" for p in _APPROX_Q_PS
+        )
+    ]
+    + ["FROM orders LIMIT 1"]
+)
+
+
+@register("approx_quantiles_price", _APPROX_QUANTILES_SQL)
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx sketch for price distribution."""
+    """t-digest ``percentile_approx`` sketch for the price distribution —
+    map-side combinable, bounded memory (the scale path; exact
+    percentile materializes each group, see ``stats_quantiles_exact``).
+
+    Gated by rank bounds: sketch(p) must lie in
+    [exact(p−slack), exact(p+slack)]. Exact values stay out of the
+    output (engine interpolation differs in last ulps at p=0.95); the
+    booleans are the contract.
+    """
     o = load_table(spark, sf_dir, "orders")
-    return o.agg(
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000)
-        .alias("price_quantiles")
+    lo_ps = [max(p - _APPROX_Q_SLACK, 0.0) for p in _APPROX_Q_PS]
+    hi_ps = [min(p + _APPROX_Q_SLACK, 1.0) for p in _APPROX_Q_PS]
+
+    def arr(ps: list[float]) -> str:
+        return "array(" + ", ".join(f"{p}D" for p in ps) + ")"
+
+    agg = o.agg(
+        F.percentile_approx(
+            "o_totalprice", _APPROX_Q_PS, 10000
+        ).alias("_sketch"),
+        F.expr(f"percentile(o_totalprice, {arr(lo_ps)})").alias("_lo"),
+        F.expr(f"percentile(o_totalprice, {arr(hi_ps)})").alias("_hi"),
+    )
+    return agg.select(
+        *[
+            (
+                (F.col("_sketch")[i] >= F.col("_lo")[i])
+                & (F.col("_sketch")[i] <= F.col("_hi")[i])
+            ).alias(f"q{int(p * 100)}_within_bounds")
+            for i, p in enumerate(_APPROX_Q_PS)
+        ]
     )

@@ -38,16 +38,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _normalize_nanos_ts(df: DataFrame, col: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long of
-    epoch-nanoseconds. Convert to a proper timestamp via integer division
-    (``div`` keeps long arithmetic — a double roundtrip at 1e18 magnitude
-    would lose sub-microsecond precision and diverge from the DuckDB
-    oracle's truncation)."""
-    from pyspark.sql.types import LongType
+    """Normalize an event-time column to TIMESTAMP (instant) — the ONE
+    shared helper both the batch loader and ``streaming.pipeline
+    .stream_events`` apply, so batch and stream plans stay exact twins at
+    the type level (a union/join of their outputs must not mismatch).
 
-    if isinstance(df.schema[col].dataType, LongType):
+    Two source shapes are handled:
+
+    * parquet TIMESTAMP(NANOS), which Spark's reader rejects; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long of
+      epoch-nanoseconds. Convert via integer division (``div`` keeps
+      long arithmetic — a double roundtrip at 1e18 magnitude would lose
+      sub-microsecond precision and diverge from the DuckDB oracle's
+      truncation).
+    * parquet TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=false), which
+      Spark 4 reads as TIMESTAMP_NTZ. Watermarks (and any batch/stream
+      union) require TIMESTAMP; the session timezone is pinned to UTC,
+      so the cast preserves wall-clock values.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, LongType):
         df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    elif isinstance(dtype, TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import TimestampNTZType
 
 from ..functions.numeric import money_sum
 
@@ -48,13 +47,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    stream = _normalize_nanos_ts(stream, "ts")
-    # Watermarks require TIMESTAMP (instant), not TIMESTAMP_NTZ. The session
-    # timezone is pinned to UTC, so the cast preserves wall-clock values and
-    # the stream stays the exact twin of the batch plan.
-    if isinstance(stream.schema["ts"].dataType, TimestampNTZType):
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    # the shared helper handles both nanos-as-long and TIMESTAMP_NTZ
+    # sources, producing TIMESTAMP (instant) — identical normalization to
+    # the batch loader, so batch and stream outputs union/join cleanly
+    return _normalize_nanos_ts(stream, "ts")
 
 
 def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

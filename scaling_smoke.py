@@ -1,0 +1,161 @@
+"""Scaling smoke for the quadratic-risk stages: does runtime stay ~linear
+in rows when the input grows 10x?
+
+The candidate-pair stages (MinHash LSH bucket join, n-gram Jaccard
+verify, hyperplane-LSH bucketing, session windows) are the places a plan
+can silently go quadratic — Sigma|bucket|^2 cost explodes if buckets grow
+with corpus size instead of staying bounded. There is no sf1 testdata, so
+this harness synthesizes a FACTOR-x replica of the relevant sf0.1 tables
+(each replica deterministically perturbed so content distributions stay
+natural — byte-identical replicas would put every copy in the same
+bucket and force the quadratic blowup by construction), times each stage
+at 1x and FACTOR-x, and writes SCALING.json with per-row time ratios.
+
+Pass criterion: per_row_ratio (time ratio / rows ratio) ~ 1 for linear
+stages; anything drifting well above ~2 indicates superlinear cost.
+
+Usage: python scaling_smoke.py  [env SPARK_GRAFT_SF_DIR, SCALE_FACTOR]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ecs_ecommerce_data_pipeline_spark import catalog
+from ecs_ecommerce_data_pipeline_spark.session import get_spark
+from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+# stage name -> table whose row count drives the cost
+STAGES = {
+    "dedup_minhash_candidates": "documents",
+    "dedup_ngram_jaccard": "documents",
+    "sim_lsh_buckets": "embeddings",
+    "sim_lsh_topk": "embeddings",
+    "events_sessionize": "events",
+}
+
+_ID_OFFSET = 10_000_000
+
+
+def build_scaled(spark: SparkSession, src_dir: str, out_dir: str, factor: int) -> None:
+    """Write FACTOR-x perturbed replicas of the stage input tables.
+
+    Replica r keeps r=0 byte-exact and perturbs the rest: documents get a
+    per-replica text suffix (shifts some shingles), embeddings get a tiny
+    deterministic affine jitter (moves some hyperplane signs), events
+    shift user ids and timestamps (new sessions, same density).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    doc = load_table(spark, src_dir, "documents")
+    parts = [doc]
+    for r in range(1, factor):
+        parts.append(
+            doc.withColumn("doc_id", F.col("doc_id") + F.lit(r * _ID_OFFSET))
+            .withColumn("text", F.concat(F.col("text"), F.lit(f" replica{r}")))
+        )
+    _union_all(parts).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = load_table(spark, src_dir, "embeddings")
+    parts = [emb]
+    for r in range(1, factor):
+        jit_scale, jit_shift = 1.0 + r * 1e-3, r * 7e-4
+        parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * _ID_OFFSET))
+            .withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x: (x * F.lit(jit_scale) + F.lit(jit_shift)).cast("float"),
+                ),
+            )
+        )
+    _union_all(parts).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    ev = load_table(spark, src_dir, "events")
+    parts = [ev]
+    for r in range(1, factor):
+        shifted = ev.withColumn("user_id", F.col("user_id") + F.lit(r * _ID_OFFSET))
+        if "event_id" in ev.columns:
+            shifted = shifted.withColumn(
+                "event_id", F.col("event_id") + F.lit(r * _ID_OFFSET)
+            )
+        parts.append(
+            shifted.withColumn(
+                "ts", F.col("ts") + F.make_dt_interval(F.lit(r * 40), F.lit(0), F.lit(0), F.lit(0.0))
+            )
+        )
+    _union_all(parts).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+
+def _union_all(dfs):
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _time_stage(qs, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    qs[name](spark := _SPARK, sf_dir).count()  # noqa: F841 (spark reused)
+    return round(time.time() - t0, 3)
+
+
+_SPARK: SparkSession = None  # set in main
+
+
+def main() -> None:
+    global _SPARK
+    src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    factor = int(os.environ.get("SCALE_FACTOR", "10"))
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_tmp")
+    # 10x sf0.1 broadcasts outgrow the default 1g driver JVM; size it
+    # like the bench harness would on real hardware
+    _SPARK = get_spark(
+        app_name="scaling_smoke",
+        extra_conf={"spark.driver.memory": os.environ.get("SCALE_DRIVER_MEM", "8g")},
+    )
+    qs = catalog.queries()
+
+    build_scaled(_SPARK, src_dir, out_dir, factor)
+
+    result: dict = {"factor": factor, "base_dir": src_dir, "stages": {}}
+    try:
+        for name, table in STAGES.items():
+            n_base = load_table(_SPARK, src_dir, table).count()
+            n_scaled = load_table(_SPARK, out_dir, table).count()
+            _time_stage(qs, name, src_dir)  # warm codegen for this plan
+            t_base = _time_stage(qs, name, src_dir)
+            t_scaled = _time_stage(qs, name, out_dir)
+            rows_ratio = n_scaled / n_base
+            time_ratio = t_scaled / t_base if t_base > 0 else float("inf")
+            result["stages"][name] = {
+                "input_table": table,
+                "rows_base": n_base,
+                "rows_scaled": n_scaled,
+                "t_base_sec": t_base,
+                "t_scaled_sec": t_scaled,
+                "rows_ratio": round(rows_ratio, 2),
+                "time_ratio": round(time_ratio, 2),
+                "per_row_ratio": round(time_ratio / rows_ratio, 3),
+            }
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    print(json.dumps(result))
+    with open("SCALING.json", "w") as fh:
+        json.dump(result, fh, indent=2)
+    _SPARK.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -171,3 +171,60 @@ def test_merge_upsert_unpartitioned_fallback(spark, tmp_path):
     )
     got = {(r["k"], r["s"]) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_process_batch_failed_validation_hits_status_log(spark, tmp_path):
+    """A batch with a critical-field violation must: not write outputs,
+    leave the ledger retryable (failed, not done), and leave a queryable
+    (batch_id, stage, status, reasons, ts) trail — the engine twin of the
+    reference's SNS failure route."""
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import RunStatusLog
+
+    t = ecommerce_views(spark, SF)
+    # poison the orders slice: null out a critical column for some rows
+    bad_orders = t["orders"].withColumn(
+        "user_id",
+        F.when(F.col("order_id") % 10 == 0, F.lit(None)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    ledger = BatchLedger(str(tmp_path / "ledger.json"))
+    status_log = RunStatusLog(str(tmp_path / "status.jsonl"))
+    ran = process_batch(
+        spark,
+        ledger,
+        batch_id="poisoned",
+        orders=bad_orders,
+        order_items=t["order_items"],
+        products=t["products"],
+        daily_out=str(tmp_path / "daily"),
+        category_out=str(tmp_path / "category"),
+        required={
+            "orders": ["order_id", "user_id", "created_at"],
+            "order_items": ["order_id", "product_id", "sale_price"],
+            "products": ["id", "category"],
+        },
+        status_log=status_log,
+    )
+    assert not ran
+    assert ledger.status("poisoned") == "failed"
+    assert not (tmp_path / "daily").exists()  # nothing written
+
+    sdf = status_log.to_df(spark)
+    assert sdf.columns == ["batch_id", "stage", "status", "reasons", "ts"]
+    rows = {r["stage"]: r for r in sdf.collect()}
+    assert rows["gate"]["status"] == "started"
+    assert rows["validate"]["status"] == "failed"
+    assert any("null values in critical field" in x for x in rows["validate"]["reasons"])
+    assert rows["validate"]["ts"] is not None
+
+    # a clean retry of the SAME batch id goes through (failed != done)
+    ran2 = process_batch(
+        spark, ledger, "poisoned", t["orders"], t["order_items"], t["products"],
+        str(tmp_path / "daily"), str(tmp_path / "category"),
+        required={"orders": ["order_id", "user_id"]}, status_log=status_log,
+    )
+    assert ran2
+    assert ledger.status("poisoned") == "done"
+    final = status_log.to_df(spark).filter(F.col("stage") == "done").count()
+    assert final == 1

@@ -59,6 +59,59 @@ def test_asof_tie_at_equal_ts_includes_order(spark):
     assert out.collect()[0]["asof_order_id"] == 8
 
 
+def test_asof_duplicate_left_timestamps(spark):
+    """Duplicate (key, ts) left rows must each appear EXACTLY once in the
+    output with the same as-of value — the hazard that killed the old
+    join-back variant (its payload re-join on [key, ts] fanned out
+    duplicates quadratically)."""
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100),
+            (1, _ts("2024-01-01T10:00:00"), 101),  # same user, same ts
+            (1, _ts("2024-01-01T10:00:00"), 102),  # thrice
+            (1, _ts("2024-01-01T12:00:00"), 103),
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    orders = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:30:00"), 7), (1, _ts("2024-01-01T11:00:00"), 8)],
+        "user_id long, o_ts timestamp, order_id long",
+    )
+    out = asof_join_dense(
+        events, orders, key="user_id", left_ts="ts", right_ts="o_ts",
+        right_val="order_id", out_col="asof_order_id",
+    ).collect()
+    assert len(out) == 4  # no fan-out: one output row per input row
+    got = {r["event_id"]: r["asof_order_id"] for r in out}
+    assert got == {100: 7, 101: 7, 102: 7, 103: 8}
+
+
+def test_asof_sparse_alias_is_duplicate_safe(spark):
+    """asof_join (the historical sparse name) is the same duplicate-safe
+    implementation — property-check with generated duplicate-heavy data."""
+    from ecs_ecommerce_data_pipeline_spark.operators.asof import asof_join
+
+    rows = []
+    eid = 0
+    for user in range(3):
+        for hour in (9, 10, 10, 11, 11, 11):  # heavy (key, ts) duplication
+            rows.append((user, _ts(f"2024-01-01T{hour:02d}:00:00"), eid))
+            eid += 1
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    orders = spark.createDataFrame(
+        [(u, _ts("2024-01-01T10:00:00"), 100 + u) for u in range(3)],
+        "user_id long, o_ts timestamp, order_id long",
+    )
+    out = asof_join(
+        events, orders, key="user_id", left_ts="ts", right_ts="o_ts",
+        right_val="order_id", out_col="asof_order_id",
+    ).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        expect = 100 + r["user_id"] if r["ts"].hour >= 10 else None
+        assert r["asof_order_id"] == expect, r
+
+
 def test_range_join_assigns_interval(spark):
     points = spark.createDataFrame(
         [(1, 5.0), (2, 50.0), (3, 999.0)], "id long, v double"
