@@ -123,6 +123,7 @@ def _load_all() -> None:
         stats_q,
         temporal_q,
         scale_q,
+        retrieval_q,  # new this round — never verified either
         # -- verified in round 1: register after --
         core_kpis,
         advanced_q,

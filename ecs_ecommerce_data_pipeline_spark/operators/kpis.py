@@ -146,6 +146,16 @@ def daily_kpis(
     * ``total_revenue`` — sum of per-order revenue (A2 + J3).
     * ``return_rate`` — share of orders with ``returned_at`` set, computed
       over orders directly (README-declared semantics; fixes Q3).
+
+      COMPAT NOTE (pinned divergence from the reference): the reference's
+      code path computes return_rate from a column its own transform
+      never produces (transform_task.py references ``is_returned`` on the
+      per-day frame after dropping it) and errors at runtime; its README
+      declares "share of orders returned per day". This engine implements
+      the README semantics. Anyone diffing outputs against a patched
+      reference build must patch it to the README definition, not the
+      broken code path — the oracle SQL in ``queries/core_kpis.py``
+      (``return_rate`` / ``avg_return_rate``) IS that definition.
     * ``total_items_sold`` — item-row count per item ``created_at`` day
       (A3), left-joined onto the order-day grain (J4) and null-backfilled
       (P7) exactly as the reference does.

@@ -224,3 +224,16 @@ def test_lsh_bucket_assignment_is_map_only(spark):
     plan = _plan(lsh_bucket_assignments(emb, n_planes=8))
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
+
+
+def test_bm25_topk_is_distributed_take_ordered(spark):
+    """The BM25 final top-k must be TakeOrderedAndProject (per-partition
+    heads + one merge), never a global row_number window over every
+    matching doc — at 100 TB 'docs containing a query term' is a huge
+    set. The term filter must also precede the tf aggregation."""
+    from ecs_ecommerce_data_pipeline_spark.operators.retrieval import bm25_scores
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    doc = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(bm25_scores(doc, ["hash", "join"], k=5))
+    assert "TakeOrderedAndProject" in plan, plan
