@@ -1,0 +1,206 @@
+"""Dimension-maintenance + remaining scalar/join/window breadth queries:
+SCD2 history merge, map-column functions, time-range window frames, and
+null-safe joins (SURVEY §2 M6 fill-ins the earlier rounds didn't cover).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..operators.scd import scd2_apply
+from ..sources.testdata import load_table
+
+# --------------------------------------------------------------------------
+# SCD2: apply a deterministic update batch to the products dimension
+# --------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH cur AS (
+    SELECT p_partkey, p_retailprice AS price, p_type AS category,
+           '2023-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+           TRUE AS is_current
+    FROM part
+),
+upd AS (
+    SELECT p_partkey, p_retailprice * 1.1 AS price, p_type AS category,
+           '2024-06-01' AS eff
+    FROM part WHERE p_partkey % 7 = 0
+    UNION ALL
+    SELECT p_partkey + 1000000, 9.99, 'NEW', '2024-06-01'
+    FROM part WHERE p_partkey % 101 = 0
+),
+changed AS (
+    SELECT c.p_partkey
+    FROM cur c JOIN upd u USING (p_partkey)
+    WHERE c.price IS DISTINCT FROM u.price
+       OR c.category IS DISTINCT FROM u.category
+)
+SELECT c.p_partkey, c.price, c.category, c.valid_from,
+       CASE WHEN ch.p_partkey IS NOT NULL THEN '2024-06-01'
+            ELSE c.valid_to END AS valid_to,
+       ch.p_partkey IS NULL AS is_current
+FROM cur c LEFT JOIN changed ch USING (p_partkey)
+UNION ALL
+SELECT u.p_partkey, u.price, u.category, u.eff AS valid_from,
+       CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+FROM upd u JOIN changed ch USING (p_partkey)
+UNION ALL
+SELECT u.p_partkey, u.price, u.category, u.eff AS valid_from,
+       CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+FROM upd u WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.p_partkey = u.p_partkey)
+"""
+
+
+@register("scd2_product_prices", _SCD2_SQL)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension merge: a deterministic price-change batch (keys
+    % 7, +10%) plus brand-new keys (% 101) applied to the products
+    dimension — changed rows close and re-open, new keys insert, no-ops
+    pass through. One broadcast join, no windows (operators.scd)."""
+    part = load_table(spark, sf_dir, "part")
+    dim = part.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_type").alias("category"),
+        F.lit("2023-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        part.filter(F.col("p_partkey") % 7 == 0)
+        .select(
+            "p_partkey",
+            (F.col("p_retailprice") * F.lit(1.1)).alias("price"),
+            F.col("p_type").alias("category"),
+            F.lit("2024-06-01").alias("eff_date"),
+        )
+        .unionByName(
+            part.filter(F.col("p_partkey") % 101 == 0).select(
+                (F.col("p_partkey") + F.lit(1000000)).alias("p_partkey"),
+                F.lit(9.99).alias("price"),
+                F.lit("NEW").alias("category"),
+                F.lit("2024-06-01").alias("eff_date"),
+            )
+        )
+    )
+    return scd2_apply(dim, updates, key="p_partkey", attrs=["price", "category"])
+
+
+# --------------------------------------------------------------------------
+# Map-column scalar functions (M6: string/date/math/array/MAP scalars)
+# --------------------------------------------------------------------------
+
+_MAP_SQL = """
+WITH e AS (
+    SELECT event_id, event_type,
+           json_extract_string(props, '$.k')::BIGINT AS k
+    FROM events
+)
+SELECT event_id,
+       event_type AS m_type,
+       k AS m_k,
+       CAST(3 AS INT) AS m_size,
+       'k,src,type' AS keys_csv,
+       TRUE AS has_src,
+       CAST(CASE WHEN k IS NULL THEN 2 ELSE 3 END AS INT) AS n_nonnull
+FROM e
+"""
+
+
+@register("scalar_map_funcs", _MAP_SQL)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface: create_map / map_concat / element_at /
+    map_keys / map_contains_key / map_filter, all JVM-side expressions.
+    The oracle pins the EXTRACTED scalars (map layouts are engine
+    internals; their observable behavior is the contract)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("k"), k.cast("string"),
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("src"), F.lit("events")))
+    return e.select(
+        "event_id",
+        F.element_at(m2, "type").alias("m_type"),
+        F.element_at(m2, "k").cast("bigint").alias("m_k"),
+        F.size(m2).alias("m_size"),
+        F.array_join(F.array_sort(F.map_keys(m2)), ",").alias("keys_csv"),
+        F.map_contains_key(m2, "src").alias("has_src"),
+        F.size(F.map_filter(m2, lambda _, v: v.isNotNull())).alias("n_nonnull"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-range window frame (RANGE over event time, not ROWS)
+# --------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+_RANGE_FRAME_SQL = f"""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("window_time_range_frame", _RANGE_FRAME_SQL)
+def q_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour per-user metrics via a RANGE frame keyed on
+    epoch-MICROSECONDS (both engines see identical integers; epoch
+    seconds would truncate differently from DuckDB's fractional epoch).
+    One shuffle on user_id; the frame is evaluated in a running pass."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+        .alias("value_1h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Null-safe join (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+
+_NULL_SAFE_SQL = """
+WITH o AS (
+    SELECT CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END
+               AS status_key
+    FROM orders
+),
+d AS (SELECT DISTINCT status_key FROM o)
+SELECT COALESCE(d.status_key, 'none') AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM o JOIN d ON o.status_key IS NOT DISTINCT FROM d.status_key
+GROUP BY 1
+"""
+
+
+@register("join_null_safe", _NULL_SAFE_SQL)
+def q_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``eqNullSafe`` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of dropping — the semantics a plain
+    equi-join silently loses. Broadcast dim side."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderstatus") == "O", F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_key")
+    )
+    d = o.distinct().select(F.col("status_key").alias("d_key"))
+    return (
+        o.join(F.broadcast(d), F.col("status_key").eqNullSafe(F.col("d_key")))
+        .groupBy(F.coalesce(F.col("d_key"), F.lit("none")).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
