@@ -125,6 +125,7 @@ def _load_all() -> None:
         scale_q,
         retrieval_q,  # new this round — never verified either
         dimension_q,  # new this round — never verified either
+        graph_q,      # new this round — never verified either
         # -- verified in round 1: register after --
         core_kpis,
         advanced_q,

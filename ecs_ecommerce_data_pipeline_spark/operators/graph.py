@@ -1,0 +1,98 @@
+"""Iterative graph analytics on DataFrames: PageRank.
+
+Complements the connected-components operator (``operators.dedup``): CC
+finds duplicate clusters; PageRank ranks nodes by link structure — here
+the user↔product purchase bipartite graph (both directions, so rank
+circulates), the standard collaborative-popularity signal.
+
+Determinism contract (same discipline as ``similarity.kmeans_refine``):
+
+* FIXED iteration count — no convergence probe, no driver boundary, a
+  single static plan;
+* per-node contribution sums are POWER-OF-TWO integer-scaled:
+  ``floor(contrib · 2^40)`` summed as exact BIGINT, then divided back by
+  ``2^40`` (an exact binary scaling). Integer sums are order-independent,
+  and — unlike a DECIMAL(38,20) route — the quantization step rounds
+  identically in every engine (decimal rounding modes for double→decimal
+  casts differ between engines by an ulp, which compounds across
+  iterations). Total rank mass is ≤ 1, so the scaled sum stays ≤ 2^40,
+  far inside exact-double range;
+* rank updates are pure IEEE double ops on those exact sums.
+
+Scale shape per iteration: one equi-join (edges ⨝ ranks on src) + one
+map-side-combinable aggregation on dst — the textbook distributed
+PageRank step. Degrees are precomputed once. Total cost
+O(iters · |edges|); no collect, no accumulating lineage problem at small
+fixed iters (checkpoint if iters grows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DAMPING = 0.85
+_SCALE = 1099511627776.0  # 2^40 — exact binary scaling factor
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = _DAMPING,
+) -> DataFrame:
+    """PageRank over directed ``edges(src, dst)`` (STRING node ids —
+    callers encode typed nodes as 'type:id'). Returns (node, rank).
+
+    rank_0(v) = 1/N;
+    rank_{t+1}(v) = (1-d)/N + d · Σ_{u→v} rank_t(u) / outdeg(u).
+
+    Dangling nodes (no out-edges) leak their rank mass — acceptable for
+    ranking use; the bipartite construction in ``queries.graph_q`` has
+    none (every edge is mirrored).
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # N and the base term ride along as columns of a 1-row broadcast —
+    # never collected to the driver
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(
+                    (F.col("rank") / F.col("outdeg").cast("double"))
+                    * F.lit(_SCALE)
+                )
+                .cast("bigint")
+                .alias("contrib_scaled"),
+            )
+            .groupBy("node")
+            .agg(
+                (F.sum("contrib_scaled").cast("double") / F.lit(_SCALE))
+                .alias("in_mass")
+            )
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

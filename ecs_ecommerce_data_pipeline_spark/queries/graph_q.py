@@ -1,0 +1,88 @@
+"""Graph-analytics queries: PageRank over the purchase bipartite graph.
+
+Oracle parity: the SQL unrolls the same fixed iterations with the same
+2^40 integer-scaled contribution sums (see ``operators.graph``) and the
+same IEEE double expressions — including writing ``(1.0 - 0.85)`` as a
+subtraction (folding it to a ``0.15`` literal would parse to a DIFFERENT
+double and shift every rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..operators.graph import pagerank
+from ..sources.testdata import load_table
+
+_ITERS = 2
+_TOP = 100
+
+_PAGERANK_SQL = f"""
+WITH pairs AS (
+    SELECT DISTINCT 'u:' || o_custkey AS u, 'p:' || l_partkey AS p
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+    SELECT u AS src, p AS dst FROM pairs
+    UNION ALL
+    SELECT p AS src, u AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes),
+r0 AS (SELECT node, 1.0 / n_nodes AS rank FROM nodes CROSS JOIN n),
+c1 AS (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(FLOOR((r.rank / CAST(d.outdeg AS DOUBLE))
+                               * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+               / 1099511627776.0 AS in_mass
+    FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY 1
+),
+r1 AS (
+    SELECT nodes.node,
+           (1.0 - 0.85) / n_nodes + 0.85 * COALESCE(c1.in_mass, 0.0) AS rank
+    FROM nodes LEFT JOIN c1 ON c1.node = nodes.node CROSS JOIN n
+),
+c2 AS (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(FLOOR((r.rank / CAST(d.outdeg AS DOUBLE))
+                               * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+               / 1099511627776.0 AS in_mass
+    FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY 1
+),
+r2 AS (
+    SELECT nodes.node,
+           (1.0 - 0.85) / n_nodes + 0.85 * COALESCE(c2.in_mass, 0.0) AS rank
+    FROM nodes LEFT JOIN c2 ON c2.node = nodes.node CROSS JOIN n
+)
+SELECT node, rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rnk FROM r2
+) WHERE rnk <= {_TOP}
+"""
+
+
+@register("graph_pagerank_purchases", _PAGERANK_SQL)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 fixed decimal-exact iterations) over the mirrored
+    user↔product purchase graph; top-100 via distributed TakeOrdered.
+    Per iteration: one edges⨝ranks join + one combinable dst-agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("u:"), F.col("o_custkey")).alias("u"),
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("p"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("p").alias("dst")
+    ).unionByName(pairs.select(F.col("p").alias("src"), F.col("u").alias("dst")))
+    ranks = pagerank(edges, iters=_ITERS)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(_TOP)

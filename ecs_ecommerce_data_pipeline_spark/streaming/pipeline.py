@@ -92,6 +92,34 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication on ``event_id`` with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` evicts seen-key state once the
+    watermark passes — at 100 TB/day the state store holds one watermark
+    window of keys, not the full history (plain ``dropDuplicates`` on a
+    stream grows state forever). The at-least-once file/Kafka source +
+    this stage = exactly-once event delivery downstream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (static)
+    customer dimension — broadcast, so the stream side never shuffles.
+    The standard enrichment shape; for slowly-changing dims re-read the
+    dim per batch in ``foreachBatch`` or use an SCD2 snapshot
+    (``operators.scd``)."""
+    dim = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nation_key"),
+        )
+    )
+    return events.join(dim, "user_id", "left")
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

@@ -142,3 +142,78 @@ def test_kpi_stream_end_to_end(spark, tmp_path):
     )
     q2.awaitTermination(60)
     assert spark.read.parquet(out).count() == before
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """Duplicate arrivals (same file landing twice) collapse to one row
+    per event_id; state is watermark-bounded (dropDuplicatesWithinWatermark)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.pipeline import dedup_events
+
+    src = tmp_path / "dup_events"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "events_a.parquet")
+    shutil.copy(f"{SF}/events.parquet", src / "events_b.parquet")  # dup delivery
+
+    batch = load_table(spark, SF, "events")
+    raw_schema = spark.read.parquet(str(src / "events_a.parquet")).schema
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import (
+        _normalize_nanos_ts,
+    )
+
+    stream = _normalize_nanos_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(str(src)), "ts"
+    )
+    out = dedup_events(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_out").first()
+    want = batch.count()
+    assert got["d"] == want  # every event survives exactly once
+    assert got["n"] == want  # and no duplicate rows leak through
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static broadcast join against the customer dim produces the
+    same enriched rows as the batch twin."""
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.pipeline import (
+        enrich_with_customer,
+        stream_events,
+    )
+
+    customer = load_table(spark, SF, "customer")
+    out = enrich_with_customer(stream_events(spark, SF), customer)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["event_id"], r["segment"], r["nation_key"])
+        for r in spark.sql(
+            "SELECT event_id, segment, nation_key FROM enrich_out"
+        ).collect()
+    }
+    batch = enrich_with_customer(load_table(spark, SF, "events"), customer)
+    want = {
+        (r["event_id"], r["segment"], r["nation_key"]) for r in batch.collect()
+    }
+    assert got == want
