@@ -754,3 +754,30 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, p in enumerate(_APPROX_Q_PS)
         ]
     )
+
+
+_DISTRIBUTION_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+"""
+
+
+@register("window_distribution_funcs", _DISTRIBUTION_SQL)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist): both are
+    rank-count ratios, so ties collapse identically in every engine —
+    unlike ntile, whose tie assignment is order-dependent (covered with a
+    unique-key ordering in window_rank_ntile)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -132,3 +132,58 @@ def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("l_quantity"), F.lit(0.75)).alias("q75_quantity"),
         F.percentile(F.col("l_extendedprice"), F.lit(0.9)).alias("p90_price"),
     )
+
+
+_OUTLIERS_SQL = """
+WITH s AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,4))) AS sx,
+           SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(20,4))) AS sxx
+    FROM events
+    GROUP BY event_type
+),
+m AS (
+    SELECT event_type,
+           CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
+           sqrt((CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1.0)) AS sd_v
+    FROM s
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - m.mean_v) / m.sd_v AS z_score,
+       abs((e.value - m.mean_v) / m.sd_v) > 3.0 AS is_outlier
+FROM events e JOIN m USING (event_type)
+"""
+
+
+@register("stats_outliers", _OUTLIERS_SQL)
+def q_stats_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly detection: group moments from exact
+    decimal sufficient statistics (one combinable agg, broadcast back),
+    then a map-only score per row — the scan never shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    d = F.col("value").cast(_D)
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("sx"),
+        F.sum(d * d).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    m = stats.select(
+        "event_type",
+        (sx / n).alias("mean_v"),
+        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))).alias("sd_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("sd_v")
+    return e.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        z.alias("z_score"),
+        (F.abs(z) > F.lit(3.0)).alias("is_outlier"),
+    )

@@ -161,3 +161,54 @@ def q_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_value_dec").cast("double").alias("total_value"),
         )
     )
+
+
+_GAPFILL_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+),
+b AS (SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+      FROM events),
+hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b)
+SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       COALESCE(total_value, 0.0) AS total_value,
+       n_events IS NULL AS is_gap
+FROM hours LEFT JOIN hourly USING (hour)
+"""
+
+
+@register("events_gapfill_hourly", _GAPFILL_SQL)
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: a dense hourly spine generated
+    from the observed bounds (1-row agg → sequence → explode; no driver
+    collect) left-joined onto the hourly rollup, missing hours
+    zero-filled and flagged. The spine side is tiny (hours in range) —
+    broadcast; the rollup is one combinable agg over the scan."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("total_value"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    return (
+        F.broadcast(hours)
+        .join(hourly, "hour", "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+    )
