@@ -127,6 +127,17 @@ _BENCH_EXTRA: set[str] = {
     "window_frames",
     # end-to-end corpus curation (quality gate → lang-ID → dedup → stats)
     "corpus_curation_pipeline",
+    # round-2 additions: retrieval/hygiene, graph, dimension, temporal
+    "bm25_retrieval",
+    "contamination_check",
+    "text_repetition",
+    "graph_pagerank_purchases",
+    "scd2_product_prices",
+    "window_time_range_frame",
+    "stats_outliers",
+    "events_gapfill_hourly",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
 }
 
 if __name__ == "__main__":

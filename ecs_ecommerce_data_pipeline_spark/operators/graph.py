@@ -39,6 +39,7 @@ def pagerank(
     edges: DataFrame,
     iters: int = 2,
     damping: float = _DAMPING,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """PageRank over directed ``edges(src, dst)`` (STRING node ids —
     callers encode typed nodes as 'type:id'). Returns (node, rank).
@@ -51,12 +52,26 @@ def pagerank(
     none (every edge is mirrored).
     """
     edges = edges.select("src", "dst").distinct()
+    if checkpoint:
+        # the edge list feeds the degree agg, the node set, AND every
+        # iteration's join — without a lineage cut the upstream
+        # derivation (often a join itself) re-executes 2 + iters times
+        # (same localCheckpoint pattern as the connected-components loop
+        # in operators.dedup)
+        edges = edges.localCheckpoint(eager=False)
+    # Pre-join the out-degree onto the (already checkpointed) edge list
+    # ONCE and pin the result: each iteration then needs a single join
+    # (ranks) instead of two.
+    wedges = edges.join(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"
+    )
+    if checkpoint:
+        wedges = wedges.localCheckpoint(eager=False)
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
+        wedges.select(F.col("src").alias("node"))
+        .unionByName(wedges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # N and the base term ride along as columns of a 1-row broadcast —
     # never collected to the driver
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
@@ -67,8 +82,7 @@ def pagerank(
 
     for _ in range(iters):
         contribs = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            wedges.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.floor(

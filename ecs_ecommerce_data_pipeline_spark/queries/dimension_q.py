@@ -204,3 +204,58 @@ def q_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("d_key"), F.lit("none")).alias("label"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# --------------------------------------------------------------------------
+# Column profiling (data-quality / discovery surface)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderpriority",
+]
+
+_PROFILE_SQL = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS column_name,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders
+"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_orders", _PROFILE_SQL)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form column profile (nulls / exact distinct / min / max per
+    column) in ONE aggregation pass — the discovery scan a pipeline runs
+    before onboarding a table.
+
+    Scale note: multiple exact countDistinct in one agg expands the scan
+    (one replica per distinct column). Fine for profiling runs; a 100 TB
+    continuous profiler would swap in approx_count_distinct and keep the
+    rest of the shape (see ``approx_distinct_parts``).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = o.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in _PROFILE_COLS
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stacked}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )
