@@ -275,3 +275,69 @@ def q_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.sum("node").cast("bigint").alias("sum_members"),
     )
+
+
+_DEDUP_SUMMARY_SQL = f"""
+WITH RECURSIVE {_CANDIDATES_CTES},
+und AS (
+    SELECT doc_a AS u, doc_b AS v FROM candidates
+    UNION ALL
+    SELECT doc_b, doc_a FROM candidates
+),
+cc_nodes AS (SELECT DISTINCT u AS node FROM und),
+reach(node, r) AS (
+    SELECT node, node FROM cc_nodes
+    UNION
+    SELECT e.v, r.r FROM reach r JOIN und e ON e.u = r.node
+),
+labeled AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+clusters AS (SELECT component, COUNT(*) AS n_members FROM labeled GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT CAST(tot.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(c.n_members), 0) AS BIGINT) AS n_docs_in_clusters,
+       CAST(COUNT(c.component) AS BIGINT) AS n_clusters,
+       CAST(COALESCE(SUM(c.n_members - 1), 0) AS BIGINT) AS n_removable,
+       CAST(COALESCE(SUM(c.n_members - 1), 0) AS DOUBLE)
+           / CAST(tot.n_docs AS DOUBLE) AS dedup_ratio
+FROM tot LEFT JOIN clusters c ON TRUE
+GROUP BY tot.n_docs
+"""
+
+
+@register("dedup_summary", _DEDUP_SUMMARY_SQL)
+def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup report: how many docs sit in near-dup clusters
+    and what fraction of the corpus keep-one-per-cluster would remove —
+    the number a curation run actually reports. Built on the CC
+    clustering; total-docs side is a 1-row broadcast."""
+    doc = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        dedup.shingle_docs(doc, k=_SHINGLE_K), num_hashes=_NUM_HASHES
+    )
+    cands = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE, max_bucket=_MAX_BUCKET
+    )
+    clusters = (
+        dedup.connected_components(cands)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    tot = doc.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        F.broadcast(tot)
+        .crossJoin(
+            clusters.agg(
+                F.coalesce(F.sum("n_members"), F.lit(0)).alias("n_in"),
+                F.count(F.lit(1)).alias("n_clusters"),
+                F.coalesce(F.sum(F.col("n_members") - 1), F.lit(0)).alias("n_rm"),
+            )
+        )
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_in").cast("bigint").alias("n_docs_in_clusters"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            F.col("n_rm").cast("bigint").alias("n_removable"),
+            (F.col("n_rm").cast("double") / F.col("n_docs").cast("double"))
+            .alias("dedup_ratio"),
+        )
+    )

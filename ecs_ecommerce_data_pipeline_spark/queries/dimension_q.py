@@ -259,3 +259,32 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# spark.sql() entry point over registered views (API-surface parity: the
+# engine is usable from pure SQL, not only the DataFrame API)
+# --------------------------------------------------------------------------
+
+_SQL_IFACE_SQL = """
+SELECT n.n_name AS nation,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("sql_interface_revenue", _SQL_IFACE_SQL)
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through ``spark.sql``: testdata tables registered
+    as temp views, the query text IS the oracle text (modulo nothing —
+    it is ANSI on both sides). Catalyst plans it identically to the
+    DataFrame construction: broadcast dims, single hash agg."""
+    from ..sources.testdata import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_IFACE_SQL)

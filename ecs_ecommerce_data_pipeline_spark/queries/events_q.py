@@ -280,3 +280,48 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load_table(spark, sf_dir, "documents")
     return sample_frames(with_binary_payload(doc), max_frames=_MAX_FRAMES)
+
+
+_FUNNEL_SQL = """
+WITH stage AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT) AS n_view,
+       CAST(COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       THEN 1 END) AS BIGINT) AS n_view_click,
+       CAST(COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click
+                       THEN 1 END) AS BIGINT) AS n_full_funnel
+FROM stage
+"""
+
+
+@register("events_funnel", _FUNNEL_SQL)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict first-event funnel (view → click → purchase): per-user
+    first-occurrence times from ONE combinable agg, ordered-stage counts
+    from a second 1-row agg. (Strict = the FIRST click must follow the
+    FIRST view; sequence-scan variants would use window lag.) Two
+    map-side-combinable shuffles, no window over raw events."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    stage = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count(F.when(viewed, 1)).alias("n_view"),
+        F.count(F.when(clicked, 1)).alias("n_view_click"),
+        F.count(F.when(purchased, 1)).alias("n_full_funnel"),
+    )

@@ -143,3 +143,63 @@ def test_exact_dedup_partitions_corpus(spark, texts):
     assert sum(r["n_docs"] for r in groups) == len(texts)
     n_norm = doc.select(normalize_text("text")).distinct().count()
     assert len(groups) == n_norm
+
+
+# ---------------------------------------------------------------------------
+# SCD2 invariants: for ANY dimension state + update batch (deduped per key),
+# the merged result keeps exactly one current row per live key, closes rows
+# only at the update's effective date, and never loses a version.
+# ---------------------------------------------------------------------------
+
+_scd_key = st.integers(min_value=1, max_value=6)
+_scd_price = st.sampled_from([10.0, 20.0, 30.0])
+_dim_row = st.tuples(_scd_key, _scd_price)
+_upd_row = st.tuples(_scd_key, _scd_price)
+
+
+@given(
+    dim_rows=st.lists(_dim_row, min_size=1, max_size=6, unique_by=lambda t: t[0]),
+    upd_rows=st.lists(_upd_row, min_size=0, max_size=6, unique_by=lambda t: t[0]),
+)
+@_SETTINGS
+def test_scd2_invariants(spark, dim_rows, upd_rows):
+    from ecs_ecommerce_data_pipeline_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(k, p, "2023-01-01", None, True) for k, p in dim_rows],
+        "id long, price double, valid_from string, valid_to string, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(k, p, "2024-06-01") for k, p in upd_rows],
+        "id long, price double, eff_date string",
+    ) if upd_rows else spark.createDataFrame(
+        [], "id long, price double, eff_date string"
+    )
+    out = scd2_apply(dim, upd, key="id", attrs=["price"]).collect()
+
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["id"], []).append(r)
+    live_keys = {k for k, _ in dim_rows} | {k for k, _ in upd_rows}
+    assert set(by_key) == live_keys
+    dim_prices = dict(dim_rows)
+    upd_prices = dict(upd_rows)
+    for k, rows in by_key.items():
+        current = [r for r in rows if r["is_current"]]
+        assert len(current) == 1, (k, rows)  # exactly one current version
+        closed = [r for r in rows if not r["is_current"]]
+        for r in closed:
+            assert r["valid_to"] == "2024-06-01"
+        # current row carries the update's price if one arrived, else the
+        # original
+        want = upd_prices.get(k, dim_prices.get(k))
+        assert current[0]["price"] == want
+        # version count: 2 iff the key existed and got a DIFFERENT price
+        expect_versions = (
+            2
+            if k in dim_prices
+            and k in upd_prices
+            and dim_prices[k] != upd_prices[k]
+            else 1
+        )
+        assert len(rows) == expect_versions, (k, rows)
