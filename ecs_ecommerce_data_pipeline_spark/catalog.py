@@ -126,6 +126,7 @@ def _load_all() -> None:
         retrieval_q,  # new this round — never verified either
         dimension_q,  # new this round — never verified either
         graph_q,      # new this round — never verified either
+        sketch_q,     # new this round — never verified either
         # -- verified in round 1: register after --
         core_kpis,
         advanced_q,
