@@ -33,9 +33,22 @@ QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
 _CATALOG: dict[str, QuerySpec] = {}
 
 
-@functools.lru_cache(maxsize=64)
+_SIZE_CACHE: dict[str, tuple[float, int]] = {}
+_SIZE_TTL_S = 60.0
+
+
 def _input_bytes(sf_dir: str) -> int:
-    """Total on-disk size of the input directory (cached per path)."""
+    """Total on-disk size of the input directory.
+
+    Cached per path with a short TTL (an unbounded cache would keep
+    sizing the shuffle for stale volumes when a long-lived session
+    regenerates or grows a directory between queries)."""
+    import time
+
+    hit = _SIZE_CACHE.get(sf_dir)
+    now = time.monotonic()
+    if hit is not None and now - hit[0] < _SIZE_TTL_S:
+        return hit[1]
     total = 0
     try:
         for root, _dirs, files in os.walk(sf_dir):
@@ -43,7 +56,8 @@ def _input_bytes(sf_dir: str) -> int:
                 if f.endswith((".parquet", ".csv", ".json")):
                     total += os.path.getsize(os.path.join(root, f))
     except OSError:
-        return 0
+        total = 0
+    _SIZE_CACHE[sf_dir] = (now, total)
     return total
 
 

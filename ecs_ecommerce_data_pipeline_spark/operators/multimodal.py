@@ -3,11 +3,12 @@
 Real pipelines carry images/audio/video as ``binary`` columns with a
 metadata struct, decode/resize/frame-sample them in Arrow-batched Python
 (``mapInPandas``), and keep everything else relational. The image/audio
-codec libraries are NOT in this container, so the decode kernel is a
-deterministic fake behind ``_decode_payload`` (clearly marked; swap in
-PIL/ffmpeg in production) — but the Spark-side plumbing is real and
-tested: schema contract, Arrow batch iteration, partition-parallel
-execution, no driver collects.
+codec libraries are NOT in this container, so the decode stage falls
+back to a deterministic stub kernel (defined INSIDE the worker closure
+in ``decode_features`` — the single source of truth — and recorded per
+row in the ``kernel`` output column) — but the Spark-side plumbing is
+real and tested: schema contract, Arrow batch iteration,
+partition-parallel execution, no driver collects.
 
 Scale design: ``mapInPandas`` streams Arrow record batches through the
 Python worker — constant memory per batch, linear scan, no shuffle. At
@@ -44,24 +45,6 @@ def with_binary_payload(doc: DataFrame, text_col: str = "text") -> DataFrame:
             F.lit("application/octet-stream").alias("mime"),
         ).alias("media_meta"),
     )
-
-
-def _decode_payload(payload: bytes) -> tuple[int, int, int, str]:
-    """STUB decode kernel — deterministic fake standing in for an image
-    decoder (PIL/libvips not available in this container).
-
-    Derives (width, height, n_channels, checksum) purely from the bytes
-    so results are stable for tests. ``decode_features`` below selects a
-    real PIL kernel instead when (a) the payload declares an ``image/*``
-    mime and (b) PIL is importable on the worker; the output ``kernel``
-    column records which kernel produced each row so a stubbed result
-    can never silently masquerade as a real decode.
-    """
-    digest = hashlib.md5(payload).hexdigest()
-    width = 1 + int(digest[:4], 16) % 2048
-    height = 1 + int(digest[4:8], 16) % 2048
-    channels = 1 + int(digest[8:10], 16) % 4
-    return width, height, channels, digest
 
 
 def decode_features(df: DataFrame) -> DataFrame:

@@ -176,6 +176,10 @@ def repetition_stats(
     repetition needs multiplicity). ``top_gram_ratio`` is the share of
     the most-repeated gram; ``dup_gram_ratio`` the share of grams that
     are repeats. Both int/int double divisions — exact.
+
+    ``is_repetitive`` additionally requires ``max_gram_count > 1``: a
+    short doc collapsing to a single whole-text gram has ratio 1.0 but
+    zero actual repetition.
     """
     toks = doc.select("doc_id", tokens(text_col).alias("toks"))
     n = F.size(F.col("toks"))
@@ -206,7 +210,13 @@ def repetition_stats(
             / F.col("n_grams").cast("double")
         ).alias("dup_gram_ratio"),
         (
-            (F.col("max_gram_count").cast("double") / F.col("n_grams").cast("double"))
-            > F.lit(flag_threshold)
+            (F.col("max_gram_count") > F.lit(1))
+            & (
+                (
+                    F.col("max_gram_count").cast("double")
+                    / F.col("n_grams").cast("double")
+                )
+                > F.lit(flag_threshold)
+            )
         ).alias("is_repetitive"),
     )

@@ -7,10 +7,14 @@ A warehouse-grade engine keeps dimension HISTORY: SCD2 rows carry
 version and opens a new one — the MERGE-with-history pattern every
 at-scale dimension needs.
 
-Shape: ONE equi-join between the current dimension and the update batch
-(broadcast when the batch is small — the normal case: daily changed rows
-vs the full dimension), then row-local CASE logic and a union. No
-windows, no driver state; cost O(|dim| + |updates|).
+Shape: one broadcast equi-join between the current dimension and the
+update batch (build side = the small batch — the normal case: daily
+changed rows vs the full dimension) drives the close/open/no-op logic,
+plus one anti probe for brand-new keys. The anti probe CANNOT broadcast
+the batch (Spark's LeftAnti only builds the right side, which here is
+the dimension's key column), so it shuffles update keys against
+dimension keys — O(|dim keys|) shuffle bytes of 8-byte keys, not rows.
+No windows, no driver state; cost O(|dim| + |updates|).
 """
 
 from __future__ import annotations

@@ -136,7 +136,9 @@ def _vector_dims(embeddings: DataFrame, vec_col: str) -> int:
     is metadata (a real deployment pins dims in the table schema).
     """
     row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
-    if row is None or row["d"] is None or row["d"] <= 0:
+    if row is None:
+        return 0  # empty input: caller produces an empty result
+    if row["d"] is None or row["d"] <= 0:
         raise ValueError(f"cannot infer dimensionality of {vec_col!r}")
     return int(row["d"])
 
@@ -167,6 +169,10 @@ def lsh_bucket_assignments(
     """
     if dims is None:
         dims = _vector_dims(embeddings, vec_col)
+    if dims == 0:  # empty input: empty assignment, stable schema
+        return embeddings.select(
+            F.col(id_col), F.lit(None).cast("bigint").alias("bucket")
+        )
     v = as_double_array(vec_col)
 
     def proj(p: int) -> Column:
@@ -183,6 +189,17 @@ def lsh_bucket_assignments(
         bucket = bucket + F.when(
             proj(p) > 0, F.lit(1 << p).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
+    # the embedded weight matrix is dims-wide: a ragged vector would
+    # zip_with-pad with nulls and silently zero its sign bits — fail
+    # LOUDLY instead (same philosophy as the multimodal codec guard)
+    bucket = F.when(F.size(v) == F.lit(dims), bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding length != inferred dims={dims} for "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("bigint")
+    )
     return embeddings.select(F.col(id_col), bucket.cast("bigint").alias("bucket"))
 
 

@@ -35,9 +35,14 @@ def cms_sketch(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
 ) -> DataFrame:
     """(j, bucket, c) bucket-count table of the count-min sketch —
-    ``depth × width`` rows max, independent of input cardinality."""
+    ``depth × width`` rows max, independent of input cardinality.
+
+    NULL keys are EXCLUDED (a null has no frequency identity; this also
+    matches the oracle's ``j || ':' || k`` formula, where a null key
+    nulls the hash — whereas ``concat_ws`` would silently fold nulls
+    into the literal key ``''``)."""
     k = F.col(key_col).cast("string")
-    rows = df.select(
+    rows = df.filter(k.isNotNull()).select(
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
         k.alias("k"),
     )
@@ -53,7 +58,12 @@ def cms_estimate(
     width: int = 1024,
 ) -> DataFrame:
     """min-over-depth estimate for each row of ``keys`` → (key_col,
-    cms_est). The sketch is broadcast (≤ depth·width rows)."""
+    cms_est). The sketch is broadcast (≤ depth·width rows).
+
+    LEFT join + per-row coalesce-to-0: a probe key hitting an EMPTY
+    bucket (absent from the sparse bucket table) must contribute 0 to
+    the min — an inner join would drop never-seen keys entirely and
+    over-estimate partially-absent ones."""
     probes = keys.select(
         F.col(key_col),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
@@ -63,9 +73,9 @@ def cms_estimate(
         _bucket(F.col("j"), F.col(key_col).cast("string"), width).alias("bucket"),
     )
     return (
-        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("c").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
     )
 
 

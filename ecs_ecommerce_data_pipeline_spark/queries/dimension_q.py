@@ -104,7 +104,9 @@ SELECT event_id,
        CAST(3 AS INT) AS m_size,
        'k,src,type' AS keys_csv,
        TRUE AS has_src,
-       CAST(CASE WHEN k IS NULL THEN 2 ELSE 3 END AS INT) AS n_nonnull
+       CAST(3 - CASE WHEN k IS NULL THEN 1 ELSE 0 END
+              - CASE WHEN event_type IS NULL THEN 1 ELSE 0 END
+            AS INT) AS n_nonnull
 FROM e
 """
 
@@ -288,3 +290,49 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_IFACE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Schema-evolution union (old files lack columns newer files carry)
+# --------------------------------------------------------------------------
+
+_EVOLVE_SQL = """
+WITH v1 AS (
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+),
+v2 AS (
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+),
+unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT COALESCE(o_orderpriority, 'unknown') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM unioned
+GROUP BY 1
+"""
+
+
+@register("union_schema_evolution", _EVOLVE_SQL)
+def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the union: an old 'file version' missing a
+    column unions with the new version via ``unionByName(
+    allowMissingColumns=True)`` — absent columns become nulls instead of
+    analysis errors, the batch-consolidation reality (U1/U2) once a feed
+    adds fields."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )  # old schema: no priority column
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("unknown")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .alias("revenue"),
+    )

@@ -159,7 +159,8 @@ SELECT doc_id, n_grams, n_distinct_grams, max_gram_count,
        CAST(max_gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_ratio,
        CAST(n_grams - n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
            AS dup_gram_ratio,
-       CAST(max_gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE) > {_REP_T}
+       max_gram_count > 1
+           AND CAST(max_gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE) > {_REP_T}
            AS is_repetitive
 FROM per_doc
 """

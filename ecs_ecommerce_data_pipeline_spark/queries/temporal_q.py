@@ -186,8 +186,10 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample with gap fill: a dense hourly spine generated
     from the observed bounds (1-row agg → sequence → explode; no driver
     collect) left-joined onto the hourly rollup, missing hours
-    zero-filled and flagged. The spine side is tiny (hours in range) —
-    broadcast; the rollup is one combinable agg over the scan."""
+    zero-filled and flagged. The hourly ROLLUP side is broadcast — it is
+    at most one row per hour, the same cardinality class as the spine,
+    and a left-outer join can only build/broadcast its right side (a
+    hint on the preserved left spine would be silently ignored)."""
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -203,8 +205,7 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hour")
     )
     return (
-        F.broadcast(hours)
-        .join(hourly, "hour", "left")
+        hours.join(F.broadcast(hourly), "hour", "left")
         .select(
             F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
             F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),

@@ -111,3 +111,29 @@ def test_frame_sample_expands_rows(spark):
     for doc_id, idxs in by_doc.items():
         assert sorted(idxs) == list(range(len(idxs)))  # contiguous 0..n-1
         assert 1 <= len(idxs) <= 4
+
+
+def test_lsh_bucket_empty_and_ragged_inputs(spark):
+    """Regression guards for the literal-weight bucketing rewrite: empty
+    input yields an empty (not erroring) result with a stable schema, and
+    a ragged vector fails LOUDLY instead of silently zeroing sign bits."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.operators.similarity import (
+        lsh_bucket_assignments,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = lsh_bucket_assignments(empty, n_planes=4)
+    assert out.columns == ["vec_id", "bucket"]
+    assert out.count() == 0
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0])],  # row 2 shorter
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception) as exc_info:
+        lsh_bucket_assignments(ragged, n_planes=4).collect()
+    assert "dims" in str(exc_info.value)
