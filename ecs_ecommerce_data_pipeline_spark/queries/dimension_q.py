@@ -336,3 +336,67 @@ def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
         .alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 time travel: the dimension as of a past date
+# --------------------------------------------------------------------------
+
+_AS_OF = "2023-12-31"  # BEFORE the 2024-06-01 update batch
+
+_SCD2_SNAPSHOT_SQL = f"""
+WITH cur AS (
+    SELECT p_partkey, p_retailprice AS price, p_type AS category,
+           '2023-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+           TRUE AS is_current
+    FROM part
+),
+upd AS (
+    SELECT p_partkey, p_retailprice * 1.1 AS price, p_type AS category,
+           '2024-06-01' AS eff
+    FROM part WHERE p_partkey % 7 = 0
+    UNION ALL
+    SELECT p_partkey + 1000000, 9.99, 'NEW', '2024-06-01'
+    FROM part WHERE p_partkey % 101 = 0
+),
+changed AS (
+    SELECT c.p_partkey
+    FROM cur c JOIN upd u USING (p_partkey)
+    WHERE c.price IS DISTINCT FROM u.price
+       OR c.category IS DISTINCT FROM u.category
+),
+merged AS (
+    SELECT c.p_partkey, c.price, c.category, c.valid_from,
+           CASE WHEN ch.p_partkey IS NOT NULL THEN '2024-06-01'
+                ELSE c.valid_to END AS valid_to
+    FROM cur c LEFT JOIN changed ch USING (p_partkey)
+    UNION ALL
+    SELECT u.p_partkey, u.price, u.category, u.eff, CAST(NULL AS VARCHAR)
+    FROM upd u JOIN changed ch USING (p_partkey)
+    UNION ALL
+    SELECT u.p_partkey, u.price, u.category, u.eff, CAST(NULL AS VARCHAR)
+    FROM upd u
+    WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.p_partkey = u.p_partkey)
+)
+SELECT p_partkey, price, category, '{_AS_OF}' AS as_of_date
+FROM merged
+WHERE valid_from <= '{_AS_OF}'
+  AND (valid_to IS NULL OR valid_to > '{_AS_OF}')
+"""
+
+
+@register("scd2_as_of_snapshot", _SCD2_SNAPSHOT_SQL)
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 dimension: the version row whose
+    [valid_from, valid_to) interval covers the as-of date — here a date
+    BEFORE the update batch, so changed keys resolve to their original
+    versions and post-update inserts vanish. ISO date strings compare
+    lexicographically identically in both engines."""
+    merged = q_scd2(spark, sf_dir)
+    as_of = F.lit(_AS_OF)
+    return merged.filter(
+        (F.col("valid_from") <= as_of)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > as_of))
+    ).select(
+        "p_partkey", "price", "category", as_of.alias("as_of_date")
+    )
