@@ -41,6 +41,11 @@ STAGES = {
     "sim_lsh_buckets": "embeddings",
     "sim_lsh_topk": "embeddings",
     "events_sessionize": "events",
+    # round-2 heavy additions
+    "bm25_retrieval": "documents",
+    "contamination_check": "documents",
+    "graph_pagerank_purchases": "lineitem",
+    "cms_heavy_hitters": "lineitem",
 }
 
 _ID_OFFSET = 10_000_000
@@ -95,6 +100,26 @@ def build_scaled(spark: SparkSession, src_dir: str, out_dir: str, factor: int) -
             )
         )
     _union_all(parts).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    # orders + lineitem: offset every key consistently so intra-replica
+    # joins (pagerank edges, CMS join sizing) keep their natural shape
+    o = load_table(spark, src_dir, "orders")
+    parts = [o]
+    for r in range(1, factor):
+        parts.append(
+            o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(r * _ID_OFFSET))
+            .withColumn("o_custkey", F.col("o_custkey") + F.lit(r * _ID_OFFSET))
+        )
+    _union_all(parts).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    li = load_table(spark, src_dir, "lineitem")
+    parts = [li]
+    for r in range(1, factor):
+        parts.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * _ID_OFFSET))
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(r * _ID_OFFSET))
+        )
+    _union_all(parts).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
 
 def _union_all(dfs):
