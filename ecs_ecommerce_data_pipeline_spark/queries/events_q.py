@@ -325,3 +325,45 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(clicked, 1)).alias("n_view_click"),
         F.count(F.when(purchased, 1)).alias("n_full_funnel"),
     )
+
+
+_HOPPING_SQL = """
+WITH hops AS (
+    SELECT e.*,
+           time_bucket(INTERVAL '10 minutes', ts - (k.k * INTERVAL '5 minutes'))
+               + (k.k * INTERVAL '5 minutes') AS win_start
+    FROM events e CROSS JOIN (SELECT unnest(range(0, 2)) AS k) k
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM hops
+GROUP BY 1, 2
+"""
+
+
+@register("events_hopping_windows", _HOPPING_SQL)
+def q_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 10-minute windows every 5 minutes —
+    each event lands in window_length/slide = 2 overlapping windows
+    (``F.window`` with a slide explodes exactly that replication; the
+    oracle derives the k-th hop start arithmetically). Same shape runs
+    under Structured Streaming with a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
