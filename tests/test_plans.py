@@ -237,3 +237,18 @@ def test_bm25_topk_is_distributed_take_ordered(spark):
     doc = load_table(spark, SF_SMOKE, "documents")
     plan = _plan(bm25_scores(doc, ["hash", "join"], k=5))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_catalog_tuner_sizes_shuffle_from_input(spark):
+    """Catalog queries size spark.sql.shuffle.partitions from the actual
+    input volume (tiny test dirs → 8) instead of inheriting whatever
+    static default the calling session carries — the defense against a
+    harness session configured with Spark's 200 default."""
+    from ecs_ecommerce_data_pipeline_spark import catalog
+
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        catalog.queries()["daily_kpis"](spark, SF_SMOKE)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    finally:
+        spark.conf.unset("spark.sql.shuffle.partitions")
