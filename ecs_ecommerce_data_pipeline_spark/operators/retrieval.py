@@ -180,10 +180,18 @@ def repetition_stats(
     ``is_repetitive`` additionally requires ``max_gram_count > 1``: a
     short doc collapsing to a single whole-text gram has ratio 1.0 but
     zero actual repetition.
+
+    MAP-ONLY shape: all three counts are per-row array expressions
+    (size / array_distinct / a nested higher-order max-of-occurrence
+    fold) — ZERO shuffle, the stage pipelines into the scan. The fold is
+    O(distinct·total) per doc, fine for natural documents (≤ a few
+    thousand grams); for pathological mega-docs switch to the
+    explode + groupBy(doc, md5(gram)) form, which shuffles 16-byte
+    hashes.
     """
     toks = doc.select("doc_id", tokens(text_col).alias("toks"))
     n = F.size(F.col("toks"))
-    grams = F.when(
+    gram_expr = F.when(
         n < k, F.array(F.concat_ws(" ", F.col("toks")))
     ).otherwise(
         F.transform(
@@ -191,12 +199,20 @@ def repetition_stats(
             lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k)),
         )
     )
-    ex = toks.select("doc_id", F.explode(grams).alias("gram"))
-    counts = ex.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = counts.groupBy("doc_id").agg(
-        F.sum("c").alias("n_grams"),
-        F.count(F.lit(1)).alias("n_distinct_grams"),
-        F.max("c").alias("max_gram_count"),
+    g = toks.select("doc_id", gram_expr.alias("grams"))
+    max_count = F.aggregate(
+        F.array_distinct(F.col("grams")),
+        F.lit(0),
+        lambda acc, gg: F.greatest(
+            acc, F.size(F.filter(F.col("grams"), lambda x: x == gg))
+        ),
+    )
+    per_doc = g.select(
+        "doc_id",
+        F.size(F.col("grams")).cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct(F.col("grams"))).cast("bigint")
+        .alias("n_distinct_grams"),
+        max_count.cast("bigint").alias("max_gram_count"),
     )
     return per_doc.select(
         "doc_id",

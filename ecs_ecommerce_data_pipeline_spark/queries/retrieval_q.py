@@ -138,22 +138,23 @@ _REP_T = 0.05
 
 _REPETITION_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-grams AS (
-    SELECT doc_id, unnest(
+g AS (
+    SELECT doc_id,
         CASE WHEN len(toks) < {_REP_K}
              THEN [list_aggr(toks, 'string_agg', ' ')]
              ELSE list_transform(range(1, len(toks) - {_REP_K} + 2),
                                  i -> array_to_string(toks[i : i + {_REP_K} - 1], ' '))
-        END) AS gram
+        END AS grams
     FROM t
 ),
-counts AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
 per_doc AS (
     SELECT doc_id,
-           CAST(SUM(c) AS BIGINT) AS n_grams,
-           CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
-           CAST(MAX(c) AS BIGINT) AS max_gram_count
-    FROM counts GROUP BY 1
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+           CAST(list_max(list_transform(list_distinct(grams),
+                    gg -> len(list_filter(grams, x -> x = gg))))
+                AS BIGINT) AS max_gram_count
+    FROM g
 )
 SELECT doc_id, n_grams, n_distinct_grams, max_gram_count,
        CAST(max_gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_ratio,

@@ -252,3 +252,18 @@ def test_catalog_tuner_sizes_shuffle_from_input(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
     finally:
         spark.conf.unset("spark.sql.shuffle.partitions")
+
+
+def test_repetition_stats_is_map_only(spark):
+    """Per-doc repetition metrics are pure array expressions — the plan
+    must contain NO Exchange and NO Generate (the explode+groupBy form
+    shuffled the entire gram stream)."""
+    from ecs_ecommerce_data_pipeline_spark.operators.retrieval import (
+        repetition_stats,
+    )
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    doc = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(repetition_stats(doc, k=3))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
