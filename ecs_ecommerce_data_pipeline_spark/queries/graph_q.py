@@ -2,9 +2,12 @@
 
 Oracle parity: the SQL unrolls the same fixed iterations with the same
 2^40 integer-scaled contribution sums (see ``operators.graph``) and the
-same IEEE double expressions — including writing ``(1.0 - 0.85)`` as a
-subtraction (folding it to a ``0.15`` literal would parse to a DIFFERENT
-double and shift every rank).
+same IEEE double expressions. The damping base term must be an actual
+DOUBLE subtraction on both sides: DuckDB evaluates a bare
+``(1.0 - 0.85)`` in exact DECIMAL first (yielding the decimal 0.15 →
+double 0.1499999999999999944…), while Spark subtracts doubles
+(0.15000000000000002…) — hence the explicit ``CAST(… AS DOUBLE)``
+operands in the SQL. One ulp here shifts ranks after two iterations.
 """
 
 from __future__ import annotations
@@ -43,7 +46,7 @@ c1 AS (
 ),
 r1 AS (
     SELECT nodes.node,
-           (1.0 - 0.85) / n_nodes + 0.85 * COALESCE(c1.in_mass, 0.0) AS rank
+           (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n_nodes + 0.85 * COALESCE(c1.in_mass, 0.0) AS rank
     FROM nodes LEFT JOIN c1 ON c1.node = nodes.node CROSS JOIN n
 ),
 c2 AS (
@@ -56,7 +59,7 @@ c2 AS (
 ),
 r2 AS (
     SELECT nodes.node,
-           (1.0 - 0.85) / n_nodes + 0.85 * COALESCE(c2.in_mass, 0.0) AS rank
+           (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n_nodes + 0.85 * COALESCE(c2.in_mass, 0.0) AS rank
     FROM nodes LEFT JOIN c2 ON c2.node = nodes.node CROSS JOIN n
 )
 SELECT node, rank
