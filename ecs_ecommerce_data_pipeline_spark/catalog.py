@@ -141,6 +141,7 @@ def _load_all() -> None:
         dimension_q,  # new this round — never verified either
         graph_q,      # new this round — never verified either
         sketch_q,     # new this round — never verified either
+        commerce_q,   # new this round — never verified either
         # -- verified in round 1: register after --
         core_kpis,
         advanced_q,
