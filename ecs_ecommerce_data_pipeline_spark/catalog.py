@@ -112,24 +112,50 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+# Queries that already hold a green (hash-matched) verdict in
+# CORRECTNESS_r01.json.  The harness walks the catalog in order and may
+# cap how many queries it verifies per round, so these sort LAST — every
+# never-verified query gets its shot first.  The two ``approx_*``
+# sketches recorded only a rows-only ``no_oracle`` row in round 1 (they
+# have bounds-check oracles now), so they are deliberately NOT listed.
+_R1_VERIFIED = frozenset({
+    "window_frames", "agg_extended", "scalar_array_funcs", "daily_kpis",
+    "category_kpis", "order_revenue", "category_kpis_corrected",
+    "prepared_items", "dedup_exact", "dedup_minhash_signatures",
+    "dedup_minhash_candidates", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_fuzzy_verify", "dedup_cc_clusters", "events_json_props",
+    "events_tumbling_5min", "events_sessionize", "events_type_stats",
+    "multimodal_binary_meta", "multimodal_decode_features",
+    "multimodal_resize_meta", "multimodal_frame_sample", "join_inner_agg",
+    "join_full_outer", "join_left_semi", "join_left_anti", "join_cross",
+    "window_topk_per_category", "window_running_revenue",
+    "window_lag_lead", "window_rank_ntile", "rollup_revenue",
+    "cube_revenue", "grouping_sets", "setops_segments", "sort_topn_orders",
+    "distinct_flag_status", "scalar_string_funcs",
+    "scalar_date_math_funcs", "scalar_conditional_funcs",
+    "pivot_linestatus_revenue", "unpivot_priority_metrics",
+    "tpch_q1_pricing_summary", "split_train_val_test", "sample_hash_10pct",
+    "stratified_sample_lang", "pack_char_shards",
+})
+
 
 def _load_all() -> None:
     """Import every query-defining module exactly once (registration side
-    effect).
+    effect), then order the catalog by verification need.
 
-    Import order is deliberate: the correctness harness walks the catalog
-    in registration order and may cap how many queries it verifies per
-    round, so modules whose queries have never received a harness
-    verdict register FIRST (round 1 covered the first 50 entries:
-    advanced/core/dedup/events/relational/sampling).  Rotating the order
-    each round makes the union of per-round verdicts cover the whole
-    catalog.
+    The correctness harness walks the catalog in registration order and
+    may cap how many queries it verifies per round (round 1 covered the
+    first 50 entries).  After all modules register, the catalog is
+    stably re-ordered so queries WITHOUT a green round-1 verdict come
+    first — module layout stops mattering, and the union of per-round
+    verdicts converges on the whole catalog fastest.
     """
     global _LOADED
     if _LOADED:
         return
     from .queries import (  # noqa: F401
-        # -- not yet harness-verified (round 1 cap): register first --
+        # -- not yet harness-verified: register first (oldest claims
+        #    first — queries claimed in round 1 outrank newer additions) --
         tpch_q,
         validation_q,
         text_q,
@@ -137,18 +163,27 @@ def _load_all() -> None:
         stats_q,
         temporal_q,
         scale_q,
-        retrieval_q,  # new this round — never verified either
-        dimension_q,  # new this round — never verified either
-        graph_q,      # new this round — never verified either
-        sketch_q,     # new this round — never verified either
-        commerce_q,   # new this round — never verified either
-        # -- verified in round 1: register after --
+        retrieval_q,
+        dimension_q,
+        graph_q,
+        sketch_q,
+        commerce_q,
+        # -- verified in round 1 (plus a few stragglers the sort below
+        #    pulls forward): register after --
         core_kpis,
         advanced_q,
         dedup_q,
         events_q,
         relational,
         sampling_q,
+        # -- brand-new this session: verified queries still outrank them
+        #    for anything BUT the verification queue, so they sort into
+        #    the tail of the unverified block via insertion order --
+        curation_q,
+        evaluation_q,
     )
 
+    ordered = sorted(_CATALOG.items(), key=lambda kv: kv[0] in _R1_VERIFIED)
+    _CATALOG.clear()
+    _CATALOG.update(ordered)
     _LOADED = True

@@ -1,0 +1,196 @@
+"""Training-corpus curation queries over ``documents`` / ``embeddings``:
+chunking, scalar quantization, per-source quotas, pattern redaction, and
+dataset manifests.
+
+These extend the LLM-data-pipeline surface (dedup / sampling / text
+quality already live in their own modules).  Everything here is map-only
+or a single hash aggregation — the shapes that survive a 100 TB corpus:
+
+* chunking is a per-row ``sequence``+``explode`` (no shuffle at all
+  until the optional summary agg);
+* int8 quantization is a per-row ``transform`` fold — each scalar step
+  is ONE IEEE double op on both engines, so codes and reconstruction
+  errors are bit-identical in Spark and DuckDB;
+* quotas are a single row_number window per stratum (one shuffle, then
+  map-side filtered);
+* manifests are one hash agg with an order-independent fingerprint
+  (sorted-id md5), the thing a dataset card pins.
+
+Cross-engine determinism notes mirror ``catalog`` module docs: md5 (not
+murmur) for anything hashed on both sides; BIGINT casts on integer sums
+(DuckDB SUM(int) is HUGEINT); identical expression trees for float math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..operators.curation import (
+    chunk_documents,
+    dataset_manifest,
+    quantize_embeddings,
+    quota_cap,
+    redaction_stats,
+)
+from ..sources.testdata import load_table
+
+_CHUNK = 200
+_STRIDE = 150
+
+_CHUNK_SQL = f"""
+WITH starts AS (
+    SELECT doc_id, text, n_chars,
+           unnest(generate_series(0, greatest(n_chars - 1, 0), {_STRIDE}))
+               AS chunk_start
+    FROM documents
+)
+SELECT doc_id,
+       CAST(chunk_start / {_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       CAST(length(substring(text, chunk_start + 1, {_CHUNK})) AS BIGINT)
+           AS chunk_len,
+       md5(substring(text, chunk_start + 1, {_CHUNK})) AS chunk_md5
+FROM starts
+"""
+
+
+@register("chunk_documents", _CHUNK_SQL)
+def q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking (200-char window, 150 stride):
+    per-row sequence+explode, zero shuffle — the map that precedes
+    tokenize-and-pack in a training pipeline."""
+    doc = load_table(spark, sf_dir, "documents")
+    return chunk_documents(doc, chunk=_CHUNK, stride=_STRIDE)
+
+
+_QUANT_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+mm AS (
+    SELECT vec_id, v,
+           list_aggregate(v, 'min') AS vmin,
+           list_aggregate(v, 'max') AS vmax
+    FROM e
+),
+q AS (
+    SELECT vec_id, v, vmin, vmax,
+           list_transform(v, x -> CAST(floor(((x - vmin) / (vmax - vmin))
+                                             * 254.0 + 0.5) AS INT) - 127)
+               AS codes
+    FROM mm
+)
+SELECT vec_id, vmin, vmax, codes,
+       list_aggregate(
+           list_transform(range(1, len(v) + 1),
+               i -> abs(v[i] - (vmin + (CAST(codes[i] + 127 AS DOUBLE)
+                                        / 254.0) * (vmax - vmin)))),
+           'max') AS max_abs_err
+FROM q
+"""
+
+
+@register("quantize_embeddings", _QUANT_SQL)
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (min/max affine codes) with
+    the max reconstruction error — map-only; every scalar step is a
+    single IEEE double op, so codes match DuckDB bit-for-bit."""
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+_QUOTA = 20
+
+_QUOTA_SQL = f"""
+WITH r AS (
+    SELECT source, doc_id, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM r
+WHERE rk <= {_QUOTA}
+GROUP BY source
+"""
+
+
+@register("quota_cap_per_source", _QUOTA_SQL)
+def q_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source quota (keep the md5-first N docs of each
+    source): the anti-domination cap a web-crawl corpus applies so no
+    single domain swamps training."""
+    doc = load_table(spark, sf_dir, "documents")
+    return (
+        quota_cap(doc, "source", "doc_id", _QUOTA)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+# Same literal patterns on both engines (Java regex ∩ RE2 subset: char
+# classes, \\b word boundaries, bounded repeats — no lookaround).
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_TERM_PAT = "\\b(key|hash|table)\\b"
+
+_REDACT_SQL = f"""
+WITH m AS (
+    SELECT lang,
+           len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS n_email,
+           len(regexp_extract_all(text, '{_TERM_PAT}')) AS n_term,
+           length(text)
+             - length(regexp_replace(regexp_replace(text, '{_EMAIL_PAT}',
+                                                    '<EMAIL>', 'g'),
+                                     '{_TERM_PAT}', '<TERM>', 'g'))
+               AS chars_delta
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_with_email,
+       CAST(SUM(n_email) AS BIGINT) AS email_matches,
+       CAST(SUM(n_term) AS BIGINT) AS term_matches,
+       CAST(SUM(chars_delta) AS BIGINT) AS chars_redacted_delta
+FROM m
+GROUP BY lang
+"""
+
+
+@register("redaction_stats", _REDACT_SQL)
+def q_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/pattern redaction audit per language: match counts and the
+    net character delta of replacing emails and flagged terms — the
+    scrubbing pass a corpus runs before training.  (This corpus has no
+    emails; the email path is proven on injected data in
+    tests/test_curation.py.)"""
+    doc = load_table(spark, sf_dir, "documents")
+    return redaction_stats(doc, email_pat=_EMAIL_PAT, term_pat=_TERM_PAT)
+
+
+_MANIFEST_SQL = """
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+           AS membership_md5
+FROM documents
+GROUP BY source, lang
+"""
+
+
+@register("dataset_manifest", _MANIFEST_SQL)
+def q_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card manifest per (source, lang): counts, char volume,
+    id range, and an order-independent membership fingerprint (md5 of
+    the sorted id list) — what a reproducible data release pins."""
+    return dataset_manifest(load_table(spark, sf_dir, "documents"))

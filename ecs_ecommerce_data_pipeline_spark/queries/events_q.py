@@ -367,3 +367,69 @@ def q_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+_ATTRIB_HORIZON_US = 30 * 60 * 1_000_000
+
+_ATTRIB_SQL = f"""
+WITH v AS (
+    SELECT user_id, event_id AS view_id, ts AS view_ts
+    FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, v.view_id, p.purchase_id,
+       strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value
+FROM v JOIN p
+  ON p.user_id = v.user_id
+ AND epoch_us(p.purchase_ts) >= epoch_us(v.view_ts)
+ AND epoch_us(p.purchase_ts) <= epoch_us(v.view_ts) + {_ATTRIB_HORIZON_US}
+"""
+
+
+@register("events_attribution", _ATTRIB_SQL)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution: every purchase a user makes within 30
+    minutes of a view, credited to that view.  Batch twin of the
+    stream-stream interval join in ``streaming.pipeline
+    .view_purchase_attribution`` (same equi-key + time-range condition;
+    the streaming form adds watermarks so join state is evicted).
+    Timestamp arithmetic is µs-integer on both engines so a purchase on
+    the horizon boundary lands identically."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts_raw"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts_raw"),
+        F.col("value"),
+    )
+    pus, vus = F.unix_micros("purchase_ts_raw"), F.unix_micros("view_ts_raw")
+    return (
+        v.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (pus >= vus)
+            & (pus <= vus + F.lit(_ATTRIB_HORIZON_US)),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.date_format("view_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.date_format("purchase_ts_raw", "yyyy-MM-dd HH:mm:ss").alias(
+                "purchase_ts"
+            ),
+            F.col("value").cast("decimal(18,2)").cast("double").alias(
+                "purchase_value"
+            ),
+        )
+    )

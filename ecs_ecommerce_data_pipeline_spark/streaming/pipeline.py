@@ -137,3 +137,51 @@ def run_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def view_purchase_attribution(
+    events: DataFrame, horizon: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval self-join: purchases within ``horizon`` of
+    a view by the same user (the streaming twin of
+    ``queries/events_q.py::events_attribution``).
+
+    Both sides carry watermarks and the join condition bounds
+    ``purchase_ts`` to ``[view_ts, view_ts + horizon]``, so Spark can
+    evict view-side state once ``view_ts + horizon`` passes the
+    watermark and purchase-side state after the watermark alone —
+    bounded state, append-mode output.  Without the time-range bound a
+    stream-stream join buffers both streams forever."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts_raw"),
+        )
+        .withWatermark("view_ts_raw", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts_raw"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts_raw", watermark)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("purchase_ts_raw") >= F.col("view_ts_raw"))
+        & (F.col("purchase_ts_raw") <= F.col("view_ts_raw") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.date_format("view_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("purchase_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("value").cast("decimal(18,2)").cast("double").alias("purchase_value"),
+    )

@@ -42,11 +42,13 @@ def _canon_cell(v):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
+    # Sequences BEFORE the __float__ duck-check: a length-n numpy array
+    # has __float__ too (and raises on it).
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon_cell(x) for x in v)
     if hasattr(v, "__float__") and not isinstance(v, (int, bool)):
         # Decimal and numpy scalars
         return float(v)
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return tuple(_canon_cell(x) for x in v)
     return v
 
 

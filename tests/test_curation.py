@@ -1,0 +1,102 @@
+"""Unit tests for operators.curation beyond the oracle-parity gate:
+injected-PII redaction (the corpus has no emails, so the email path is
+proven here), chunk edge cases, quota determinism under repartitioning,
+and quantization round-trip bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecs_ecommerce_data_pipeline_spark.operators.curation import (
+    chunk_documents,
+    quantize_embeddings,
+    quota_cap,
+    redact,
+    redaction_stats,
+)
+from ecs_ecommerce_data_pipeline_spark.queries.curation_q import (
+    _EMAIL_PAT,
+    _TERM_PAT,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_redaction_on_injected_pii(spark):
+    rows = [
+        (1, "contact bob.smith+x@example-mail.co.uk for the key", "en"),
+        (2, "no pii here at all", "en"),
+        (3, "two mails: a@b.io c@d.org and a hash table", "de"),
+    ]
+    doc = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+
+    stats = {
+        r["lang"]: r.asDict()
+        for r in redaction_stats(doc, _EMAIL_PAT, _TERM_PAT).collect()
+    }
+    assert stats["en"]["docs_with_email"] == 1
+    assert stats["en"]["email_matches"] == 1
+    assert stats["en"]["term_matches"] == 1  # "key" in doc 1
+    assert stats["de"]["email_matches"] == 2
+    assert stats["de"]["term_matches"] == 2  # "hash", "table"
+
+    red = {
+        r["doc_id"]: r["text"]
+        for r in redact(doc, _EMAIL_PAT, _TERM_PAT).collect()
+    }
+    assert red[1] == "contact <EMAIL> for the <TERM>"
+    assert red[2] == "no pii here at all"
+    assert red[3] == "two mails: <EMAIL> <EMAIL> and a <TERM> <TERM>"
+
+
+def test_chunk_edges(spark):
+    doc = spark.createDataFrame(
+        [
+            (1, "x" * 40, 40),     # shorter than one stride -> 1 chunk
+            (2, "y" * 150, 150),   # exactly one stride -> 1 chunk
+            (3, "z" * 151, 151),   # one char past -> 2 chunks
+            (4, "w" * 500, 500),   # 0,150,300,450 -> 4 chunks
+        ],
+        "doc_id int, text string, n_chars int",
+    )
+    out = chunk_documents(doc, chunk=200, stride=150)
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {1: 1, 2: 1, 3: 2, 4: 4}
+    # chunk windows overlap: doc 4's chunk at 450 is truncated to 50 chars
+    lens = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_len"] for r in out.collect()
+    }
+    assert lens[(4, 0)] == 200 and lens[(4, 3)] == 50
+    assert lens[(1, 0)] == 40
+
+
+def test_quota_cap_layout_independent(spark):
+    doc = spark.read.parquet(f"{SF}/documents.parquet")
+    a = quota_cap(doc, "source", "doc_id", 5)
+    b = quota_cap(doc.repartition(13), "source", "doc_id", 5)
+    ids_a = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    ids_b = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b
+    per_src = a.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per_src)
+
+
+def test_quantize_roundtrip_bounds(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = quantize_embeddings(emb)
+    checked = q.select(
+        F.array_min("codes").alias("cmin"),
+        F.array_max("codes").alias("cmax"),
+        # max error of a 254-step affine grid is half a step
+        (
+            F.col("max_abs_err")
+            <= (F.col("vmax") - F.col("vmin")) / 254.0 * 0.5 + 1e-12
+        ).alias("err_ok"),
+    )
+    bad = checked.filter(
+        (F.col("cmin") < -127) | (F.col("cmax") > 127) | ~F.col("err_ok")
+    ).count()
+    assert bad == 0

@@ -267,3 +267,62 @@ def test_repetition_stats_is_map_only(spark):
     plan = _plan(repetition_stats(doc, k=3))
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is sequence+explode per row: a Generate node is the
+    point, an Exchange would mean the corpus shuffles before chunking —
+    at 100 TB the op must stay a scan decoration."""
+    from ecs_ecommerce_data_pipeline_spark.operators.curation import (
+        chunk_documents,
+    )
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    doc = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(chunk_documents(doc))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_quantize_embeddings_map_only(spark):
+    """Int8 quantization is higher-order-function folds: no Exchange,
+    no Generate (a posexplode shape would blow up dims× rows), no UDF."""
+    from ecs_ecommerce_data_pipeline_spark.operators.curation import (
+        quantize_embeddings,
+    )
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(quantize_embeddings(emb))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_quota_cap_single_shuffle(spark):
+    """The per-stratum cap is one row_number window: exactly one hash
+    exchange on the stratum key."""
+    from ecs_ecommerce_data_pipeline_spark.operators.curation import quota_cap
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    doc = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(quota_cap(doc, "source", "doc_id", 20))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_redaction_stats_single_aggregation(spark):
+    """Regexp passes are row-local; the only shuffle is the final
+    per-language rollup (partial aggregation upstream)."""
+    from ecs_ecommerce_data_pipeline_spark.operators.curation import (
+        redaction_stats,
+    )
+    from ecs_ecommerce_data_pipeline_spark.queries.curation_q import (
+        _EMAIL_PAT,
+        _TERM_PAT,
+    )
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    doc = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(redaction_stats(doc, _EMAIL_PAT, _TERM_PAT))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan, plan

@@ -217,3 +217,30 @@ def test_stream_static_enrichment_matches_batch(spark):
         (r["event_id"], r["segment"], r["nation_key"]) for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_stream_attribution_matches_batch(spark):
+    """Stream-stream interval join (views × purchases, 30-min horizon)
+    produces exactly the batch twin's rows in append mode."""
+    from ecs_ecommerce_data_pipeline_spark.streaming.pipeline import (
+        view_purchase_attribution,
+    )
+
+    stream = view_purchase_attribution(stream_events(spark, SF))
+    run_to_memory(stream, "attrib_out", output_mode="append")
+    got = {
+        (r["view_id"], r["purchase_id"], r["view_ts"], r["purchase_ts"],
+         r["purchase_value"])
+        for r in spark.sql("SELECT * FROM attrib_out").collect()
+    }
+
+    from ecs_ecommerce_data_pipeline_spark.catalog import queries
+
+    batch = queries()["events_attribution"](spark, SF)
+    want = {
+        (r["view_id"], r["purchase_id"], r["view_ts"], r["purchase_ts"],
+         r["purchase_value"])
+        for r in batch.collect()
+    }
+    assert len(want) > 0
+    assert got == want
