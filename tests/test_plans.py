@@ -326,3 +326,16 @@ def test_redaction_stats_single_aggregation(spark):
     plan = _plan(redaction_stats(doc, _EMAIL_PAT, _TERM_PAT))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_lsh_topk_no_self_join_for_buckets(spark):
+    """The bucket is an inline column, so the only join in the top-k
+    plan is the broadcast of the tiny query set — a second (self) join
+    to recover buckets would shuffle the full vector payload at scale."""
+    from ecs_ecommerce_data_pipeline_spark.operators.similarity import lsh_topk
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(lsh_topk(emb, [0, 1, 2, 3, 4], k=10, n_planes=8))
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
