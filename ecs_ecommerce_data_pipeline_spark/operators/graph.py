@@ -40,6 +40,7 @@ def pagerank(
     iters: int = 2,
     damping: float = _DAMPING,
     checkpoint: bool = True,
+    distinct_edges: bool = True,
 ) -> DataFrame:
     """PageRank over directed ``edges(src, dst)`` (STRING node ids —
     callers encode typed nodes as 'type:id'). Returns (node, rank).
@@ -50,8 +51,17 @@ def pagerank(
     Dangling nodes (no out-edges) leak their rank mass — acceptable for
     ranking use; the bipartite construction in ``queries.graph_q`` has
     none (every edge is mirrored).
+
+    ``distinct_edges=False`` skips the defensive edge dedup (a full
+    shuffle of the edge list) when the caller guarantees uniqueness —
+    e.g. a mirrored union of an already-distinct pair set, where the
+    'u:'/'p:' prefixes make collisions impossible.  Duplicate edges
+    would silently double contribution mass, so keep the default unless
+    the guarantee is structural.
     """
-    edges = edges.select("src", "dst").distinct()
+    edges = edges.select("src", "dst")
+    if distinct_edges:
+        edges = edges.distinct()
     if checkpoint:
         # the edge list feeds the degree agg, the node set, AND every
         # iteration's join — without a lineage cut the upstream
@@ -72,6 +82,10 @@ def pagerank(
         .unionByName(wedges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if checkpoint:
+        # referenced in the initial ranks AND every iteration's left
+        # join — without a cut the distinct-union recomputes per iter
+        nodes = nodes.localCheckpoint(eager=False)
     # N and the base term ride along as columns of a 1-row broadcast —
     # never collected to the driver
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))

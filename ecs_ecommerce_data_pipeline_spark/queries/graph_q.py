@@ -87,5 +87,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("u").alias("src"), F.col("p").alias("dst")
     ).unionByName(pairs.select(F.col("p").alias("src"), F.col("u").alias("dst")))
-    ranks = pagerank(edges, iters=_ITERS)
+    # the mirrored union of a distinct pair set is structurally distinct
+    # (namespaced 'u:'/'p:' prefixes) — skip the defensive dedup shuffle
+    ranks = pagerank(edges, iters=_ITERS, distinct_edges=False)
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(_TOP)
