@@ -181,6 +181,8 @@ def _load_all() -> None:
         #    the tail of the unverified block via insertion order --
         curation_q,
         evaluation_q,
+        incremental_q,
+        dq_q,
     )
 
     ordered = sorted(_CATALOG.items(), key=lambda kv: kv[0] in _R1_VERIFIED)

@@ -1,0 +1,91 @@
+"""Incremental aggregate-maintenance queries.
+
+Each query simulates multi-batch ingestion by splitting the fact table
+into deterministic batches (``order_id % k`` — batches deliberately
+*overlap on the group keys*, the case where merging actually has to
+combine partials), builds per-batch state with
+``operators.incremental_agg``, merges, and finalizes.
+
+The oracle is the plain **full-history recompute** SQL: a hash match
+proves merge-then-finalize ≡ recompute, i.e. the state table can replace
+the reference's re-read-everything loop
+(``ecs/transformation/transform_task.py:409-413``) with an O(batch)
+update at every scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..functions.output import iso_temporal
+from ..operators import incremental_agg, kpis
+from ..sources.testdata import ecommerce_views
+from .core_kpis import _ECOM_CTES
+
+# Oracle = full recompute (identical to the category_kpis oracle): the
+# whole point is that the 3-way batch-state merge must hash-match it.
+_INCR_KPI_SQL = f"""
+WITH {_ECOM_CTES}
+SELECT p.category,
+       strftime(CAST(o.created_at AS DATE), '%Y-%m-%d') AS order_date,
+       CAST(SUM(CAST(i.sale_price AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
+       CAST(SUM(CAST(i.sale_price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(i.sale_price)
+           AS avg_order_value,
+       CAST(SUM(CASE WHEN i.returned_at IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS avg_return_rate
+FROM items_e i
+LEFT JOIN products_e p ON i.product_id = p.id
+LEFT JOIN orders_e o ON i.order_id = o.order_id
+GROUP BY 1, 2
+"""
+
+
+@register("incremental_kpi_merge", _INCR_KPI_SQL)
+def q_incremental_kpi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CategoryKPIs via 3-batch partial-state merge ≡ full recompute.
+
+    Batches split on ``order_id % 3`` so every (category, order_date)
+    group receives partials from all three batches — the merge is doing
+    real work, not concatenating disjoint keys.
+    """
+    t = ecommerce_views(spark, sf_dir)
+    prepared = kpis.prepare_items(t["order_items"], t["orders"], t["products"])
+    states = [
+        incremental_agg.category_kpi_state(
+            prepared.filter(F.col("order_id") % 3 == b)
+        )
+        for b in range(3)
+    ]
+    merged = incremental_agg.merge_kpi_states(states)
+    return iso_temporal(incremental_agg.finalize_category_kpis(merged))
+
+
+_INCR_DISTINCT_SQL = f"""
+WITH {_ECOM_CTES}
+SELECT strftime(CAST(created_at AS DATE), '%Y-%m-%d') AS date_key,
+       COUNT(DISTINCT user_id) AS unique_customers
+FROM orders_e
+GROUP BY 1
+"""
+
+
+@register("incremental_distinct_merge", _INCR_DISTINCT_SQL)
+def q_incremental_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-day ``unique_customers`` maintained as two-level keyed
+    state: per-batch distinct (date, user) membership, union-distinct
+    merge (idempotent under batch redelivery), count-per-day finalize.
+    """
+    t = ecommerce_views(spark, sf_dir)
+    orders = t["orders"].withColumn("date_key", F.to_date("created_at"))
+    states = [
+        incremental_agg.distinct_member_state(
+            orders.filter(F.col("order_id") % 2 == b), "date_key", "user_id"
+        )
+        for b in range(2)
+    ]
+    merged = incremental_agg.merge_distinct_states(states)
+    return iso_temporal(
+        incremental_agg.finalize_distinct_count(merged, "date_key", "unique_customers")
+    )
