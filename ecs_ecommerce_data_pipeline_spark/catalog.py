@@ -183,6 +183,7 @@ def _load_all() -> None:
         evaluation_q,
         incremental_q,
         dq_q,
+        cdc_q,
     )
 
     ordered = sorted(_CATALOG.items(), key=lambda kv: kv[0] in _R1_VERIFIED)
