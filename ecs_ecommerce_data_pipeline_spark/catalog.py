@@ -184,6 +184,8 @@ def _load_all() -> None:
         incremental_q,
         dq_q,
         cdc_q,
+        weighting_q,
+        sketch_state_q,
     )
 
     ordered = sorted(_CATALOG.items(), key=lambda kv: kv[0] in _R1_VERIFIED)

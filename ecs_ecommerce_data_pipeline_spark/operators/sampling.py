@@ -145,3 +145,23 @@ def pack_shards(
     return df.withColumn(
         "shard_id", F.floor((prefix_incl - cost) / F.lit(budget)).cast("bigint")
     )
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight: Column, salt: str = ""
+) -> DataFrame:
+    """Poisson sampling with per-row inclusion probability
+    ``clamp(weight, 0, 1)`` — the curation primitive for quality- or
+    length-proportional downsampling ("keep high-quality documents with
+    higher probability").
+
+    Include a row iff its md5 u01 draw falls below the row's own weight:
+    deterministic (a pure function of ``key``+``salt``), map-only, and
+    monotone in the weight — raising a document's quality score can only
+    add it to the sample, never evict others. Expected sample size =
+    Σ weights; the draw is reproducible in any engine via the md5 idiom
+    above.
+    """
+    b = hash_bucket(key, 1_000_000, salt=salt)
+    p = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    return df.filter(b < p * F.lit(1_000_000))
