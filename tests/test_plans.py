@@ -339,3 +339,46 @@ def test_lsh_topk_no_self_join_for_buckets(spark):
     plan = _plan(lsh_topk(emb, [0, 1, 2, 3, 4], k=10, n_planes=8))
     assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") == 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_weighted_sample_is_map_only(spark):
+    """Weight-proportional Poisson sampling is a row-local predicate:
+    no Exchange, no Python boundary — free at any scale."""
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    doc = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(weighted_sample(doc, "doc_id", F.col("n_chars") / F.lit(256.0)))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cdc_diff_one_shuffle_per_side(spark):
+    """snapshot_diff is ONE full-outer join: exactly one hash exchange
+    per snapshot side (co-partitioned storage would remove both), and the
+    change classification runs inside the join stage — no extra shuffle,
+    no Python."""
+    plan = _plan(catalog.queries()["cdc_orders_diff"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "EvalPython" not in plan
+
+
+def test_expectations_single_scan_single_agg(spark):
+    """N declarative rules cost ONE scan and ONE aggregation: every rule
+    compiles into the same agg, and the tidy explode happens on the
+    1-row result."""
+    plan = _plan(catalog.queries()["dq_expectations"](spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_decay_score_take_ordered_not_global_sort(spark):
+    """Top-100 decayed customers must use distributed TakeOrdered, never
+    a rangepartitioning global sort of all customers."""
+    plan = _plan(catalog.queries()["customer_decay_score"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
