@@ -382,3 +382,36 @@ def test_decay_score_take_ordered_not_global_sort(spark):
     plan = _plan(catalog.queries()["customer_decay_score"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """At 100 TB, a selective dimension filter should reach the fact scan
+    as a runtime bloom filter (Spark injects it when the application side
+    exceeds its scan-size threshold — locally we lower the threshold to
+    prove the engine's plans are bloom-eligible: equi-join on a scannable
+    column with a filtered creation side)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+        cust = load_table(spark, SF_SMOKE, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = load_table(spark, SF_SMOKE, "orders")
+        j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        assert "might_contain" in _plan(j), "bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
