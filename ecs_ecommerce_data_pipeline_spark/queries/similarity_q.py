@@ -59,7 +59,8 @@ def _w_sql(p: int) -> str:
 
 _proj_terms = ",\n       ".join(
     f"list_sum(list_transform(range(1, {_DIMS} + 1),"
-    f" i -> CAST(v[i] * {_w_sql(p)} AS DECIMAL(25,15)))) AS proj_{p}"
+    f" i -> CAST(FLOOR((v[i] * {_w_sql(p)}) * 1099511627776.0) AS BIGINT)))"
+    f" AS proj_{p}"
     for p in range(_N_PLANES)
 )
 _bucket_expr = " + ".join(
