@@ -186,6 +186,7 @@ def _load_all() -> None:
         cdc_q,
         weighting_q,
         sketch_state_q,
+        robust_q,
     )
 
     ordered = sorted(_CATALOG.items(), key=lambda kv: kv[0] in _R1_VERIFIED)

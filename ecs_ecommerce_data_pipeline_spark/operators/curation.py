@@ -195,3 +195,38 @@ def dataset_manifest(
         F.max(id_col).cast("bigint").alias("max_doc_id"),
         fingerprint.alias("membership_md5"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Clip a metric to its per-group [p_lo, p_hi] exact interpolated
+    quantiles — the robust-statistics guard against pathological outliers
+    (a 2 GB "document", a 10^6-item order) distorting downstream
+    normalization or training-mix math.
+
+    Adds ``<value_col>_winsorized`` (clipped, DOUBLE) and ``clipped``
+    (was the row altered). Shape: one per-group quantile aggregation
+    (grouping-bound memory — the exact/approx trade-off documented on
+    ``stats_quantiles_exact`` applies), broadcast of the tiny threshold
+    table, then a map-only clip of the fact side: the big table is
+    scanned once and never shuffled.
+    """
+    thr = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), F.lit(p_lo)).alias("_lo"),
+        F.percentile(F.col(value_col), F.lit(p_hi)).alias("_hi"),
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .withColumn(
+            f"{value_col}_winsorized",
+            F.least(F.greatest(v, F.col("_lo")), F.col("_hi")),
+        )
+        .withColumn("clipped", (v < F.col("_lo")) | (v > F.col("_hi")))
+        .drop("_lo", "_hi")
+    )
