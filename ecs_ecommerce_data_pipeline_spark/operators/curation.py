@@ -230,3 +230,39 @@ def winsorize(
         .withColumn("clipped", (v < F.col("_lo")) | (v > F.col("_hi")))
         .drop("_lo", "_hi")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust outlier flags per group.
+
+    Z-scores (``stats_outliers``) break down exactly when outliers are
+    present — the outliers inflate the stddev that is supposed to expose
+    them.  Median absolute deviation is 50%-breakdown robust: flag rows
+    with |x − median| > k·MAD.
+
+    Shape: two quantile aggregations (median, then median of
+    deviations — inherently sequential), each followed by a broadcast of
+    the tiny per-group threshold table; the fact side is scanned twice
+    but never shuffled.  Adds ``dev`` and ``is_outlier``.
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("_med")
+    )
+    dev = (
+        df.join(F.broadcast(med), group_col)
+        .withColumn("dev", F.abs(F.col(value_col).cast("double") - F.col("_med")))
+        .drop("_med")
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.percentile(F.col("dev"), F.lit(0.5)).alias("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .withColumn("is_outlier", F.col("dev") > F.lit(k) * F.col("_mad"))
+        .drop("_mad")
+    )

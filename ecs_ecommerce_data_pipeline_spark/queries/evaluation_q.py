@@ -139,3 +139,43 @@ def q_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", F.col("label").cast("bigint").alias("label"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def _lsh_recall_sql() -> str:
+    from .similarity_q import _LSH_TOPK_SQL
+
+    return f"""
+WITH bf AS ({_BRUTE_SQL}),
+lsh AS ({_LSH_TOPK_SQL})
+SELECT bf.query_id,
+       CAST({_K} AS BIGINT) AS k,
+       CAST(COUNT(lsh.corpus_id) AS BIGINT) AS n_hits
+FROM bf LEFT JOIN lsh
+  ON lsh.query_id = bf.query_id AND lsh.corpus_id = bf.corpus_id
+GROUP BY bf.query_id
+"""
+
+
+@register("sim_recall_lsh_at_k", _lsh_recall_sql())
+def q_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the hyperplane-LSH index vs the exact brute-force
+    baseline — together with ``sim_recall_ivf_at_k`` this completes the
+    recall matrix over both ANN paths (same composed-CTE oracle
+    technique)."""
+    from .similarity_q import _N_PLANES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = similarity.brute_force_topk(emb, _QUERY_IDS, k=_K).select(
+        "query_id", "corpus_id"
+    )
+    lsh = similarity.lsh_topk(emb, _QUERY_IDS, k=_K, n_planes=_N_PLANES).select(
+        "query_id", "corpus_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(lsh, ["query_id", "corpus_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(_K).cast("bigint").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+    )

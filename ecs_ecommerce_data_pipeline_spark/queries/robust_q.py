@@ -39,3 +39,33 @@ def q_winsorize_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(docs, "n_chars", "lang").select(
         "doc_id", "lang", "n_chars", "n_chars_winsorized", "clipped"
     )
+
+
+_MAD_SQL = """
+WITH med AS (
+    SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM documents GROUP BY lang
+),
+dev AS (
+    SELECT d.doc_id, d.lang, d.n_chars,
+           ABS(CAST(d.n_chars AS DOUBLE) - m.med) AS dev
+    FROM documents d JOIN med m USING (lang)
+),
+mad AS (
+    SELECT lang, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY lang
+)
+SELECT v.doc_id, v.lang, v.n_chars, v.dev,
+       (v.dev > 3.0 * m.mad) AS is_outlier
+FROM dev v JOIN mad m USING (lang)
+"""
+
+
+@register("mad_outliers_doc_lengths", _MAD_SQL)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flags on document lengths per language
+    — the 50%-breakdown companion to the z-score ``stats_outliers``."""
+    from ..operators.curation import mad_outliers
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mad_outliers(docs, "n_chars", "lang").select(
+        "doc_id", "lang", "n_chars", "dev", "is_outlier"
+    )
