@@ -138,6 +138,15 @@ _BENCH_EXTRA: set[str] = {
     "events_gapfill_hourly",
     "sim_lsh_topk",
     "sim_ivf_topk",
+    # round-2b additions: state maintenance, quality/robustness, CDC
+    "incremental_kpi_merge",
+    "hll_distinct_merge",
+    "cdc_orders_diff",
+    "dq_expectations",
+    "customer_decay_score",
+    "weighted_sample_quality",
+    "winsorize_doc_lengths",
+    "mad_outliers_doc_lengths",
 }
 
 if __name__ == "__main__":

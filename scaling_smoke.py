@@ -46,6 +46,11 @@ STAGES = {
     "contamination_check": "documents",
     "graph_pagerank_purchases": "lineitem",
     "cms_heavy_hitters": "lineitem",
+    # round-2b additions: state maintenance, CDC, robust curation
+    "incremental_kpi_merge": "lineitem",
+    "cdc_orders_diff": "orders",
+    "hll_distinct_merge": "orders",
+    "winsorize_doc_lengths": "documents",
 }
 
 _ID_OFFSET = 10_000_000
@@ -120,6 +125,13 @@ def build_scaled(spark: SparkSession, src_dir: str, out_dir: str, factor: int) -
             .withColumn("l_partkey", F.col("l_partkey") + F.lit(r * _ID_OFFSET))
         )
     _union_all(parts).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    # dimension tables stay 1x (facts outgrow dims in any real warehouse);
+    # copied so stages that join them run unmodified against out_dir
+    for t in ("part", "customer", "supplier", "nation", "region"):
+        load_table(spark, src_dir, t).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
 
 
 def _union_all(dfs):
