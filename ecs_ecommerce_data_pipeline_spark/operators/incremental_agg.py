@@ -114,3 +114,41 @@ def finalize_distinct_count(state: DataFrame, group_col: str, alias: str) -> Dat
     """COUNT(*) per group over the merged membership = exact
     countDistinct over all history."""
     return state.groupBy(group_col).agg(F.count(F.lit(1)).alias(alias))
+
+
+def negate_state(state: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Sign-flip every partial column — the RETRACTION image of a state.
+
+    Sums and counts form a group under addition, so deletes and the old
+    image of updates merge as negated partials: applying a CDC changelog
+    to a state table is
+    ``merge(state, negate(state(removed rows)), state(added rows))`` —
+    O(changelog), never O(history). Groups whose row count reaches zero
+    must be dropped after the merge (``drop_empty_groups``) to match a
+    recompute, which would never have produced them.
+
+    Non-invertible aggregates (min/max, distinct members) cannot retract
+    from a scalar partial — they need the keyed membership state
+    (``distinct_member_state``) or a recompute of the affected groups.
+    """
+    partials = [c for c in state.columns if c not in group_cols]
+    return state.select(
+        *group_cols, *[(-F.col(c)).alias(c) for c in partials]
+    )
+
+
+def drop_empty_groups(state: DataFrame, count_col: str = "row_cnt") -> DataFrame:
+    """Remove groups fully retracted away (count reached zero)."""
+    return state.filter(F.col(count_col) != 0)
+
+
+def merge_states(states: list[DataFrame], group_cols: list[str]) -> DataFrame:
+    """Generic state merge: union + one re-aggregation summing every
+    non-group column. The schema IS the contract — any table of
+    (group_cols, additive partials) merges, including negated retraction
+    images from ``negate_state``."""
+    unioned = reduce(DataFrame.unionByName, states)
+    partials = [c for c in unioned.columns if c not in group_cols]
+    return unioned.groupBy(*group_cols).agg(
+        *[F.sum(c).alias(c) for c in partials]
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..catalog import register
 from ..functions.output import iso_temporal
 from ..operators import incremental_agg, kpis
-from ..sources.testdata import ecommerce_views
+from ..sources.testdata import ecommerce_views, load_table
 from .core_kpis import _ECOM_CTES
 
 # Oracle = full recompute (identical to the category_kpis oracle): the
@@ -88,4 +88,94 @@ def q_incremental_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = incremental_agg.merge_distinct_states(states)
     return iso_temporal(
         incremental_agg.finalize_distinct_count(merged, "date_key", "unique_customers")
+    )
+
+
+# Retractable IVM: the engine maintains a revenue state over lineitem;
+# a new snapshot arrives (some rows gone, some new, some re-priced). The
+# state is updated FROM THE CDC CHANGELOG ALONE — deletes and old images
+# of updates merge as negated partials — and must hash-match a direct
+# recompute over the new snapshot (the oracle).
+_IVM_SQL = """
+WITH lines AS (
+    SELECT l_orderkey, l_linenumber, MIN(l_returnflag) AS l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+    FROM lineitem WHERE l_orderkey % 17 <> 0 GROUP BY 1, 2
+),
+new_snap AS (
+    SELECT l_returnflag,
+           CASE WHEN l_linenumber % 4 = 0 THEN price + 100.0 ELSE price END AS price
+    FROM lines
+)
+SELECT l_returnflag,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS row_cnt
+FROM new_snap GROUP BY 1
+"""
+
+
+@register("ivm_retract_merge", _IVM_SQL)
+def q_ivm_retract_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance with retraction.
+
+    old snapshot = lineitem minus keys %13; new snapshot = lineitem
+    minus keys %17 with every 4th line re-priced (+100.00). The state
+    built on the OLD snapshot is updated by merging the signed partials
+    of the ``snapshot_diff`` changelog — O(changelog) work — and
+    finalizes identically to recomputing over the NEW snapshot.
+    """
+    from ..operators.cdc import snapshot_diff
+    from ..operators.incremental_agg import (
+        drop_empty_groups,
+        merge_states,
+        negate_state,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_orderkey", "l_linenumber"]
+
+    # CDC needs a UNIQUE key; the synthetic lineitem has duplicate
+    # (orderkey, linenumber) pairs, so the snapshot grain is the
+    # per-line aggregate (exact decimal price sum — deterministic in
+    # both engines), exactly as a real order-line view would be keyed.
+    def line_view(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.min("l_returnflag").alias("l_returnflag"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price"),
+        )
+
+    old = line_view(li.filter(F.col("l_orderkey") % 13 != 0))
+    new = line_view(li.filter(F.col("l_orderkey") % 17 != 0)).withColumn(
+        "price",
+        F.when(
+            F.col("l_linenumber") % 4 == 0, F.col("price") + F.lit(100.0)
+        ).otherwise(F.col("price")),
+    )
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.sum(F.col("price").cast("decimal(18,2)")).alias("rev_sum"),
+            F.count(F.lit(1)).alias("row_cnt"),
+        )
+
+    base = state(old)
+    chg = snapshot_diff(old, new, keys, ["l_returnflag", "price"])
+    removed = chg.filter(F.col("change_type").isin("delete", "update")).select(
+        F.col("old_l_returnflag").alias("l_returnflag"),
+        F.col("old_price").alias("price"),
+    )
+    added = chg.filter(F.col("change_type").isin("insert", "update")).select(
+        F.col("new_l_returnflag").alias("l_returnflag"),
+        F.col("new_price").alias("price"),
+    )
+    merged = merge_states(
+        [base, negate_state(state(removed), ["l_returnflag"]), state(added)],
+        ["l_returnflag"],
+    )
+    return drop_empty_groups(merged).select(
+        "l_returnflag",
+        F.col("rev_sum").cast("double").alias("revenue"),
+        F.col("row_cnt").cast("bigint").alias("row_cnt"),
     )

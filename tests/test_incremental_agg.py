@@ -74,3 +74,29 @@ def test_distinct_state_redelivery_idempotent(spark):
         "unique_customers",
     )
     assert _rows(once) == _rows(redelivered)
+
+
+def test_retraction_drops_empty_groups(spark):
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.operators.incremental_agg import (
+        drop_empty_groups,
+        merge_states,
+        negate_state,
+    )
+
+    def state(rows):
+        df = spark.createDataFrame(rows, "g string, price double")
+        return df.groupBy("g").agg(
+            F.sum(F.col("price").cast("decimal(18,2)")).alias("rev_sum"),
+            F.count(F.lit(1)).alias("row_cnt"),
+        )
+
+    base = state([("A", 10.0), ("A", 20.0), ("B", 5.0)])
+    removed = state([("B", 5.0), ("A", 10.0)])  # B fully retracted
+    added = state([("C", 7.0)])
+    out = drop_empty_groups(
+        merge_states([base, negate_state(removed, ["g"]), added], ["g"])
+    )
+    got = {r["g"]: (float(r["rev_sum"]), r["row_cnt"]) for r in out.collect()}
+    assert got == {"A": (20.0, 1), "C": (7.0, 1)}
