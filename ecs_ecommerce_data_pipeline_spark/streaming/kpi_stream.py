@@ -28,7 +28,9 @@ orders/items inputs are read partition-pruned to the affected dates.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.errors.exceptions.captured import AnalysisException
 
 from ..operators import kpis
 from ..plans.incremental import BatchLedger, target_dates, write_partitioned
@@ -66,6 +68,62 @@ def kpi_stream(
 
     return (
         orders_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kpi_state_stream(
+    items_stream: DataFrame,
+    orders_full: DataFrame,
+    products: DataFrame,
+    state_out: str,
+    checkpoint_dir: str,
+    ledger: BatchLedger | None = None,
+) -> StreamingQuery:
+    """Streaming mergeable-state maintenance: each micro-batch of newly
+    arrived order items produces its partial-aggregate state
+    (``incremental_agg.category_kpi_state``) from ONLY the batch rows and
+    merges it into the at-rest state table — O(batch + affected state)
+    per trigger, never a recompute over history (the scalable alternative
+    to ``kpi_stream``'s scoped-recompute shape).
+
+    Merge scope: only the ``order_date`` partitions present in the batch
+    are read back, merged, and dynamically overwritten. Exactly-once:
+    checkpoint dedups file offers; the ledger makes crash-replays of a
+    half-written batch no-ops (a re-merge of the same delta WOULD
+    double-count — unlike the recompute pipeline, idempotence here comes
+    from the ledger, which is why it is not optional in production).
+    """
+    from ..operators.incremental_agg import category_kpi_state, merge_kpi_states
+
+    spark = orders_full.sparkSession
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        bid = f"state-microbatch-{batch_id}"
+        if ledger is not None and not ledger.try_start(bid):
+            return
+        prepared = kpis.prepare_items(batch_df, orders_full, products)
+        delta = category_kpi_state(prepared)
+        dates = [r["order_date"] for r in delta.select("order_date").distinct().collect()]
+        if dates:
+            try:
+                existing = spark.read.parquet(state_out).filter(
+                    F.col("order_date").isin(dates)
+                )
+                merged = merge_kpi_states([existing, delta])
+            except AnalysisException:  # first batch: no state yet
+                merged = delta
+            # break lineage before overwriting the path just read
+            merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+                "order_date"
+            ).parquet(state_out)
+        if ledger is not None:
+            ledger.mark_done(bid)
+
+    return (
+        items_stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -244,3 +244,62 @@ def test_stream_stream_attribution_matches_batch(spark):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_kpi_state_stream_merges_to_recompute(spark, tmp_path):
+    """Streaming mergeable-state maintenance: order items arrive over
+    three micro-batches; each merges only its partials into the state
+    table. The finalized state must equal the batch category_kpis
+    recompute, and a checkpoint-reset rerun must be absorbed by the
+    ledger (a re-merge would double-count)."""
+    from ecs_ecommerce_data_pipeline_spark.operators.incremental_agg import (
+        finalize_category_kpis,
+    )
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import BatchLedger
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import ecommerce_views
+    from ecs_ecommerce_data_pipeline_spark.streaming.kpi_stream import (
+        kpi_state_stream,
+    )
+
+    views = ecommerce_views(spark, SF)
+    drop_dir = str(tmp_path / "items_drop")
+    views["order_items"].repartition(3).write.parquet(drop_dir)
+
+    def start(ckpt):
+        stream = (
+            spark.readStream.schema(views["order_items"].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop_dir)
+        )
+        return kpi_state_stream(
+            stream, views["orders"], views["products"],
+            state_out, ckpt, ledger,
+        )
+
+    state_out = str(tmp_path / "kpi_state")
+    ledger = BatchLedger(str(tmp_path / "ledger.json"))
+    q = start(str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    from ecs_ecommerce_data_pipeline_spark.operators import kpis
+
+    prepared = kpis.prepare_items(
+        views["order_items"], views["orders"], views["products"]
+    )
+    want = kpis.category_kpis(prepared)
+    got = finalize_category_kpis(spark.read.parquet(state_out))
+
+    def rows(df):
+        return sorted(
+            (r["category"], str(r["order_date"]), round(r["daily_revenue"], 2))
+            for r in df.collect()
+        )
+
+    assert rows(got) == rows(want)
+
+    # fresh checkpoint, same ledger: every micro-batch is a replay the
+    # ledger must absorb — state unchanged
+    q2 = start(str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    got2 = finalize_category_kpis(spark.read.parquet(state_out))
+    assert rows(got2) == rows(want)
