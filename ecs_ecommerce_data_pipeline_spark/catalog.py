@@ -187,6 +187,8 @@ def _load_all() -> None:
         weighting_q,
         sketch_state_q,
         robust_q,
+        lm_q,
+        drift_q,
     )
 
     ordered = sorted(_CATALOG.items(), key=lambda kv: kv[0] in _R1_VERIFIED)

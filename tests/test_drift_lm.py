@@ -1,0 +1,120 @@
+"""Unit tests for operators.drift and operators.lmscore beyond the
+oracle-parity gate: known-answer checks on tiny hand-built frames, and
+the invariants the statistics must satisfy (KS bounds, PSI of identical
+distributions, weight normalization, LM-score frequency monotonicity)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ecs_ecommerce_data_pipeline_spark.operators.drift import (
+    ks_two_sample,
+    mix_weights,
+    psi_bins,
+)
+from ecs_ecommerce_data_pipeline_spark.operators.lmscore import bigram_lm_scores
+
+
+def test_ks_identical_samples_is_zero(spark):
+    rows = [(v, s) for v in range(1, 21) for s in ("a", "b")]
+    df = spark.createDataFrame(rows, "v int, smp string")
+    out = ks_two_sample(df, "v", "smp", "a", "b").collect()[0]
+    assert out["n_a"] == out["n_b"] == 20
+    assert out["ks_stat"] == 0.0
+    # smallest value achieving the (degenerate) sup
+    assert out["ks_at_value"] == 1.0
+
+
+def test_ks_disjoint_samples_is_one(spark):
+    rows = [(v, "a") for v in range(10)] + [(v + 100, "b") for v in range(10)]
+    df = spark.createDataFrame(rows, "v int, smp string")
+    out = ks_two_sample(df, "v", "smp", "a", "b").collect()[0]
+    assert out["ks_stat"] == 1.0
+    assert out["ks_at_value"] == 9.0  # sup first reached at a's max
+
+
+def test_ks_known_value(spark):
+    # a = {1,2,3,4}, b = {3,4,5,6}: sup |CDF_a - CDF_b| = 1/2 at v=2
+    rows = [(1, "a"), (2, "a"), (3, "a"), (4, "a"),
+            (3, "b"), (4, "b"), (5, "b"), (6, "b")]
+    df = spark.createDataFrame(rows, "v int, smp string")
+    out = ks_two_sample(df, "v", "smp", "a", "b").collect()[0]
+    assert out["ks_stat"] == 0.5
+    assert out["ks_at_value"] == 2.0
+
+
+def test_psi_identical_halves_near_zero(spark):
+    # same distribution in both samples -> every term is only
+    # Laplace-smoothing noise; quantized total must be ~0 (|psi| < 1e-6)
+    rows = [(v % 50, s) for v in range(500) for s in ("r", "c")]
+    df = spark.createDataFrame(rows, "v int, smp string")
+    out = psi_bins(df, "v", "smp", "r", "c").collect()
+    total = out[0]["psi_total_q"] / float(2**40)
+    assert abs(total) < 1e-6
+    assert all(r["psi_total_q"] == out[0]["psi_total_q"] for r in out)
+    # counts conserved across bins
+    assert sum(r["c_ref"] for r in out) == 500
+    assert sum(r["c_cur"] for r in out) == 500
+
+
+def test_psi_shifted_distribution_positive(spark):
+    rows = [(v, "r") for v in range(1000)] + [(v + 500, "c") for v in range(1000)]
+    df = spark.createDataFrame(rows, "v int, smp string")
+    out = psi_bins(df, "v", "smp", "r", "c").collect()
+    total = out[0]["psi_total_q"] / float(2**40)
+    assert total > 0.25  # a half-range shift is far over the 0.2 alarm bar
+
+
+def test_mix_weights_uniform_target(spark):
+    rows = [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 10
+    df = spark.createDataFrame(rows, "src string")
+    out = {r["src"]: r for r in mix_weights(df, "src").collect()}
+    assert math.isclose(out["a"]["weight"], (1 / 3) / 0.6)
+    assert math.isclose(out["c"]["weight"], (1 / 3) / 0.1)
+    # expected post-sampling share is uniform: share * weight == target
+    for r in out.values():
+        assert math.isclose(r["share"] * r["weight"], 1 / 3)
+
+
+def test_mix_weights_explicit_target(spark):
+    rows = [("a",)] * 50 + [("b",)] * 50
+    df = spark.createDataFrame(rows, "src string")
+    out = {
+        r["src"]: r
+        for r in mix_weights(df, "src", {"a": 0.9, "b": 0.1}).collect()
+    }
+    assert math.isclose(out["a"]["weight"], 0.9 / 0.5)
+    assert math.isclose(out["b"]["weight"], 0.1 / 0.5)
+
+
+def test_lm_score_known_corpus(spark):
+    # doc 1: "x y x y"  -> bigrams [x y, y x, x y]
+    # doc 2: "x y z"    -> bigrams [x y, y z]
+    # corpus freq: "x y": 3, "y x": 1, "y z": 1  (bitlens: 2, 1, 1)
+    rows = [(1, "x y x y"), (2, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["sum_bits"] == 2 + 1 + 2  # x y(2) + y x(1) + x y(2)
+    assert out[1]["rare_bigrams"] == 1
+    assert out[2]["n_bigrams"] == 2
+    assert out[2]["sum_bits"] == 2 + 1
+    assert math.isclose(out[2]["rare_ratio"], 0.5)
+
+
+def test_lm_score_short_docs_drop(spark):
+    rows = [(1, "solo"), (2, ""), (3, "a b")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = bigram_lm_scores(df).collect()
+    assert {r["doc_id"] for r in out} == {3}
+
+
+def test_lm_score_repartition_invariant(spark, sf_dir):
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = bigram_lm_scores(docs).orderBy("doc_id").collect()
+    b = bigram_lm_scores(docs.repartition(13)).orderBy("doc_id").collect()
+    assert a == b
