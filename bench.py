@@ -147,6 +147,11 @@ _BENCH_EXTRA: set[str] = {
     "weighted_sample_quality",
     "winsorize_doc_lengths",
     "mad_outliers_doc_lengths",
+    # round-2c additions: LM scoring, drift, Arrow-vectorized ANN
+    "text_lm_score",
+    "drift_psi_doc_lengths",
+    "drift_ks_doc_lengths",
+    "sim_bruteforce_topk_arrow",
 }
 
 if __name__ == "__main__":

@@ -433,3 +433,31 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_VARIANT_SQL = """
+SELECT event_id,
+       json_extract_string(props, '$.k')::BIGINT AS k_value,
+       json_extract_string(props, '$.missing')::BIGINT AS missing_value,
+       (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+FROM events
+"""
+
+
+@register("events_variant_props", _VARIANT_SQL)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type (Spark 4):
+    ``parse_json`` once into an open-schema binary-encoded value, then
+    typed ``variant_get`` path extraction — the shredded-read pattern for
+    columns whose schema drifts per row. Unlike ``get_json_object``
+    (string re-parse per path), the variant parses once and every
+    extraction reads the encoded tree; absent paths yield NULL, same as
+    the JSON-path oracle."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_value"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_value"),
+        F.try_variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
+    )

@@ -321,3 +321,14 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.sum("vec_id").cast("bigint").alias("sum_members"),
     )
+
+
+@register("sim_bruteforce_topk_arrow", _BRUTE_SQL)
+def q_brute_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy-vectorized exact cosine top-k — same results and same
+    oracle as ``sim_bruteforce_topk`` (cumsum preserves the fold order),
+    but scores whole Arrow batches per numpy op instead of one
+    multiply-add per Catalyst node. The 100 TB throughput path."""
+    return similarity.brute_force_topk_arrow(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=_K
+    )

@@ -51,6 +51,10 @@ STAGES = {
     "cdc_orders_diff": "orders",
     "hll_distinct_merge": "orders",
     "winsorize_doc_lengths": "documents",
+    # round-2c additions: corpus-LM join, drift stats, Arrow ANN
+    "text_lm_score": "documents",
+    "drift_psi_doc_lengths": "documents",
+    "sim_bruteforce_topk_arrow": "embeddings",
 }
 
 _ID_OFFSET = 10_000_000
