@@ -303,3 +303,82 @@ def test_kpi_state_stream_merges_to_recompute(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = finalize_category_kpis(spark.read.parquet(state_out))
     assert rows(got2) == rows(want)
+
+
+def test_stateful_sessionizer_multi_batch(spark, tmp_path):
+    """Custom stateful sessionizer: sessions fold across micro-batches,
+    every batch emits the open session, and the union of CLOSED sessions
+    plus final opens must reproduce the batch gap-sessionization."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.streaming.stateful import (
+        user_sessions_stateful,
+    )
+
+    # two users; sessions split by a > 10-minute silence; rows arrive in
+    # time order across two files so one session SPANS the batch boundary
+    base = 1_700_000_000_000  # epoch ms
+    rows1 = [
+        (1, base + 0), (1, base + 60_000),
+        (2, base + 0),
+    ]
+    rows2 = [
+        (1, base + 120_000),                    # continues user 1 session 1
+        (1, base + 2_000_000),                  # > 10 min later: session 2
+        (2, base + 3_000_000),                  # user 2 session 2
+    ]
+    src = str(tmp_path / "sess_parts")
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [(u, pd.Timestamp(ms, unit="ms").to_pydatetime()) for u, ms in rows],
+            "user_id long, ts timestamp",
+        )
+
+    to_df(rows1).coalesce(1).write.mode("append").parquet(src)
+    to_df(rows2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 second")
+    )
+    q = (
+        user_sessions_stateful(stream, gap="10 minutes")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.sql("SELECT * FROM sessions").toPandas()
+    # the open-session view must have been emitted each batch
+    assert (~emitted["closed"]).sum() >= 2
+
+    # reconstruct final sessions: for each (user, start), the last
+    # emission wins (update-mode semantics)
+    final = (
+        emitted.sort_values(["n_events"])
+        .groupby(["user_id", "session_start_ms"])
+        .last()
+        .reset_index()
+    )
+    sess = {
+        (r.user_id, r.session_start_ms): (r.session_end_ms, r.n_events)
+        for r in final.itertuples()
+    }
+    assert sess[(1, base)] == (base + 120_000, 3)
+    assert sess[(1, base + 2_000_000)] == (base + 2_000_000, 1)
+    assert sess[(2, base)] == (base, 1)
+    assert sess[(2, base + 3_000_000)] == (base + 3_000_000, 1)
+
+    # sessions fully in the past must close via the event-time timeout
+    closed = emitted[emitted["closed"]]
+    assert ((closed["user_id"] == 1) & (closed["session_start_ms"] == base)).any()
