@@ -189,6 +189,7 @@ def _load_all() -> None:
         robust_q,
         lm_q,
         drift_q,
+        mv_q,
     )
 
     ordered = sorted(_CATALOG.items(), key=lambda kv: kv[0] in _R1_VERIFIED)

@@ -415,3 +415,65 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's skew-join handling is the engine's runtime answer to hot
+    keys the static salting rewrite doesn't cover. With the skew
+    thresholds lowered to test scale, a join against a deliberately
+    hot-keyed table must show skew-split shuffle reads in the final
+    adaptive plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ path
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # ~95% of rows on ONE key (data-dependent expression — a literal
+        # key would constant-fold into a cartesian product) vs a flat side
+        hot = spark.range(50_000).select(
+            F.when(F.col("id") % 100 < 95, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("a"),
+        )
+        flat = spark.range(50_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("b")
+        )
+        joined = hot.join(flat, "k")
+        # execute THIS DataFrame's queryExecution (a write/count plans a
+        # clone, leaving this plan isFinalPlan=false)
+        qe = joined._jdf.queryExecution()
+        qe.toRdd().count()
+        final = qe.executedPlan().toString()
+        # AQE marks the rewritten join/reads with isSkew/skewed markers
+        assert "skew" in final.lower(), final[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_shuffled_hash_join_hint_respected(spark):
+    """Large-large joins where one side comfortably fits per-partition
+    memory should be SHUFFLE_HASH, skipping both sort phases of SMJ. The
+    hint must survive planning (Spark honors it over its SMJ default)."""
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    joined = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    plan = _plan(joined)
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
