@@ -190,6 +190,7 @@ def _load_all() -> None:
         lm_q,
         drift_q,
         mv_q,
+        bpe_q,
     )
 
     ordered = sorted(_CATALOG.items(), key=lambda kv: kv[0] in _R1_VERIFIED)

@@ -1,0 +1,75 @@
+"""BPE vocabulary-induction query: K merge rounds, oracle-chained.
+
+The oracle reproduces every round as chained CTEs — same word-frequency
+base, same pair counting (overlapping, count-weighted), same
+(count desc, pair asc) winner rule, same ``replace``-based left-to-right
+merge on ``chr(1)``-separated symbol strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register
+from ..operators.bpe import bpe_merge_rounds
+from ..sources.testdata import load_table
+
+_ROUNDS = 3
+
+
+def _bpe_sql(rounds: int) -> str:
+    parts = [
+        r"""
+WITH wf AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents
+    ) w WHERE word <> '' GROUP BY word
+),
+s0 AS (
+    SELECT word, cnt,
+           regexp_replace(word, '(.)', chr(1) || '\1' || chr(1), 'g') AS seq
+    FROM wf
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+p{r} AS (
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM (
+        SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                                     i -> sy[i] || ' ' || sy[i + 1])) AS pair,
+               cnt
+        FROM (SELECT list_filter(string_split(seq, chr(1)), x -> x <> '') AS sy,
+                     cnt
+              FROM s{r - 1}) t{r}
+    ) u{r} GROUP BY pair
+),
+t{r} AS (
+    SELECT CAST({r} AS BIGINT) AS round,
+           string_split(pair, ' ')[1] AS a,
+           string_split(pair, ' ')[2] AS b,
+           pair_cnt
+    FROM p{r} ORDER BY pair_cnt DESC, pair ASC LIMIT 1
+),
+s{r} AS (
+    SELECT word, cnt,
+           replace(seq, chr(1) || t.a || chr(1) || chr(1) || t.b || chr(1),
+                        chr(1) || t.a || t.b || chr(1)) AS seq
+    FROM s{r - 1}, t{r} t
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT round, a || b AS merged_token, pair_cnt FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+@register("bpe_merge_rounds", _bpe_sql(_ROUNDS))
+def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First K BPE merges induced from the corpus word-frequency table —
+    per round one vocab-sized pair aggregation, a 1-row broadcast, and a
+    map-only string merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_rounds(docs, rounds=_ROUNDS)

@@ -382,3 +382,58 @@ def test_stateful_sessionizer_multi_batch(spark, tmp_path):
     # sessions fully in the past must close via the event-time timeout
     closed = emitted[emitted["closed"]]
     assert ((closed["user_id"] == 1) & (closed["session_start_ms"] == base)).any()
+
+
+def test_streaming_psi_drift_monitor(spark, tmp_path):
+    """Per-micro-batch PSI status rows: an in-distribution batch must not
+    alert, a shifted batch must; each batch's PSI must equal the batch
+    recompute from the same rows."""
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.streaming.drift_stream import (
+        _bin_counts,
+        psi_drift_monitor,
+        psi_from_counts,
+        reference_histogram,
+    )
+
+    ref_df = spark.range(10_000).select((F.col("id") % 1000).alias("v"))
+    ref = reference_histogram(ref_df, "v", n_bins=10)
+    assert len(ref.edges) == 9 and sum(ref.counts) == 10_000
+
+    # batch 1: same distribution; batch 2: hard right shift
+    src = str(tmp_path / "drift_src")
+    spark.range(5_000).select((F.col("id") % 1000).alias("v")).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    spark.range(5_000).select((F.col("id") % 100 + 900).alias("v")).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    status = str(tmp_path / "drift_status")
+    q = psi_drift_monitor(
+        spark.readStream.schema("v long").option("maxFilesPerTrigger", 1).parquet(src),
+        ref,
+        "v",
+        status,
+        str(tmp_path / "drift_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        r["batch_id"]: r for r in spark.read.parquet(status).collect()
+    }
+    assert len(rows) == 2
+    psis = sorted(r["psi"] for r in rows.values())
+    assert psis[0] < 0.05          # in-distribution batch: quiet
+    assert psis[1] > 0.2           # shifted batch: alert
+    flags = {r["psi"]: r["drifted"] for r in rows.values()}
+    assert flags[psis[0]] is False and flags[psis[1]] is True
+
+    # cross-check one batch against a direct recompute
+    shifted = spark.range(5_000).select((F.col("id") % 100 + 900).alias("v"))
+    want = psi_from_counts(ref.counts, _bin_counts(shifted, "v", ref.edges))
+    assert abs(psis[1] - want) < 1e-12
