@@ -332,3 +332,100 @@ def q_brute_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk_arrow(
         load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=_K
     )
+
+
+# --- embedding covariance (whitening / PCA prep) ---------------------------
+#
+# Sufficient statistics in order-independent fixed-point: every product
+# x_i·x_j and every component x_i is quantized FLOOR(v * 2^40) BEFORE
+# summing (the cross-engine double→decimal cast rounds differently by an
+# ulp; floor-of-identical-double does not), summed as BIGINTs, and the
+# covariance formula is evaluated once in double. |x|≲3 ⇒ scaled
+# products ≲ 10·2^40 ≈ 1e13; 5e4 rows keep sums < 2^63. At larger row
+# counts widen the accumulator to DECIMAL(38,0) — same idiom.
+_COV_SCALE = "1099511627776.0"  # 2^40
+
+_COV_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+comp AS (
+    SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e
+),
+pair_sums AS (
+    SELECT a.i - 1 AS i, b.i - 1 AS j,
+           CAST(sum(CAST(FLOOR((a.x * b.x) * {_COV_SCALE}) AS BIGINT)) AS BIGINT) AS s_ij,
+           CAST(count(*) AS BIGINT) AS n
+    FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY 1, 2
+),
+dim_sums AS (
+    SELECT i - 1 AS d,
+           CAST(sum(CAST(FLOOR(x * {_COV_SCALE}) AS BIGINT)) AS BIGINT) AS s
+    FROM comp GROUP BY 1
+)
+SELECT p.i, p.j, p.n,
+       ((CAST(p.s_ij AS DOUBLE) / {_COV_SCALE})
+        - (CAST(di.s AS DOUBLE) / {_COV_SCALE})
+          * (CAST(dj.s AS DOUBLE) / {_COV_SCALE}) / CAST(p.n AS DOUBLE))
+       / (CAST(p.n AS DOUBLE) - 1.0) AS cov
+FROM pair_sums p
+JOIN dim_sums di ON p.i = di.d
+JOIN dim_sums dj ON p.j = dj.d
+"""
+
+
+@register("embedding_covariance", _COV_SQL)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding space — the
+    sufficient statistic for whitening/PCA in embedding-dedup pipelines.
+
+    Spark path is MAP-ONLY until one hash aggregation: each row explodes
+    its dims²/2 upper-triangle products inline (no self-join, no second
+    scan); dim sums ride the same exploded stream. Shuffle = 2,080 pair
+    groups + 64 dim groups of BIGINT counters, independent of row count.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = similarity.as_double_array("embedding")
+    base = e.select(F.col("vec_id").cast("bigint").alias("vec_id"), v.alias("v"))
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(v) - 1), i ->"
+                " transform(sequence(i, size(v) - 1), j -> struct("
+                " i AS i, j AS j,"
+                f" CAST(FLOOR((v[i] * v[j]) * {_COV_SCALE}D) AS BIGINT) AS p,"
+                f" CAST(FLOOR(v[i] * {_COV_SCALE}D) AS BIGINT) AS xi"
+                "))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p", "t.xi")
+    pair_sums = pairs.groupBy("i", "j").agg(
+        F.sum("p").cast("bigint").alias("s_ij"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dim_sums = (
+        pairs.filter(F.col("i") == F.col("j"))
+        .groupBy(F.col("i").alias("d"))
+        .agg(F.sum("xi").cast("bigint").alias("s"))
+    )
+    sc = F.lit(float(2**40))
+    di = dim_sums.select(F.col("d").alias("_di"), F.col("s").alias("_si"))
+    dj = dim_sums.select(F.col("d").alias("_dj"), F.col("s").alias("_sj"))
+    out = (
+        pair_sums.join(F.broadcast(di), F.col("i") == F.col("_di"))
+        .join(F.broadcast(dj), F.col("j") == F.col("_dj"))
+    )
+    n = F.col("n").cast("double")
+    return out.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        "n",
+        (
+            (
+                F.col("s_ij").cast("double") / sc
+                - (F.col("_si").cast("double") / sc)
+                * (F.col("_sj").cast("double") / sc)
+                / n
+            )
+            / (n - F.lit(1.0))
+        ).alias("cov"),
+    )

@@ -187,3 +187,80 @@ def q_stats_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_score"),
         (F.abs(z) > F.lit(3.0)).alias("is_outlier"),
     )
+
+
+_V = "CAST(CAST({c} AS VARCHAR) AS DOUBLE)"
+
+
+def _lin_terms() -> dict[str, str]:
+    nd = "CAST(n AS DOUBLE)"
+    sx, sy, sxx, syy, sxy = (
+        _V.format(c=c) for c in ("sx", "sy", "sxx", "syy", "sxy")
+    )
+    cov = f"({nd} * {sxy} - {sx} * {sy})"
+    vx = f"({nd} * {sxx} - {sx} * {sx})"
+    vy = f"({nd} * {syy} - {sy} * {sy})"
+    return {
+        "slope": f"{cov} / {vx}",
+        "intercept": f"({sy} - {cov} / {vx} * {sx}) / {nd}",
+        "r2": f"({cov} * {cov}) / ({vx} * {vy})",
+    }
+
+
+_LINREG_SQL = f"""
+WITH s AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+           SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(20,4))) AS sxx,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(20,4))) AS syy,
+           SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(20,4))) AS sxy
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       {_lin_terms()["slope"]} AS slope,
+       {_lin_terms()["intercept"]} AS intercept,
+       {_lin_terms()["r2"]} AS r2
+FROM s
+"""
+
+
+@register("stats_linreg_flag", _LINREG_SQL)
+def q_stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS: l_extendedprice regressed on
+    l_quantity per return flag. Same exact-decimal sufficient statistics
+    as ``stats_moments`` (one map-side-combinable pass); slope /
+    intercept / r² evaluated once in double with a fixed operation
+    order, so both engines produce bit-identical coefficients. The
+    per-group-model pattern: a million independent regressions cost one
+    aggregation, not a million fits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xd = F.col("l_quantity").cast(_D)
+    yd = F.col("l_extendedprice").cast(_D)
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd).alias("sy"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        (cov / vx).alias("slope"),
+        ((sy - cov / vx * sx) / n).alias("intercept"),
+        ((cov * cov) / (vx * vy)).alias("r2"),
+    )
