@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     LongType,
@@ -202,3 +203,149 @@ def _parse_gap_ms(gap: str) -> int:
         "hour": 3_600_000, "hours": 3_600_000,
     }[unit]
     return int(qty) * mult
+
+
+import importlib.util
+
+# transformWithStateInPandas speaks protobuf to the JVM state server;
+# absent the package, only the applyInPandasWithState transport works.
+try:  # find_spec raises if the parent "google" package is absent
+    HAS_TWS_PROTO = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:
+    HAS_TWS_PROTO = False
+
+TOPK_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("rnk", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def user_topk_events(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user top-k events by value, maintained across micro-batches
+    with the Spark 4 ``transformWithStateInPandas`` API (ListState).
+
+    The successor API to ``applyInPandasWithState``: typed state
+    variables (value/list/map, optional TTL) on a processor object
+    instead of one opaque tuple. The list state holds AT MOST k rows per
+    user — each batch merges its rows into the kept top-k and re-emits
+    the key's current leaderboard (update mode), so state size is
+    O(keys · k) regardless of stream length, and dormant keys cost
+    nothing per batch.
+
+    Determinism: ordering is (value desc, event_id asc) — a total order,
+    so the leaderboard is independent of batch arrival interleaving
+    within the same event set.
+
+    Environment gate: the transformWithState protocol serializes state
+    over protobuf; when ``google.protobuf`` is absent (this container
+    ships pyspark without it) the operator transparently falls back to
+    ``user_topk_events_legacy`` — same semantics, applyInPandasWithState
+    transport — and records which path ran in ``user_topk_events.api``.
+    """
+    if not HAS_TWS_PROTO:
+        user_topk_events.api = "applyInPandasWithState"
+        return user_topk_events_legacy(events, k)
+    user_topk_events.api = "transformWithStateInPandas"
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    kk = int(k)
+
+    class _TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState(
+                "topk", "event_id long, value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cur: list[tuple[int, float]] = []
+            if self._top.exists():
+                for row in self._top.get():
+                    cur.append((int(row[0]), float(row[1])))
+            for pdf in rows:
+                for eid, val in zip(pdf["event_id"], pdf["value"]):
+                    cur.append((int(eid), 0.0 if pd.isna(val) else float(val)))
+            cur.sort(key=lambda t: (-t[1], t[0]))
+            cur = cur[:kk]
+            self._top.put([(eid, val) for eid, val in cur])
+            uid = int(key[0])
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(cur),
+                    "rnk": list(range(1, len(cur) + 1)),
+                    "event_id": [eid for eid, _ in cur],
+                    "value": [val for _, val in cur],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _TopK(),
+            outputStructType=TOPK_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+_TOPK_STATE_SCHEMA = StructType(
+    [
+        StructField("event_ids", ArrayType(LongType())),
+        StructField("values", ArrayType(DoubleType())),
+    ]
+)
+
+
+def user_topk_events_legacy(events: DataFrame, k: int = 3) -> DataFrame:
+    """applyInPandasWithState transport for the per-user top-k
+    leaderboard — bit-identical semantics to ``user_topk_events``'s
+    transformWithState path (same total order, same k-bounded state)."""
+    kk = int(k)
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        cur: list[tuple[int, float]] = []
+        if state.exists:
+            ids, vals = state.get
+            cur = list(zip((int(i) for i in ids), (float(v) for v in vals)))
+        for pdf in pdfs:
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                cur.append((int(eid), 0.0 if _pd.isna(val) else float(val)))
+        cur.sort(key=lambda t: (-t[1], t[0]))
+        cur = cur[:kk]
+        state.update(([eid for eid, _ in cur], [val for _, val in cur]))
+        uid = int(key[0])
+        yield _pd.DataFrame(
+            {
+                "user_id": [uid] * len(cur),
+                "rnk": list(range(1, len(cur) + 1)),
+                "event_id": [eid for eid, _ in cur],
+                "value": [val for _, val in cur],
+            }
+        )
+
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TOPK_SCHEMA,
+            stateStructType=_TOPK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -437,3 +437,82 @@ def test_streaming_psi_drift_monitor(spark, tmp_path):
     shifted = spark.range(5_000).select((F.col("id") % 100 + 900).alias("v"))
     want = psi_from_counts(ref.counts, _bin_counts(shifted, "v", ref.edges))
     assert abs(psis[1] - want) < 1e-12
+
+
+def test_transform_with_state_topk_multi_batch(spark, tmp_path):
+    """Per-user top-k leaderboard folded across micro-batches — the
+    transformWithStateInPandas path when protobuf is available, else the
+    semantically-identical applyInPandasWithState fallback (this
+    container lacks protobuf; the operator records which path ran)."""
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.stateful import (
+        user_topk_events,
+    )
+
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    batch = load_table(spark, SF, "events").select("user_id", "event_id", "value")
+    src = str(tmp_path / "topk_parts")
+    batch.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        user_topk_events(stream, k=3)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("topk_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 3
+
+    from ecs_ecommerce_data_pipeline_spark.streaming import stateful as _st
+
+    want_api = (
+        "transformWithStateInPandas"
+        if _st.HAS_TWS_PROTO
+        else "applyInPandasWithState"
+    )
+    assert user_topk_events.api == want_api
+
+    # last emission per user wins (update mode); emissions are totally
+    # ordered per user by the set of events folded so far, and each one
+    # carries its own rnk column — dedupe by max event coverage: take the
+    # rows from the final micro-batch per user via monotonically
+    # increasing leaderboard values is fragile; instead recompute
+    # expected and assert the final leaderboard of EVERY user appears as
+    # the last k-rows group in the sink.
+    emitted = spark.sql("SELECT * FROM topk_out").toPandas()
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.desc_nulls_last("value"), F.asc("event_id")
+    )
+    want_df = (
+        batch.withColumn("value", F.coalesce("value", F.lit(0.0)))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+    want = {
+        (r["user_id"], r["rnk"]): (r["event_id"], r["value"])
+        for r in want_df.collect()
+    }
+    # for each (user, rnk) the LAST emitted row must match the batch answer
+    last = emitted.groupby(["user_id", "rnk"]).last()
+    for (uid, rnk), row in last.iterrows():
+        assert (int(row["event_id"]), float(row["value"])) == want[(uid, rnk)], uid
+    assert set(last.index) == set(want)
