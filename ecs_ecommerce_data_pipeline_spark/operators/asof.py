@@ -103,3 +103,71 @@ def range_join(
     """
     cond = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     return points.join(F.broadcast(intervals), cond, "left")
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_val: str,
+    tolerance_s: float,
+    out_col: str | None = None,
+) -> DataFrame:
+    """``asof_join`` with a staleness bound: the matched right row must
+    additionally satisfy ``left_ts - right_ts <= tolerance_s`` (seconds;
+    both ts columns must cast to timestamp). Matches older than the
+    tolerance come back NULL — the "don't enrich from a quote that's too
+    stale" rule of market-data as-of joins.
+
+    Same single-shuffle union-carry plan: the window forward-fills a
+    (matched_ts, value) struct instead of the value alone, and the
+    tolerance check is a map-side filter after the fill — no extra
+    shuffle, duplicate-safe like the base operator.
+    """
+    out_col = out_col or f"asof_{right_val}"
+    rv_type = dict(right.dtypes)[right_val]
+    payload = [c for c in left.columns if c not in {key, left_ts}]
+    l_tagged = left.select(
+        key,
+        left_ts,
+        *payload,
+        F.lit(0).alias("_is_right"),
+        F.lit(None).cast(rv_type).alias("_rv"),
+        F.lit(None).cast("timestamp").alias("_rts"),
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).cast("timestamp").alias(left_ts),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c in payload],
+        F.lit(1).alias("_is_right"),
+        F.col(right_val).alias("_rv"),
+        F.col(right_ts).cast("timestamp").alias("_rts"),
+    )
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col(left_ts).asc(), F.col("_is_right").desc(), F.col("_rv").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn(
+            "_m",
+            F.last(
+                F.when(F.col("_is_right") == 1, F.struct("_rts", "_rv")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("_is_right") == 0)
+    )
+    fresh = (
+        F.col(left_ts).cast("timestamp").cast("double")
+        - F.col("_m._rts").cast("double")
+    ) <= F.lit(float(tolerance_s))
+    return filled.select(
+        key,
+        left_ts,
+        *payload,
+        F.when(fresh, F.col("_m._rv")).alias(out_col),
+    )

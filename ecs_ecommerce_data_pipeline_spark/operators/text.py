@@ -123,3 +123,41 @@ def lang_id(doc: DataFrame, text_col: str = "text") -> DataFrame:
         *[scores[lang].cast("bigint").alias(f"score_{lang}") for lang in langs],
         pred.alias("predicted_lang"),
     )
+
+
+_CTRL_PAT = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_TAG_PAT = r"<[^>]*>"
+_WS_PAT = r"[ \t]{2,}"
+
+
+def clean_text(col: str | Column = "text") -> Column:
+    """Normalization kernel for raw ingest: strip HTML-ish tags, remove
+    control characters (keeping \\n and \\t-as-space), collapse repeated
+    horizontal whitespace, trim. Pure ``regexp_replace`` chain — JVM-side,
+    map-only; patterns use explicit ASCII classes so Java regex and RE2
+    agree byte-for-byte.
+
+    Oracle-SQL equivalent: the same four ``regexp_replace(..., 'g')``
+    calls in the same order.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    no_tags = F.regexp_replace(c, _TAG_PAT, " ")
+    no_ctrl = F.regexp_replace(no_tags, _CTRL_PAT, "")
+    collapsed = F.regexp_replace(no_ctrl, _WS_PAT, " ")
+    return F.trim(collapsed)
+
+
+def clean_stats(doc: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document cleaning report: cleaned text length plus what was
+    removed (tag matches, control chars, collapsed whitespace runs) —
+    the audit columns a curation pipeline keeps so cleaning is
+    reviewable, not silent."""
+    c = F.col(text_col)
+    return doc.select(
+        "doc_id",
+        F.length(c).cast("bigint").alias("n_chars_raw"),
+        F.length(clean_text(c)).cast("bigint").alias("n_chars_clean"),
+        F.regexp_count(c, F.lit(_TAG_PAT)).cast("bigint").alias("tag_matches"),
+        F.regexp_count(c, F.lit(_CTRL_PAT)).cast("bigint").alias("ctrl_chars"),
+        F.regexp_count(c, F.lit(_WS_PAT)).cast("bigint").alias("ws_runs"),
+    )

@@ -213,3 +213,45 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").isNull().alias("is_gap"),
         )
     )
+
+
+_ASOF_TOL_SQL = """
+SELECT e.event_id,
+       e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       (SELECT o.o_orderkey
+        FROM orders o
+        WHERE o.o_custkey = e.user_id
+          AND o.o_orderdate <= e.ts
+          AND CAST(o.o_orderdate AS TIMESTAMP) >= e.ts - INTERVAL 30 DAY
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+        LIMIT 1) AS asof_order_id
+FROM events e
+"""
+
+
+@register("asof_join_tolerance", _ASOF_TOL_SQL)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment with a 30-day staleness bound: events match
+    their user's latest order only if it is at most 30 days older —
+    stale matches are NULL, same single-shuffle union-carry plan."""
+    from ..functions.output import iso_temporal
+    from ..operators.asof import asof_join_tolerance
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey"),
+    )
+    out = asof_join_tolerance(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_val="o_orderkey",
+        tolerance_s=30 * 86400,
+        out_col="asof_order_id",
+    )
+    return iso_temporal(out.select("event_id", "user_id", "ts", "asof_order_id"))

@@ -326,3 +326,26 @@ def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         F.col("n").cast("bigint").alias("n_occurrences"),
     )
+
+
+_CLEAN_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+           text, '<[^>]*>', ' ', 'g'),
+           '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+           '[ \t]{2,}', ' ', 'g'))) AS BIGINT) AS n_chars_clean,
+       CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS tag_matches,
+       CAST(len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) AS BIGINT) AS ctrl_chars,
+       CAST(len(regexp_extract_all(text, '[ \t]{2,}')) AS BIGINT) AS ws_runs
+FROM documents
+"""
+
+
+@register("text_clean_stats", _CLEAN_SQL)
+def q_text_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization audit: tag/control/whitespace removal counts and
+    cleaned lengths per document (map-only regexp chain, no UDF)."""
+    from ..operators.text import clean_stats
+
+    return clean_stats(load_table(spark, sf_dir, "documents"))

@@ -118,3 +118,56 @@ def test_lm_score_repartition_invariant(spark, sf_dir):
     a = bigram_lm_scores(docs).orderBy("doc_id").collect()
     b = bigram_lm_scores(docs.repartition(13)).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_clean_text_injected_dirt(spark):
+    from ecs_ecommerce_data_pipeline_spark.operators.text import (
+        clean_stats,
+        clean_text,
+    )
+
+    rows = [
+        (1, "plain text"),
+        (2, "a <b>bold</b>   move\x07\x07"),
+        (3, "  <div class='x'>hi</div>\tthere  "),
+    ]
+    doc = spark.createDataFrame(rows, "doc_id int, text string")
+    cleaned = {
+        r["doc_id"]: r["c"]
+        for r in doc.select("doc_id", clean_text("text").alias("c")).collect()
+    }
+    assert cleaned[1] == "plain text"
+    assert cleaned[2] == "a bold move"
+    assert cleaned[3] == "hi there"
+
+    stats = {r["doc_id"]: r for r in clean_stats(doc).collect()}
+    assert stats[2]["tag_matches"] == 2
+    assert stats[2]["ctrl_chars"] == 2
+    assert stats[3]["tag_matches"] == 2
+    assert stats[1]["n_chars_raw"] == stats[1]["n_chars_clean"]
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    import datetime as dt
+
+    from ecs_ecommerce_data_pipeline_spark.operators.asof import (
+        asof_join_tolerance,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(days=10), "a"), (2, t0 + dt.timedelta(days=10), "b")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(days=9), 100), (2, t0, 200)],
+        "k long, rts timestamp, val long",
+    )
+    out = {
+        r["k"]: r["asof_val"]
+        for r in asof_join_tolerance(
+            left, right, "k", "ts", "rts", "val", tolerance_s=2 * 86400
+        ).collect()
+    }
+    assert out[1] == 100      # 1 day old: fresh
+    assert out[2] is None     # 10 days old: stale -> NULL
