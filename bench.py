@@ -152,6 +152,13 @@ _BENCH_EXTRA: set[str] = {
     "drift_psi_doc_lengths",
     "drift_ks_doc_lengths",
     "sim_bruteforce_topk_arrow",
+    # round-2d additions: BPE, MV routing, OLS, covariance, as-of bound
+    "bpe_merge_rounds",
+    "mv_rollup_category",
+    "stats_linreg_flag",
+    "embedding_covariance",
+    "asof_join_tolerance",
+    "text_clean_stats",
 }
 
 if __name__ == "__main__":

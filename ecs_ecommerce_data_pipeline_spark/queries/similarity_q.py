@@ -385,6 +385,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     v = similarity.as_double_array("embedding")
+    sc_lit = F.lit(float(2**40))
     base = e.select(F.col("vec_id").cast("bigint").alias("vec_id"), v.alias("v"))
     pairs = base.select(
         F.explode(
@@ -392,20 +393,25 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "flatten(transform(sequence(0, size(v) - 1), i ->"
                 " transform(sequence(i, size(v) - 1), j -> struct("
                 " i AS i, j AS j,"
-                f" CAST(FLOOR((v[i] * v[j]) * {_COV_SCALE}D) AS BIGINT) AS p,"
-                f" CAST(FLOOR(v[i] * {_COV_SCALE}D) AS BIGINT) AS xi"
+                f" CAST(FLOOR((v[i] * v[j]) * {_COV_SCALE}D) AS BIGINT) AS p"
                 "))))"
             )
         ).alias("t")
-    ).select("t.i", "t.j", "t.p", "t.xi")
+    ).select("t.i", "t.j", "t.p")
     pair_sums = pairs.groupBy("i", "j").agg(
         F.sum("p").cast("bigint").alias("s_ij"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+    # dim sums from a dims-sized explode (64/row), NOT the dims^2/2 pair
+    # stream — carrying x_i on every pair struct doubled the explode width
     dim_sums = (
-        pairs.filter(F.col("i") == F.col("j"))
-        .groupBy(F.col("i").alias("d"))
-        .agg(F.sum("xi").cast("bigint").alias("s"))
+        base.select(
+            F.posexplode(
+                F.transform("v", lambda x: F.floor(x * sc_lit).cast("bigint"))
+            ).alias("d", "xq")
+        )
+        .groupBy("d")
+        .agg(F.sum("xq").cast("bigint").alias("s"))
     )
     sc = F.lit(float(2**40))
     di = dim_sums.select(F.col("d").alias("_di"), F.col("s").alias("_si"))

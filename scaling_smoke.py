@@ -55,6 +55,9 @@ STAGES = {
     "text_lm_score": "documents",
     "drift_psi_doc_lengths": "documents",
     "sim_bruteforce_topk_arrow": "embeddings",
+    # round-2d additions
+    "bpe_merge_rounds": "documents",
+    "embedding_covariance": "embeddings",
 }
 
 _ID_OFFSET = 10_000_000
