@@ -159,6 +159,7 @@ _BENCH_EXTRA: set[str] = {
     "embedding_covariance",
     "asof_join_tolerance",
     "text_clean_stats",
+    "dataset_build_pipeline",
 }
 
 if __name__ == "__main__":

@@ -191,6 +191,7 @@ def _load_all() -> None:
         drift_q,
         mv_q,
         bpe_q,
+        pipeline_q,
     )
 
     ordered = sorted(_CATALOG.items(), key=lambda kv: kv[0] in _R1_VERIFIED)

@@ -171,3 +171,24 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     }
     assert out[1] == 100      # 1 day old: fresh
     assert out[2] is None     # 10 days old: stale -> NULL
+
+
+def test_dataset_build_manifest_invariants(spark, sf_dir):
+    from ecs_ecommerce_data_pipeline_spark.catalog import queries
+
+    rows = queries()["dataset_build_pipeline"](spark, sf_dir).collect()
+    assert rows
+    by_split: dict = {}
+    for r in rows:
+        by_split.setdefault(r["split"], []).append(r)
+    assert set(by_split) <= {"train", "val", "test"}
+    assert "train" in by_split
+    for split, shards in by_split.items():
+        ids = sorted(s["shard_id"] for s in shards)
+        assert ids == list(range(len(ids)))  # contiguous shards from 0
+        for s in shards:
+            assert s["min_doc_id"] <= s["max_doc_id"]
+            assert s["n_docs"] > 0
+            # greedy bound: a shard overshoots by at most one doc's cost
+            if s["shard_id"] < max(ids):
+                assert s["shard_chars"] >= 1  # non-degenerate
