@@ -477,3 +477,31 @@ def test_shuffled_hash_join_hint_respected(spark):
     plan = _plan(joined)
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned layout: a filter on the partition column must
+    prune at PLANNING time (PartitionFilters on the scan, non-matching
+    directories never listed into the scan) — the reason the KPI sink
+    partitions by date_key."""
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.to_date("ts").cast("string")
+    )
+    path = str(tmp_path / "events_by_date")
+    ev.write.partitionBy("event_date").parquet(path)
+
+    dates = sorted(r["event_date"] for r in ev.select("event_date").distinct().collect())
+    assert len(dates) >= 2
+    target = dates[0]
+
+    df = spark.read.parquet(path).filter(F.col("event_date") == target)
+    plan = _formatted(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_date" in pf[0], plan[:1500]
+    # and the row count matches the single partition
+    want = ev.filter(F.col("event_date") == target).count()
+    assert df.count() == want
