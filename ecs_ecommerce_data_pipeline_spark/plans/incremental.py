@@ -299,8 +299,35 @@ def process_batch(
             "date_key", F.col("order_date")
         )
 
+        # free in-flight metrics: Observation accumulates DURING the sink
+        # write (no second scan, no extra job) — the engine analogue of
+        # the reference's CloudWatch counters around the DynamoDB writes
+        from pyspark.sql import Observation
+
+        daily_obs, category_obs = Observation("daily"), Observation("category")
+        daily = daily.observe(
+            daily_obs,
+            F.count(F.lit(1)).alias("rows_written"),
+            F.sum(F.col("total_revenue").cast("double")).alias("revenue_sum"),
+        )
+        category = category.observe(
+            category_obs,
+            F.count(F.lit(1)).alias("rows_written"),
+            F.sum(F.when(F.col("daily_revenue").isNull(), 1).otherwise(0)).alias(
+                "null_revenue_rows"
+            ),
+        )
+
         write_partitioned(daily, daily_out, "date_key")
         write_partitioned(category.drop("order_date"), category_out, "date_key")
+        emit(
+            "metrics",
+            "ok",
+            [
+                f"daily: {daily_obs.get}",
+                f"category: {category_obs.get}",
+            ],
+        )
     except Exception as e:  # noqa: BLE001 — any stage failure must alert
         emit("transform", "failed", [f"{type(e).__name__}: {e}"])
         ledger.mark_failed(batch_id)

@@ -228,3 +228,40 @@ def test_process_batch_failed_validation_hits_status_log(spark, tmp_path):
     assert ledger.status("poisoned") == "done"
     final = status_log.to_df(spark).filter(F.col("stage") == "done").count()
     assert final == 1
+
+
+def test_process_batch_records_observed_metrics(spark, tmp_path):
+    """df.observe metrics accumulate during the sink write (no second
+    scan) and land in the run-status log as the 'metrics' stage."""
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import (
+        BatchLedger,
+        RunStatusLog,
+        process_batch,
+    )
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import ecommerce_views
+
+    views = ecommerce_views(spark, "/root/testdata/sf0.001")
+    log = RunStatusLog(str(tmp_path / "status.jsonl"))
+    ok = process_batch(
+        spark,
+        BatchLedger(str(tmp_path / "ledger.json")),
+        "obs-batch-1",
+        views["orders"],
+        views["order_items"],
+        views["products"],
+        str(tmp_path / "daily"),
+        str(tmp_path / "category"),
+        status_log=log,
+    )
+    assert ok
+    rows = log.to_df(spark).filter("stage = 'metrics'").collect()
+    assert len(rows) == 1
+    reasons = rows[0]["reasons"]
+    joined = " ".join(reasons)
+    assert "rows_written" in joined and "revenue_sum" in joined
+    # rows_written must equal the actual sink row count
+    import re
+
+    m = re.search(r"daily: .*?'rows_written': (\d+)", joined)
+    assert m
+    assert int(m.group(1)) == spark.read.parquet(str(tmp_path / "daily")).count()
