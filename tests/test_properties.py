@@ -203,3 +203,95 @@ def test_scd2_invariants(spark, dim_rows, upd_rows):
             else 1
         )
         assert len(rows) == expect_versions, (k, rows)
+
+
+# --- round-2 additions: KS bounds, as-of reference equivalence, BPE ---
+
+_vals = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), st.sampled_from(["a", "b"])),
+    min_size=2,
+    max_size=60,
+).filter(lambda rs: {s for _, s in rs} == {"a", "b"})
+
+
+@given(rows=_vals)
+@_SETTINGS
+def test_ks_statistic_bounds_and_symmetry(spark, rows):
+    """0 <= KS <= 1 for any two samples, and KS(a,b) == KS(b,a)."""
+    from ecs_ecommerce_data_pipeline_spark.operators.drift import ks_two_sample
+
+    df = spark.createDataFrame(rows, "v int, smp string")
+    ab = ks_two_sample(df, "v", "smp", "a", "b").collect()[0]
+    ba = ks_two_sample(df, "v", "smp", "b", "a").collect()[0]
+    assert 0.0 <= ab["ks_stat"] <= 1.0
+    assert ab["ks_stat"] == ba["ks_stat"]
+    assert ab["ks_at_value"] == ba["ks_at_value"]
+
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=25
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left=_asof_left, right=_asof_right)
+@_SETTINGS
+def test_asof_join_matches_naive_reference(spark, left, right):
+    """The union-carry as-of join equals the quadratic reference
+    implementation (per left row: max-ts right row with ties toward the
+    larger value) for ANY inputs, including duplicate (key, ts) rows on
+    both sides."""
+    from ecs_ecommerce_data_pipeline_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, float(t), i) for i, (k, t) in enumerate(left)],
+        "k long, ts double, row_id long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, float(t), v) for k, t, v in right], "k long, rts double, val long"
+    )
+    got = {
+        r["row_id"]: r["asof_val"]
+        for r in asof_join(ldf, rdf, "k", "ts", "rts", "val").collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t, cands)
+
+
+_words = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=4), min_size=1, max_size=12
+)
+
+
+@given(words=_words)
+@_SETTINGS
+def test_bpe_first_merge_is_true_max_pair(spark, words):
+    """Round-1 merged pair count must equal the exact pandas-computed
+    max adjacent-pair count over the word-frequency table."""
+    from collections import Counter
+
+    from ecs_ecommerce_data_pipeline_spark.operators.bpe import bpe_merge_rounds
+
+    doc = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
+    wf = Counter(words)
+    pair_counts: Counter = Counter()
+    for w, c in wf.items():
+        for x, y in zip(w, w[1:]):
+            pair_counts[(x, y)] += c
+    if not pair_counts:
+        # all 1-char words: no pairs, no merges — operator yields rows
+        # with NULL merged_token (LIMIT 1 of an empty aggregate)
+        out = bpe_merge_rounds(doc, rounds=1).collect()
+        assert all(r["merged_token"] is None for r in out)
+        return
+    out = {r["round"]: r for r in bpe_merge_rounds(doc, rounds=1).collect()}
+    best_cnt = max(pair_counts.values())
+    best_pair = min(p for p, c in pair_counts.items() if c == best_cnt)
+    assert out[1]["pair_cnt"] == best_cnt
+    assert out[1]["merged_token"] == "".join(best_pair)
