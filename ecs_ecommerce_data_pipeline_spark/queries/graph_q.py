@@ -91,3 +91,52 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (namespaced 'u:'/'p:' prefixes) — skip the defensive dedup shuffle
     ranks = pagerank(edges, iters=_ITERS, distinct_edges=False)
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(_TOP)
+
+
+# --------------------------------------------------------------------------
+# Recursive-CTE BFS (Spark 4 WITH RECURSIVE) — the SQL text IS the oracle
+# --------------------------------------------------------------------------
+
+_BFS_SQL = """
+WITH RECURSIVE edges AS (
+    SELECT DISTINCT 'u:' || CAST(o.o_custkey AS STRING) AS src,
+                    'p:' || CAST(l.l_partkey AS STRING) AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+bi AS (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+),
+seed AS (
+    SELECT 'u:' || CAST(MIN(o_custkey) AS STRING) AS node FROM orders
+),
+walk(node, depth) AS (
+    SELECT node, 0 FROM seed
+    UNION ALL
+    SELECT b.dst, w.depth + 1
+    FROM walk w JOIN bi b ON b.src = w.node
+    WHERE w.depth < 3
+),
+mind AS (
+    SELECT node, MIN(depth) AS depth FROM walk GROUP BY node
+)
+SELECT CAST(depth AS BIGINT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM mind
+GROUP BY depth
+"""
+
+
+@register("graph_bfs_recursive_cte", _BFS_SQL)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over the user↔part purchase graph via Spark 4's
+    ``WITH RECURSIVE`` — nodes reachable from the smallest customer, by
+    minimum hop count (≤ 3). The recursion is depth-bounded so the
+    UNION ALL path expansion terminates on the cyclic bipartite graph;
+    per level Catalyst plans one hash join of the frontier against the
+    edge list — the same per-iteration shape the hand-rolled PageRank /
+    connected-components loops use, but driven by the SQL engine's
+    recursion operator. The query text IS the DuckDB oracle, unchanged.
+    """
+    from ..sources.testdata import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_BFS_SQL)
