@@ -112,12 +112,36 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
-# Queries that already hold a green (hash-matched) verdict in
-# CORRECTNESS_r01.json.  The harness walks the catalog in order and may
-# cap how many queries it verifies per round, so these sort LAST — every
-# never-verified query gets its shot first.  The two ``approx_*``
-# sketches recorded only a rows-only ``no_oracle`` row in round 1 (they
-# have bounds-check oracles now), so they are deliberately NOT listed.
+def _driver_verified() -> frozenset[str]:
+    """Union of queries already holding a green (hash-matched) verdict in
+    any ``CORRECTNESS_r*.json`` the driver has produced.  The harness
+    walks the catalog in order and may cap how many queries it verifies
+    per round, so verified names sort LAST — every never-verified query
+    gets its shot first, and the union converges on the whole catalog
+    without hand-maintaining a list each round.  Entries that recorded
+    only a rows-only ``no_oracle`` row do NOT count (they deserve a real
+    hash row once their oracle exists).  Falls back to the hardcoded
+    round-1 set if no artifacts are readable (fresh checkout)."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names: set[str] = set()
+    found = False
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        found = True
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                names.add(name)
+    return frozenset(names) if found else _R1_VERIFIED
+
+
+# Hardcoded fallback: the round-1 green set (see _driver_verified).
 _R1_VERIFIED = frozenset({
     "window_frames", "agg_extended", "scalar_array_funcs", "daily_kpis",
     "category_kpis", "order_revenue", "category_kpis_corrected",
@@ -194,7 +218,8 @@ def _load_all() -> None:
         pipeline_q,
     )
 
-    ordered = sorted(_CATALOG.items(), key=lambda kv: kv[0] in _R1_VERIFIED)
+    verified = _driver_verified()
+    ordered = sorted(_CATALOG.items(), key=lambda kv: kv[0] in verified)
     _CATALOG.clear()
     _CATALOG.update(ordered)
     _LOADED = True
