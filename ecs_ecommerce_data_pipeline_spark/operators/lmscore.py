@@ -62,7 +62,10 @@ def bigram_multiplicities(
 
 
 def bigram_lm_scores(
-    doc: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    doc: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-document bigram-LM quality score over the corpus itself.
 
@@ -77,6 +80,13 @@ def bigram_lm_scores(
       (frequency 1) bigrams; the OOV-rate analogue.
     """
     db = bigram_multiplicities(doc, text_col, id_col)
+    if materialize:
+        # db feeds BOTH the frequency aggregation and the score join —
+        # without a lineage cut Catalyst evaluates the tokenize+explode
+        # subtree twice. Values are unchanged (same oracle); pass True
+        # when the upstream is itself expensive (e.g. downstream of a
+        # dedup, as in the dataset-build pipeline).
+        db = db.localCheckpoint(eager=False)
     freq = db.groupBy("bigram").agg(F.sum("m").cast("bigint").alias("c"))
     bits = F.length(F.bin(F.col("c"))).cast("bigint")
     scored = db.join(freq, "bigram").groupBy(id_col).agg(

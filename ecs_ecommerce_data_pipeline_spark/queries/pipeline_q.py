@@ -12,9 +12,8 @@ COMPOSITION: Catalyst fuses the clean/gate/hash projections into the
 scan, the dominant shuffles are the dedup groupBy, the bigram frequency
 aggregation + join, and the per-split packing window (the LM stage's
 doc-bigram subtree is referenced twice — frequency build and score
-join — so Catalyst evaluates it twice; a 100 TB run would cut that
-with one localCheckpoint on the canonical set, traded here for a pure
-plan the oracle can certify) — and the oracle
+join — so it is localCheckpoint-ed once instead of letting Catalyst
+evaluate the dedup+tokenize chain twice; values and oracle unchanged) — and the oracle
 reproduces the entire chain end-to-end, so a hash match certifies the
 handoffs between stages, not just the stages.
 """
@@ -145,7 +144,10 @@ def q_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").alias("n_chars"),
         )
     )
-    lm = bigram_lm_scores(canon.select("doc_id", "text"))
+    # canon feeds the LM subtree AND the score join: one lineage cut
+    # stops the scan→gate→dedup chain evaluating twice
+    canon = canon.localCheckpoint(eager=False)
+    lm = bigram_lm_scores(canon.select("doc_id", "text"), materialize=True)
     kept = (
         canon.join(lm.select("doc_id", "n_bigrams", "sum_bits", "rare_ratio"), "doc_id")
         .filter(F.col("rare_ratio") <= _RARE_MAX)
