@@ -505,3 +505,48 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # and the row count matches the single partition
     want = ev.filter(F.col("event_date") == target).count()
     assert df.count() == want
+
+
+def test_topk_window_uses_group_limit(spark):
+    """rank <= k over a window must trigger Spark's WindowGroupLimit
+    pushdown: each partition keeps only k candidates BEFORE the sort-
+    heavy window evaluation — the difference between shuffling k rows
+    per group and shuffling every row at 100 TB."""
+    df = catalog.queries()["window_topk_per_category"](spark, SF_SMOKE)
+    assert "WindowGroupLimit" in _plan(df)
+
+
+def test_analyzed_table_feeds_cbo_statistics(spark, tmp_path):
+    """Warehouse posture: ANALYZE TABLE column statistics must reach the
+    optimizer (rowCount in plan stats) so CBO join-reorder and broadcast
+    decisions run from measured sizes, not file-size guesses."""
+    loc = str(tmp_path / "cbo_orders")
+    spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    spark.sql(
+        f"CREATE TABLE cbo_orders USING parquet LOCATION '{loc}' AS "
+        f"SELECT * FROM parquet.`{SF_SMOKE}/orders.parquet`"
+    )
+    try:
+        spark.sql(
+            "ANALYZE TABLE cbo_orders COMPUTE STATISTICS FOR COLUMNS o_custkey"
+        )
+        stats = {
+            r[0]: r[1]
+            for r in spark.sql("DESCRIBE EXTENDED cbo_orders o_custkey").collect()
+        }
+        assert stats["min"] is not None and stats["distinct_count"] is not None
+        old = spark.conf.get("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            plan_stats = (
+                spark.table("cbo_orders")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .toString()
+            )
+            assert "rowCount" in plan_stats
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", old)
+    finally:
+        spark.sql("DROP TABLE cbo_orders")
