@@ -216,6 +216,7 @@ def _load_all() -> None:
         mv_q,
         bpe_q,
         pipeline_q,
+        geo_q,
     )
 
     verified = _driver_verified()

@@ -125,3 +125,39 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
         "months_since",
     ).agg(F.count(F.lit(1)).alias("active_customers"))
+
+
+_FORECAST_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders
+    GROUP BY 1
+)
+SELECT CAST(isodow(d) AS BIGINT) AS dow_iso,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) / COUNT(*) AS forecast_daily_revenue
+FROM daily
+GROUP BY 1
+"""
+
+
+@register("forecast_naive_seasonal", _FORECAST_SQL)
+def q_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive daily-revenue forecast: project each weekday as the
+    exact-decimal mean of that weekday's history — the baseline every
+    forecasting system must beat, and the shape (calendar-key partial
+    aggregates) that a real model's feature pipeline starts from. Two
+    hash aggregations, map-side combinable, one division per weekday."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    return daily.groupBy(
+        (F.weekday("d") + 1).cast("bigint").alias("dow_iso")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (F.sum("rev").cast("double") / F.count(F.lit(1))).alias(
+            "forecast_daily_revenue"
+        ),
+    )

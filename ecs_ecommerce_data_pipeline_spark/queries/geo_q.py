@@ -1,0 +1,169 @@
+"""Spatial-lite analytics: grid bucketing and nearest-center assignment
+with EXACT arithmetic (no trig — haversine's sin/cos differ by ulps
+across engines; an equirectangular squared-distance is monotone over
+city-scale extents and is pure IEEE multiply/add, bit-identical
+everywhere).
+
+The testdata carries no coordinates, so each customer gets a
+deterministic synthetic position derived from md5(c_custkey) — the same
+portable-hash idiom the samplers use; the operators (grid bucket,
+broadcast nearest-center argmin) are the real surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..functions.textfn import md5_bigint
+from ..sources.testdata import load_table
+
+_GRID = 10  # 10 x 10 grid over the unit square
+_N_CENTERS = 8
+
+
+def _coord(key: F.Column, salt: str) -> F.Column:
+    """Uniform [0, 1) coordinate from md5(salt || key) — 60-bit mantissa
+    scaled by one exact power-of-two division."""
+    return md5_bigint(F.concat(F.lit(salt), key.cast("string"))).cast("double") / F.lit(
+        float(2**60)
+    )
+
+
+def _centers_py() -> list[tuple[int, float, float]]:
+    import hashlib
+
+    out = []
+    for i in range(_N_CENTERS):
+        hx = int(hashlib.md5(f"cx{i}".encode()).hexdigest()[:15], 16)
+        hy = int(hashlib.md5(f"cy{i}".encode()).hexdigest()[:15], 16)
+        out.append((i, float(hx) / float(2**60), float(hy) / float(2**60)))
+    return out
+
+
+_GRID_SQL = f"""
+WITH pos AS (
+    SELECT c_custkey,
+           ('0x' || substr(md5('x' || CAST(c_custkey AS STRING)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS x,
+           ('0x' || substr(md5('y' || CAST(c_custkey AS STRING)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS y
+    FROM customer
+)
+SELECT CAST(FLOOR(x * {_GRID}) AS BIGINT) AS cell_x,
+       CAST(FLOOR(y * {_GRID}) AS BIGINT) AS cell_y,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_custkey
+FROM pos
+GROUP BY 1, 2
+"""
+
+
+@register("geo_grid_buckets", _GRID_SQL)
+def q_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial grid bucketing (geohash-style, integer cells): map-only
+    cell assignment + one count aggregation — the index layer every
+    spatial join starts from."""
+    c = load_table(spark, sf_dir, "customer")
+    x = _coord(F.col("c_custkey"), "x")
+    y = _coord(F.col("c_custkey"), "y")
+    return (
+        c.select(
+            "c_custkey",
+            F.floor(x * _GRID).cast("bigint").alias("cell_x"),
+            F.floor(y * _GRID).cast("bigint").alias("cell_y"),
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.min("c_custkey").cast("bigint").alias("min_custkey"),
+        )
+    )
+
+
+def _centers_sql() -> str:
+    rows = ", ".join(
+        f"({i}, ('0x' || substr(md5('cx{i}'), 1, 15))::BIGINT / 1152921504606846976.0,"
+        f" ('0x' || substr(md5('cy{i}'), 1, 15))::BIGINT / 1152921504606846976.0)"
+        for i in range(_N_CENTERS)
+    )
+    return f"(VALUES {rows}) AS centers(center_id, cx, cy)"
+
+
+_NEAREST_SQL = f"""
+WITH pos AS (
+    SELECT c_custkey,
+           ('0x' || substr(md5('x' || CAST(c_custkey AS STRING)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS x,
+           ('0x' || substr(md5('y' || CAST(c_custkey AS STRING)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS y
+    FROM customer
+),
+scored AS (
+    SELECT p.c_custkey, centers.center_id,
+           (p.x - centers.cx) * (p.x - centers.cx)
+             + (p.y - centers.cy) * (p.y - centers.cy) AS d2
+    FROM pos p, {_centers_sql()}
+),
+best AS (
+    SELECT c_custkey, center_id, d2,
+           ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY d2 ASC, center_id ASC) AS rk
+    FROM scored
+)
+SELECT center_id,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_custkey
+FROM best WHERE rk = 1
+GROUP BY center_id
+"""
+
+
+@register("geo_nearest_center", _NEAREST_SQL)
+def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-center assignment: tiny center table broadcast against
+    the point scan, squared-distance argmin per point (exact multiply/
+    add, ties to the smaller center id), counts per center. The
+    broadcast-NLJ + per-point argmin is the same shape the IVF coarse
+    quantizer uses — spatial is just 2-dimensional embeddings."""
+    c = load_table(spark, sf_dir, "customer")
+    spark_centers = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("center_id"),
+                F.lit(cx).alias("cx"),
+                F.lit(cy).alias("cy"),
+            )
+            for i, cx, cy in _centers_py()
+        ]
+    )
+    x = _coord(F.col("c_custkey"), "x")
+    y = _coord(F.col("c_custkey"), "y")
+    pos = c.select("c_custkey", x.alias("x"), y.alias("y"))
+    # per-row argmin over the literal center array: map-only, no join at all
+    best = pos.select(
+        "c_custkey",
+        F.aggregate(
+            spark_centers,
+            F.struct(
+                F.lit(-1).alias("center_id"),
+                F.lit(float("inf")).alias("d2"),
+            ),
+            lambda acc, ctr: F.when(
+                (F.col("x") - ctr.cx) * (F.col("x") - ctr.cx)
+                + (F.col("y") - ctr.cy) * (F.col("y") - ctr.cy)
+                < acc.d2,
+                F.struct(
+                    ctr.center_id.alias("center_id"),
+                    (
+                        (F.col("x") - ctr.cx) * (F.col("x") - ctr.cx)
+                        + (F.col("y") - ctr.cy) * (F.col("y") - ctr.cy)
+                    ).alias("d2"),
+                ),
+            ).otherwise(acc),
+        ).getField("center_id").cast("bigint").alias("center_id"),
+    )
+    return best.groupBy("center_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.min("c_custkey").cast("bigint").alias("min_custkey"),
+    )
