@@ -161,3 +161,124 @@ def q_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_daily_revenue"
         ),
     )
+
+
+_BASKET_SQL = """
+WITH pairs AS (
+    SELECT DISTINCT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+pair_cnt AS (
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM pairs GROUP BY part_a, part_b
+),
+item_cnt AS (
+    SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT p.part_a, p.part_b, p.n_both,
+       CAST(p.n_both AS DOUBLE) / CAST(a.n_orders AS DOUBLE) AS conf_a_to_b,
+       CAST(p.n_both AS DOUBLE) / CAST(b.n_orders AS DOUBLE) AS conf_b_to_a
+FROM pair_cnt p
+JOIN item_cnt a ON p.part_a = a.l_partkey
+JOIN item_cnt b ON p.part_b = b.l_partkey
+WHERE p.n_both >= 3
+"""
+
+
+@register("basket_pair_affinity", _BASKET_SQL)
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (A-priori level 2): co-purchase support
+    and both directional confidences for part pairs appearing in ≥ 3
+    orders (DISTINCT items per basket — a part twice in one order is one
+    basket membership).
+
+    Spark path avoids the quadratic self-join: per-order sorted item
+    arrays expand to their C(k,2) pairs INLINE (map-only — baskets are
+    small, pairs/order is bounded by basket size, not corpus), then one
+    count aggregation; the item-support join is a second small agg. The
+    oracle states the same semantics as the classic self-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    ).filter(F.size("items") >= 2)  # single-item baskets yield no pairs
+    # outer index stops at size-2 (sequence() runs DESCENDING when
+    # start > stop — the i = size-1 inner sequence would wrap)
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(items) - 2), i ->"
+                " transform(sequence(i + 1, size(items) - 1), j ->"
+                " named_struct('part_a', items[i], 'part_b', items[j]))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    pair_cnt = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_both")
+    ).filter(F.col("n_both") >= 3)
+    item_cnt = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    a = item_cnt.select(F.col("l_partkey").alias("_ka"), F.col("n_orders").alias("_na"))
+    b = item_cnt.select(F.col("l_partkey").alias("_kb"), F.col("n_orders").alias("_nb"))
+    return (
+        pair_cnt.join(a, F.col("part_a") == F.col("_ka"))
+        .join(b, F.col("part_b") == F.col("_kb"))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            (F.col("n_both").cast("double") / F.col("_na").cast("double")).alias(
+                "conf_a_to_b"
+            ),
+            (F.col("n_both").cast("double") / F.col("_nb").cast("double")).alias(
+                "conf_b_to_a"
+            ),
+        )
+    )
+
+
+_TRANSITION_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS DOUBLE)
+           AS p_transition
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("events_transition_matrix", _TRANSITION_SQL)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts + probabilities between
+    event types per user journey (lag/lead window, deterministic
+    (ts, event_id) ordering; row-normalized by a window over the count
+    aggregate — no second pass over events)."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    w_row = W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_row).cast("double")
+        ).alias("p_transition"),
+    )
