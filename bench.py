@@ -160,6 +160,11 @@ _BENCH_EXTRA: set[str] = {
     "asof_join_tolerance",
     "text_clean_stats",
     "dataset_build_pipeline",
+    # round-2e additions: basket mining, journeys, spatial, forecast
+    "basket_pair_affinity",
+    "events_transition_matrix",
+    "geo_nearest_center",
+    "forecast_naive_seasonal",
 }
 
 if __name__ == "__main__":

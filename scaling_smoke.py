@@ -58,6 +58,8 @@ STAGES = {
     # round-2d additions
     "bpe_merge_rounds": "documents",
     "embedding_covariance": "embeddings",
+    "basket_pair_affinity": "lineitem",
+    "events_transition_matrix": "events",
 }
 
 _ID_OFFSET = 10_000_000
