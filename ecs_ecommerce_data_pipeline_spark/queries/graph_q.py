@@ -140,3 +140,72 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_BFS_SQL)
+
+
+_TRIANGLES_SQL = """
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+    SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+    FROM pairs e1
+    JOIN pairs e2 ON e2.pa = e1.pb          -- y < z by construction
+    JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+)
+SELECT CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+       CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(DISTINCT pa) + 0 FROM (
+           SELECT pa FROM pairs UNION SELECT pb FROM pairs) u(pa)) AS BIGINT)
+           AS n_parts
+"""
+
+
+@register("graph_triangle_count", _TRIANGLES_SQL)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph — the clustering
+    primitive behind community detection and recommendation quality
+    metrics.
+
+    Shape: the ordered-edge convention (pa < pb everywhere) means each
+    triangle {x<y<z} is generated exactly once as (x,y)·(y,z) closed by
+    (x,z) — no /6 dedup factor, and the wedge join fans out only
+    low→high (forward degree), the standard compact-forward algorithm.
+    The edge list derives from per-basket inline pair expansion
+    (map-only), not a fact self-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items") >= 2)
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(items) - 2), i ->"
+                    " transform(sequence(i + 1, size(items) - 1), j ->"
+                    " named_struct('pa', items[i], 'pb', items[j]))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds 3 join roles + 2 counts
+    )
+    e1 = pairs.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = pairs.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = pairs.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    wedges = e1.join(e2, "y")
+    tri = wedges.join(e3, ["x", "z"], "left_semi")
+    n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    n_edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_parts = (
+        pairs.select(F.col("pa").alias("p"))
+        .unionByName(pairs.select(F.col("pb").alias("p")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    )
+    return n_tri.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_parts))
