@@ -42,6 +42,10 @@ def ks_two_sample(
     """
     counts = (
         df.filter(F.col(sample_col).isin([a, b]))
+        # missing values carry no distribution information, and engines
+        # disagree on NULL sort position (Spark: first; DuckDB: last) —
+        # drop them so the CDF walk is well-defined everywhere
+        .filter(F.col(value_col).isNotNull())
         .groupBy(value_col)
         .agg(
             F.sum(F.when(F.col(sample_col) == a, 1).otherwise(0))
@@ -100,8 +104,10 @@ def psi_bins(
     """
     qs = [i / n_bins for i in range(1, n_bins)]
     v = F.col(value_col).cast("double")
-    s = df.filter(F.col(sample_col).isin([ref, cur])).select(
-        v.alias("_v"), F.col(sample_col).alias("_s")
+    s = (
+        df.filter(F.col(sample_col).isin([ref, cur]))
+        .filter(v.isNotNull())  # same NULL rule as ks_two_sample
+        .select(v.alias("_v"), F.col(sample_col).alias("_s"))
     )
     edges = s.filter(F.col("_s") == ref).agg(
         F.percentile("_v", F.array(*[F.lit(q) for q in qs])).alias("edges")
@@ -178,7 +184,6 @@ def mix_weights(
     if target is None:
         tgt = F.lit(1.0) / F.col("n_domains").cast("double")
     else:
-        tgt = F.lit(None).cast("double")
         expr = None
         for name, share in target.items():
             expr = (

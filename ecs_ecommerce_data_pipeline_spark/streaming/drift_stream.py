@@ -52,6 +52,7 @@ def reference_histogram(
 
 def _bin_counts(df: DataFrame, value_col: str, edges) -> list[int]:
     v = F.col(value_col).cast("double")
+    df = df.filter(v.isNotNull())  # same NULL rule as operators.drift
     binned = df.select(
         F.aggregate(
             F.array(*[F.lit(float(e)) for e in edges]),

@@ -192,3 +192,24 @@ def test_dataset_build_manifest_invariants(spark, sf_dir):
             # greedy bound: a shard overshoots by at most one doc's cost
             if s["shard_id"] < max(ids):
                 assert s["shard_chars"] >= 1  # non-degenerate
+
+
+def test_drift_ops_ignore_null_values(spark):
+    from ecs_ecommerce_data_pipeline_spark.operators.drift import (
+        ks_two_sample,
+        psi_bins,
+    )
+
+    rows = [(v, s) for v in range(1, 21) for s in ("a", "b")]
+    clean = spark.createDataFrame(rows, "v int, smp string")
+    dirty = clean.unionByName(
+        spark.createDataFrame([(None, "a"), (None, "b"), (None, "b")], "v int, smp string")
+    )
+    assert (
+        ks_two_sample(clean, "v", "smp", "a", "b").collect()
+        == ks_two_sample(dirty, "v", "smp", "a", "b").collect()
+    )
+    k = lambda rows_: sorted((r["bin"], r["c_ref"], r["c_cur"]) for r in rows_)
+    assert k(psi_bins(clean, "v", "smp", "a", "b").collect()) == k(
+        psi_bins(dirty, "v", "smp", "a", "b").collect()
+    )
