@@ -36,7 +36,7 @@ class ChunkUDTF:
             return
         n = len(text)
         start = 0
-        while start == 0 or start < n:
+        while True:  # every doc (even empty) yields its first chunk
             piece = text[start : start + CHUNK]
             yield (
                 start // STRIDE,
@@ -45,7 +45,7 @@ class ChunkUDTF:
                 hashlib.md5(piece.encode()).hexdigest(),
             )
             start += STRIDE
-            if n == 0:
+            if start >= n:
                 break
 
 

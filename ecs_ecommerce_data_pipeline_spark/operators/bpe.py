@@ -96,6 +96,9 @@ def bpe_merge_rounds(doc: DataFrame, rounds: int = 3) -> DataFrame:
             "round", F.concat("_a", "_b").alias("merged_token"), "pair_cnt"
         )
         out = row if out is None else out.unionByName(row)
+        # each round references `state` twice (pair counts + merge) and
+        # embeds the previous round's subtree — without a per-round
+        # lineage cut the logical plan doubles every round (2^K growth)
         state = state.crossJoin(F.broadcast(top)).select(
             "word",
             "cnt",
@@ -107,6 +110,6 @@ def bpe_merge_rounds(doc: DataFrame, rounds: int = 3) -> DataFrame:
                 ),
                 F.concat(F.lit(SEP), F.col("_a"), F.col("_b"), F.lit(SEP)),
             ).alias("seq"),
-        )
+        ).localCheckpoint(eager=False)
     assert out is not None
     return out

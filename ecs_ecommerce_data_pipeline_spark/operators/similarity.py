@@ -562,6 +562,13 @@ def brute_force_topk_arrow(
         .select(F.col(id_col).cast("bigint"), as_double_array(vec_col))
         .collect()
     )
+    if not q_rows:
+        # fold twin returns an empty frame here; an empty query matrix
+        # would crash np.cumsum(axis=1) driver-side
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id bigint, corpus_id bigint, cosine_sim double, rnk bigint"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     # sequential-fold query norms (cumsum, matching the JVM fold order)

@@ -132,8 +132,10 @@ _WS_PAT = r"[ \t]{2,}"
 
 def clean_text(col: str | Column = "text") -> Column:
     """Normalization kernel for raw ingest: strip HTML-ish tags, remove
-    control characters (keeping \\n and \\t-as-space), collapse repeated
-    horizontal whitespace, trim. Pure ``regexp_replace`` chain — JVM-side,
+    control characters (\n and \t survive — a lone tab is preserved;
+    tabs only vanish when a whitespace RUN collapses to one space),
+    collapse repeated horizontal whitespace, trim. Pure
+    ``regexp_replace`` chain — JVM-side,
     map-only; patterns use explicit ASCII classes so Java regex and RE2
     agree byte-for-byte.
 

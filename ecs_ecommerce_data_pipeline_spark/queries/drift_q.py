@@ -33,6 +33,7 @@ def _with_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KS_SQL = f"""
 WITH s AS (
     SELECT n_chars AS v, {_SMP_SQL} AS smp FROM documents
+    WHERE n_chars IS NOT NULL
 ),
 counts AS (
     SELECT v,
@@ -70,6 +71,7 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PSI_SQL = f"""
 WITH s AS (
     SELECT CAST(n_chars AS DOUBLE) AS v, {_SMP_SQL} AS smp FROM documents
+    WHERE n_chars IS NOT NULL
 ),
 edges AS (
     SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e

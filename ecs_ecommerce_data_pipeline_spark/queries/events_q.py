@@ -437,9 +437,9 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VARIANT_SQL = """
 SELECT event_id,
-       json_extract_string(props, '$.k')::BIGINT AS k_value,
-       json_extract_string(props, '$.missing')::BIGINT AS missing_value,
-       (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_value,
+       (json_extract(props, '$.k') IS NOT NULL) AS has_k
 FROM events
 """
 
@@ -459,5 +459,6 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.try_variant_get(v, "$.k", "bigint").alias("k_value"),
         F.try_variant_get(v, "$.missing", "bigint").alias("missing_value"),
-        F.try_variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
+        # presence, not castability: a string-typed k still "has" the key
+        F.try_variant_get(v, "$.k", "variant").isNotNull().alias("has_k"),
     )

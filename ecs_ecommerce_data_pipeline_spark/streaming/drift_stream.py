@@ -88,9 +88,12 @@ def psi_drift_monitor(
 ):
     """Attach a PSI monitor to a streaming DataFrame.
 
-    Every micro-batch appends one row to the parquet status table at
-    ``status_path``: (batch_id, n_rows, psi, drifted). Returns the
-    started StreamingQuery (caller owns its lifecycle).
+    Every micro-batch writes one row into its own ``batch_id=N``
+    partition of the parquet status table at ``status_path`` —
+    idempotent under foreachBatch's at-least-once replay. Read the
+    table with ``spark.read.parquet(status_path)`` (the partition
+    column comes back as ``batch_id``). Returns the started
+    StreamingQuery (caller owns its lifecycle).
     """
 
     def _monitor(batch_df: DataFrame, batch_id: int) -> None:
@@ -101,10 +104,15 @@ def psi_drift_monitor(
         else:
             counts = _bin_counts(batch_df, value_col, ref.edges)
         psi = psi_from_counts(ref.counts, counts)
-        row = [(int(batch_id), int(n), float(psi), bool(psi > alert_threshold))]
+        # foreachBatch is at-least-once: a replayed batch must overwrite
+        # its own status partition, never append a duplicate row; the
+        # batch id comes back as the inferred partition column on read
+        row = [(int(n), float(psi), bool(psi > alert_threshold))]
         spark.createDataFrame(
-            row, "batch_id long, n_rows long, psi double, drifted boolean"
-        ).coalesce(1).write.mode("append").parquet(status_path)
+            row, "n_rows long, psi double, drifted boolean"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{status_path}/batch_id={int(batch_id)}"
+        )
 
     return (
         stream.writeStream.outputMode("append")

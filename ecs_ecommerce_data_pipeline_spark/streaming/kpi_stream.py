@@ -175,12 +175,21 @@ def scd2_stream(
         )
         dim = spark.read.parquet(dim_path)
         new_dim = scd2_apply(dim, latest, key, attrs, eff_col=eff_col)
-        # plain parquet: stage the rewrite, then swap (read side never
-        # sees a half-written dimension)
-        staged = dim_path + ".staging"
+        # plain parquet: stage the rewrite, then ATOMICALLY swap via
+        # rename (same idiom as plans.incremental.merge_upsert) — a
+        # second overwrite of dim_path would delete-then-rewrite, and a
+        # crash in between loses the dimension
+        import os as _os
+        import shutil as _shutil
+
+        staged = dim_path.rstrip("/") + "__scd2_staging"
+        _shutil.rmtree(staged, ignore_errors=True)
         new_dim.write.mode("overwrite").parquet(staged)
-        final = spark.read.parquet(staged)
-        final.write.mode("overwrite").parquet(dim_path)
+        old_dir = dim_path.rstrip("/") + "__scd2_old"
+        _shutil.rmtree(old_dir, ignore_errors=True)
+        _os.replace(dim_path, old_dir)
+        _os.replace(staged, dim_path)
+        _shutil.rmtree(old_dir, ignore_errors=True)
 
     return (
         updates_stream.writeStream.outputMode("update")

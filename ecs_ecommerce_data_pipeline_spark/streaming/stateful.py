@@ -139,14 +139,25 @@ def _update_sessions(gap_ms: int):
         else:
             start, last, n = ts[0], ts[0] - 1, 0
         for t in ts:
+            if t <= last:
+                # late arrival inside the open session (the state API does
+                # NOT watermark-filter inputs): count it, but never move
+                # `last` backward — a regressed `last` would both split the
+                # session on the next on-time event and set a timeout below
+                # the watermark (which kills the query)
+                n += 1
+                continue
             if t - last > gap_ms and n > 0:
                 rows.append((key[0], start, last, n, True))
                 start, n = t, 0
             last = t
             n += 1
         state.update((start, last, n))
-        # keep the open session alive until the watermark clears the gap
-        state.setTimeoutTimestamp(last + gap_ms)
+        # keep the open session alive until the watermark clears the gap;
+        # clamped: setTimeoutTimestamp rejects values <= current watermark
+        state.setTimeoutTimestamp(
+            max(last + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
         rows.append((key[0], start, last, n, False))
         yield _pd.DataFrame(
             rows,

@@ -583,3 +583,55 @@ def test_scd2_stream_equals_sequential_batch_applies(spark, tmp_path):
     # id=1 history: 2023 closed, 2024-01 closed, 2024-06 current at 12.0
     assert got[(1, "2024-06-01")] == (12.0, None, True)
     assert got[(1, "2024-01-01")][2] is False
+
+
+def test_sessionizer_tolerates_late_events(spark, tmp_path):
+    """A late event (behind the open session's last timestamp) must be
+    absorbed — counted, no session split, no backward timeout."""
+    import pandas as pd
+
+    from ecs_ecommerce_data_pipeline_spark.streaming.stateful import (
+        user_sessions_stateful,
+    )
+
+    base = 1_700_000_000_000
+    rows1 = [(1, base), (1, base + 60_000)]
+    rows2 = [(1, base + 30_000)]   # LATE: inside the open session
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [(u, pd.Timestamp(ms, unit="ms").to_pydatetime()) for u, ms in rows],
+            "user_id long, ts timestamp",
+        )
+
+    src = str(tmp_path / "late_parts")
+    to_df(rows1).coalesce(1).write.mode("append").parquet(src)
+    to_df(rows2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 second")
+    )
+    q = (
+        user_sessions_stateful(stream, gap="10 minutes")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.sql("SELECT * FROM late_sessions").toPandas()
+    final = emitted.sort_values("n_events").groupby(
+        ["user_id", "session_start_ms"]
+    ).last()
+    # one session, 3 events, end unchanged by the late arrival
+    assert len(final) == 1
+    row = final.iloc[0]
+    assert row["n_events"] == 3
+    assert row["session_end_ms"] == base + 60_000
