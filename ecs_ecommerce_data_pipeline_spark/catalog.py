@@ -170,9 +170,10 @@ def _load_all() -> None:
     The correctness harness walks the catalog in registration order and
     may cap how many queries it verifies per round (round 1 covered the
     first 50 entries).  After all modules register, the catalog is
-    stably re-ordered so queries WITHOUT a green round-1 verdict come
-    first — module layout stops mattering, and the union of per-round
-    verdicts converges on the whole catalog fastest.
+    stably re-ordered so queries WITHOUT a green verdict in any
+    CORRECTNESS_r*.json so far come first (``_driver_verified``) —
+    module layout stops mattering, and the union of per-round verdicts
+    converges on the whole catalog fastest.
     """
     global _LOADED
     if _LOADED:
