@@ -282,3 +282,192 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(w_row).cast("double")
         ).alias("p_transition"),
     )
+
+
+_EQUIDEPTH_SQL = """
+WITH edges AS (
+    SELECT quantile_cont(l_extendedprice, [0.05,0.1,0.15,0.2,0.25,0.3,0.35,0.4,0.45,0.5,
+                                           0.55,0.6,0.65,0.7,0.75,0.8,0.85,0.9,0.95]) AS e
+    FROM lineitem
+),
+binned AS (
+    SELECT CAST(len(list_filter(edges.e, x -> l.l_extendedprice > x)) AS BIGINT) AS bin,
+           l.l_extendedprice AS price
+    FROM lineitem l, edges
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(price) AS DOUBLE) AS lo,
+       CAST(MAX(price) AS DOUBLE) AS hi
+FROM binned GROUP BY bin
+"""
+
+
+@register("histogram_equidepth_price", _EQUIDEPTH_SQL)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-edged) price histogram — the optimizer-stats
+    companion to the equi-width ``price_histogram``: one exact-percentile
+    aggregation broadcast as bin edges, map-only bin assignment, one
+    count aggregation. ~N/20 rows per bin by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs_ = [i / 20 for i in range(1, 20)]
+    v = F.col("l_extendedprice").cast("double")
+    edges = li.agg(
+        F.percentile(v, F.array(*[F.lit(q) for q in qs_])).alias("e")
+    )
+    return (
+        li.crossJoin(F.broadcast(edges))
+        .select(
+            F.aggregate(
+                "e", F.lit(0), lambda acc, x: acc + F.when(v > x, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("bin"),
+            v.alias("price"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("price").alias("lo"),
+            F.max("price").alias("hi"),
+        )
+    )
+
+
+_SHARE_SQL = """
+WITH rev AS (
+    SELECT n.n_name AS nation, r.r_name AS region,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1, 2
+)
+SELECT region, nation,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(rev) OVER (PARTITION BY region) AS VARCHAR) AS DOUBLE)
+           AS share_of_region,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(rev) OVER () AS VARCHAR) AS DOUBLE) AS share_of_total
+FROM rev
+"""
+
+
+@register("revenue_share_of_parent", _SHARE_SQL)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report at two hierarchy levels: each nation's revenue as
+    a share of its region and of the grand total — window sums over the
+    (tiny) aggregate, never a second scan. Decimal sums keep the window
+    totals exact; shares are single divisions."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    from pyspark.sql import Window as W
+
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    return rev.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(W.partitionBy("region")).cast("double")
+        ).alias("share_of_region"),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(
+                W.partitionBy()
+            ).cast("double")
+        ).alias("share_of_total"),
+    )
+
+
+_MOM_SQL = """
+WITH monthly AS (
+    SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT month,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(LAG(rev) OVER (ORDER BY month) AS VARCHAR) AS DOUBLE) AS prev_revenue,
+       (CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(LAG(rev) OVER (ORDER BY month) AS VARCHAR) AS DOUBLE))
+         / CAST(CAST(LAG(rev) OVER (ORDER BY month) AS VARCHAR) AS DOUBLE)
+         AS mom_growth
+FROM monthly
+"""
+
+
+@register("revenue_mom_growth", _MOM_SQL)
+def q_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly decimal totals + one lag
+    window; growth is (cur − prev)/prev with NULL for the first month.
+    The period-over-period pattern every reporting layer ships."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", F.to_date("o_orderdate")), "yyyy-MM-dd")
+        .alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = W.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        (
+            (F.col("rev").cast("double") - prev.cast("double"))
+            / prev.cast("double")
+        ).alias("mom_growth"),
+    )
+
+
+_TIME_ROLLUP_SQL = """
+WITH base AS (
+    SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+           CAST(EXTRACT(quarter FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+           CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS mth,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+    FROM orders
+)
+SELECT yr, qtr, mth,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(GROUPING(yr) * 4 + GROUPING(qtr) * 2 + GROUPING(mth) AS BIGINT) AS grouping_level
+FROM base
+GROUP BY ROLLUP (yr, qtr, mth)
+"""
+
+
+@register("revenue_time_rollup", _TIME_ROLLUP_SQL)
+def q_revenue_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy rollup (year → quarter → month + grand total)
+    in ONE aggregation — Spark expands the rollup grouping sets inside a
+    single hash-agg pass instead of four scans; GROUPING() bits
+    disambiguate NULL-as-total from NULL-as-value."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    base = o.select(
+        F.year(d).cast("bigint").alias("yr"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.month(d).cast("bigint").alias("mth"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    return base.rollup("yr", "qtr", "mth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("rev").cast("double").alias("revenue"),
+        (
+            F.grouping("yr") * 4 + F.grouping("qtr") * 2 + F.grouping("mth")
+        ).cast("bigint").alias("grouping_level"),
+    )
