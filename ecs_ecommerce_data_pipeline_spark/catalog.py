@@ -218,6 +218,7 @@ def _load_all() -> None:
         bpe_q,
         pipeline_q,
         geo_q,
+        balance_q,
     )
 
     verified = _driver_verified()
