@@ -635,3 +635,62 @@ def test_sessionizer_tolerates_late_events(spark, tmp_path):
     row = final.iloc[0]
     assert row["n_events"] == 3
     assert row["session_end_ms"] == base + 60_000
+
+
+def test_statestore_reader_matches_batch_aggregate(spark, tmp_path):
+    """The checkpoint's state, read offline via the statestore source,
+    must equal the batch groupBy over the same rows — the audit an
+    operator runs before trusting (or migrating) streaming state."""
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.state_reader import (
+        read_group_state,
+    )
+    from ecs_ecommerce_data_pipeline_spark.streaming.stateful import (
+        user_running_totals,
+    )
+
+    batch = load_table(spark, SF, "events").select("user_id", "value")
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "state_ckpt")
+    batch.repartition(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        user_running_totals(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .format("noop")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = read_group_state(spark, ckpt).select("user_id", "groupState.*")
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in state.collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    want = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, _) in want.items():
+        assert got[uid][0] == n, uid
+    # and the time-travel read of batch 0 shows strictly less state
+    first = read_group_state(spark, ckpt, batch_id=0)
+    assert first.count() <= state.count()
