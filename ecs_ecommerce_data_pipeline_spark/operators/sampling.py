@@ -165,3 +165,42 @@ def weighted_sample(
     b = hash_bucket(key, 1_000_000, salt=salt)
     p = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
     return df.filter(b < p * F.lit(1_000_000))
+
+
+def weighted_sample_exact_k(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    stratum: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): rank rows by ``u^(1/w)`` descending — equivalently
+    ``ln(u)/w`` — where ``u`` is the row's deterministic md5 uniform,
+    and keep the top k (per stratum when given).
+
+    ``weighted_sample`` (Poisson) gives each row an independent
+    inclusion draw — sample size varies; A-ES pins the size exactly
+    while keeping inclusion probability monotone in the weight, and
+    stays one window over a map-computed key: no iteration, no
+    rejection loop.
+
+    Portability: the ES key is quantized ``floor(ln(u)/w · 2^40)`` so
+    cross-engine ranking never hinges on a last-ulp ``ln`` difference;
+    ties (quantized collisions) break on the row key. Rows with
+    non-positive weight are excluded (ES is undefined there).
+    """
+    u = (md5_bigint(F.concat(F.lit(salt), F.col(key).cast("string"))) + 1).cast(
+        "double"
+    ) / F.lit(float(2**60))
+    w = F.col(weight_col).cast("double")
+    es_q = F.floor(F.log(u) / w * F.lit(float(2**40))).cast("bigint")
+    part = [stratum] if stratum else []
+    win = Window.partitionBy(*part).orderBy(F.desc("es_q"), F.asc(key))
+    return (
+        df.filter(w > 0)
+        .withColumn("es_q", es_q)
+        .withColumn("rnk", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -143,3 +143,36 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("shard_chars"),
     )
+
+
+_ES_SQL = """
+WITH scored AS (
+    SELECT lang, doc_id, n_chars,
+           FLOOR(
+             ln((('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 15))::BIGINT + 1)
+                 / 1152921504606846976.0)
+             / CAST(n_chars AS DOUBLE) * 1099511627776.0
+           ) AS es_q
+    FROM documents WHERE n_chars > 0
+),
+ranked AS (
+    SELECT lang, doc_id, n_chars, CAST(es_q AS BIGINT) AS es_q,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_q DESC, doc_id ASC) AS rnk
+    FROM scored
+)
+SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, es_q
+FROM ranked WHERE rnk <= 20
+"""
+
+
+@register("weighted_exact_k_sample", _ES_SQL)
+def q_weighted_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis exact-k (20 per language) weighted sample,
+    weights = document length: size-pinned, without replacement, one
+    window over a map-computed quantized key."""
+    from ..operators.sampling import weighted_sample_exact_k
+
+    doc = load_table(spark, sf_dir, "documents")
+    return weighted_sample_exact_k(
+        doc, key="doc_id", weight_col="n_chars", k=20, stratum="lang"
+    ).select("lang", "rnk", "doc_id", "n_chars", "es_q")
