@@ -165,6 +165,11 @@ _BENCH_EXTRA: set[str] = {
     "events_transition_matrix",
     "geo_nearest_center",
     "forecast_naive_seasonal",
+    # round-2f additions: reporting layer, sequential fold, ES sampling
+    "histogram_equidepth_price",
+    "revenue_time_rollup",
+    "capped_running_balance",
+    "weighted_exact_k_sample",
 }
 
 if __name__ == "__main__":

@@ -98,3 +98,35 @@ def test_pack_shards_budget_bound_and_contiguous(docs):
     }
     for ids in shard_ids.values():
         assert ids == list(range(len(ids)))  # 0..k-1, no gaps
+
+
+def test_weighted_exact_k_pins_size_and_prefers_heavy(spark):
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.operators.sampling import (
+        weighted_sample_exact_k,
+    )
+
+    rows = [(i, "s", 1000.0 if i < 5 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+
+    out = weighted_sample_exact_k(df, "id", "w", k=10, stratum="grp")
+    got = out.collect()
+    assert len(got) == 10  # exact size, unlike the Poisson sampler
+    assert len({r["id"] for r in got}) == 10  # without replacement
+
+    # heavy rows (1000x weight) should dominate the sample across salts
+    heavy_hits = 0
+    for salt in map(str, range(8)):
+        s = weighted_sample_exact_k(df, "id", "w", k=5, stratum="grp", salt=salt)
+        heavy_hits += s.filter(F.col("id") < 5).count()
+    # 5 heavy rows vs 95 light: with w-ratio 1000, heavies nearly always
+    # fill most of k=5; require a strong majority over 8 salts (40 slots)
+    assert heavy_hits >= 24, heavy_hits
+
+    # zero/negative weights are excluded
+    dfz = spark.createDataFrame(
+        [(1, "s", 0.0), (2, "s", -3.0), (3, "s", 2.0)], "id long, grp string, w double"
+    )
+    outz = weighted_sample_exact_k(dfz, "id", "w", k=5, stratum="grp").collect()
+    assert {r["id"] for r in outz} == {3}
