@@ -471,3 +471,54 @@ def q_revenue_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("yr") * 4 + F.grouping("qtr") * 2 + F.grouping("mth")
         ).cast("bigint").alias("grouping_level"),
     )
+
+
+_GAP_SQL = """
+WITH seq AS (
+    SELECT o_custkey,
+           CAST(o_orderdate AS DATE) AS d,
+           LAG(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+           ) AS prev_d
+    FROM orders
+),
+gaps AS (
+    SELECT o_custkey, CAST(d - prev_d AS BIGINT) AS gap_days
+    FROM seq WHERE prev_d IS NOT NULL
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_days) AS BIGINT) AS sum_gap_days,
+       CAST(SUM(gap_days) AS DOUBLE) / COUNT(*) AS avg_gap_days,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+FROM gaps
+GROUP BY o_custkey
+"""
+
+
+@register("repeat_purchase_gaps", _GAP_SQL)
+def q_repeat_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval stats per customer (lag over the order
+    sequence, integer day gaps, exact aggregates) — the retention
+    metric behind churn windows and re-engagement triggers."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    d = F.to_date("o_orderdate")
+    w = W.partitionBy("o_custkey").orderBy(d, F.col("o_orderkey"))
+    seq = o.select(
+        "o_custkey",
+        d.alias("d"),
+        F.lag(d).over(w).alias("prev_d"),
+    ).filter(F.col("prev_d").isNotNull())
+    gaps = seq.select(
+        "o_custkey", F.datediff("d", "prev_d").cast("bigint").alias("gap_days")
+    )
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap_days").cast("bigint").alias("sum_gap_days"),
+        (F.sum("gap_days").cast("double") / F.count(F.lit(1))).alias("avg_gap_days"),
+        F.min("gap_days").cast("bigint").alias("min_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+    )

@@ -462,3 +462,38 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         # presence, not castability: a string-typed k still "has" the key
         F.try_variant_get(v, "$.k", "variant").isNotNull().alias("has_k"),
     )
+
+
+_COUNT_WINDOWS_SQL = """
+WITH seq AS (
+    SELECT user_id, value,
+           CAST((ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)
+                // 25 AS BIGINT) AS win_id
+    FROM events
+)
+SELECT user_id, win_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM seq
+GROUP BY user_id, win_id
+"""
+
+
+@register("events_count_windows", _COUNT_WINDOWS_SQL)
+def q_events_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based windows (every 25 events per user) — the tumbling
+    window's row-count sibling: deterministic (ts, event_id) sequencing,
+    window id from integer division of the row number, one aggregation.
+    The shape batch feature-extraction uses for fixed-size context
+    blocks."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        F.floor((F.row_number().over(w) - 1) / 25).cast("bigint").alias("win_id"),
+    )
+    return seq.groupBy("user_id", "win_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        money_sum("value").alias("total_value"),
+    )
