@@ -308,7 +308,15 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile-edged) price histogram — the optimizer-stats
     companion to the equi-width ``price_histogram``: one exact-percentile
     aggregation broadcast as bin edges, map-only bin assignment, one
-    count aggregation. ~N/20 rows per bin by construction."""
+    count aggregation. ~N/20 rows per bin by construction.
+
+    Scale note: ``F.percentile`` buffers every value in one aggregation
+    buffer — exact but O(distinct values) memory and a single-threaded
+    merge (~4.5 s at sf0.1). The 100 TB shape is order statistics over a
+    value-count histogram (groupBy value → cumulative positions → the
+    two straddling values per quantile, interpolated with the same
+    (n−1)·q rule); kept as-is here because the exact agg IS the oracle
+    semantics and the input is price-valued (bounded distinct cents)."""
     li = load_table(spark, sf_dir, "lineitem")
     qs_ = [i / 20 for i in range(1, 20)]
     v = F.col("l_extendedprice").cast("double")
