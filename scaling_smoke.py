@@ -60,6 +60,8 @@ STAGES = {
     "embedding_covariance": "embeddings",
     "basket_pair_affinity": "lineitem",
     "events_transition_matrix": "events",
+    "capped_running_balance": "orders",
+    "weighted_exact_k_sample": "documents",
 }
 
 _ID_OFFSET = 10_000_000
