@@ -167,8 +167,9 @@ _BENCH_EXTRA: set[str] = {
     "forecast_naive_seasonal",
     # round-2f additions: reporting layer, sequential fold, ES sampling
     # (histogram_equidepth_price stays out of the headline set: its
-    # single-buffer exact-percentile agg costs ~4.5 s at sf0.1 — see its
-    # docstring for the value-histogram order-statistics scale path)
+    # single-buffer exact-percentile agg costs ~4.5 s at sf0.1; the
+    # order-statistics twin below IS the headline entry)
+    "histogram_equidepth_scalable",
     "revenue_time_rollup",
     "capped_running_balance",
     "weighted_exact_k_sample",

@@ -530,3 +530,89 @@ def q_repeat_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").cast("bigint").alias("min_gap_days"),
         F.max("gap_days").cast("bigint").alias("max_gap_days"),
     )
+
+
+@register("histogram_equidepth_scalable", _EQUIDEPTH_SQL)
+def q_equidepth_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path twin of ``histogram_equidepth_price`` — SAME
+    oracle, different physical shape: instead of ``F.percentile``'s
+    single O(distinct-values) aggregation buffer, quantile edges come
+    from order statistics over a value-count histogram:
+
+    1. groupBy(value) → (value, count): the only corpus-sized shuffle,
+       map-side combinable;
+    2. cumulative positions over distinct values (a window over
+       |distinct| rows — two-phase it per range-partition at 100 TB);
+    3. each quantile's two straddling values found by position, then
+       interpolated with the same ``lo + (hi − lo)·frac`` rule
+       ``quantile_cont`` uses — bit-identical edges;
+    4. the binning scan is shared with the percentile variant.
+    """
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("double")
+    vals = li.groupBy(v.alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = vals.withColumn("hi", F.sum("c").over(w)).withColumn(
+        "lo", F.col("hi") - F.col("c")
+    )
+    total = cum.agg(F.sum("c").cast("bigint").alias("n"))
+    qdf = spark.range(1, 20).select(
+        F.col("id").alias("qi"), (F.col("id") / 20.0).alias("q")
+    )
+    pos = (F.col("n") - 1).cast("double") * F.col("q")
+    boundaries = (
+        qdf.crossJoin(F.broadcast(total))
+        .select("qi", "q", pos.alias("pos"))
+        .withColumn("fl", F.floor("pos").cast("bigint"))
+        .withColumn("ce", F.ceil("pos").cast("bigint"))
+        .withColumn("frac", F.col("pos") - F.col("fl").cast("double"))
+    )
+    straddle = cum.crossJoin(F.broadcast(boundaries)).filter(
+        ((F.col("fl") >= F.col("lo")) & (F.col("fl") < F.col("hi")))
+        | ((F.col("ce") >= F.col("lo")) & (F.col("ce") < F.col("hi")))
+    )
+    edges = (
+        straddle.groupBy("qi", "frac")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("fl") >= F.col("lo")) & (F.col("fl") < F.col("hi")),
+                    F.col("v"),
+                )
+            ).alias("vfl"),
+            F.min(
+                F.when(
+                    (F.col("ce") >= F.col("lo")) & (F.col("ce") < F.col("hi")),
+                    F.col("v"),
+                )
+            ).alias("vce"),
+        )
+        .select(
+            "qi",
+            (
+                F.col("vfl") + (F.col("vce") - F.col("vfl")) * F.col("frac")
+            ).alias("edge"),
+        )
+    )
+    edge_arr = edges.orderBy("qi").agg(
+        F.collect_list("edge").alias("e")
+    )
+    return (
+        li.crossJoin(F.broadcast(edge_arr))
+        .select(
+            F.aggregate(
+                "e", F.lit(0), lambda acc, x: acc + F.when(v > x, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("bin"),
+            v.alias("price"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("price").alias("lo"),
+            F.max("price").alias("hi"),
+        )
+    )
