@@ -186,16 +186,20 @@ def weighted_sample_exact_k(
     stays one window over a map-computed key: no iteration, no
     rejection loop.
 
-    Portability: the ES key is quantized ``floor(ln(u)/w · 2^40)`` so
-    cross-engine ranking never hinges on a last-ulp ``ln`` difference;
-    ties (quantized collisions) break on the row key. Rows with
-    non-positive weight are excluded (ES is undefined there).
+    Portability: the ES key is quantized ``floor(ln(u)/w · 2^20)``.
+    Coarse on purpose: a last-ulp cross-engine ``ln`` difference
+    (|error| ~1e-16) flips a quantized bin only when the value lands
+    within the error of a bin edge — probability ~1e-10 per row at this
+    quantum (at 2^40 it would be ~1e-4 per row: a real hash-parity
+    hazard on a large corpus). Collisions the coarseness creates break
+    deterministically on the row key, identically in both engines. Rows
+    with non-positive weight are excluded (ES is undefined there).
     """
     u = (md5_bigint(F.concat(F.lit(salt), F.col(key).cast("string"))) + 1).cast(
         "double"
     ) / F.lit(float(2**60))
     w = F.col(weight_col).cast("double")
-    es_q = F.floor(F.log(u) / w * F.lit(float(2**40))).cast("bigint")
+    es_q = F.floor(F.log(u) / w * F.lit(float(2**20))).cast("bigint")
     part = [stratum] if stratum else []
     win = Window.partitionBy(*part).orderBy(F.desc("es_q"), F.asc(key))
     return (

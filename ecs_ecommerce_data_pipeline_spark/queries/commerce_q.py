@@ -263,8 +263,6 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id) ordering; row-normalized by a window over the count
     aggregate — no second pass over events)."""
     e = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
-
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
@@ -281,6 +279,31 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions").cast("double")
             / F.sum("n_transitions").over(w_row).cast("double")
         ).alias("p_transition"),
+    )
+
+
+def _bin_by_edges(li, edges_df):
+    """Shared binning tail of both equi-depth variants: bin = number of
+    edges strictly below the price (edge-order-independent), then
+    per-bin count/min/max. ``edges_df`` is a 1-row frame with an array
+    column ``e``."""
+    v = F.col("l_extendedprice").cast("double")
+    return (
+        li.crossJoin(F.broadcast(edges_df))
+        .select(
+            F.aggregate(
+                "e", F.lit(0), lambda acc, x: acc + F.when(v > x, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("bin"),
+            v.alias("price"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("price").alias("lo"),
+            F.max("price").alias("hi"),
+        )
     )
 
 
@@ -323,23 +346,7 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.agg(
         F.percentile(v, F.array(*[F.lit(q) for q in qs_])).alias("e")
     )
-    return (
-        li.crossJoin(F.broadcast(edges))
-        .select(
-            F.aggregate(
-                "e", F.lit(0), lambda acc, x: acc + F.when(v > x, 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("bin"),
-            v.alias("price"),
-        )
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.min("price").alias("lo"),
-            F.max("price").alias("hi"),
-        )
-    )
+    return _bin_by_edges(li, edges)
 
 
 _SHARE_SQL = """
@@ -373,8 +380,6 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    from pyspark.sql import Window as W
-
     rev = (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -422,8 +427,6 @@ def q_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; growth is (cur − prev)/prev with NULL for the first month.
     The period-over-period pattern every reporting layer ships."""
     o = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window as W
-
     monthly = o.groupBy(
         F.date_format(F.date_trunc("month", F.to_date("o_orderdate")), "yyyy-MM-dd")
         .alias("month")
@@ -511,8 +514,6 @@ def q_repeat_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence, integer day gaps, exact aggregates) — the retention
     metric behind churn windows and re-engagement triggers."""
     o = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window as W
-
     d = F.to_date("o_orderdate")
     w = W.partitionBy("o_custkey").orderBy(d, F.col("o_orderkey"))
     seq = o.select(
@@ -548,8 +549,6 @@ def q_equidepth_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
        ``quantile_cont`` uses — bit-identical edges;
     4. the binning scan is shared with the percentile variant.
     """
-    from pyspark.sql import Window as W
-
     li = load_table(spark, sf_dir, "lineitem")
     v = F.col("l_extendedprice").cast("double")
     vals = li.groupBy(v.alias("v")).agg(F.count(F.lit(1)).alias("c"))
@@ -596,23 +595,5 @@ def q_equidepth_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("edge"),
         )
     )
-    edge_arr = edges.orderBy("qi").agg(
-        F.collect_list("edge").alias("e")
-    )
-    return (
-        li.crossJoin(F.broadcast(edge_arr))
-        .select(
-            F.aggregate(
-                "e", F.lit(0), lambda acc, x: acc + F.when(v > x, 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("bin"),
-            v.alias("price"),
-        )
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.min("price").alias("lo"),
-            F.max("price").alias("hi"),
-        )
-    )
+    edge_arr = edges.agg(F.collect_list("edge").alias("e"))
+    return _bin_by_edges(li, edge_arr)

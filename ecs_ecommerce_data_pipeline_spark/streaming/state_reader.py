@@ -16,7 +16,6 @@ Ops surface this enables (all read-only, query-independent):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def read_group_state(
