@@ -213,3 +213,43 @@ def test_drift_ops_ignore_null_values(spark):
     assert k(psi_bins(clean, "v", "smp", "a", "b").collect()) == k(
         psi_bins(dirty, "v", "smp", "a", "b").collect()
     )
+
+
+def test_geo_grid_partitions_customers(spark, sf_dir):
+    """Grid cells tile the unit square: every customer lands in exactly
+    one cell, cell ids stay in range, and the layout is deterministic
+    under repartitioning."""
+    from ecs_ecommerce_data_pipeline_spark.catalog import queries
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    out = queries()["geo_grid_buckets"](spark, sf_dir).collect()
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["n_customers"] for r in out) == n_customers
+    for r in out:
+        assert 0 <= r["cell_x"] < 10 and 0 <= r["cell_y"] < 10
+
+
+def test_mom_growth_known_answer(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [("2024-01-05", 100.0), ("2024-01-20", 100.0),
+            ("2024-02-10", 300.0), ("2024-03-01", 150.0)]
+    df = spark.createDataFrame(rows, "o_orderdate string, o_totalprice double")
+    monthly = df.groupBy(
+        F.date_format(F.date_trunc("month", F.to_date("o_orderdate")), "yyyy-MM-dd")
+        .alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = W.orderBy("month")
+    prev = F.lag("rev").over(w)
+    got = {
+        r["month"]: r["g"]
+        for r in monthly.select(
+            "month",
+            ((F.col("rev").cast("double") - prev.cast("double"))
+             / prev.cast("double")).alias("g"),
+        ).collect()
+    }
+    assert got["2024-01-01"] is None
+    assert got["2024-02-01"] == 0.5      # 200 -> 300
+    assert got["2024-03-01"] == -0.5     # 300 -> 150
