@@ -73,16 +73,33 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
     total = round(time.time() - t_start, 3)
 
+    # Two lines, full-precision FIRST, compact summary LAST: the driver
+    # captures only the output TAIL, and the full 77-query line at 3
+    # decimals outgrew the capture in round 2 (BENCH_r02.json recorded
+    # "parsed": null because the line's head — metric and total — was
+    # truncated away). The final line is the parse target: compact
+    # separators, 2-decimal times, nothing after it.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total_full_precision",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_clock_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": sf,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()),
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

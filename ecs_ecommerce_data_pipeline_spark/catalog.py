@@ -222,7 +222,40 @@ def _load_all() -> None:
     )
 
     verified = _driver_verified()
-    ordered = sorted(_CATALOG.items(), key=lambda kv: kv[0] in verified)
+
+    def rank(name: str) -> tuple[int, int]:
+        if name in verified:
+            return (2, 0)
+        try:
+            return (0, _PRIORITY.index(name))
+        except ValueError:
+            return (1, 0)
+
+    ordered = sorted(_CATALOG.items(), key=lambda kv: rank(kv[0]))
     _CATALOG.clear()
     _CATALOG.update(ordered)
     _LOADED = True
+
+
+# Unverified queries the next correctness round must reach first (the
+# harness verifies the catalog head): the approx pair are the only
+# queries that ever recorded a driver FAILURE (error-bound fix in
+# queries/relational.py has no driver confirmation yet), and the
+# SCD2/CDC/IVM/incremental family is the exactly-once story the
+# reference's ledger semantics map to (lambda_function.py:174,262) —
+# none has a driver row yet. Verified names always sort after ALL
+# unverified ones, so this list only orders the unverified head.
+_PRIORITY = [
+    "approx_distinct_parts",
+    "approx_quantiles_price",
+    "scd2_product_prices",
+    "scd2_as_of_snapshot",
+    "cdc_orders_diff",
+    "ivm_retract_merge",
+    "incremental_kpi_merge",
+    "incremental_distinct_merge",
+    "dataset_build_pipeline",
+    "capped_running_balance",
+    "histogram_equidepth_scalable",
+    "graph_pagerank_purchases",
+]

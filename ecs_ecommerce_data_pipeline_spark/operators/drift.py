@@ -39,6 +39,11 @@ def ks_two_sample(
 
     One row out: (n_a, n_b, ks_stat, ks_at_value) where ``ks_at_value``
     is the smallest value achieving the sup (deterministic tie-break).
+    If either sample is empty (label absent from ``sample_col``), the
+    statistic does not exist: ``ks_stat``/``ks_at_value`` are NULL (with
+    the true n_a/n_b counts); zero rows come back only when BOTH samples
+    are empty. Drift gates must treat NULL as "not comparable", never as
+    zero drift.
     """
     counts = (
         df.filter(F.col(sample_col).isin([a, b]))
@@ -67,20 +72,30 @@ def ks_two_sample(
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "diff",
-            F.abs(
-                F.col("cum_a").cast("double") / F.col("n_a").cast("double")
-                - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+            # An empty a- or b-sample has no CDF, so no KS statistic
+            # exists: keep diff (→ ks_stat) explicitly NULL rather than
+            # letting a /0 produce NaN/Infinity that downstream drift
+            # gating would read as a huge-drift signal. Callers must
+            # treat a NULL ks_stat as "not comparable".
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+                    - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+                ),
             ),
         )
     )
     return (
-        cdf.orderBy(F.desc("diff"), F.asc(value_col))
+        cdf.orderBy(F.desc_nulls_last("diff"), F.asc(value_col))
         .limit(1)
         .select(
             "n_a",
             "n_b",
             F.col("diff").alias("ks_stat"),
-            F.col(value_col).cast("double").alias("ks_at_value"),
+            F.when(
+                F.col("diff").isNotNull(), F.col(value_col).cast("double")
+            ).alias("ks_at_value"),
         )
     )
 

@@ -153,8 +153,15 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str = "date_key")
     """Keyed KPI sink: Parquet partitioned by date, dynamic-overwrite mode
     — rewriting a date's KPIs replaces exactly that partition (the upsert
     semantics of the reference's keyed DynamoDB ``put_item``,
-    ``transform_task.py:297,332``, without a driver collect)."""
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    ``transform_task.py:297,332``, without a driver collect).
+
+    Dynamic overwrite is pinned per-write: under Spark's default
+    ``partitionOverwriteMode=static`` an overwrite deletes EVERY
+    partition, not just the batch's — correctness must not depend on
+    which session built the writer."""
+    df.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(partition_col).parquet(path)
 
 
 def merge_upsert(
@@ -225,9 +232,11 @@ def merge_upsert(
     merged_back = spark.read.parquet(staging)
     try:
         if partition_col:
-            merged_back.write.mode("overwrite").partitionBy(
-                partition_col
-            ).parquet(target_path)
+            # per-write dynamic overwrite: with the 'static' default this
+            # would truncate the table to the batch's partitions
+            merged_back.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy(partition_col).parquet(target_path)
         else:
             final = target_path.rstrip("/") + "__merge_final"
             merged_back.write.mode("overwrite").parquet(final)

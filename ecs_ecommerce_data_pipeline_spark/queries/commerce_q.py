@@ -542,8 +542,14 @@ def q_equidepth_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. groupBy(value) → (value, count): the only corpus-sized shuffle,
        map-side combinable;
-    2. cumulative positions over distinct values (a window over
-       |distinct| rows — two-phase it per range-partition at 100 TB);
+    2. cumulative positions over distinct values via the classic
+       TWO-PHASE prefix sum — range-partition the distinct values,
+       per-partition local prefix sums (window partitioned by range-
+       partition id, so no task ever sees more than |distinct|/P rows),
+       then add each partition's starting offset (a P-row broadcast
+       computed with a tiny triangular self-join — deliberately NOT a
+       global window, so the whole plan has no Sort over an
+       Exchange SinglePartition; ``tests/test_plans.py`` gates this);
     3. each quantile's two straddling values found by position, then
        interpolated with the same ``lo + (hi − lo)·frac`` rule
        ``quantile_cont`` uses — bit-identical edges;
@@ -552,9 +558,32 @@ def q_equidepth_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     v = F.col("l_extendedprice").cast("double")
     vals = li.groupBy(v.alias("v")).agg(F.count(F.lit(1)).alias("c"))
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
-    cum = vals.withColumn("hi", F.sum("c").over(w)).withColumn(
-        "lo", F.col("hi") - F.col("c")
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)
+    # pid is ascending with v by repartitionByRange's contract; pin the
+    # partition assignment with a lineage cut because BOTH the local
+    # prefix sums and the per-partition offsets derive from it (a
+    # re-derivation could re-sample range boundaries)
+    local = (
+        vals.repartitionByRange(n_parts, "v")
+        .select("v", "c", F.spark_partition_id().alias("pid"))
+        .localCheckpoint(eager=False)
+    )
+    wloc = W.partitionBy("pid").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    local_cum = local.withColumn("local_hi", F.sum("c").over(wloc))
+    # per-partition totals (≤ P rows) → starting offsets via triangular
+    # self-join (off(p) = Σ_{q<p} total(q)); broadcast back
+    ptot = local.groupBy("pid").agg(F.sum("c").alias("pc"))
+    off = (
+        ptot.alias("a")
+        .join(F.broadcast(ptot.alias("b")), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.pc"), F.lit(0)).alias("off"))
+    )
+    cum = (
+        local_cum.join(F.broadcast(off), "pid")
+        .withColumn("hi", F.col("local_hi") + F.col("off"))
+        .withColumn("lo", F.col("hi") - F.col("c"))
+        .select("v", "c", "lo", "hi")
     )
     total = cum.agg(F.sum("c").cast("bigint").alias("n"))
     qdf = spark.range(1, 20).select(

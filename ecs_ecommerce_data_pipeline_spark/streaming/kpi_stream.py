@@ -90,11 +90,16 @@ def kpi_state_stream(
     to ``kpi_stream``'s scoped-recompute shape).
 
     Merge scope: only the ``order_date`` partitions present in the batch
-    are read back, merged, and dynamically overwritten. Exactly-once:
-    checkpoint dedups file offers; the ledger makes crash-replays of a
-    half-written batch no-ops (a re-merge of the same delta WOULD
-    double-count — unlike the recompute pipeline, idempotence here comes
-    from the ledger, which is why it is not optional in production).
+    are read back, merged, and dynamically overwritten. Exactly-once is
+    two layers deep, because a re-merge of the same delta WOULD
+    double-count (unlike the recompute pipeline): the checkpoint dedups
+    file offers and the ledger suppresses replays of batches marked
+    done, and — since a crash between the state write committing and
+    ``mark_done`` leaves the batch 'running', which the ledger would
+    re-admit — the merge itself is idempotent: every state row carries
+    the ``_applied_batch`` id that last merged into its partition, and a
+    replay skips partitions already stamped with the current batch id
+    (per-partition exactly-once even across ledger gaps).
     """
     from ..operators.incremental_agg import category_kpi_state, merge_kpi_states
 
@@ -112,13 +117,40 @@ def kpi_state_stream(
                 existing = spark.read.parquet(state_out).filter(
                     F.col("order_date").isin(dates)
                 )
-                merged = merge_kpi_states([existing, delta])
+                # Idempotent replay: a partition stamped with THIS batch
+                # id already holds the delta (crash landed between the
+                # state write and mark_done) — merge only the rest.
+                if "_applied_batch" in existing.columns:
+                    done = {
+                        r["order_date"]
+                        for r in existing.filter(F.col("_applied_batch") == bid)
+                        .select("order_date")
+                        .distinct()
+                        .collect()
+                    }
+                else:  # state predates the stamp column
+                    done = set()
+                remaining = [d for d in dates if d not in done]
+                if not remaining:
+                    merged = None
+                else:
+                    merged = merge_kpi_states([
+                        existing.filter(F.col("order_date").isin(remaining)).drop(
+                            "_applied_batch"
+                        ),
+                        delta.filter(F.col("order_date").isin(remaining)),
+                    ])
             except AnalysisException:  # first batch: no state yet
                 merged = delta
-            # break lineage before overwriting the path just read
-            merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
-                "order_date"
-            ).parquet(state_out)
+            if merged is not None:
+                # break lineage before overwriting the path just read;
+                # pin dynamic overwrite per-write so only the touched
+                # date partitions swap regardless of session defaults
+                merged.withColumn("_applied_batch", F.lit(bid)).localCheckpoint(
+                    eager=True
+                ).write.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).partitionBy("order_date").parquet(state_out)
         if ledger is not None:
             ledger.mark_done(bid)
 
@@ -162,7 +194,16 @@ def scd2_stream(
     from ..operators.scd import scd2_apply
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+        import shutil as _shutil
+
         spark = batch_df.sparkSession
+        # Crash recovery: the staged swap below is two renames, not one
+        # atomic step — a crash between them leaves the dimension parked
+        # in __scd2_old with dim_path missing. Restore it before reading.
+        old_dir = dim_path.rstrip("/") + "__scd2_old"
+        if not _os.path.exists(dim_path) and _os.path.exists(old_dir):
+            _os.replace(old_dir, dim_path)
         if batch_df.isEmpty():
             return
         w = Window.partitionBy(key).orderBy(
@@ -175,17 +216,14 @@ def scd2_stream(
         )
         dim = spark.read.parquet(dim_path)
         new_dim = scd2_apply(dim, latest, key, attrs, eff_col=eff_col)
-        # plain parquet: stage the rewrite, then ATOMICALLY swap via
-        # rename (same idiom as plans.incremental.merge_upsert) — a
-        # second overwrite of dim_path would delete-then-rewrite, and a
-        # crash in between loses the dimension
-        import os as _os
-        import shutil as _shutil
-
+        # plain parquet: stage the rewrite, then swap via two renames
+        # (NOT one atomic step — the entry-time recovery above handles a
+        # crash between them; a direct overwrite of dim_path would
+        # delete-then-rewrite, and a crash in between loses the
+        # dimension with nothing to recover from)
         staged = dim_path.rstrip("/") + "__scd2_staging"
         _shutil.rmtree(staged, ignore_errors=True)
         new_dim.write.mode("overwrite").parquet(staged)
-        old_dir = dim_path.rstrip("/") + "__scd2_old"
         _shutil.rmtree(old_dir, ignore_errors=True)
         _os.replace(dim_path, old_dir)
         _os.replace(staged, dim_path)

@@ -35,6 +35,21 @@ def test_ks_disjoint_samples_is_one(spark):
     assert out["ks_at_value"] == 9.0  # sup first reached at a's max
 
 
+def test_ks_empty_sample_yields_null_not_nan(spark):
+    """If a label is absent, the KS statistic does not exist: the row
+    must carry NULL ks_stat/ks_at_value (true counts preserved), never a
+    /0 NaN or Infinity that a drift gate would read as huge drift."""
+    df = spark.createDataFrame([(v, "a") for v in range(5)], "v int, smp string")
+    out = ks_two_sample(df, "v", "smp", "a", "b").collect()
+    assert len(out) == 1
+    assert out[0]["n_a"] == 5 and out[0]["n_b"] == 0
+    assert out[0]["ks_stat"] is None
+    assert out[0]["ks_at_value"] is None
+    # both samples empty -> zero rows, not a garbage row
+    both = spark.createDataFrame([(1, "z")], "v int, smp string")
+    assert ks_two_sample(both, "v", "smp", "a", "b").count() == 0
+
+
 def test_ks_known_value(spark):
     # a = {1,2,3,4}, b = {3,4,5,6}: sup |CDF_a - CDF_b| = 1/2 at v=2
     rows = [(1, "a"), (2, "a"), (3, "a"), (4, "a"),

@@ -78,6 +78,62 @@ def test_dynamic_partition_overwrite_upsert(spark, tmp_path):
     assert got == {("2024-01-01", 10), ("2024-01-02", 99)}
 
 
+def test_partitioned_writes_dynamic_even_under_static_session(spark, tmp_path):
+    """write_partitioned / merge_upsert pin partitionOverwriteMode=dynamic
+    per-write: under Spark's default 'static' session conf an overwrite
+    would silently delete every untouched partition."""
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import merge_upsert
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        out = str(tmp_path / "kpis_static")
+        write_partitioned(
+            spark.createDataFrame(
+                [("2024-01-01", 10), ("2024-01-02", 20)],
+                "date_key string, total long",
+            ),
+            out,
+        )
+        write_partitioned(
+            spark.createDataFrame([("2024-01-02", 99)], "date_key string, total long"),
+            out,
+        )
+        got = {
+            (str(r["date_key"]), r["total"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {("2024-01-01", 10), ("2024-01-02", 99)}
+
+        mout = str(tmp_path / "merge_static")
+        merge_upsert(
+            spark,
+            mout,
+            spark.createDataFrame(
+                [(1, "2024-01-01", 10), (2, "2024-01-02", 20)],
+                "id long, date_key string, total long",
+            ),
+            ["id"],
+            partition_col="date_key",
+        )
+        merge_upsert(
+            spark,
+            mout,
+            spark.createDataFrame(
+                [(2, "2024-01-02", 99)], "id long, date_key string, total long"
+            ),
+            ["id"],
+            partition_col="date_key",
+        )
+        got = {
+            (r["id"], str(r["date_key"]), r["total"])
+            for r in spark.read.parquet(mout).collect()
+        }
+        assert got == {(1, "2024-01-01", 10), (2, "2024-01-02", 99)}
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def test_process_batch_end_to_end(spark, tmp_path):
     t = ecommerce_views(spark, SF)
     ledger = BatchLedger(str(tmp_path / "ledger.json"))

@@ -384,6 +384,23 @@ def test_decay_score_take_ordered_not_global_sort(spark):
     assert "rangepartitioning" not in plan, plan
 
 
+def test_equidepth_scalable_has_no_global_window_sort(spark):
+    """The cumulative-position step must be the two-phase per-range-
+    partition prefix sum: no Sort whose input is an Exchange
+    SinglePartition anywhere in the plan (a global ordered window would
+    funnel every distinct value through ONE task at corpus scale). The
+    only SinglePartition exchanges allowed are scalar-aggregate finals
+    over already-reduced inputs."""
+    plan = _plan(catalog.queries()["histogram_equidepth_scalable"](spark, SF_SMOKE))
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Sort [" in ln:
+            follow = " ".join(lines[i + 1 : i + 3])
+            assert "Exchange SinglePartition" not in follow, plan
+    # the local prefix-sum window must be partitioned (by range-part id)
+    assert "Window [" in plan and "pid" in plan, plan
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark):
     """At 100 TB, a selective dimension filter should reach the fact scan
     as a runtime bloom filter (Spark injects it when the application side

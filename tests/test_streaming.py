@@ -304,6 +304,25 @@ def test_kpi_state_stream_merges_to_recompute(spark, tmp_path):
     got2 = finalize_category_kpis(spark.read.parquet(state_out))
     assert rows(got2) == rows(want)
 
+    # crash-window replay: flip one applied batch back to 'running' (the
+    # state write committed but mark_done never ran). The ledger will
+    # re-admit it on the next restart — the per-partition _applied_batch
+    # stamp must make the re-merge a no-op, not a double count.
+    import json as _json
+
+    ledger_path = str(tmp_path / "ledger.json")
+    with open(ledger_path) as fh:
+        lstate = _json.load(fh)
+    victim = sorted(k for k in lstate if k.startswith("state-microbatch-"))[-1]
+    lstate[victim] = "running"
+    with open(ledger_path, "w") as fh:
+        _json.dump(lstate, fh)
+    q3 = start(str(tmp_path / "ckpt3"))
+    q3.awaitTermination(120)
+    got3 = finalize_category_kpis(spark.read.parquet(state_out))
+    assert rows(got3) == rows(want)
+    assert BatchLedger(ledger_path).status(victim) == "done"
+
 
 def test_stateful_sessionizer_multi_batch(spark, tmp_path):
     """Custom stateful sessionizer: sessions fold across micro-batches,
@@ -583,6 +602,52 @@ def test_scd2_stream_equals_sequential_batch_applies(spark, tmp_path):
     # id=1 history: 2023 closed, 2024-01 closed, 2024-06 current at 12.0
     assert got[(1, "2024-06-01")] == (12.0, None, True)
     assert got[(1, "2024-01-01")][2] is False
+
+
+def test_scd2_stream_recovers_parked_dimension(spark, tmp_path):
+    """A crash between scd2_stream's two swap renames leaves the
+    dimension parked in __scd2_old with dim_path missing; the next
+    micro-batch must restore it before applying."""
+    import os
+
+    from ecs_ecommerce_data_pipeline_spark.streaming.kpi_stream import scd2_stream
+
+    dim_schema = (
+        "id long, price double, category string, valid_from string, "
+        "valid_to string, is_current boolean"
+    )
+    upd_schema = "id long, price double, category string, eff_date string"
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, 10.0, "a", "2023-01-01", None, True)], dim_schema
+    ).write.parquet(dim_path)
+    # simulate the crash window: dimension parked, dim_path gone
+    os.replace(dim_path, dim_path + "__scd2_old")
+    assert not os.path.exists(dim_path)
+
+    src = str(tmp_path / "updates")
+    spark.createDataFrame(
+        [(1, 11.0, "a", "2024-01-01")], upd_schema
+    ).coalesce(1).write.parquet(src)
+    q = scd2_stream(
+        spark.readStream.schema(upd_schema).parquet(src),
+        dim_path,
+        str(tmp_path / "ckpt"),
+        key="id",
+        attrs=["price", "category"],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["id"], r["valid_from"]): (r["price"], r["is_current"])
+        for r in spark.read.parquet(dim_path).collect()
+    }
+    assert got == {
+        (1, "2023-01-01"): (10.0, False),
+        (1, "2024-01-01"): (11.0, True),
+    }
 
 
 def test_sessionizer_tolerates_late_events(spark, tmp_path):
