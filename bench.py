@@ -189,6 +189,7 @@ _BENCH_EXTRA: set[str] = {
     "histogram_equidepth_scalable",
     "revenue_time_rollup",
     "capped_running_balance",
+    "settled_running_balance",
     "weighted_exact_k_sample",
 }
 

@@ -21,9 +21,15 @@ Determinism contract (same discipline as ``similarity.kmeans_refine``):
 
 Scale shape per iteration: one equi-join (edges ⨝ ranks on src) + one
 map-side-combinable aggregation on dst — the textbook distributed
-PageRank step. Degrees are precomputed once. Total cost
-O(iters · |edges|); no collect, no accumulating lineage problem at small
-fixed iters (checkpoint if iters grows).
+PageRank step. Degrees are precomputed once, and the degree-weighted
+edge list is REPARTITIONED ON src BEFORE its lineage cut: every
+iteration's join then finds the (large) edge side already hash-
+partitioned on the join key, so only the (small) ranks side shuffles —
+the edge list crosses the network once for the whole run, not once per
+iteration. Callers should use compact integer node ids (see
+``queries.graph_q``'s 2k/2k+1 encoding) — shuffle bytes per iteration
+are dominated by node-id width. No collect, no accumulating lineage
+problem at small fixed iters (checkpoint if iters grows).
 """
 
 from __future__ import annotations
@@ -63,20 +69,25 @@ def pagerank(
     if distinct_edges:
         edges = edges.distinct()
     if checkpoint:
-        # the edge list feeds the degree agg, the node set, AND every
-        # iteration's join — without a lineage cut the upstream
-        # derivation (often a join itself) re-executes 2 + iters times
-        # (same localCheckpoint pattern as the connected-components loop
-        # in operators.dedup)
-        edges = edges.localCheckpoint(eager=False)
-    # Pre-join the out-degree onto the (already checkpointed) edge list
-    # ONCE and pin the result: each iteration then needs a single join
-    # (ranks) instead of two.
+        # the edge list feeds the degree agg and the degree join —
+        # without a reuse point the upstream derivation (often a join
+        # itself) re-executes per consumer
+        edges = edges.persist()
+    # Pre-join the out-degree onto the edge list ONCE and pin the
+    # result: each iteration then needs a single join (ranks) instead
+    # of two. persist() — NOT localCheckpoint — is the reuse primitive
+    # here: InMemoryRelation advertises the cached plan's
+    # outputPartitioning/-Ordering (hashpartitioning(src) + sorted from
+    # the degree SMJ), so every iteration's join finds the big edge
+    # side pre-partitioned AND pre-sorted — zero exchange, zero sort;
+    # a localCheckpoint under AQE forgets partitioning (LogicalRDD of
+    # an unfinalized adaptive plan reports UnknownPartitioning) and
+    # re-shuffled the whole edge list EVERY iteration.
     wedges = edges.join(
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"
     )
     if checkpoint:
-        wedges = wedges.localCheckpoint(eager=False)
+        wedges = wedges.persist()
     nodes = (
         wedges.select(F.col("src").alias("node"))
         .unionByName(wedges.select(F.col("dst").alias("node")))
@@ -84,8 +95,10 @@ def pagerank(
     )
     if checkpoint:
         # referenced in the initial ranks AND every iteration's left
-        # join — without a cut the distinct-union recomputes per iter
-        nodes = nodes.localCheckpoint(eager=False)
+        # join; cached partitioning (hashpartitioning(node)) lines up
+        # with the contribution agg's output, so the per-iteration
+        # rank-update join shuffles nothing
+        nodes = nodes.persist()
     # N and the base term ride along as columns of a 1-row broadcast —
     # never collected to the driver
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))

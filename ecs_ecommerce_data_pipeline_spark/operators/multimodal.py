@@ -57,8 +57,13 @@ def decode_features(df: DataFrame) -> DataFrame:
     Kernel selection happens ON THE WORKER, per row:
 
     * ``image/*`` mime + PIL importable → real decode, ``kernel='pil'``;
-    * ``image/*`` mime, no PIL → ``NotImplementedError`` (loud — a
-      production cluster missing its codec libs must not emit fakes);
+    * ``image/png`` mime, no PIL → real stdlib decode (signature +
+      IHDR parse, full IDAT zlib inflate, raw-size cross-check against
+      the header geometry), ``kernel='pypng'`` — the real-decode path
+      stays exercised even on codec-less workers/CI;
+    * any other ``image/*`` mime, no PIL → ``NotImplementedError``
+      (loud — a production cluster missing its codec libs must not emit
+      fakes);
     * any other mime → deterministic stub, ``kernel='stub'``.
 
     The closure is deliberately self-contained (no references to this
@@ -89,6 +94,45 @@ def decode_features(df: DataFrame) -> DataFrame:
         except ImportError:
             _pil_kernel = None
 
+        def _png_kernel(payload: bytes) -> tuple[int, int, int, str]:
+            """Pure-stdlib PNG decode: parse IHDR, inflate every IDAT
+            chunk, and cross-check the inflated size against the header
+            geometry (height * (1 + scanline bytes)) — a corrupt or
+            truncated file raises instead of yielding fake dimensions."""
+            import struct as _struct
+            import zlib as _zlib
+
+            if payload[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG: bad signature")
+            pos, width, height, channels, bitdepth, interlace = 8, None, None, None, None, 0
+            idat = bytearray()
+            while pos + 8 <= len(payload):
+                (length,) = _struct.unpack(">I", payload[pos : pos + 4])
+                ctype = payload[pos + 4 : pos + 8]
+                data = payload[pos + 8 : pos + 8 + length]
+                if ctype == b"IHDR":
+                    width, height, bitdepth, color = _struct.unpack(
+                        ">IIBB", data[:10]
+                    )
+                    interlace = data[12]
+                    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+                elif ctype == b"IDAT":
+                    idat.extend(data)
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + length  # length + type + data + crc
+            if width is None or not idat:
+                raise ValueError("not a PNG: missing IHDR/IDAT")
+            raw = _zlib.decompress(bytes(idat))
+            if interlace == 0:
+                scanline = 1 + (width * channels * bitdepth + 7) // 8
+                if len(raw) != height * scanline:
+                    raise ValueError(
+                        f"PNG geometry mismatch: {len(raw)} raw bytes for "
+                        f"{width}x{height}x{channels}@{bitdepth}"
+                    )
+            return width, height, channels, _hl.md5(payload).hexdigest()
+
         def _stub_kernel(payload: bytes) -> tuple[int, int, int, str]:
             digest = _hl.md5(payload).hexdigest()
             return (
@@ -112,14 +156,18 @@ def decode_features(df: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 mime = (meta or {}).get("mime", "") or ""
                 if mime.startswith("image/"):
-                    if _pil_kernel is None:
+                    if _pil_kernel is not None:
+                        w, h, c, ck = _pil_kernel(b)
+                        kern = "pil"
+                    elif mime == "image/png":
+                        w, h, c, ck = _png_kernel(b)
+                        kern = "pypng"
+                    else:
                         raise NotImplementedError(
                             f"payload declares mime={mime!r} but no image "
                             "codec (PIL) is available on this worker; "
                             "refusing to emit stub dimensions for real media"
                         )
-                    w, h, c, ck = _pil_kernel(b)
-                    kern = "pil"
                 else:
                     w, h, c, ck = _stub_kernel(b)
                     kern = "stub"

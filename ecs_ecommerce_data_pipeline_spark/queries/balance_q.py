@@ -1,27 +1,38 @@
-"""Capped running balance: the canonical NOT-window-expressible fold.
+"""Capped running balance — clip-fed fold, computed WITHOUT Python.
 
 A running sum whose next value depends on the CLIPPED previous value
-(``bal = min(cap, bal + amount)``) cannot be written with window
-functions — the clip feeds back into the accumulation, so no prefix-sum
-decomposition exists. This is precisely the case the engine's
-"UDFs are the slow path" rule carves out as legitimate. The fold runs
-at PARTITION granularity (``mapInPandas`` after co-locating and sorting
-each key's rows) rather than per-key ``applyInPandas`` — with ~150k
-tiny groups the per-group Python-call overhead dominates by an order of
-magnitude; the partition-level fold touches each row exactly once.
+(``bal_i = min(cap, bal_{i-1} + x_i)``) looks sequential, but the
+one-sided clamp admits an exact prefix identity::
 
+    bal_i = S_i - max(0, max(S_1..S_i) - cap)        (S = raw cumsum)
+
+Proof sketch (induction): while the running max of the raw prefix sum
+stays <= cap nothing has clipped and bal = S; once it exceeds cap the
+excess ``max(S)-cap`` is exactly the total mass ever clipped away, and
+later deltas ride on top of the clamped value. Cap-hit detection falls
+out of the same identity: the pre-clip value at row i is
+``p_i = S_i - max(0, max(S_1..S_{i-1}) - cap)`` and row i hits the cap
+iff ``p_i > cap``.
+
+So the whole operator is three window expressions over ONE
+(partitionBy customer, orderBy date/orderkey) spec — cumsum, running
+max, lag — which Catalyst collapses into a single Window node: one
+shuffle + one sort, all JVM, no Python anywhere. (Rounds 1-2 carried
+this as a mapInPandas partition fold on the belief the clip was not
+window-expressible; the identity above makes the Python path
+unnecessary — a genuinely non-prefix-decomposable fold lives in
+``settled_running_balance`` below.)
+
+Determinism: amounts fold in integer CENTS (exact BIGINT algebra, the
+order pinned by (date, orderkey)), converted to double once at the end.
 The oracle proves the semantics with a recursive CTE walking each
-customer's order sequence — slow, but an independent second
-implementation of the same fold.
-
-Determinism: amounts fold in integer CENTS (exact, associativity not
-required — the order is pinned by (date, orderkey)), converted to
-double once at the end.
+customer's order sequence — an independent second implementation of the
+same fold.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import register
@@ -35,9 +46,10 @@ def capped_balances(
 ) -> DataFrame:
     """Per-customer capped running balance over orders in
     (o_orderdate, o_orderkey) order. Returns one row per customer:
-    (o_custkey, n_orders, n_caps_hit, final_balance)."""
-    import pandas as pd
+    (o_custkey, n_orders, n_caps_hit, final_balance).
 
+    Pure window-function plan via the clip identity (module docstring);
+    the three window expressions share one spec -> one Window node."""
     prepared = orders.select(
         "o_custkey",
         "o_orderkey",
@@ -46,43 +58,29 @@ def capped_balances(
         .cast("bigint")
         .alias("cents"),
     )
-
-    # Many-small-groups shape: per-group applyInPandas pays a Python
-    # call + pandas frame per CUSTOMER (~150k at sf0.1 → tens of
-    # seconds). Instead: co-locate each customer on one partition, sort
-    # within partitions, and fold whole Arrow batches — per-customer
-    # state rides a dict across the partition's batch iterator. One
-    # shuffle + one sort, Python touches each ROW once.
-    def fold_partition(batches):
-        state: dict[int, list[int]] = {}  # cust -> [bal, hits, n]
-        for pdf in batches:
-            for cust, cents in zip(pdf["o_custkey"], pdf["cents"]):
-                st = state.get(cust)
-                if st is None:
-                    st = state[cust] = [0, 0, 0]
-                bal = st[0] + int(cents)
-                if bal > cap_cents:
-                    bal = cap_cents
-                    st[1] += 1
-                st[0] = bal
-                st[2] += 1
-        if state:
-            yield pd.DataFrame(
-                {
-                    "o_custkey": [int(c) for c in state],
-                    "n_orders": [v[2] for v in state.values()],
-                    "n_caps_hit": [v[1] for v in state.values()],
-                    "final_balance": [v[0] / 100.0 for v in state.values()],
-                }
-            )
-
-    return (
-        prepared.repartition("o_custkey")
-        .sortWithinPartitions("o_custkey", "od", "o_orderkey")
-        .mapInPandas(
-            fold_partition,
-            "o_custkey bigint, n_orders bigint, n_caps_hit bigint, final_balance double",
-        )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    cap = F.lit(cap_cents)
+    staged = (
+        prepared.withColumn("s", F.sum("cents").over(wrun))
+        .withColumn("m", F.max("s").over(wrun))
+        .withColumn("m_prev", F.lag("m").over(w))
+    )
+    # greatest() skips NULLs, so the first row's missing m_prev clamps 0
+    preclip = F.col("s") - F.greatest(F.lit(0), F.col("m_prev") - cap)
+    rows = staged.select(
+        "o_custkey",
+        "od",
+        "o_orderkey",
+        F.when(preclip > cap, F.lit(1)).otherwise(F.lit(0)).alias("hit"),
+        (F.col("s") - F.greatest(F.lit(0), F.col("m") - cap)).alias("bal"),
+    )
+    return rows.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("hit").cast("bigint").alias("n_caps_hit"),
+        (
+            F.max_by("bal", F.struct("od", "o_orderkey")).cast("double") / 100.0
+        ).alias("final_balance"),
     )
 
 
@@ -119,6 +117,172 @@ GROUP BY o_custkey
 
 @register("capped_running_balance", _BALANCE_SQL)
 def q_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clip-fed running balance per customer — see module docstring for
-    why this is the legitimate ``applyInPandas`` case."""
+    """Clip-fed running balance per customer, as pure window algebra —
+    see the module docstring for the prefix identity that makes the
+    former Python fold unnecessary."""
     return capped_balances(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Settled running balance: the GENUINE partition-fold carve-out
+# --------------------------------------------------------------------------
+
+def settled_balances(
+    orders: DataFrame, cap_cents: int = _CAP_CENTS
+) -> DataFrame:
+    """Per-customer SETTLED balance: when a purchase would push the
+    balance past the cap, the account settles — the balance RESETS to
+    zero (the purchase amount is absorbed by the settlement) and a
+    settlement is counted::
+
+        y_i = 0            if y_{i-1} + x_i > cap   (settle)
+              y_{i-1}+x_i  otherwise
+
+    Unlike the min-clamp, reset-to-zero is greedy chunking — each reset
+    restarts the prefix sum at a data-dependent row, so no prefix-sum /
+    running-max identity exists (same recurrence class as greedy shard
+    packing). This IS the legitimate Python carve-out, and the kernel is
+    a VECTORIZED segment fold, not a per-row loop: per customer the raw
+    cumsum is monotone (amounts >= 0), so each settlement boundary is a
+    binary search (``np.searchsorted``) over the remaining cumsum —
+    O(settlements * log n) per customer, numpy end-to-end.
+
+    Partition-fold shape (not per-group applyInPandas): customers are
+    co-located via repartition + sorted within partitions; ~150k tiny
+    groups through per-group pandas would pay a Python call each (the
+    measured 35x penalty — see .claude/skills/verify notes). A customer
+    can straddle consecutive Arrow batches, so (bal, settles, n) carries
+    across the batch iterator for the boundary customer only.
+
+    Returns (o_custkey, n_orders, n_settlements, final_balance).
+    """
+    import numpy as np
+    import pandas as pd
+
+    prepared = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("od"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+    def fold_partition(batches):
+        # carry state for the customer straddling a batch boundary
+        carry_cust = None
+        carry = (0, 0, 0)  # bal, settles, n
+
+        def fold_segment(cents: "np.ndarray", bal0: int) -> tuple[int, int]:
+            """Vectorized settle fold of one customer's (sorted) amounts
+            starting from balance ``bal0``: returns (final_bal, settles).
+            Amounts are >= 0, so cumsum is monotone and every settlement
+            boundary is one searchsorted."""
+            settles = 0
+            base = -bal0  # cumsum offset: balance = csum - base
+            csum = np.cumsum(cents)
+            pos = 0
+            n = len(cents)
+            while pos < n:
+                # first row where bal = csum - base exceeds the cap
+                j = int(np.searchsorted(csum, base + cap_cents, side="right"))
+                if j >= n:
+                    return int(csum[-1] - base), settles
+                # row j settles: balance resets to 0 AFTER absorbing x_j
+                settles += 1
+                base = csum[j]
+                pos = j + 1
+            return 0, settles
+
+        for pdf in batches:
+            custs = pdf["o_custkey"].to_numpy()
+            cents = pdf["cents"].to_numpy()
+            if len(custs) == 0:
+                continue
+            starts = np.flatnonzero(
+                np.concatenate(([True], custs[1:] != custs[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [len(custs)]))
+            out: list[tuple[int, int, int, float]] = []
+            for s, e in zip(starts, ends):
+                cust = int(custs[s])
+                if cust == carry_cust:
+                    bal0, prev_settles, prev_n = carry
+                else:
+                    if carry_cust is not None:
+                        out.append(
+                            (carry_cust, carry[2], carry[1], carry[0] / 100.0)
+                        )
+                    bal0, prev_settles, prev_n = 0, 0, 0
+                bal, settles = fold_segment(cents[s:e], bal0)
+                carry_cust = cust
+                carry = (bal, prev_settles + settles, prev_n + (e - s))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "o_custkey",
+                        "n_orders",
+                        "n_settlements",
+                        "final_balance",
+                    ],
+                )
+        if carry_cust is not None:
+            yield pd.DataFrame(
+                [(carry_cust, carry[2], carry[1], carry[0] / 100.0)],
+                columns=[
+                    "o_custkey",
+                    "n_orders",
+                    "n_settlements",
+                    "final_balance",
+                ],
+            )
+
+    return (
+        prepared.repartition("o_custkey")
+        .sortWithinPartitions("o_custkey", "od", "o_orderkey")
+        .mapInPandas(
+            fold_partition,
+            "o_custkey bigint, n_orders bigint, n_settlements bigint, "
+            "final_balance double",
+        )
+    )
+
+
+_SETTLED_SQL = f"""
+WITH RECURSIVE ranked AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS STRING), o_orderkey) AS rn
+    FROM orders
+),
+walk AS (
+    SELECT o_custkey, rn,
+           CASE WHEN cents > {_CAP_CENTS} THEN 0 ELSE cents END AS bal,
+           CASE WHEN cents > {_CAP_CENTS} THEN 1 ELSE 0 END AS settles
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT r.o_custkey, r.rn,
+           CASE WHEN w.bal + r.cents > {_CAP_CENTS} THEN 0
+                ELSE w.bal + r.cents END,
+           w.settles + CASE WHEN w.bal + r.cents > {_CAP_CENTS} THEN 1 ELSE 0 END
+    FROM walk w JOIN ranked r
+      ON r.o_custkey = w.o_custkey AND r.rn = w.rn + 1
+)
+SELECT o_custkey,
+       CAST(MAX(rn) AS BIGINT) AS n_orders,
+       CAST(MAX(settles) AS BIGINT) AS n_settlements,
+       CAST(MAX(CASE WHEN rn = mx THEN bal END) AS DOUBLE) / 100.0 AS final_balance
+FROM (SELECT *, MAX(rn) OVER (PARTITION BY o_custkey) AS mx FROM walk) t
+GROUP BY o_custkey
+"""
+
+
+@register("settled_running_balance", _SETTLED_SQL)
+def q_settled_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-on-cap settled balance per customer — the genuinely
+    non-prefix-decomposable fold, run as a vectorized numpy segment fold
+    at partition granularity (see ``settled_balances``)."""
+    return settled_balances(load_table(spark, sf_dir, "orders"))

@@ -62,7 +62,45 @@ STAGES = {
     "events_transition_matrix": "events",
     "capped_running_balance": "orders",
     "weighted_exact_k_sample": "documents",
+    # round-3 additions: the composed flagship end-to-end, the two-phase
+    # equi-depth histogram, and the settle fold (vectorized carve-out)
+    "dataset_build_pipeline": "documents",
+    "histogram_equidepth_scalable": "lineitem",
+    "settled_running_balance": "orders",
 }
+
+
+def _pagerank_decomposition(spark, qs, src_dir: str, out_dir: str) -> dict:
+    """Measured explanation for the PageRank time ratio: how much of the
+    growth is the graph itself (distinct edge count grows faster than
+    lineitem rows — more orders per customer at 10x replicated keys means
+    denser pair sets) vs shuffle volume per run."""
+    from ecs_ecommerce_data_pipeline_spark.functions.introspect import (
+        job_shuffle_write_bytes,
+    )
+
+    def edge_count(d: str) -> int:
+        li = load_table(spark, d, "lineitem")
+        o = load_table(spark, d, "orders")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .select("o_custkey", "l_partkey")
+            .distinct()
+            .count()
+        )
+
+    out: dict = {}
+    for label, d in (("base", src_dir), ("scaled", out_dir)):
+        out[f"distinct_pairs_{label}"] = edge_count(d)
+        spark.catalog.clearCache()
+        out[f"shuffle_write_bytes_{label}"] = job_shuffle_write_bytes(
+            spark, lambda: qs["graph_pagerank_purchases"](spark, d).count()
+        )
+    b, s = out["distinct_pairs_base"], out["distinct_pairs_scaled"]
+    out["pairs_ratio"] = round(s / b, 2) if b else None
+    b, s = out["shuffle_write_bytes_base"], out["shuffle_write_bytes_scaled"]
+    out["shuffle_bytes_ratio"] = round(s / b, 2) if b and b > 0 else None
+    return out
 
 _ID_OFFSET = 10_000_000
 
@@ -153,6 +191,10 @@ def _union_all(dfs):
 
 
 def _time_stage(qs, name: str, sf_dir: str) -> float:
+    # stages that persist() intermediates (pagerank) must not carry a
+    # warm cache from the previous run into a timed run — ratios would
+    # compare a cache hit at 1x against a cold build at 10x
+    _SPARK.catalog.clearCache()
     t0 = time.time()
     qs[name](spark := _SPARK, sf_dir).count()  # noqa: F841 (spark reused)
     return round(time.time() - t0, 3)
@@ -196,6 +238,9 @@ def main() -> None:
                 "time_ratio": round(time_ratio, 2),
                 "per_row_ratio": round(time_ratio / rows_ratio, 3),
             }
+        result["pagerank_decomposition"] = _pagerank_decomposition(
+            _SPARK, qs, src_dir, out_dir
+        )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -46,10 +46,10 @@ def test_decode_kernel_flag_is_stub_for_opaque_payloads(spark):
 
 
 def test_decode_image_mime_without_codec_is_loud(spark):
-    """An ``image/*`` payload on a worker without PIL must raise, not
-    fall back to fake dimensions. (If PIL ever lands in the container the
-    pil kernel path takes over; this test then needs a real image byte
-    payload instead.)"""
+    """A non-PNG ``image/*`` payload on a worker without PIL must raise,
+    not fall back to fake dimensions. (If PIL ever lands in the container
+    the pil kernel path takes over; this test then needs a real image
+    byte payload instead.)"""
     try:
         import PIL  # noqa: F401
 
@@ -69,7 +69,7 @@ def test_decode_image_mime_without_codec_is_loud(spark):
         "media_meta",
         F.struct(
             F.col("media_meta.n_bytes").alias("n_bytes"),
-            F.lit("image/png").alias("mime"),
+            F.lit("image/jpeg").alias("mime"),
         ),
     )
     with pytest.raises(Exception) as exc_info:
@@ -77,6 +77,80 @@ def test_decode_image_mime_without_codec_is_loud(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def _make_png(width: int, height: int, channels: int = 3) -> bytes:
+    """Build a valid PNG with pure stdlib (the test's independent second
+    implementation of the format — no shared code with the kernel)."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((x * channels + c) % 256 for x in range(width) for c in range(channels))
+        for _ in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_real_png_payload_uses_real_kernel(spark):
+    """An ``image/png`` payload must go through a REAL decode — PIL when
+    present, the stdlib PNG parser otherwise — and report the true
+    geometry from the file bytes, never stub dimensions."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    cases = [(1, 5, 3, 1), (2, 3, 2, 3), (3, 7, 4, 4)]  # id, w, h, channels
+    rows = [(i, bytearray(_make_png(w, h, c))) for i, w, h, c in cases]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.octet_length("payload").alias("n_bytes"),
+            F.lit("image/png").alias("mime"),
+        ).alias("media_meta"),
+    )
+    got = {r["doc_id"]: r for r in decode_features(df).collect()}
+    for i, w, h, c in cases:
+        r = got[i]
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, c)
+        assert r["kernel"] in ("pil", "pypng")
+        assert r["checksum"] == hashlib.md5(_make_png(w, h, c)).hexdigest()
+        assert r["n_bytes"] == len(_make_png(w, h, c))
+
+
+def test_decode_corrupt_png_is_loud(spark):
+    """A truncated/garbage PNG must raise during decode, not emit fake
+    dimensions."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    good = _make_png(4, 4, 3)
+    corrupt = bytearray(good[: len(good) // 2])  # truncated mid-IDAT
+    df = spark.createDataFrame(
+        [(1, corrupt)], "doc_id long, payload binary"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.octet_length("payload").alias("n_bytes"),
+            F.lit("image/png").alias("mime"),
+        ).alias("media_meta"),
+    )
+    with pytest.raises(Exception):
+        decode_features(df).collect()
 
 
 def test_resize_preserves_aspect_and_bounds(spark):

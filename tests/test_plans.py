@@ -401,6 +401,20 @@ def test_equidepth_scalable_has_no_global_window_sort(spark):
     assert "Window [" in plan and "pid" in plan, plan
 
 
+def test_capped_balance_is_pure_window_no_python(spark):
+    """The clip-identity rewrite must keep the whole fold JVM-side: no
+    Arrow/Python eval nodes, exactly one Window node (the three window
+    expressions share one spec), one hash-partitioning exchange for it."""
+    plan = _plan(catalog.queries()["capped_running_balance"](spark, SF_SMOKE))
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+    # three chained Window nodes (sum -> max -> lag depend on each other)
+    # but ONE exchange + ONE sort; the final per-customer agg reuses the
+    # same hash partitioning, so no second shuffle either
+    assert plan.count("Window [") == 3, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort [") == 1, plan
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark):
     """At 100 TB, a selective dimension filter should reach the fact scan
     as a runtime bloom filter (Spark injects it when the application side

@@ -295,3 +295,86 @@ def test_bpe_first_merge_is_true_max_pair(spark, words):
     best_pair = min(p for p, c in pair_counts.items() if c == best_cnt)
     assert out[1]["pair_cnt"] == best_cnt
     assert out[1]["merged_token"] == "".join(best_pair)
+
+
+# --- balance folds: window identity and settle fold vs reference loops ---
+
+_amounts = st.lists(
+    st.integers(min_value=-500, max_value=900), min_size=1, max_size=40
+)
+
+
+@given(
+    per_cust=st.lists(_amounts, min_size=1, max_size=4),
+    cap=st.integers(min_value=100, max_value=2000),
+)
+@_SETTINGS
+def test_capped_balance_window_identity_matches_loop(spark, per_cust, cap):
+    """The pure-window clip identity (bal = S - max(0, runmax(S) - cap))
+    must equal the sequential reference fold for ARBITRARY SIGNED
+    amounts, not just the positive order totals of the dataset."""
+    from ecs_ecommerce_data_pipeline_spark.queries.balance_q import capped_balances
+
+    rows = []
+    want = {}
+    for ci, amounts in enumerate(per_cust):
+        bal = hits = 0
+        for i, x in enumerate(amounts):
+            # dollars-with-cents to survive the decimal(18,2)*100 cast
+            rows.append((ci, i, f"2024-{i // 28 + 1:02d}-{i % 28 + 1:02d}", x / 100))
+            # reference loop works in the same (date, orderkey) order the
+            # operator pins — generate dates already ascending per i
+            bal = bal + x
+            if bal > cap:
+                bal = cap
+                hits += 1
+        want[ci] = (len(amounts), hits, bal / 100)
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderkey long, o_orderdate string, o_totalprice double"
+    )
+    got = {
+        r["o_custkey"]: (r["n_orders"], r["n_caps_hit"], round(r["final_balance"], 2))
+        for r in capped_balances(orders, cap_cents=cap).collect()
+    }
+    assert got == {k: (n, h, round(b, 2)) for k, (n, h, b) in want.items()}
+
+
+@given(
+    per_cust=st.lists(
+        st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=40),
+        min_size=1,
+        max_size=4,
+    ),
+    cap=st.integers(min_value=100, max_value=2000),
+)
+@_SETTINGS
+def test_settled_balance_fold_matches_loop(spark, per_cust, cap):
+    """The vectorized searchsorted segment fold must equal the
+    sequential reset-on-cap reference (nonnegative amounts — the
+    monotone-cumsum precondition of the kernel)."""
+    from ecs_ecommerce_data_pipeline_spark.queries.balance_q import settled_balances
+
+    rows = []
+    want = {}
+    for ci, amounts in enumerate(per_cust):
+        bal = settles = 0
+        for i, x in enumerate(amounts):
+            rows.append((ci, i, f"2024-{i // 28 + 1:02d}-{i % 28 + 1:02d}", x / 100))
+            if bal + x > cap:
+                bal = 0
+                settles += 1
+            else:
+                bal += x
+        want[ci] = (len(amounts), settles, bal / 100)
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderkey long, o_orderdate string, o_totalprice double"
+    )
+    got = {
+        r["o_custkey"]: (
+            r["n_orders"],
+            r["n_settlements"],
+            round(r["final_balance"], 2),
+        )
+        for r in settled_balances(orders, cap_cents=cap).collect()
+    }
+    assert got == {k: (n, s, round(b, 2)) for k, (n, s, b) in want.items()}
