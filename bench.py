@@ -60,9 +60,18 @@ def main() -> None:
         "dedup_minhash_candidates",
         "tpch_q21_waiting_supplier",
         "tpch_q2_min_cost_supplier",
+        "graph_pagerank_purchases",
+        "histogram_equidepth_scalable",
+        "dataset_build_pipeline",
+        "settled_running_balance",
+        "embedding_covariance",
     ]:
         if w in all_queries:
             all_queries[w](spark, sf_dir).count()
+    # warmup is for CODEGEN, not data: drop any Spark-side caches the
+    # warmed plans pinned (pagerank persists its edge list) so measured
+    # runs recompute from storage like every other query
+    spark.catalog.clearCache()
 
     t_start = time.time()
     timings: dict[str, float] = {}
@@ -169,6 +178,7 @@ _BENCH_EXTRA: set[str] = {
     "drift_psi_doc_lengths",
     "drift_ks_doc_lengths",
     "sim_bruteforce_topk_arrow",
+    "embedding_covariance_arrow",
     # round-2d additions: BPE, MV routing, OLS, covariance, as-of bound
     "bpe_merge_rounds",
     "mv_rollup_category",

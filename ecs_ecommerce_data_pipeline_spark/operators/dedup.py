@@ -290,9 +290,20 @@ def connected_components(
         .distinct()
     )
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
-    und = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # Pin the undirected edge list ONCE, pre-partitioned on the join
+    # key: without the persist the upstream derivation (typically the
+    # whole LSH candidate pipeline) re-executes EVERY iteration, and
+    # the cached hashpartitioning(u) means per-iteration joins shuffle
+    # only the (one-row-per-node) labels side, never the edge list.
+    # labels itself keeps localCheckpoint — the convergence loop needs
+    # its lineage truncated each round, and its per-iteration shuffle is
+    # the small side.
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .repartition("u")
+        .persist()
+    )
 
     for _ in range(max_iter):
         offered = (
@@ -314,4 +325,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    # every labels round is eagerly checkpointed (materialized blocks),
+    # so the result no longer depends on the cached edge list
+    und.unpersist()
     return labels

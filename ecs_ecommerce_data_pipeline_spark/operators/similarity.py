@@ -615,3 +615,67 @@ def brute_force_topk_arrow(
         cands.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= kk)
     )
+
+
+def covariance_pair_partials_arrow(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Quantized upper-triangle pair-product partial sums, Arrow-
+    vectorized: the throughput twin of the Catalyst explode in
+    ``queries.similarity_q.q_embedding_covariance`` (same oracle).
+
+    The Catalyst path explodes dims²/2 structs PER ROW and evaluates one
+    floor/multiply per expression node — correct, but scoring CPU grows
+    as rows·dims². This kernel computes whole-batch outer products in
+    numpy (row-chunked so the n×d×d intermediate stays ~32 MB), floors
+    to the same 2^40 fixed point, and int64-sums within the partition —
+    each task emits ONE d·(d+1)/2-row partial, so the shuffle is
+    O(tasks · dims²) regardless of row count.
+
+    Float-exactness: ``floor((x_i·x_j)·2^40)`` is a single IEEE multiply
+    chain evaluated identically by numpy and the JVM, and all summation
+    is exact int64 — no BLAS (``np.dot`` would reassociate; elementwise
+    outer products do not).
+
+    Returns (i, j, s_ij, n) partials; callers groupBy(i, j).sum to merge.
+    """
+    import numpy as np
+    import pandas as pd
+
+    scale = float(2**40)
+
+    def partials(batches):
+        S = None
+        n = 0
+        dims = None
+        for pdf in batches:
+            x = np.array(list(pdf["_v"]), dtype=np.float64)
+            if x.size == 0:
+                continue
+            if dims is None:
+                dims = x.shape[1]
+                S = np.zeros((dims, dims), dtype=np.int64)
+            elif x.shape[1] != dims:
+                raise ValueError(
+                    f"ragged embeddings: {x.shape[1]} != {dims}"
+                )
+            chunk = max(1, (4 << 20) // (dims * dims))  # ~32 MB float64
+            for lo in range(0, x.shape[0], chunk):
+                xc = x[lo : lo + chunk]
+                prod = xc[:, :, None] * xc[:, None, :]
+                S += np.floor(prod * scale).astype(np.int64).sum(axis=0)
+            n += x.shape[0]
+        if S is not None:
+            iu, ju = np.triu_indices(S.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int64),
+                    "j": ju.astype(np.int64),
+                    "s_ij": S[iu, ju],
+                    "n": np.full(iu.size, n, dtype=np.int64),
+                }
+            )
+
+    return embeddings.select(as_double_array(vec_col).alias("_v")).mapInPandas(
+        partials, "i bigint, j bigint, s_ij bigint, n bigint"
+    )

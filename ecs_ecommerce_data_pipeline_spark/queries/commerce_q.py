@@ -543,13 +543,16 @@ def q_equidepth_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. groupBy(value) → (value, count): the only corpus-sized shuffle,
        map-side combinable;
     2. cumulative positions over distinct values via the classic
-       TWO-PHASE prefix sum — range-partition the distinct values,
-       per-partition local prefix sums (window partitioned by range-
-       partition id, so no task ever sees more than |distinct|/P rows),
-       then add each partition's starting offset (a P-row broadcast
-       computed with a tiny triangular self-join — deliberately NOT a
-       global window, so the whole plan has no Sort over an
-       Exchange SinglePartition; ``tests/test_plans.py`` gates this);
+       TWO-PHASE prefix sum — bucket the distinct values into P
+       equal-width value ranges (``pid`` is a pure expression of v and
+       the broadcast min/max, so it is deterministic, needs no range
+       sampling job, and every subtree over the value histogram reuses
+       ONE exchange), per-bucket local prefix sums (a window partitioned
+       by pid, so no task ever sees more than ~|distinct|/P rows), then
+       add each bucket's starting offset (a P-row broadcast computed
+       with a tiny triangular self-join — deliberately NOT a global
+       window, so the plan has no Sort over an Exchange SinglePartition;
+       ``tests/test_plans.py`` gates this);
     3. each quantile's two straddling values found by position, then
        interpolated with the same ``lo + (hi − lo)·frac`` rule
        ``quantile_cont`` uses — bit-identical edges;
@@ -559,20 +562,20 @@ def q_equidepth_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("l_extendedprice").cast("double")
     vals = li.groupBy(v.alias("v")).agg(F.count(F.lit(1)).alias("c"))
     n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)
-    # pid is ascending with v by repartitionByRange's contract; pin the
-    # partition assignment with a lineage cut because BOTH the local
-    # prefix sums and the per-partition offsets derive from it (a
-    # re-derivation could re-sample range boundaries)
-    local = (
-        vals.repartitionByRange(n_parts, "v")
-        .select("v", "c", F.spark_partition_id().alias("pid"))
-        .localCheckpoint(eager=False)
+    stats = vals.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_parts))
+    pid = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_parts - 1),
+            F.floor((F.col("v") - F.col("vmin")) / width).cast("int"),
+        )
     )
+    binned = vals.crossJoin(F.broadcast(stats)).select("v", "c", pid.alias("pid"))
     wloc = W.partitionBy("pid").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
-    local_cum = local.withColumn("local_hi", F.sum("c").over(wloc))
-    # per-partition totals (≤ P rows) → starting offsets via triangular
+    local_cum = binned.withColumn("local_hi", F.sum("c").over(wloc))
+    # per-bucket totals (≤ P rows) → starting offsets via triangular
     # self-join (off(p) = Σ_{q<p} total(q)); broadcast back
-    ptot = local.groupBy("pid").agg(F.sum("c").alias("pc"))
+    ptot = binned.groupBy("pid").agg(F.sum("c").alias("pc"))
     off = (
         ptot.alias("a")
         .join(F.broadcast(ptot.alias("b")), F.col("b.pid") < F.col("a.pid"), "left")
@@ -585,7 +588,7 @@ def q_equidepth_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lo", F.col("hi") - F.col("c"))
         .select("v", "c", "lo", "hi")
     )
-    total = cum.agg(F.sum("c").cast("bigint").alias("n"))
+    total = vals.agg(F.sum("c").cast("bigint").alias("n"))
     qdf = spark.range(1, 20).select(
         F.col("id").alias("qi"), (F.col("id") / 20.0).alias("q")
     )

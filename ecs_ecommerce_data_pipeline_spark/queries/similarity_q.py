@@ -413,6 +413,13 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.sum("xq").cast("bigint").alias("s"))
     )
+    return _cov_finalize(pair_sums, dim_sums)
+
+
+def _cov_finalize(pair_sums: DataFrame, dim_sums: DataFrame) -> DataFrame:
+    """Shared covariance finalization: join dim sums onto pair sums and
+    evaluate the covariance formula once in double (both the Catalyst
+    explode and the Arrow partial path feed this)."""
     sc = F.lit(float(2**40))
     di = dim_sums.select(F.col("d").alias("_di"), F.col("s").alias("_si"))
     dj = dim_sums.select(F.col("d").alias("_dj"), F.col("s").alias("_sj"))
@@ -435,3 +442,34 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n - F.lit(1.0))
         ).alias("cov"),
     )
+
+
+@register("embedding_covariance_arrow", _COV_SQL)
+def q_embedding_covariance_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized twin of ``embedding_covariance`` — identical
+    sufficient statistics and oracle, but the dims²/2 pair products come
+    from whole-batch numpy outer products with ONE d·(d+1)/2-row partial
+    emitted per task (shuffle independent of row count). The per-dim
+    sums stay on the cheap Catalyst d-wide explode."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = similarity.as_double_array("embedding")
+    sc_lit = F.lit(float(2**40))
+    base = e.select(F.col("vec_id").cast("bigint").alias("vec_id"), v.alias("v"))
+    pair_sums = (
+        similarity.covariance_pair_partials_arrow(e)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("s_ij").cast("bigint").alias("s_ij"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+    )
+    dim_sums = (
+        base.select(
+            F.posexplode(
+                F.transform("v", lambda x: F.floor(x * sc_lit).cast("bigint"))
+            ).alias("d", "xq")
+        )
+        .groupBy("d")
+        .agg(F.sum("xq").cast("bigint").alias("s"))
+    )
+    return _cov_finalize(pair_sums, dim_sums)

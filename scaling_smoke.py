@@ -102,6 +102,23 @@ def _pagerank_decomposition(spark, qs, src_dir: str, out_dir: str) -> dict:
     out["shuffle_bytes_ratio"] = round(s / b, 2) if b and b > 0 else None
     return out
 
+
+def _jaccard_decomposition(spark, qs, src_dir: str, out_dir: str) -> dict:
+    """Measured explanation for the n-gram Jaccard ratio: the verify
+    stage's cost is O(candidate pairs x shingles/doc), so if candidate
+    density grows faster than rows (the perturbed replicas still share
+    most shingles with their originals' near-dup partners), a >1
+    per-row time ratio is the DATA growing, not the plan going
+    quadratic."""
+    out = {}
+    for label, d in (("base", src_dir), ("scaled", out_dir)):
+        out[f"candidate_pairs_{label}"] = qs["dedup_minhash_candidates"](
+            spark, d
+        ).count()
+    b, s = out["candidate_pairs_base"], out["candidate_pairs_scaled"]
+    out["candidates_ratio"] = round(s / b, 2) if b else None
+    return out
+
 _ID_OFFSET = 10_000_000
 
 
@@ -239,6 +256,9 @@ def main() -> None:
                 "per_row_ratio": round(time_ratio / rows_ratio, 3),
             }
         result["pagerank_decomposition"] = _pagerank_decomposition(
+            _SPARK, qs, src_dir, out_dir
+        )
+        result["ngram_jaccard_decomposition"] = _jaccard_decomposition(
             _SPARK, qs, src_dir, out_dir
         )
     finally:
