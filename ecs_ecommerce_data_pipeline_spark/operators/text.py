@@ -163,3 +163,76 @@ def clean_stats(doc: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(c, F.lit(_CTRL_PAT)).cast("bigint").alias("ctrl_chars"),
         F.regexp_count(c, F.lit(_WS_PAT)).cast("bigint").alias("ws_runs"),
     )
+
+
+def boilerplate_passages(
+    doc: DataFrame, text_col: str = "text", k: int = 5, min_docs: int = 3
+) -> DataFrame:
+    """Cross-document repeated passages: k-word shingles that occur in at
+    least ``min_docs`` DISTINCT documents (headers, footers, license
+    blurbs, templated spans — the repeated-substring dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499, approximated at shingle granularity).
+
+    Distinct from the doc-level dedup families (``operators.dedup``):
+    those find pairs/clusters of similar DOCUMENTS; this finds PASSAGES
+    repeated across otherwise-unrelated documents.
+
+    Scale shape: one shingle explode (O(total words) rows, deduped
+    per-doc by ``word_shingles``) → one map-side-combinable count per
+    shingle (each doc contributes a shingle once, so COUNT = document
+    frequency) → post-aggregation frequency filter. The shuffle carries
+    the shingle text because the report needs it; the per-doc scorer
+    below joins on a 60-bit hash instead.
+
+    Returns (shingle, n_docs).
+    """
+    from .dedup import shingle_docs
+
+    sh = shingle_docs(doc, text_col=text_col, k=k)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def doc_boilerplate_stats(
+    doc: DataFrame, text_col: str = "text", k: int = 5, min_docs: int = 3
+) -> DataFrame:
+    """Per-document boilerplate contamination: the share of a document's
+    k-word shingles that are corpus-level boilerplate
+    (``boilerplate_passages``). High-ratio docs are templated/duplicated
+    content a curation pass down-weights or drops.
+
+    The doc↔frequency join runs on ``md5``-derived 60-bit BIGINT shingle
+    keys, not the shingle text — the big-big join shuffles 16 bytes per
+    side instead of ~40-char strings (same idiom as exact dedup; the
+    oracle reproduces the exact same hash).
+
+    Returns (doc_id, n_shingles, n_boilerplate, boilerplate_ratio).
+    """
+    from ..functions.textfn import md5_bigint
+    from .dedup import shingle_docs
+
+    sh = shingle_docs(doc, text_col=text_col, k=k).select(
+        "doc_id", md5_bigint(F.col("shingle")).alias("h")
+    )
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    flagged = sh.join(
+        freq.filter(F.col("n_docs") >= min_docs).select(
+            "h", F.lit(1).alias("_bp")
+        ),
+        "h",
+        "left",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_bp"), F.lit(0))).cast("bigint").alias(
+            "n_boilerplate"
+        ),
+        (
+            F.sum(F.coalesce(F.col("_bp"), F.lit(0))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("boilerplate_ratio"),
+    )

@@ -349,3 +349,73 @@ def q_text_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import clean_stats
 
     return clean_stats(load_table(spark, sf_dir, "documents"))
+
+
+# --- cross-document repeated passages (boilerplate) ------------------------
+
+_SHINGLE5_CTES = r"""
+toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+         FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               CASE WHEN len(t) < 5 THEN [list_aggr(t, 'string_agg', ' ')]
+                    ELSE list_transform(range(1, len(t) - 5 + 2),
+                                        i -> array_to_string(t[i : i + 4], ' '))
+               END)) AS shingle
+    FROM toks
+)"""
+
+_BOILERPLATE_SQL = f"""
+WITH {_SHINGLE5_CTES},
+freq AS (
+    SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs FROM sh GROUP BY shingle
+)
+SELECT shingle, n_docs FROM freq WHERE n_docs >= 3
+ORDER BY n_docs DESC, shingle ASC
+LIMIT 50
+"""
+
+
+@register("boilerplate_passages", _BOILERPLATE_SQL)
+def q_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most repeated 5-word passages across the corpus (document
+    frequency >= 3) — templated spans a curation pass strips (the
+    repeated-substring dedup signal at shingle granularity)."""
+    from ..operators.text import boilerplate_passages
+
+    return (
+        boilerplate_passages(load_table(spark, sf_dir, "documents"), k=5, min_docs=3)
+        .orderBy(F.desc("n_docs"), F.asc("shingle"))
+        .limit(50)
+    )
+
+
+_DOC_BP_SQL = f"""
+WITH {_SHINGLE5_CTES},
+hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+),
+freq AS (SELECT h, count(*) AS nd FROM hashed GROUP BY h),
+bp AS (SELECT h FROM freq WHERE nd >= 3)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN bp.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boilerplate,
+       CAST(sum(CASE WHEN bp.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS boilerplate_ratio
+FROM hashed LEFT JOIN bp USING (h)
+GROUP BY doc_id
+"""
+
+
+@register("doc_boilerplate_stats", _DOC_BP_SQL)
+def q_doc_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate contamination share — the doc↔frequency
+    join runs on 60-bit md5 shingle keys (16-byte shuffle rows), exact
+    on both engines."""
+    from ..operators.text import doc_boilerplate_stats
+
+    return doc_boilerplate_stats(
+        load_table(spark, sf_dir, "documents"), k=5, min_docs=3
+    )

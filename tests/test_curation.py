@@ -100,3 +100,29 @@ def test_quantize_roundtrip_bounds(spark):
         (F.col("cmin") < -127) | (F.col("cmax") > 127) | ~F.col("err_ok")
     ).count()
     assert bad == 0
+
+
+def test_boilerplate_known_answer(spark):
+    """Hand-built corpus: a shared 5-word footer in 3 docs is flagged;
+    unique sentences are not; ratios follow from shingle counts."""
+    from ecs_ecommerce_data_pipeline_spark.operators.text import (
+        boilerplate_passages,
+        doc_boilerplate_stats,
+    )
+
+    footer = "all rights reserved by acme"
+    docs = [
+        (1, f"alpha beta gamma delta epsilon {footer}"),
+        (2, f"one two three four five six {footer}"),
+        (3, f"totally different words here now {footer}"),
+        (4, "no shared passage in this document at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bp = {r["shingle"]: r["n_docs"] for r in boilerplate_passages(df, k=5, min_docs=3).collect()}
+    assert bp == {footer: 3}
+
+    stats = {r["doc_id"]: r for r in doc_boilerplate_stats(df, k=5, min_docs=3).collect()}
+    # doc 1: 10 tokens -> 6 shingles, exactly 1 is the footer shingle
+    assert stats[1]["n_shingles"] == 6 and stats[1]["n_boilerplate"] == 1
+    assert abs(stats[1]["boilerplate_ratio"] - 1 / 6) < 1e-12
+    assert stats[4]["n_boilerplate"] == 0
