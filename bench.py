@@ -198,6 +198,8 @@ _BENCH_EXTRA: set[str] = {
     # order-statistics twin below IS the headline entry)
     "histogram_equidepth_scalable",
     "revenue_time_rollup",
+    # round-3 additions: settle fold, Arrow covariance twin, boilerplate
+    "doc_boilerplate_stats",
     "capped_running_balance",
     "settled_running_balance",
     "weighted_exact_k_sample",

@@ -45,13 +45,19 @@ def snapshot_diff(
         shared = [c for c in old.columns if c in set(new.columns)]
         compare_cols = [c for c in shared if c not in keys]
 
+    # explicit presence flags, NOT key-nullness: the join is null-safe,
+    # so a NULL key is a legitimate joinable value — inferring presence
+    # from `key IS NOT NULL` would misclassify NULL-keyed rows as
+    # insert+delete instead of comparing them
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
         *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"_nk_{k}") for k in keys],
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
     )
     cond = reduce(
         lambda a, b: a & b,
@@ -59,8 +65,8 @@ def snapshot_diff(
     )
     joined = o.join(n, cond, "full_outer")
 
-    in_old = F.col(f"_ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"_nk_{keys[0]}").isNotNull()
+    in_old = F.col("_in_old").isNotNull()
+    in_new = F.col("_in_new").isNotNull()
     same = reduce(
         lambda a, b: a & b,
         [

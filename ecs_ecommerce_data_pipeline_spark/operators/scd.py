@@ -53,6 +53,10 @@ def scd2_apply(
         F.col(key),
         *[F.col(a).alias(f"_u_{a}") for a in attrs],
         F.col(eff_col).alias("_u_eff"),
+        # explicit match marker — inferring "an update arrived" from
+        # _u_eff nullness would silently no-op an update row whose
+        # effective date is NULL instead of surfacing it as a change
+        F.lit(True).alias("_u_present"),
     )
     if broadcast_updates:
         upd = F.broadcast(upd)
@@ -66,7 +70,7 @@ def scd2_apply(
     diff: Column = F.lit(False)
     for a in attrs:
         diff = diff | ~F.col(a).eqNullSafe(F.col(f"_u_{a}"))
-    changed = F.col("_u_eff").isNotNull() & diff
+    changed = F.col("_u_present").isNotNull() & diff
 
     # existing current rows: closed if a differing update arrived
     kept = joined.select(

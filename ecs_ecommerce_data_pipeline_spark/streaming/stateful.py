@@ -134,6 +134,10 @@ def _update_sessions(gap_ms: int):
         for pdf in pdfs:
             ts.extend(int(v) for v in pdf["ts_ms"])
         ts.sort()
+        if not ts and not state.exists:
+            # defensive: a key invoked with neither rows nor state has
+            # nothing to fold and no session to emit
+            return
         if state.exists:
             start, last, n = state.get
         else:
@@ -212,6 +216,7 @@ def _parse_gap_ms(gap: str) -> int:
         "second": 1000, "seconds": 1000,
         "minute": 60_000, "minutes": 60_000,
         "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
     }[unit]
     return int(qty) * mult
 

@@ -67,6 +67,7 @@ STAGES = {
     "dataset_build_pipeline": "documents",
     "histogram_equidepth_scalable": "lineitem",
     "settled_running_balance": "orders",
+    "doc_boilerplate_stats": "documents",
 }
 
 

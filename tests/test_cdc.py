@@ -42,3 +42,18 @@ def test_include_unchanged_and_composite_key(spark):
     got = snapshot_diff(old, new, ["k1", "k2"], include_unchanged=True).collect()
     types = {(r["k1"], r["k2"]): r["change_type"] for r in got}
     assert types == {(1, "A"): "unchanged", (1, "B"): "update"}
+
+
+def test_null_key_rows_compare_not_insert_delete(spark):
+    """A NULL key is a joinable value under the null-safe join — a
+    NULL-keyed row present in both snapshots must classify by its
+    attributes, never split into insert+delete."""
+    from ecs_ecommerce_data_pipeline_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(None, 1.0), (1, 2.0)], "k int, v double")
+    new = spark.createDataFrame([(None, 9.0), (1, 2.0)], "k int, v double")
+    got = {
+        (r["k"], r["change_type"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {(None, "update")}

@@ -25,6 +25,11 @@ _SENSITIVE = [
     "daily_kpis",
     "split_train_val_test",
     "bm25_retrieval",
+    # round-3 additions: window-identity fold, numpy segment fold with
+    # cross-batch carry, per-partition Arrow covariance partials
+    "capped_running_balance",
+    "settled_running_balance",
+    "embedding_covariance_arrow",
 ]
 
 
