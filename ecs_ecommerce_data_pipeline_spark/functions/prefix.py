@@ -1,0 +1,114 @@
+"""Two-phase distributed prefix sums (the global-ordered-window killer).
+
+A ``Window.orderBy(...)`` with no partition key funnels EVERY row through
+one task — the classic scale-killer the round-2 verdict flagged for the
+equi-depth histogram. The fix is the textbook two-phase scan, packaged
+here once and reused by every cumulative/rank computation:
+
+1. bucket rows into ``P`` equal-width value ranges of the (numeric)
+   ordering key — the bucket id is a pure expression of the value and a
+   broadcast (min, max), so it is deterministic, needs no range-sampling
+   job, and every consumer of the bucketed relation reuses ONE exchange;
+2. per-bucket local prefix sums — a window PARTITIONED by bucket id, so
+   no task sees more than ~|rows|/P of the data;
+3. per-bucket totals (≤ P rows) → starting offsets via a tiny
+   triangular self-join (off(p) = Σ_{q<p} total(q)) — deliberately not
+   a global window, so the whole plan contains no Sort over an
+   Exchange SinglePartition;
+4. broadcast the offsets back and add.
+
+Equal-width bucketing is balanced when the key is roughly uniform (the
+usual case for prices, dates, scores); a pathological distribution
+degrades gracefully to fewer effective buckets — still never worse than
+the single-task global window it replaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "_pfx_pid"
+
+
+def _n_buckets(df: DataFrame) -> int:
+    try:
+        return max(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), 8
+        )
+    except Exception:
+        return 32
+
+
+def two_phase_cumsum(
+    df: DataFrame,
+    value_col: str | Column,
+    weights: dict[str, str | Column],
+    order_cols: list[str] | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Inclusive prefix sums of ``weights`` in global ``order_cols``
+    order (default: by ``value_col``), computed two-phase.
+
+    ``value_col`` must be numeric (cast dates with ``unix_date`` first)
+    and NON-NULL — it drives the equal-width bucketing. ``weights`` maps
+    output column name → weight expression; each output column
+    ``<name>`` holds Σ weight over all rows ordered ≤ the current row.
+    Rows keep all their original columns.
+
+    Global row ranks are the special case ``weights={"rnk": F.lit(1)}``
+    with a unique tie-break in ``order_cols``.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    v = v.cast("double")
+    p = n_buckets or _n_buckets(df)
+    stats = df.agg(F.min(v).alias("_vmin"), F.max(v).alias("_vmax"))
+    width = (F.col("_vmax") - F.col("_vmin")) / F.lit(float(p))
+    pid = F.when(F.col("_vmax") == F.col("_vmin"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(p - 1), F.floor((v - F.col("_vmin")) / width).cast("int")
+        )
+    )
+    binned = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(_PID, pid)
+        .drop("_vmin", "_vmax")
+    )
+    order = order_cols or [value_col if isinstance(value_col, str) else v]
+    wloc = (
+        Window.partitionBy(_PID)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wexprs = {
+        name: (F.col(w) if isinstance(w, str) else w)
+        for name, w in weights.items()
+    }
+    local = binned.select(
+        "*",
+        *[F.sum(w).over(wloc).alias(f"_loc_{n}") for n, w in wexprs.items()],
+    )
+    ptot = binned.groupBy(_PID).agg(
+        *[F.sum(w).alias(f"_pc_{n}") for n, w in wexprs.items()]
+    )
+    offs = (
+        ptot.alias("a")
+        .join(
+            F.broadcast(ptot.alias("b")),
+            F.col(f"b.{_PID}") < F.col(f"a.{_PID}"),
+            "left",
+        )
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b._pc_{n}"), F.lit(0)).alias(f"_off_{n}")
+                for n in wexprs
+            ]
+        )
+    )
+    out = local.join(F.broadcast(offs), _PID)
+    for n in wexprs:
+        out = out.withColumn(n, F.col(f"_loc_{n}") + F.col(f"_off_{n}"))
+    return out.drop(
+        _PID, *[f"_loc_{n}" for n in wexprs], *[f"_off_{n}" for n in wexprs]
+    )

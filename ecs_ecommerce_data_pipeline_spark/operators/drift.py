@@ -65,10 +65,16 @@ def ks_two_sample(
         F.sum("c_a").cast("bigint").alias("n_a"),
         F.sum("c_b").cast("bigint").alias("n_b"),
     )
-    w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    # two-phase prefix sums over the distinct-value histogram: at corpus
+    # scale the distinct-value count can be huge, and a global ordered
+    # window would funnel it through ONE task (same fix as the
+    # equi-depth histogram — see functions.prefix)
+    from ..functions.prefix import two_phase_cumsum
+
     cdf = (
-        counts.withColumn("cum_a", F.sum("c_a").over(w).cast("bigint"))
-        .withColumn("cum_b", F.sum("c_b").over(w).cast("bigint"))
+        two_phase_cumsum(counts, value_col, {"cum_a": "c_a", "cum_b": "c_b"})
+        .withColumn("cum_a", F.col("cum_a").cast("bigint"))
+        .withColumn("cum_b", F.col("cum_b").cast("bigint"))
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "diff",

@@ -44,11 +44,17 @@ FROM ranked
 @register("rfm_segmentation", _RFM_SQL)
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency/Frequency/Monetary 1-5 scores per customer: one combinable
-    per-customer agg, three rank windows over it (the windowed relation
-    is customers, not orders — already reduced), deterministic tie-break
-    by customer id. ``FLOOR(pct * 4.99)`` buckets ranks into quintiles
-    with the top rank (pct=1.0) landing in 5, not a phantom 6th bucket;
-    both factors are IEEE double ops, identical across engines."""
+    per-customer agg, then three TWO-PHASE global ranks over it
+    (``functions.prefix`` — a bare ``PERCENT_RANK() OVER (ORDER BY …)``
+    would drag every customer through one task at 10^8-customer scale;
+    ties are impossible because customer_id closes each ordering, so
+    percent_rank ≡ (row_number − 1)/(n − 1), which the two-phase rank
+    reproduces bit-identically as the same integer-to-double division).
+    ``FLOOR(pct * 4.99)`` buckets ranks into quintiles with the top rank
+    (pct=1.0) landing in 5, not a phantom 6th bucket; both factors are
+    IEEE double ops, identical across engines."""
+    from ..functions.prefix import two_phase_cumsum
+
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
         F.max("o_orderdate").alias("last_order"),
@@ -56,18 +62,35 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
         .alias("monetary"),
     )
+    n_total = per_cust.agg(F.count(F.lit(1)).alias("_n"))
 
-    def score(col: str) -> F.Column:
-        pct = F.percent_rank().over(W.orderBy(F.col(col), F.col("customer_id")))
-        return (F.lit(1) + F.floor(pct * F.lit(4.99))).cast("bigint")
+    def score_col(order_col: str, numeric: F.Column, out: str) -> DataFrame:
+        ranked = two_phase_cumsum(
+            per_cust.select("customer_id", F.col(order_col)),
+            numeric,
+            {"_rnk": F.lit(1)},
+            order_cols=[order_col, "customer_id"],
+        )
+        pct = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+            (F.col("_rnk") - 1).cast("double") / (F.col("_n") - 1).cast("double")
+        )
+        return ranked.crossJoin(F.broadcast(n_total)).select(
+            "customer_id",
+            (F.lit(1) + F.floor(pct * F.lit(4.99))).cast("bigint").alias(out),
+        )
 
-    scored = per_cust.select(
-        "customer_id",
-        "n_orders",
-        "monetary",
-        score("last_order").alias("r_score"),
-        score("n_orders").alias("f_score"),
-        score("monetary").alias("m_score"),
+    scored = (
+        per_cust.select("customer_id", "n_orders", "monetary")
+        .join(
+            score_col(
+                "last_order",
+                F.unix_date(F.to_date(F.col("last_order"))),
+                "r_score",
+            ),
+            "customer_id",
+        )
+        .join(score_col("n_orders", F.col("n_orders"), "f_score"), "customer_id")
+        .join(score_col("monetary", F.col("monetary"), "m_score"), "customer_id")
     )
     return scored.withColumn(
         "rfm",

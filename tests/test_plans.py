@@ -384,21 +384,40 @@ def test_decay_score_take_ordered_not_global_sort(spark):
     assert "rangepartitioning" not in plan, plan
 
 
-def test_equidepth_scalable_has_no_global_window_sort(spark):
-    """The cumulative-position step must be the two-phase per-range-
-    partition prefix sum: no Sort whose input is an Exchange
-    SinglePartition anywhere in the plan (a global ordered window would
-    funnel every distinct value through ONE task at corpus scale). The
-    only SinglePartition exchanges allowed are scalar-aggregate finals
-    over already-reduced inputs."""
-    plan = _plan(catalog.queries()["histogram_equidepth_scalable"](spark, SF_SMOKE))
+def _assert_no_global_window_sort(plan: str) -> None:
+    """No Sort whose input is an Exchange SinglePartition anywhere in
+    the plan — a global ordered window would funnel every row through
+    ONE task at corpus scale. The only SinglePartition exchanges allowed
+    are scalar-aggregate finals over already-reduced inputs."""
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
         if "Sort [" in ln:
             follow = " ".join(lines[i + 1 : i + 3])
             assert "Exchange SinglePartition" not in follow, plan
-    # the local prefix-sum window must be partitioned (by range-part id)
+
+
+def test_equidepth_scalable_has_no_global_window_sort(spark):
+    """Cumulative positions must be the two-phase per-bucket prefix sum
+    (functions.prefix), never a global ordered window."""
+    plan = _plan(catalog.queries()["histogram_equidepth_scalable"](spark, SF_SMOKE))
+    _assert_no_global_window_sort(plan)
+    # the local prefix-sum window must be partitioned (by bucket id)
     assert "Window [" in plan and "pid" in plan, plan
+
+
+def test_rfm_percent_ranks_are_two_phase(spark):
+    """The three RFM percent-ranks run as two-phase bucketed ranks —
+    a bare PERCENT_RANK() OVER (ORDER BY …) would single-task 10^8
+    customers."""
+    plan = _plan(catalog.queries()["rfm_segmentation"](spark, SF_SMOKE))
+    _assert_no_global_window_sort(plan)
+
+
+def test_ks_cdf_is_two_phase(spark):
+    """The KS CDF walk over the distinct-value histogram must be the
+    two-phase prefix sum, not a global ordered window."""
+    plan = _plan(catalog.queries()["drift_ks_doc_lengths"](spark, SF_SMOKE))
+    _assert_no_global_window_sort(plan)
 
 
 def test_capped_balance_is_pure_window_no_python(spark):
