@@ -566,48 +566,22 @@ def q_equidepth_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. groupBy(value) → (value, count): the only corpus-sized shuffle,
        map-side combinable;
     2. cumulative positions over distinct values via the classic
-       TWO-PHASE prefix sum — bucket the distinct values into P
-       equal-width value ranges (``pid`` is a pure expression of v and
-       the broadcast min/max, so it is deterministic, needs no range
-       sampling job, and every subtree over the value histogram reuses
-       ONE exchange), per-bucket local prefix sums (a window partitioned
-       by pid, so no task ever sees more than ~|distinct|/P rows), then
-       add each bucket's starting offset (a P-row broadcast computed
-       with a tiny triangular self-join — deliberately NOT a global
-       window, so the plan has no Sort over an Exchange SinglePartition;
+       TWO-PHASE prefix sum (``functions.prefix.two_phase_cumsum`` —
+       equal-width value buckets, per-bucket local window, broadcast
+       bucket offsets; no Sort over an Exchange SinglePartition,
        ``tests/test_plans.py`` gates this);
     3. each quantile's two straddling values found by position, then
        interpolated with the same ``lo + (hi − lo)·frac`` rule
        ``quantile_cont`` uses — bit-identical edges;
     4. the binning scan is shared with the percentile variant.
     """
+    from ..functions.prefix import two_phase_cumsum
+
     li = load_table(spark, sf_dir, "lineitem")
     v = F.col("l_extendedprice").cast("double")
     vals = li.groupBy(v.alias("v")).agg(F.count(F.lit(1)).alias("c"))
-    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)
-    stats = vals.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
-    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_parts))
-    pid = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
-        F.least(
-            F.lit(n_parts - 1),
-            F.floor((F.col("v") - F.col("vmin")) / width).cast("int"),
-        )
-    )
-    binned = vals.crossJoin(F.broadcast(stats)).select("v", "c", pid.alias("pid"))
-    wloc = W.partitionBy("pid").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
-    local_cum = binned.withColumn("local_hi", F.sum("c").over(wloc))
-    # per-bucket totals (≤ P rows) → starting offsets via triangular
-    # self-join (off(p) = Σ_{q<p} total(q)); broadcast back
-    ptot = binned.groupBy("pid").agg(F.sum("c").alias("pc"))
-    off = (
-        ptot.alias("a")
-        .join(F.broadcast(ptot.alias("b")), F.col("b.pid") < F.col("a.pid"), "left")
-        .groupBy(F.col("a.pid").alias("pid"))
-        .agg(F.coalesce(F.sum("b.pc"), F.lit(0)).alias("off"))
-    )
     cum = (
-        local_cum.join(F.broadcast(off), "pid")
-        .withColumn("hi", F.col("local_hi") + F.col("off"))
+        two_phase_cumsum(vals, "v", {"hi": "c"})
         .withColumn("lo", F.col("hi") - F.col("c"))
         .select("v", "c", "lo", "hi")
     )

@@ -68,6 +68,10 @@ STAGES = {
     "histogram_equidepth_scalable": "lineitem",
     "settled_running_balance": "orders",
     "doc_boilerplate_stats": "documents",
+    # round-3 two-phase rewrites: must stay linear now that no global
+    # ordered window remains in either plan
+    "rfm_segmentation": "orders",
+    "drift_ks_doc_lengths": "documents",
 }
 
 
@@ -118,6 +122,33 @@ def _jaccard_decomposition(spark, qs, src_dir: str, out_dir: str) -> dict:
         ).count()
     b, s = out["candidate_pairs_base"], out["candidate_pairs_scaled"]
     out["candidates_ratio"] = round(s / b, 2) if b else None
+    return out
+
+
+def _lm_decomposition(spark, src_dir: str, out_dir: str) -> dict:
+    """Measured explanation for the LM-score ratio: the corpus-frequency
+    join's BOTH sides grow with the distinct-bigram vocabulary, which the
+    perturbed replicas inflate faster than rows (each replica suffix
+    mints new bigrams) — vocabulary growth, not plan regression."""
+    from pyspark.sql import functions as F
+
+    out = {}
+    for label, d in (("base", src_dir), ("scaled", out_dir)):
+        doc = load_table(spark, d, "documents")
+        toks = doc.select(F.split(F.lower(F.trim("text")), r"\s+").alias("t"))
+        bigrams = toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    ),
+                )
+            ).alias("bg")
+        )
+        out[f"distinct_bigrams_{label}"] = bigrams.distinct().count()
+    b, s = out["distinct_bigrams_base"], out["distinct_bigrams_scaled"]
+    out["vocab_ratio"] = round(s / b, 2) if b else None
     return out
 
 _ID_OFFSET = 10_000_000
@@ -261,6 +292,9 @@ def main() -> None:
         )
         result["ngram_jaccard_decomposition"] = _jaccard_decomposition(
             _SPARK, qs, src_dir, out_dir
+        )
+        result["lm_score_decomposition"] = _lm_decomposition(
+            _SPARK, src_dir, out_dir
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
