@@ -21,10 +21,12 @@ Scale design (100 TB corpus):
 * per-(doc, bigram) multiplicities are pre-aggregated BEFORE the
   frequency join, so the join carries distinct doc-bigrams, not every
   token occurrence;
-* the bigram frequency table and the join both shuffle on the bigram
-  string — at extreme scale swap the key for ``md5_bigint(bigram)``
-  (64-bit) to cut shuffle width; kept as the string here so the oracle
-  SQL stays readable;
+* the bigram frequency table and the score join shuffle on a
+  ``md5_bigint`` 60-bit key, not the bigram string — 8-byte shuffle
+  rows instead of ~15-char strings (the vocabulary grows with corpus
+  size, so key width is the dominant shuffle cost). The oracle hashes
+  identically, so even the ~1e-7 chance of a hash collision cannot
+  diverge the engines — both would merge the same pair;
 * final per-document aggregation shuffles doc_id + three counters.
 Three shuffles total, all on pre-aggregated rows.
 """
@@ -79,7 +81,11 @@ def bigram_lm_scores(
     * ``rare_bigrams`` / ``rare_ratio`` — occurrences of corpus-unique
       (frequency 1) bigrams; the OOV-rate analogue.
     """
-    db = bigram_multiplicities(doc, text_col, id_col)
+    from ..functions.textfn import md5_bigint
+
+    db = bigram_multiplicities(doc, text_col, id_col).select(
+        id_col, md5_bigint(F.col("bigram")).alias("bg_h"), "m"
+    )
     if materialize:
         # db feeds BOTH the frequency aggregation and the score join —
         # without a lineage cut Catalyst evaluates the tokenize+explode
@@ -87,9 +93,9 @@ def bigram_lm_scores(
         # when the upstream is itself expensive (e.g. downstream of a
         # dedup, as in the dataset-build pipeline).
         db = db.localCheckpoint(eager=False)
-    freq = db.groupBy("bigram").agg(F.sum("m").cast("bigint").alias("c"))
+    freq = db.groupBy("bg_h").agg(F.sum("m").cast("bigint").alias("c"))
     bits = F.length(F.bin(F.col("c"))).cast("bigint")
-    scored = db.join(freq, "bigram").groupBy(id_col).agg(
+    scored = db.join(freq, "bg_h").groupBy(id_col).agg(
         F.sum("m").cast("bigint").alias("n_bigrams"),
         F.sum(F.col("m") * bits).cast("bigint").alias("sum_bits"),
         F.sum(F.when(F.col("c") == 1, F.col("m")).otherwise(F.lit(0)))

@@ -23,10 +23,12 @@ bg AS (
     FROM toks WHERE len(t) >= 2
 ),
 db AS (
-    SELECT doc_id, bigram, count(*) AS m FROM bg GROUP BY doc_id, bigram
+    SELECT doc_id, ('0x' || substr(md5(bigram), 1, 15))::BIGINT AS bg_h,
+           count(*) AS m
+    FROM bg GROUP BY doc_id, 2
 ),
 freq AS (
-    SELECT bigram, CAST(sum(m) AS BIGINT) AS c FROM db GROUP BY bigram
+    SELECT bg_h, CAST(sum(m) AS BIGINT) AS c FROM db GROUP BY bg_h
 )
 SELECT d.doc_id,
        CAST(sum(d.m) AS BIGINT) AS n_bigrams,
@@ -36,7 +38,7 @@ SELECT d.doc_id,
        CAST(sum(CASE WHEN f.c = 1 THEN d.m ELSE 0 END) AS BIGINT) AS rare_bigrams,
        CAST(sum(CASE WHEN f.c = 1 THEN d.m ELSE 0 END) AS DOUBLE)
            / CAST(sum(d.m) AS DOUBLE) AS rare_ratio
-FROM db d JOIN freq f USING (bigram)
+FROM db d JOIN freq f USING (bg_h)
 GROUP BY d.doc_id
 """
 

@@ -73,10 +73,12 @@ bg AS (
     FROM toks WHERE len(t) >= 2
 ),
 db AS (
-    SELECT doc_id, bigram, count(*) AS m FROM bg GROUP BY doc_id, bigram
+    SELECT doc_id, ('0x' || substr(md5(bigram), 1, 15))::BIGINT AS bg_h,
+           count(*) AS m
+    FROM bg GROUP BY doc_id, 2
 ),
 freq AS (
-    SELECT bigram, CAST(sum(m) AS BIGINT) AS c FROM db GROUP BY bigram
+    SELECT bg_h, CAST(sum(m) AS BIGINT) AS c FROM db GROUP BY bg_h
 ),
 lm AS (
     SELECT d.doc_id,
@@ -84,7 +86,7 @@ lm AS (
            CAST(sum(d.m * length(bin(f.c))) AS BIGINT) AS sum_bits,
            CAST(sum(CASE WHEN f.c = 1 THEN d.m ELSE 0 END) AS DOUBLE)
                / CAST(sum(d.m) AS DOUBLE) AS rare_ratio
-    FROM db d JOIN freq f USING (bigram)
+    FROM db d JOIN freq f USING (bg_h)
     GROUP BY d.doc_id
 ),
 kept AS (
