@@ -167,14 +167,22 @@ def jaccard_pairs(
 
     Computed via the exploded representation: join candidates to both
     sides' shingles, count matches, combine with per-doc set sizes —
-    set-arithmetic only, no array materialization of big docs.
+    set-arithmetic only, no array materialization of big docs. The
+    shingle itself is carried as a 60-bit ``md5_bigint`` key through the
+    two joins (8-byte rows instead of k-word strings — the verify stage
+    shuffles |candidates| × shingles-per-doc rows, so key width is the
+    dominant cost); the oracle hashes identically, so even a hash
+    collision cannot diverge the engines.
     """
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    from ..functions.textfn import md5_bigint
+
+    sh = shingles.select("doc_id", md5_bigint(F.col("shingle")).alias("sh_h"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh_h")
     inter = (
         candidates.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
+        .join(b, ["doc_b", "sh_h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

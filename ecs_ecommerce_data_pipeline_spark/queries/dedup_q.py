@@ -138,12 +138,15 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_SQL = f"""
 WITH {_CANDIDATES_CTES},
-sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ex GROUP BY doc_id),
+exh AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h FROM ex
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM exh GROUP BY doc_id),
 inter AS (
     SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
     FROM candidates c
-    JOIN ex ea ON ea.doc_id = c.doc_a
-    JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+    JOIN exh ea ON ea.doc_id = c.doc_a
+    JOIN exh eb ON eb.doc_id = c.doc_b AND eb.sh_h = ea.sh_h
     GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,
