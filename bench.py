@@ -118,6 +118,7 @@ def main() -> None:
 _BENCH_EXTRA: set[str] = {
     "dedup_exact",
     "dedup_minhash_candidates",
+    "dedup_ngram_jaccard",
     "text_quality",
     "sim_bruteforce_topk",
     "window_topk_per_category",
