@@ -159,6 +159,79 @@ def lsh_candidate_pairs(
     )
 
 
+def incremental_lsh_candidates(
+    signatures: DataFrame,
+    new_col: str = "is_new",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """LSH candidates for a NEW document batch against an existing
+    corpus: pairs (doc_a < doc_b) sharing a band bucket where at least
+    one side is from the batch (``new_col`` = 1).
+
+    The incremental-dedup shape a daily-ingest pipeline needs: only
+    buckets CONTAINING a new document survive to the pair explode
+    (``max(is_new)`` filter on the collected bucket), and within a
+    surviving bucket only new×old and new×new pairs emit — existing
+    corpus pairs were already adjudicated in prior batches. Per-batch
+    candidate work is therefore Σ|affected bucket|², independent of how
+    many historical buckets exist. (In production the banded signature
+    store is a materialized table the batch's band keys semi-join-prune;
+    here both sides band inside one plan so the DuckDB oracle can state
+    the complete semantics.)
+
+    ``signatures``: ``minhash_signatures`` output + an integer
+    ``new_col`` flag (1 = this batch, 0 = existing corpus).
+    Returns distinct (doc_a, doc_b).
+    """
+    n_bands = num_hashes // band_size
+    band_cols = []
+    for b in range(n_bands):
+        slots = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *slots)).alias("band_key"),
+            )
+        )
+    banded = signatures.select(
+        "doc_id",
+        F.col(new_col).alias("_new"),
+        F.explode(F.array(*band_cols)).alias("band"),
+    ).select("doc_id", "_new", "band.band_idx", "band.band_key")
+
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "_new"))
+            ).alias("docs"),
+            F.max("_new").alias("_has_new"),
+        )
+        .filter(
+            (F.size("docs") >= 2)
+            & (F.size("docs") <= max_bucket)
+            & (F.col("_has_new") == 1)
+        )
+    )
+    pairs = (
+        buckets.select(F.posexplode("docs").alias("pos", "da"), F.col("docs"))
+        .select(
+            "da",
+            F.explode(
+                F.slice("docs", F.col("pos") + 2, F.size("docs"))
+            ).alias("db"),
+        )
+        .filter((F.col("da._new") == 1) | (F.col("db._new") == 1))
+        .select(
+            F.col("da.doc_id").alias("doc_a"), F.col("db.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
 def jaccard_pairs(
     shingles: DataFrame, candidates: DataFrame, threshold: float = 0.5
 ) -> DataFrame:

@@ -344,3 +344,45 @@ def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dedup_ratio"),
         )
     )
+
+
+# --- incremental dedup: new batch vs existing corpus -----------------------
+
+_KEPT_CTES = _CANDIDATES_CTES.split(",\ncandidates AS")[0]
+
+_INCR_CAND_SQL = f"""
+WITH {_KEPT_CTES},
+flagged AS (
+    SELECT doc_id, band_idx, band_key,
+           CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS is_new
+    FROM kept
+),
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM flagged a JOIN flagged b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    WHERE a.is_new = 1 OR b.is_new = 1
+)
+SELECT doc_a, doc_b FROM candidates
+"""
+
+
+@register("dedup_incremental_candidates", _INCR_CAND_SQL)
+def q_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup candidates: documents with doc_id % 5 = 0
+    play the newly-ingested batch, the rest the existing corpus. Only
+    buckets containing a batch doc reach the pair explode, and only
+    new×old / new×new pairs emit — the O(batch), not O(corpus), dedup
+    path a daily-ingest pipeline runs (``operators.dedup.
+    incremental_lsh_candidates``)."""
+    doc = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        dedup.shingle_docs(doc, k=_SHINGLE_K), num_hashes=_NUM_HASHES
+    ).withColumn("is_new", (F.col("doc_id") % 5 == 0).cast("int"))
+    return dedup.incremental_lsh_candidates(
+        sigs,
+        num_hashes=_NUM_HASHES,
+        band_size=_BAND_SIZE,
+        max_bucket=_MAX_BUCKET,
+    )

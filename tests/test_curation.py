@@ -126,3 +126,34 @@ def test_boilerplate_known_answer(spark):
     assert stats[1]["n_shingles"] == 6 and stats[1]["n_boilerplate"] == 1
     assert abs(stats[1]["boilerplate_ratio"] - 1 / 6) < 1e-12
     assert stats[4]["n_boilerplate"] == 0
+
+
+def test_incremental_lsh_candidates_is_filtered_full_set(spark, sf_dir):
+    """The incremental candidate set must equal the FULL LSH candidate
+    set restricted to pairs touching the new batch — no old×old pairs,
+    nothing involving a new doc missed."""
+    from ecs_ecommerce_data_pipeline_spark.operators import dedup
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    from pyspark.sql import functions as F
+
+    doc = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(dedup.shingle_docs(doc, k=3), num_hashes=8)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(
+            sigs, num_hashes=8, band_size=2, max_bucket=50
+        ).collect()
+    }
+    incr = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.incremental_lsh_candidates(
+            sigs.withColumn("is_new", (F.col("doc_id") % 5 == 0).cast("int")),
+            num_hashes=8,
+            band_size=2,
+            max_bucket=50,
+        ).collect()
+    }
+    want = {(a, b) for a, b in full if a % 5 == 0 or b % 5 == 0}
+    assert incr == want
+    assert incr  # non-vacuous: the split must actually produce pairs
