@@ -497,3 +497,109 @@ def q_events_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         money_sum("value").alias("total_value"),
     )
+
+
+# --- multi-touch attribution credit (first / last / linear) ----------------
+
+_CREDIT_SQL = f"""
+WITH v AS (
+    SELECT user_id, event_id AS view_id, ts AS view_ts
+    FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+    FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT v.view_id, p.purchase_id,
+           epoch_us(v.view_ts) AS vus,
+           CAST(CAST(p.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM v JOIN p
+      ON p.user_id = v.user_id
+     AND epoch_us(p.purchase_ts) >= epoch_us(v.view_ts)
+     AND epoch_us(p.purchase_ts) <= epoch_us(v.view_ts) + {_ATTRIB_HORIZON_US}
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY purchase_id
+                              ORDER BY vus, view_id) AS rn_first,
+           ROW_NUMBER() OVER (PARTITION BY purchase_id
+                              ORDER BY vus DESC, view_id DESC) AS rn_last,
+           COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches
+    FROM touches
+)
+SELECT view_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM((cents * 10000) // n_touches) AS DOUBLE) / 1000000.0
+           AS credit_linear,
+       CAST(SUM(CASE WHEN rn_first = 1 THEN cents ELSE 0 END) AS DOUBLE)
+           / 100.0 AS credit_first,
+       CAST(SUM(CASE WHEN rn_last = 1 THEN cents ELSE 0 END) AS DOUBLE)
+           / 100.0 AS credit_last
+FROM ranked
+GROUP BY view_id
+"""
+
+
+@register("events_attribution_credit", _CREDIT_SQL)
+def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: each purchase's value credited to its
+    in-horizon views under three models at once — first-touch,
+    last-touch, and linear (value split evenly across touches).
+
+    Determinism: money rides as integer CENTS; the linear split is
+    integer division of micro-cents by the touch count (exact,
+    order-independent BIGINT sums — a double division per touch would
+    make per-view sums partitioning-dependent); ties on touch time break
+    by view_id. The per-purchase windows are bounded by touches-per-
+    purchase (horizon-bounded), so no corpus-sized window exists.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.unix_micros("ts").alias("vus"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("pus"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    touches = v.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("pus") >= F.col("vus"))
+        & (F.col("pus") <= F.col("vus") + F.lit(_ATTRIB_HORIZON_US)),
+    ).select("view_id", "purchase_id", "vus", "cents")
+    wp = Window.partitionBy("purchase_id")
+    ranked = (
+        touches.withColumn(
+            "rn_first",
+            F.row_number().over(wp.orderBy("vus", "view_id")),
+        )
+        .withColumn(
+            "rn_last",
+            F.row_number().over(wp.orderBy(F.desc("vus"), F.desc("view_id"))),
+        )
+        .withColumn("n_touches", F.count(F.lit(1)).over(wp))
+    )
+    return ranked.groupBy("view_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        (
+            F.sum(F.expr("(cents * 10000) div n_touches")).cast("double")
+            / 1000000.0
+        ).alias("credit_linear"),
+        (
+            F.sum(F.when(F.col("rn_first") == 1, F.col("cents")).otherwise(0))
+            .cast("double")
+            / 100.0
+        ).alias("credit_first"),
+        (
+            F.sum(F.when(F.col("rn_last") == 1, F.col("cents")).otherwise(0))
+            .cast("double")
+            / 100.0
+        ).alias("credit_last"),
+    )

@@ -157,3 +157,37 @@ def test_incremental_lsh_candidates_is_filtered_full_set(spark, sf_dir):
     want = {(a, b) for a, b in full if a % 5 == 0 or b % 5 == 0}
     assert incr == want
     assert incr  # non-vacuous: the split must actually produce pairs
+
+
+def test_attribution_credit_known_answer(spark):
+    """Two views then one purchase inside the horizon: linear splits the
+    value evenly, first-touch credits the earlier view, last-touch the
+    later one."""
+    import datetime as dt
+
+    from ecs_ecommerce_data_pipeline_spark.queries.events_q import (
+        q_attribution_credit,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 101, "view", base, None),
+        (1, 102, "view", base + dt.timedelta(minutes=10), None),
+        (1, 201, "purchase", base + dt.timedelta(minutes=20), 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp, value double"
+    )
+    # point the query's table loader at the hand-built frame
+    import ecs_ecommerce_data_pipeline_spark.queries.events_q as eq
+
+    orig = eq.load_table
+    try:
+        eq.load_table = lambda s, d, t: df
+        got = {r["view_id"]: r for r in q_attribution_credit(spark, "unused").collect()}
+    finally:
+        eq.load_table = orig
+    assert got[101]["n_purchases"] == 1 and got[102]["n_purchases"] == 1
+    assert got[101]["credit_linear"] == 5.0 and got[102]["credit_linear"] == 5.0
+    assert got[101]["credit_first"] == 10.0 and got[101]["credit_last"] == 0.0
+    assert got[102]["credit_first"] == 0.0 and got[102]["credit_last"] == 10.0
