@@ -235,3 +235,87 @@ def scd2_stream(
         .foreachBatch(_apply)
         .start()
     )
+
+
+def lsh_dedup_stream(
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    ledger: BatchLedger | None = None,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int = 50,
+    shingle_k: int = 3,
+):
+    """Streaming near-duplicate detection: each micro-batch of newly
+    arrived documents is LSH-checked against the ENTIRE corpus seen so
+    far — the streaming face of ``operators.dedup.
+    incremental_lsh_candidates``.
+
+    Per trigger:
+
+    1. MinHash-sign the batch docs (O(batch));
+    2. candidates = incremental LSH against the persisted signature
+       store — only buckets containing a batch doc do pair work, so
+       per-batch cost tracks the batch, not the corpus;
+    3. append the batch's candidate pairs to ``out_path`` and the
+       batch's signatures to ``store_path``.
+
+    Exactly-once: the checkpoint dedups file offers; both outputs are
+    written as ``_batch_id``-PARTITIONED dynamic overwrites, so a
+    crash-window replay rewrites exactly its own partition — idempotent
+    by construction, no append duplication. The store read additionally
+    filters ``_batch_id < current`` so a partially-persisted crashed
+    batch can never pair against itself.
+    """
+    from ..operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_signatures,
+        shingle_docs,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        bid = f"lsh-microbatch-{batch_id}"
+        if ledger is not None and not ledger.try_start(bid):
+            return
+        if batch_df.isEmpty():
+            if ledger is not None:
+                ledger.mark_done(bid)
+            return
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures(
+            shingle_docs(batch_df, k=shingle_k), num_hashes=num_hashes
+        ).localCheckpoint(eager=True)  # signed once; reused twice below
+        new = sigs.withColumn("is_new", F.lit(1))
+        try:
+            old = (
+                spark.read.parquet(store_path)
+                .filter(F.col("_batch_id") < batch_id)
+                .drop("_batch_id")
+                .withColumn("is_new", F.lit(0))
+            )
+            union = old.unionByName(new)
+        except AnalysisException:  # first batch: empty corpus
+            union = new
+        cands = incremental_lsh_candidates(
+            union,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            max_bucket=max_bucket,
+        )
+        for frame, path in ((cands, out_path), (sigs, store_path)):
+            frame.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "_batch_id"
+            ).parquet(path)
+        if ledger is not None:
+            ledger.mark_done(bid)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -761,3 +761,76 @@ def test_statestore_reader_matches_batch_aggregate(spark, tmp_path):
     # and the batch-0 time-travel read never exceeds the final state
     first = read_group_state(spark, ckpt, batch_id=0)
     assert first.count() <= state.count()
+
+
+def test_lsh_dedup_stream_union_equals_full_batch(spark, tmp_path):
+    """Documents arrive over three micro-batches; the union of the
+    per-batch incremental candidate outputs must equal the full-corpus
+    LSH candidate set (cap set high so bucket capping cannot differ
+    between the incremental and full runs), and a crash-window replay
+    (ledger flipped back to 'running', fresh checkpoint) must leave the
+    outputs unchanged — the batch-stamped dynamic overwrites are
+    idempotent."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.operators import dedup
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import BatchLedger
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.kpi_stream import (
+        lsh_dedup_stream,
+    )
+
+    doc = load_table(spark, SF, "documents").select("doc_id", "text")
+    drop_dir = str(tmp_path / "docs_drop")
+    doc.repartition(3).write.parquet(drop_dir)
+
+    store, out = str(tmp_path / "sig_store"), str(tmp_path / "cands")
+    ledger = BatchLedger(str(tmp_path / "ledger.json"))
+
+    def start(ckpt):
+        stream = (
+            spark.readStream.schema(doc.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop_dir)
+        )
+        return lsh_dedup_stream(
+            stream, store, out, ckpt, ledger, max_bucket=100_000
+        )
+
+    q = start(str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures(dedup.shingle_docs(doc, k=3), num_hashes=8),
+            num_hashes=8,
+            band_size=2,
+            max_bucket=100_000,
+        ).collect()
+    }
+    assert got == want and got
+
+    # crash-window replay: last batch back to 'running', fresh checkpoint
+    lpath = str(tmp_path / "ledger.json")
+    with open(lpath) as fh:
+        lstate = _json.load(fh)
+    victim = sorted(k for k in lstate if k.startswith("lsh-microbatch-"))[-1]
+    lstate[victim] = "running"
+    with open(lpath, "w") as fh:
+        _json.dump(lstate, fh)
+    q2 = start(str(tmp_path / "ckpt2"))
+    q2.awaitTermination(240)
+    got2 = {
+        (r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == want
+    # store holds each doc's signature exactly once
+    n_store = spark.read.parquet(store).select("doc_id").distinct().count()
+    assert n_store == spark.read.parquet(store).count() == doc.count()
