@@ -119,6 +119,7 @@ _BENCH_EXTRA: set[str] = {
     "dedup_exact",
     "dedup_minhash_candidates",
     "dedup_ngram_jaccard",
+    "dedup_incremental_candidates",
     "text_quality",
     "sim_bruteforce_topk",
     "window_topk_per_category",

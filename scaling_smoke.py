@@ -72,6 +72,8 @@ STAGES = {
     # ordered window remains in either plan
     "rfm_segmentation": "orders",
     "drift_ks_doc_lengths": "documents",
+    # incremental dedup: per-batch candidate work must track the batch
+    "dedup_incremental_candidates": "documents",
 }
 
 
