@@ -24,9 +24,13 @@ Scale design (100 TB corpus):
 * the bigram frequency table and the score join shuffle on a
   ``md5_bigint`` 60-bit key, not the bigram string — 8-byte shuffle
   rows instead of ~15-char strings (the vocabulary grows with corpus
-  size, so key width is the dominant shuffle cost). The oracle hashes
-  identically, so even the ~1e-7 chance of a hash collision cannot
-  diverge the engines — both would merge the same pair;
+  size, so key width is the dominant shuffle cost). Measured trade at
+  sf0.1: the per-row md5 costs ~0.2-0.3 s on a ~1.2 s query — a
+  deliberate local regression bought for the narrow shuffle at corpus
+  scale, where the vocabulary (and thus both join sides) is orders of
+  magnitude larger. The oracle hashes identically, so even the ~1e-7
+  chance of a hash collision cannot diverge the engines — both would
+  merge the same pair;
 * final per-document aggregation shuffles doc_id + three counters.
 Three shuffles total, all on pre-aggregated rows.
 """
