@@ -82,17 +82,16 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
     total = round(time.time() - t_start, 3)
 
-    # Two lines, full-precision FIRST, compact summary LAST: the driver
-    # captures only the output TAIL, and the full 77-query line at 3
-    # decimals outgrew the capture in round 2 (BENCH_r02.json recorded
-    # "parsed": null because the line's head — metric and total — was
-    # truncated away). The final line is the parse target: compact
-    # separators, 2-decimal times, nothing after it.
+    # Two lines, per-query map FIRST, tiny summary LAST. The driver
+    # captures only the output TAIL and parses the FINAL line; rounds
+    # 1-3 all recorded "parsed": null because the final line embedded
+    # the full per-query map (~2.5 KB) and its head — metric and total —
+    # was truncated out of the capture window. The final line must stay
+    # tiny and self-contained: total + sf + cpus + n_queries, NO map.
     print(
         json.dumps(
             {
-                "metric": "headline_query_wall_clock_total_full_precision",
-                "value": total,
+                "metric": "headline_query_wall_clock_per_query",
                 "unit": "sec",
                 "queries": timings,
             }
@@ -104,12 +103,13 @@ def main() -> None:
                 "metric": "headline_query_wall_clock_total",
                 "value": total,
                 "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": sf,
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()),
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count())),
+                "n_queries": len(timings),
             },
             separators=(",", ":"),
-        )
+        ),
+        flush=True,
     )
     spark.stop()
 

@@ -64,9 +64,26 @@ def two_phase_cumsum(
     p = n_buckets or _n_buckets(df)
     stats = df.agg(F.min(v).alias("_vmin"), F.max(v).alias("_vmax"))
     width = (F.col("_vmax") - F.col("_vmin")) / F.lit(float(p))
-    pid = F.when(F.col("_vmax") == F.col("_vmin"), F.lit(0)).otherwise(
-        F.least(
-            F.lit(p - 1), F.floor((v - F.col("_vmin")) / width).cast("int")
+    # A NULL bucket id would silently drop the row at the offsets
+    # equi-join below (min/max skip NULLs, so _vmin/_vmax give no
+    # protection) — fail loudly instead: the numeric contract is the
+    # caller's to meet (cast dates/strings to a number first).
+    pid = (
+        F.when(
+            v.isNull(),
+            F.raise_error(
+                F.lit(
+                    "two_phase_cumsum: value_col must cast to a non-NULL "
+                    "double for every row (got NULL — cast dates with "
+                    "unix_date / filter NULLs first)"
+                )
+            ).cast("int"),
+        )
+        .when(F.col("_vmax") == F.col("_vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(p - 1), F.floor((v - F.col("_vmin")) / width).cast("int")
+            )
         )
     )
     binned = (

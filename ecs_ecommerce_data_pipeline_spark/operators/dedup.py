@@ -224,6 +224,10 @@ def incremental_lsh_candidates(
             ).alias("db"),
         )
         .filter((F.col("da._new") == 1) | (F.col("db._new") == 1))
+        # a doc_id present on BOTH sides (re-ingest of an existing doc)
+        # appears twice in the sorted bucket and would pair with itself,
+        # violating the doc_a < doc_b contract
+        .filter(F.col("da.doc_id") != F.col("db.doc_id"))
         .select(
             F.col("da.doc_id").alias("doc_a"), F.col("db.doc_id").alias("doc_b")
         )

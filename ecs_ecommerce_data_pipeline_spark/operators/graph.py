@@ -136,4 +136,12 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+    if checkpoint:
+        # Materialize the final ranks (truncating the iters-deep lineage
+        # that referenced the pinned relations), then release the cached
+        # blocks — otherwise every pagerank() call leaks executor storage
+        # for the session lifetime and callers must clearCache() around it.
+        ranks = ranks.localCheckpoint(eager=True)
+        for pinned in (nodes, wedges, edges):
+            pinned.unpersist()
     return ranks

@@ -52,11 +52,17 @@ cdf AS (
     FROM counts
 )
 SELECT t.n_a, t.n_b,
-       ABS(CAST(c.cum_a AS DOUBLE) / CAST(t.n_a AS DOUBLE)
-         - CAST(c.cum_b AS DOUBLE) / CAST(t.n_b AS DOUBLE)) AS ks_stat,
-       CAST(c.v AS DOUBLE) AS ks_at_value
+       -- same empty-sample rule as the engine (operators/drift.py): a
+       -- one-sided comparison has no KS statistic — NULL stat AND NULL
+       -- location, never a /0 artifact
+       CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+           ABS(CAST(c.cum_a AS DOUBLE) / CAST(t.n_a AS DOUBLE)
+             - CAST(c.cum_b AS DOUBLE) / CAST(t.n_b AS DOUBLE))
+       END AS ks_stat,
+       CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN CAST(c.v AS DOUBLE)
+       END AS ks_at_value
 FROM cdf c, tot t
-ORDER BY ks_stat DESC, c.v ASC
+ORDER BY ks_stat DESC NULLS LAST, c.v ASC
 LIMIT 1
 """
 

@@ -586,12 +586,19 @@ def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_touches", F.count(F.lit(1)).over(wp))
     )
+    # Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    # for a refund-style NEGATIVE value the two disagree by 1 micro-cent.
+    # Make the Spark side floor-consistent exactly (pure BIGINT algebra,
+    # no double rounding; n_touches > 0 always, so the signs differ iff
+    # cents < 0).
+    floor_div = F.expr(
+        "(cents * 10000) div n_touches"
+        " - (CASE WHEN (cents * 10000) % n_touches != 0 AND cents < 0"
+        " THEN 1 ELSE 0 END)"
+    )
     return ranked.groupBy("view_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
-        (
-            F.sum(F.expr("(cents * 10000) div n_touches")).cast("double")
-            / 1000000.0
-        ).alias("credit_linear"),
+        (F.sum(floor_div).cast("double") / 1000000.0).alias("credit_linear"),
         (
             F.sum(F.when(F.col("rn_first") == 1, F.col("cents")).otherwise(0))
             .cast("double")

@@ -51,17 +51,35 @@ def reference_histogram(
 
 
 def _bin_counts(df: DataFrame, value_col: str, edges) -> list[int]:
+    counts, _n = _bin_counts_and_total(df, value_col, edges)
+    return counts
+
+
+def _bin_counts_and_total(
+    df: DataFrame, value_col: str, edges
+) -> tuple[list[int], int]:
+    """Per-bin counts (NULL values excluded, same rule as
+    ``operators.drift``) plus the TOTAL row count, in one aggregation —
+    one driver-side action per micro-batch, not two. NULL values land in
+    a sentinel bin that is counted toward the total only."""
     v = F.col(value_col).cast("double")
-    df = df.filter(v.isNotNull())  # same NULL rule as operators.drift
     binned = df.select(
-        F.aggregate(
-            F.array(*[F.lit(float(e)) for e in edges]),
-            F.lit(0),
-            lambda acc, e: acc + F.when(v > e, 1).otherwise(0),
-        ).alias("bin")
+        F.when(v.isNull(), F.lit(-1))
+        .otherwise(
+            F.aggregate(
+                F.array(*[F.lit(float(e)) for e in edges]),
+                F.lit(0),
+                lambda acc, e: acc + F.when(v > e, 1).otherwise(0),
+            )
+        )
+        .alias("bin")
     )
-    got = {r["bin"]: r["n"] for r in binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()}
-    return [int(got.get(b, 0)) for b in range(len(edges) + 1)]
+    got = {
+        r["bin"]: r["n"]
+        for r in binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    counts = [int(got.get(b, 0)) for b in range(len(edges) + 1)]
+    return counts, int(sum(got.values()))
 
 
 def psi_from_counts(ref_counts, cur_counts) -> float:
@@ -98,11 +116,7 @@ def psi_drift_monitor(
 
     def _monitor(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        n = batch_df.count()
-        if n == 0:
-            counts = [0] * len(ref.counts)
-        else:
-            counts = _bin_counts(batch_df, value_col, ref.edges)
+        counts, n = _bin_counts_and_total(batch_df, value_col, ref.edges)
         psi = psi_from_counts(ref.counts, counts)
         # foreachBatch is at-least-once: a replayed batch must overwrite
         # its own status partition, never append a duplicate row; the

@@ -293,6 +293,13 @@ def lsh_dedup_stream(
                 spark.read.parquet(store_path)
                 .filter(F.col("_batch_id") < batch_id)
                 .drop("_batch_id")
+                # re-ingest of a known doc_id: the batch's signature wins
+                # (content may have changed) and the store copy leaves the
+                # union — otherwise the same id sits on both sides and
+                # every (id, other) pair double-emits before the distinct
+                .join(
+                    F.broadcast(new.select("doc_id")), "doc_id", "left_anti"
+                )
                 .withColumn("is_new", F.lit(0))
             )
             union = old.unionByName(new)

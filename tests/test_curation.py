@@ -191,3 +191,89 @@ def test_attribution_credit_known_answer(spark):
     assert got[101]["credit_linear"] == 5.0 and got[102]["credit_linear"] == 5.0
     assert got[101]["credit_first"] == 10.0 and got[101]["credit_last"] == 0.0
     assert got[102]["credit_first"] == 0.0 and got[102]["credit_last"] == 10.0
+
+
+def test_incremental_lsh_reingest_emits_no_self_pairs(spark):
+    """A doc_id present on BOTH sides of the union (re-ingest of an
+    existing document) must not pair with itself — every emitted pair
+    honors doc_a != doc_b (ADVICE r3: the sorted bucket held the id
+    twice and the adjacent-slice pairing self-paired it)."""
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.operators import dedup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally unrelated words over here")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(dedup.shingle_docs(docs, k=3), num_hashes=8)
+    # corpus already holds docs 1-3; the batch re-ingests doc 1 verbatim
+    union = sigs.withColumn("is_new", F.lit(0)).unionByName(
+        sigs.filter(F.col("doc_id") == 1).withColumn("is_new", F.lit(1))
+    )
+    pairs = dedup.incremental_lsh_candidates(
+        union, num_hashes=8, band_size=2, max_bucket=50
+    ).collect()
+    assert pairs, "identical docs must still be candidates"
+    for r in pairs:
+        assert r["doc_a"] != r["doc_b"]
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_two_phase_cumsum_raises_on_null_ordering_key(spark):
+    """A NULL (or non-numeric-castable) ordering key used to silently
+    drop the row at the offsets join — it must fail loudly instead
+    (ADVICE r3 medium)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.functions.prefix import (
+        two_phase_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,)], "v double"
+    )
+    with pytest.raises(Exception, match="non-NULL"):
+        two_phase_cumsum(df, "v", {"cum": F.lit(1)}).collect()
+    # strings that don't cast to double fail loudly too (ANSI cast error
+    # — raised before the NULL guard can fire, equally loud)
+    df2 = spark.createDataFrame([("a",), ("b",)], "v string")
+    with pytest.raises(Exception, match="non-NULL|CAST_INVALID_INPUT"):
+        two_phase_cumsum(df2, "v", {"cum": F.lit(1)}).collect()
+
+
+def test_attribution_credit_negative_value_floors_like_duckdb(spark):
+    """Refund-style negative purchase value: the linear split must floor
+    (DuckDB // semantics), not truncate toward zero (Spark div) —
+    -10_000_000 micro-cents over 3 touches is -3333334 each."""
+    import datetime as dt
+
+    from ecs_ecommerce_data_pipeline_spark.queries.events_q import (
+        q_attribution_credit,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 101, "view", base, None),
+        (1, 102, "view", base + dt.timedelta(minutes=5), None),
+        (1, 103, "view", base + dt.timedelta(minutes=10), None),
+        (1, 201, "purchase", base + dt.timedelta(minutes=20), -10.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, ts timestamp, value double",
+    )
+    import ecs_ecommerce_data_pipeline_spark.queries.events_q as eq
+
+    orig = eq.load_table
+    try:
+        eq.load_table = lambda s, d, t: df
+        got = {
+            r["view_id"]: r for r in q_attribution_credit(spark, "unused").collect()
+        }
+    finally:
+        eq.load_table = orig
+    for vid in (101, 102, 103):
+        assert got[vid]["credit_linear"] == -3.333334
