@@ -153,6 +153,73 @@ def _lm_decomposition(spark, src_dir: str, out_dir: str) -> dict:
     out["vocab_ratio"] = round(s / b, 2) if b else None
     return out
 
+def _basket_decomposition(spark, src_dir: str, out_dir: str) -> dict:
+    """Measured explanation for the basket-affinity ratio: pair-mining
+    work is Σ C(|basket|,2) over orders (the exploded pair count), so if
+    emitted pairs grow ~linearly with rows a >1 time ratio is fixed-cost
+    amortization / shuffle width, not a quadratic plan."""
+    out: dict = {}
+    for label, d in (("base", src_dir), ("scaled", out_dir)):
+        li = load_table(spark, d, "lineitem")
+        sizes = li.groupBy("l_orderkey").agg(
+            F.count_distinct("l_partkey").alias("k")
+        )
+        n = (
+            sizes.filter(F.col("k") >= 2)
+            .agg(F.sum(F.expr("k * (k - 1) div 2")).alias("p"))
+            .first()["p"]
+        )
+        out[f"emitted_pairs_{label}"] = int(n or 0)
+    b, s = out["emitted_pairs_base"], out["emitted_pairs_scaled"]
+    out["pairs_ratio"] = round(s / b, 2) if b else None
+    return out
+
+
+def _bruteforce_decomposition(spark, src_dir: str, out_dir: str) -> dict:
+    """Measured explanation for the Arrow brute-force top-k ratio: exact
+    scoring is O(n_corpus · |Q|) with a FIXED query set, so work grows
+    exactly with rows — a time ratio below the rows ratio is batching
+    amortization (a win to claim, not a regression)."""
+    from ecs_ecommerce_data_pipeline_spark.queries.similarity_q import (
+        _QUERY_IDS,
+    )
+
+    out: dict = {"n_queries": len(_QUERY_IDS)}
+    for label, d in (("base", src_dir), ("scaled", out_dir)):
+        n = load_table(spark, d, "embeddings").count()
+        out[f"corpus_rows_{label}"] = n
+        out[f"score_work_{label}"] = n * len(_QUERY_IDS)
+    b, s = out["score_work_base"], out["score_work_scaled"]
+    out["work_ratio"] = round(s / b, 2) if b else None
+    return out
+
+
+def _contamination_decomposition(spark, src_dir: str, out_dir: str) -> dict:
+    """Measured explanation for the contamination ratio: the only
+    corpus-sized cost is the corpus×eval shingle match stream (the eval
+    side stays broadcast); replicas grow BOTH sides (doc_id % 97 keeps
+    selecting ~1/97 of every replica), so matched-pair growth above the
+    rows ratio is candidate density in the data, not plan shape."""
+    from ecs_ecommerce_data_pipeline_spark.operators import retrieval
+    from ecs_ecommerce_data_pipeline_spark.queries.retrieval_q import (
+        _CONTAM_K,
+        _EVAL_MOD,
+    )
+
+    out: dict = {}
+    for label, d in (("base", src_dir), ("scaled", out_dir)):
+        doc = load_table(spark, d, "documents")
+        out[f"matched_pairs_{label}"] = retrieval.contamination_pairs(
+            doc,
+            eval_pred=(F.col("doc_id") % _EVAL_MOD == 0),
+            k=_CONTAM_K,
+            min_overlap=0.0,
+        ).count()
+    b, s = out["matched_pairs_base"], out["matched_pairs_scaled"]
+    out["matched_ratio"] = round(s / b, 2) if b else None
+    return out
+
+
 _ID_OFFSET = 10_000_000
 
 
@@ -296,6 +363,15 @@ def main() -> None:
             _SPARK, qs, src_dir, out_dir
         )
         result["lm_score_decomposition"] = _lm_decomposition(
+            _SPARK, src_dir, out_dir
+        )
+        result["basket_decomposition"] = _basket_decomposition(
+            _SPARK, src_dir, out_dir
+        )
+        result["bruteforce_decomposition"] = _bruteforce_decomposition(
+            _SPARK, src_dir, out_dir
+        )
+        result["contamination_decomposition"] = _contamination_decomposition(
             _SPARK, src_dir, out_dir
         )
     finally:

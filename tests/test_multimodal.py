@@ -211,3 +211,31 @@ def test_lsh_bucket_empty_and_ragged_inputs(spark):
     with pytest.raises(Exception) as exc_info:
         lsh_bucket_assignments(ragged, n_planes=4).collect()
     assert "dims" in str(exc_info.value)
+
+
+def test_decode_png_uses_pil_kernel_when_installed(spark):
+    """With the ``pil`` extra installed (``pip install .[pil]``) the PNG
+    decode MUST route through PIL — this pins the branch at
+    operators/multimodal.py that the sandbox's stdlib-parser tests can't
+    reach. Skipped (never deleted) where PIL is absent."""
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        pytest.skip("PIL not installed: install the 'pil' extra to run")
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_png(6, 4, 3)))], "doc_id long, payload binary"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.octet_length("payload").alias("n_bytes"),
+            F.lit("image/png").alias("mime"),
+        ).alias("media_meta"),
+    )
+    r = decode_features(df).collect()[0]
+    assert r["kernel"] == "pil"
+    assert (r["width"], r["height"], r["n_channels"]) == (6, 4, 3)
