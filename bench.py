@@ -205,6 +205,10 @@ _BENCH_EXTRA: set[str] = {
     "capped_running_balance",
     "settled_running_balance",
     "weighted_exact_k_sample",
+    # round-4 additions: tokenizer apply, Gopher gate, semantic dedup
+    "bpe_encode_corpus",
+    "text_gopher_rules",
+    "dedup_semantic_clusters",
 }
 
 if __name__ == "__main__":

@@ -78,6 +78,37 @@ def _pair_counts(state: DataFrame) -> DataFrame:
 def bpe_merge_rounds(doc: DataFrame, rounds: int = 3) -> DataFrame:
     """Run ``rounds`` BPE merges; return one row per round:
     (round, merged_token, pair_cnt) — the induced merge table."""
+    out, _state = _run_merges(doc, rounds)
+    return out
+
+
+def bpe_encode_tokens(doc: DataFrame, rounds: int = 3, top_n: int = 20) -> DataFrame:
+    """ENCODE the corpus with the merge table induced by ``rounds`` BPE
+    rounds (training and applying share one pass here — the per-round
+    winning merge is applied to the word table as it is learned), then
+    report the resulting token vocabulary: the ``top_n`` most frequent
+    post-merge tokens as (token, n_occurrences), count-weighted by word
+    frequency.
+
+    The apply step a tokenizer service runs at corpus scale: everything
+    is map-only over the VOCABULARY table (O(distinct words), not
+    O(corpus)); the corpus is touched once for word counts. Ties at the
+    top-N boundary break lexicographically — a total order, so the
+    reported set is deterministic.
+    """
+    _out, state = _run_merges(doc, rounds)
+    syms = F.filter(F.split("seq", SEP), lambda s: s != "")
+    return (
+        state.select(F.explode(syms).alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+def _run_merges(doc: DataFrame, rounds: int) -> tuple[DataFrame, DataFrame]:
+    """Shared merge loop: returns (merge table, post-merge word state)."""
     state = init_sequences(word_freq_table(doc))
     out: DataFrame | None = None
     for r in range(1, rounds + 1):
@@ -112,4 +143,4 @@ def bpe_merge_rounds(doc: DataFrame, rounds: int = 3) -> DataFrame:
             ).alias("seq"),
         ).localCheckpoint(eager=False)
     assert out is not None
-    return out
+    return out, state

@@ -236,3 +236,83 @@ def doc_boilerplate_stats(
             / F.count(F.lit(1))
         ).alias("boilerplate_ratio"),
     )
+
+
+def gopher_rules(
+    doc: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+    max_top_word_share: float = 0.12,
+) -> DataFrame:
+    """Gopher-style heuristic quality gate (Rae et al. 2021 §A1.1
+    adapted to this corpus): per-document rule signals and a composite
+    ``passes`` flag.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; share of words containing a
+    latin letter ≥ min_alpha_word_ratio; at least ``min_stop_hits``
+    DISTINCT English stopwords present; the single most frequent word's
+    share of the doc ≤ max_top_word_share (the repetition gate).
+
+    Shape: one explode + two hash aggregations keyed by (doc_id, word)
+    then doc_id — partial aggregation absorbs the fan-out map-side, and
+    all rule math happens on the ≤1-row-per-doc aggregate. No windows,
+    no Python.
+    """
+    tok = (
+        doc.select("doc_id", F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    wc = tok.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.max("c").cast("bigint").alias("top_word_cnt"),
+        F.sum(F.col("c") * F.length("word")).cast("bigint").alias("_char_sum"),
+        F.sum(
+            F.when(F.col("word").rlike("[a-z]"), F.col("c")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("_alpha_words"),
+        F.count_distinct(
+            F.when(F.array_contains(stop_arr, F.col("word")), F.col("word"))
+        )
+        .cast("bigint")
+        .alias("stop_hits"),
+    )
+    mean_len = F.col("_char_sum").cast("double") / F.col("n_words").cast("double")
+    alpha_ratio = (
+        F.col("_alpha_words").cast("double") / F.col("n_words").cast("double")
+    )
+    top_share = (
+        F.col("top_word_cnt").cast("double") / F.col("n_words").cast("double")
+    )
+    rules = {
+        "rule_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "rule_mean_word_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "rule_alpha_words": alpha_ratio >= min_alpha_word_ratio,
+        "rule_stopwords": F.col("stop_hits") >= min_stop_hits,
+        "rule_repetition": top_share <= max_top_word_share,
+    }
+    out = per_doc.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        "stop_hits",
+        top_share.alias("top_word_share"),
+        *[expr.alias(name) for name, expr in rules.items()],
+    )
+    passes = None
+    for name in rules:
+        passes = F.col(name) if passes is None else passes & F.col(name)
+    return out.withColumn("passes", passes)

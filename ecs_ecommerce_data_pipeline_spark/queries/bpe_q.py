@@ -11,10 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import register
-from ..operators.bpe import bpe_merge_rounds
+from ..operators.bpe import bpe_encode_tokens, bpe_merge_rounds
 from ..sources.testdata import load_table
 
 _ROUNDS = 3
+_ENCODE_TOP = 20
 
 
 def _bpe_sql(rounds: int) -> str:
@@ -66,6 +67,26 @@ s{r} AS (
     return "".join(parts) + "\n" + selects
 
 
+def _bpe_encode_sql(rounds: int, top_n: int) -> str:
+    """Same chained merge CTEs, but the final select ENCODES: explode the
+    post-merge symbol strings back to tokens, count-weighted, top-N."""
+    head = _bpe_sql(rounds).rsplit("\nSELECT round", 1)[0]
+    # head ends with the s{rounds} CTE definition; replace the merge-table
+    # union tail with the vocabulary aggregation
+    return (
+        head
+        + f"""
+SELECT token, CAST(SUM(cnt) AS BIGINT) AS n_occurrences FROM (
+    SELECT unnest(list_filter(string_split(seq, chr(1)), x -> x <> '')) AS token,
+           cnt
+    FROM s{rounds}
+) GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {top_n}
+"""
+    )
+
+
 @register("bpe_merge_rounds", _bpe_sql(_ROUNDS))
 def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First K BPE merges induced from the corpus word-frequency table —
@@ -73,3 +94,13 @@ def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only string merge."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe_merge_rounds(docs, rounds=_ROUNDS)
+
+
+@register("bpe_encode_corpus", _bpe_encode_sql(_ROUNDS, _ENCODE_TOP))
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: encode the corpus with the K-round merge table
+    and report the top post-merge vocabulary tokens (count-weighted by
+    word frequency). All symbol work is O(distinct words); the top-N
+    rides a TakeOrdered, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_tokens(docs, rounds=_ROUNDS, top_n=_ENCODE_TOP)

@@ -473,3 +473,65 @@ def q_embedding_covariance_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("xq").cast("bigint").alias("s"))
     )
     return _cov_finalize(pair_sums, dim_sums)
+
+
+# --- semantic dedup: cosine near-dup pairs -> clusters ---------------------
+
+_SEM_CC_SQL = f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (
+    SELECT vec_id, v,
+       {_proj_terms}
+    FROM e
+),
+bucketed AS (
+    SELECT vec_id, v, CAST({_bucket_expr} AS BIGINT) AS bucket
+    FROM proj
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= {_COS_THRESH}
+),
+und AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+cc_nodes AS (SELECT DISTINCT u AS node FROM und),
+reach(node, r) AS (
+    SELECT node, node FROM cc_nodes
+    UNION
+    SELECT ed.v, r.r FROM reach r JOIN und ed ON ed.u = r.node
+),
+labeled AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(node) AS BIGINT) AS sum_members
+FROM labeled
+GROUP BY component
+"""
+
+
+@register("dedup_semantic_clusters", _SEM_CC_SQL)
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic duplicate CLUSTERS: embedding-cosine
+    near-dup pairs (LSH-bucket blocked, Σ|bucket|² cost) fed through
+    min-label connected components — component id = min vec_id, the
+    canonical keep-one survivor. The oracle states the same fixpoint as
+    a recursive-CTE transitive closure."""
+    from ..operators.dedup import connected_components
+
+    pairs = similarity.cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=_COS_THRESH,
+        n_planes=_N_PLANES,
+    )
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    return labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("node").cast("bigint").alias("sum_members"),
+    )

@@ -419,3 +419,53 @@ def q_doc_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_boilerplate_stats(
         load_table(spark, sf_dir, "documents"), k=5, min_docs=3
     )
+
+
+_GOPHER_SQL = f"""
+WITH t AS (
+    SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+),
+w AS (
+    SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+    FROM t WHERE word <> '' GROUP BY doc_id, word
+),
+d AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(max(c) AS BIGINT) AS top_word_cnt,
+           CAST(sum(c * length(word)) AS BIGINT) AS char_sum,
+           CAST(sum(CASE WHEN regexp_matches(word, '[a-z]') THEN c ELSE 0 END)
+                AS BIGINT) AS alpha_words,
+           CAST(count(DISTINCT CASE WHEN word IN ({_stop_list}) THEN word END)
+                AS BIGINT) AS stop_hits
+    FROM w GROUP BY doc_id
+)
+SELECT doc_id, n_words,
+       CAST(char_sum AS DOUBLE) / n_words AS mean_word_len,
+       CAST(alpha_words AS DOUBLE) / n_words AS alpha_word_ratio,
+       stop_hits,
+       CAST(top_word_cnt AS DOUBLE) / n_words AS top_word_share,
+       (n_words >= 20 AND n_words <= 100000) AS rule_word_count,
+       (CAST(char_sum AS DOUBLE) / n_words >= 3.0
+        AND CAST(char_sum AS DOUBLE) / n_words <= 10.0) AS rule_mean_word_len,
+       (CAST(alpha_words AS DOUBLE) / n_words >= 0.8) AS rule_alpha_words,
+       (stop_hits >= 2) AS rule_stopwords,
+       (CAST(top_word_cnt AS DOUBLE) / n_words <= 0.12) AS rule_repetition,
+       ((n_words >= 20 AND n_words <= 100000)
+        AND (CAST(char_sum AS DOUBLE) / n_words >= 3.0
+             AND CAST(char_sum AS DOUBLE) / n_words <= 10.0)
+        AND (CAST(alpha_words AS DOUBLE) / n_words >= 0.8)
+        AND (stop_hits >= 2)
+        AND (CAST(top_word_cnt AS DOUBLE) / n_words <= 0.12)) AS passes
+FROM d
+"""
+
+
+@register("text_gopher_rules", _GOPHER_SQL)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality gate: per-doc word-count / mean
+    word-length / alpha-word / stopword / top-word-repetition rules and
+    the composite pass flag. Two hash aggregations, no windows."""
+    from ..operators.text import gopher_rules
+
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
