@@ -205,10 +205,13 @@ _BENCH_EXTRA: set[str] = {
     "capped_running_balance",
     "settled_running_balance",
     "weighted_exact_k_sample",
-    # round-4 additions: tokenizer apply, Gopher gate, semantic dedup
+    # round-4 additions: tokenizer apply, Gopher gate, semantic dedup,
+    # mergeable quantile state, GDPR cascade audit
     "bpe_encode_corpus",
     "text_gopher_rules",
     "dedup_semantic_clusters",
+    "quantile_bins_merge",
+    "privacy_erasure_audit",
 }
 
 if __name__ == "__main__":

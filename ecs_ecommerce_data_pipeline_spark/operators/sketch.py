@@ -104,3 +104,100 @@ def cms_join_size(
         .agg(F.sum("p").alias("dot"))
         .agg(F.min("dot").cast("bigint").alias("est_join_size"))
     )
+
+
+# --- mergeable binned-quantile state ---------------------------------------
+
+def quantile_bin_state(
+    df: DataFrame,
+    value_col: str,
+    stats: DataFrame,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-batch mergeable quantile state: equal-width bin counts of
+    ``value_col`` against broadcast (vmin, vmax) ``stats``.
+
+    The incremental-percentile counterpart of the HLL distinct state:
+    exact percentiles need the full value multiset per recompute, but a
+    binned histogram is ≤ ``n_bins`` BIGINT rows per batch, merging is
+    a count sum (associative, any grouping), and the estimate error is
+    bounded by one bin width. At 100 TB the (vmin, vmax) frame comes
+    from table statistics or a prior batch — here one tiny agg.
+
+    Returns (bin, c); NULL values are excluded (no percentile identity).
+    """
+    v = F.col(value_col).cast("double")
+    width = (F.col("_qvmax") - F.col("_qvmin")) / F.lit(float(n_bins))
+    bin_id = F.when(F.col("_qvmax") == F.col("_qvmin"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((v - F.col("_qvmin")) / width).cast("int"),
+        )
+    )
+    return (
+        df.filter(v.isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(bin_id.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def quantile_value_stats(df: DataFrame, value_col: str) -> DataFrame:
+    """One-row (vmin, vmax) frame driving the equal-width binning."""
+    v = F.col(value_col).cast("double")
+    return df.filter(v.isNotNull()).agg(
+        F.min(v).alias("_qvmin"), F.max(v).alias("_qvmax")
+    )
+
+
+def quantile_from_bins(
+    merged: DataFrame,
+    stats: DataFrame,
+    qs: list[float],
+    n_bins: int = 64,
+) -> DataFrame:
+    """Estimate quantiles from MERGED bin counts: for each q, walk the
+    cumulative histogram to the bin containing rank ceil(q·N) and
+    interpolate within it. The window runs over ≤ ``n_bins`` rows — a
+    bounded input, never corpus-sized.
+
+    Returns (q, est) with |est − exact| ≤ one bin width by construction.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        merged.withColumn("cum", F.sum("c").over(w))
+        .withColumn("cum_prev", F.col("cum") - F.col("c"))
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(
+            F.broadcast(
+                merged.agg(F.sum("c").cast("bigint").alias("_qn"))
+            )
+        )
+    )
+    width = (F.col("_qvmax") - F.col("_qvmin")) / F.lit(float(n_bins))
+    out = None
+    for q in qs:
+        target = F.ceil(F.lit(q) * F.col("_qn")).cast("bigint")
+        hit = (
+            cum.filter(
+                (F.col("cum") >= target) & (F.col("cum_prev") < target)
+            )
+            .select(
+                F.lit(q).alias("q"),
+                (
+                    F.col("_qvmin")
+                    + width
+                    * (
+                        F.col("bin").cast("double")
+                        + (target - F.col("cum_prev")).cast("double")
+                        / F.col("c").cast("double")
+                    )
+                ).alias("est"),
+            )
+            .limit(1)
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

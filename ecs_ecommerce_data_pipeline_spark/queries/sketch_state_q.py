@@ -70,3 +70,101 @@ def q_hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_bounds"),
     )
     return iso_temporal(out)
+
+
+# --- mergeable binned-quantile state ---------------------------------------
+
+_QB_QS = [0.25, 0.5, 0.75, 0.9]
+_QB_BINS = 64
+
+_QB_SQL = f"""
+WITH vals AS (
+    SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+    WHERE o_totalprice IS NOT NULL
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+c AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY v),
+cdf AS (
+    SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM c
+),
+qs AS (SELECT unnest([{", ".join(repr(q) for q in _QB_QS)}]) AS q)
+SELECT q.q AS q, MIN(cdf.v) AS exact_value, TRUE AS within_bounds
+FROM qs q, n, cdf
+WHERE cdf.cum >= CAST(CEIL(q.q * n.n) AS BIGINT)
+GROUP BY q.q
+"""
+
+
+@register("quantile_bins_merge", _QB_SQL)
+def q_quantile_bins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental percentile maintenance: three batches each reduce to
+    a ≤64-row equal-width bin-count state, states merge by count sum
+    (associative — any batch grouping lands the same histogram), and
+    quantiles interpolate from the merged bins. The gate emits the
+    EXACT discrete percentile (order statistic at rank ceil(q·N),
+    oracle-anchored) plus a boolean asserting the merged-state estimate
+    sits within one bin width of it.
+
+    Scale shape: per-batch state is O(n_bins) BIGINTs regardless of
+    batch size; the exact anchor runs the same two-phase prefix sum the
+    KS statistic uses (no corpus-sized ordered window anywhere)."""
+    from ..functions.prefix import two_phase_cumsum
+    from ..operators.sketch import (
+        quantile_bin_state,
+        quantile_from_bins,
+        quantile_value_stats,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("v")
+    )
+    stats = quantile_value_stats(orders, "v")
+    states = [
+        quantile_bin_state(
+            orders.filter(F.col("o_orderkey") % 3 == b), "v", stats, _QB_BINS
+        )
+        for b in range(3)
+    ]
+    merged = (
+        states[0]
+        .unionByName(states[1])
+        .unionByName(states[2])
+        .groupBy("bin")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    est = quantile_from_bins(merged, stats, _QB_QS, _QB_BINS)
+
+    counts = (
+        orders.filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    totals = counts.agg(F.sum("c").cast("bigint").alias("_qn"))
+    cdf = two_phase_cumsum(counts, "v", {"cum": "c"}).withColumn(
+        "cum", F.col("cum").cast("bigint")
+    )
+    qdf = spark.createDataFrame([(q,) for q in _QB_QS], "q double")
+    exact = (
+        cdf.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(qdf))
+        .filter(
+            F.col("cum")
+            >= F.ceil(F.col("q") * F.col("_qn")).cast("bigint")
+        )
+        .groupBy("q")
+        .agg(F.min("v").alias("exact_value"))
+    )
+    bound = (
+        (F.col("_qvmax") - F.col("_qvmin")) / F.lit(float(_QB_BINS))
+    ) * F.lit(1.0 + 1e-9)
+    return (
+        exact.join(est, "q")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q",
+            "exact_value",
+            (F.abs(F.col("est") - F.col("exact_value")) <= bound).alias(
+                "within_bounds"
+            ),
+        )
+    )

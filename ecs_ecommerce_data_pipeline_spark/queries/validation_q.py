@@ -104,3 +104,95 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("order_items->products").alias("check_name"), "orphan_count"
     )
     return orders_check.unionByName(products_check)
+
+
+# --- right-to-erasure (GDPR Art. 17) cascade audit -------------------------
+
+_ERASE_MOD = 50
+_ERASE_PRED = (
+    "('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT"
+    f" % {_ERASE_MOD} = 0"
+)
+
+_ERASURE_SQL = f"""
+WITH erased AS (
+    SELECT c_custkey AS k FROM customer WHERE {_ERASE_PRED}
+),
+o AS (
+    SELECT o_orderkey, o_custkey FROM orders JOIN erased ON o_custkey = k
+)
+SELECT 'customer' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys
+FROM erased
+UNION ALL
+SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+FROM o
+UNION ALL
+SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+FROM lineitem JOIN o ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'events', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT)
+FROM events JOIN erased ON user_id = k
+"""
+
+
+@register("privacy_erasure_audit", _ERASURE_SQL)
+def q_privacy_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade audit: for a deterministic deletion set
+    of customers (md5-bucket parity — stands in for an uploaded erasure
+    list), the rows each table would lose: customer rows themselves,
+    their orders, the lineitems cascading through those orders, and the
+    user's events.
+
+    Scale shape: the erasure list is always tiny relative to the corpus,
+    so every probe is a BROADCAST semi/inner join — the fact tables are
+    scanned once each, map-side, with no corpus shuffle; the lineitem
+    cascade joins the (also small) affected-orders set. This is the
+    audit half of a delete pipeline; the write half is these same joins
+    as anti-joins into a partition overwrite."""
+    from ..operators.sampling import hash_bucket
+    from ..sources.testdata import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    erased = cust.filter(hash_bucket("c_custkey", _ERASE_MOD) == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    o_hit = orders.join(
+        F.broadcast(erased), orders["o_custkey"] == F.col("k")
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def one(name: str, df: DataFrame, key: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(F.col(key)).cast("bigint").alias("n_keys"),
+        )
+
+    return (
+        one("customer", erased, "k")
+        .unionByName(one("orders", o_hit, "o_custkey"))
+        .unionByName(
+            one(
+                "lineitem",
+                li.join(
+                    F.broadcast(o_hit.select("o_orderkey")),
+                    li["l_orderkey"] == F.col("o_orderkey"),
+                ),
+                "l_orderkey",
+            )
+        )
+        .unionByName(
+            one(
+                "events",
+                ev.join(F.broadcast(erased), ev["user_id"] == F.col("k")),
+                "user_id",
+            )
+        )
+    )

@@ -185,3 +185,54 @@ def view_purchase_attribution(
         F.date_format("purchase_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.col("value").cast("decimal(18,2)").cast("double").alias("purchase_value"),
     )
+
+
+def view_purchase_attribution_outer(
+    events: DataFrame, horizon: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every view emits — with
+    its in-horizon purchases when they exist, or ONCE with NULL purchase
+    columns after the watermark passes ``view_ts + horizon`` (Spark can
+    only then prove no match will ever arrive; unmatched rows therefore
+    trail the inner results by the watermark delay, and views near the
+    end of a bounded input never flush — the cost of exactly-once NULL
+    semantics on an unbounded stream). State eviction is identical to
+    the inner variant: the time-range bound keeps both sides' buffers
+    watermark-bounded."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts_raw"),
+        )
+        .withWatermark("view_ts_raw", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts_raw"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts_raw", watermark)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("purchase_ts_raw") >= F.col("view_ts_raw"))
+        & (
+            F.col("purchase_ts_raw")
+            <= F.col("view_ts_raw") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.date_format("view_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("purchase_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("value").cast("decimal(18,2)").cast("double").alias("purchase_value"),
+    )

@@ -600,3 +600,45 @@ def test_analyzed_table_feeds_cbo_statistics(spark, tmp_path):
             spark.conf.set("spark.sql.cbo.enabled", old)
     finally:
         spark.sql("DROP TABLE cbo_orders")
+
+
+def test_gopher_rules_no_windows_two_aggregations(spark):
+    """The Gopher gate must stay pure hash aggregation: no Window node
+    (per-doc rule math happens on grouped rows), no Python boundary."""
+    df = catalog.queries()["text_gopher_rules"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("HashAggregate") >= 2  # (doc,word) then doc
+
+
+def test_bpe_encode_topn_is_take_ordered(spark):
+    """The encode vocabulary top-N must be a distributed TakeOrdered,
+    never a global sort of the whole token table."""
+    df = catalog.queries()["bpe_encode_corpus"](spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_erasure_audit_all_probes_broadcast(spark):
+    """Every fact-table probe in the erasure audit joins against the
+    (tiny) erased-key set map-side: only broadcast joins, no
+    SortMergeJoin — the fact tables must never shuffle."""
+    df = catalog.queries()["privacy_erasure_audit"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantile_bins_state_is_bounded(spark):
+    """The mergeable quantile state must aggregate to bin granularity
+    before any window: the only Window in the plan runs over the merged
+    ≤n_bins rows (bounded input — acceptable single partition), and the
+    corpus-sized exact anchor uses the two-phase prefix sum, never a
+    Sort over a single-partition Exchange of the value table."""
+    df = catalog.queries()["quantile_bins_merge"](spark, SF_SMOKE)
+    plan = _plan(df)
+    # the bounded-window idiom: any SinglePartition exchange feeding a
+    # Sort must sit ABOVE a HashAggregate that reduced to bins (i.e. the
+    # plan still contains the bin aggregate); corpus rows never reach it
+    assert "HashAggregate" in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan

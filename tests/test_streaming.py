@@ -834,3 +834,39 @@ def test_lsh_dedup_stream_union_equals_full_batch(spark, tmp_path):
     # store holds each doc's signature exactly once
     n_store = spark.read.parquet(store).select("doc_id").distinct().count()
     assert n_store == spark.read.parquet(store).count() == doc.count()
+
+
+def test_stream_stream_outer_attribution(spark):
+    """Left-outer stream-stream interval join: matched rows equal the
+    inner batch twin exactly; every emitted NULL-purchase row is a view
+    the batch twin also leaves unmatched (outer rows can only flush
+    after the watermark passes view_ts + horizon, so trailing views of
+    the bounded input legitimately never emit)."""
+    from ecs_ecommerce_data_pipeline_spark.catalog import queries
+    from ecs_ecommerce_data_pipeline_spark.streaming.pipeline import (
+        view_purchase_attribution_outer,
+    )
+
+    stream = view_purchase_attribution_outer(stream_events(spark, SF))
+    run_to_memory(stream, "attrib_outer_out", output_mode="append")
+    rows = spark.sql("SELECT * FROM attrib_outer_out").collect()
+    got_matched = {
+        (r["view_id"], r["purchase_id"]) for r in rows
+        if r["purchase_id"] is not None
+    }
+    got_unmatched = {r["view_id"] for r in rows if r["purchase_id"] is None}
+
+    batch = queries()["events_attribution"](spark, SF)
+    want_matched = {(r["view_id"], r["purchase_id"]) for r in batch.collect()}
+    assert got_matched == want_matched
+
+    matched_views = {v for v, _p in want_matched}
+    # every flushed NULL row is genuinely unmatched in the batch twin...
+    assert not (got_unmatched & matched_views)
+    # ...and a view emits at most once as unmatched, never also matched
+    assert len(got_unmatched) == len(
+        [r for r in rows if r["purchase_id"] is None]
+    )
+    # non-vacuous: the event horizon spans far beyond the watermark, so
+    # early unmatched views MUST have flushed
+    assert got_unmatched
