@@ -369,12 +369,6 @@ def connected_components(
 
     Returns (node, component) with component = min node id reachable.
     """
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
     # Pin the undirected edge list ONCE, pre-partitioned on the join
     # key: without the persist the upstream derivation (typically the
     # whole LSH candidate pipeline) re-executes EVERY iteration, and
@@ -389,6 +383,11 @@ def connected_components(
         .repartition("u")
         .persist()
     )
+    # nodes from the PINNED undirected list (u covers both endpoints) —
+    # deriving them from `edges` would execute the whole upstream pair
+    # pipeline a second time before the cache exists
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
 
     for _ in range(max_iter):
         offered = (

@@ -178,26 +178,24 @@ def quantile_from_bins(
         )
     )
     width = (F.col("_qvmax") - F.col("_qvmin")) / F.lit(float(n_bins))
-    out = None
-    for q in qs:
-        target = F.ceil(F.lit(q) * F.col("_qn")).cast("bigint")
-        hit = (
-            cum.filter(
-                (F.col("cum") >= target) & (F.col("cum_prev") < target)
-            )
-            .select(
-                F.lit(q).alias("q"),
-                (
-                    F.col("_qvmin")
-                    + width
-                    * (
-                        F.col("bin").cast("double")
-                        + (target - F.col("cum_prev")).cast("double")
-                        / F.col("c").cast("double")
-                    )
-                ).alias("est"),
-            )
-            .limit(1)
+    # ONE plan for all quantiles: cross the (≤n_bins)-row cumulative
+    # histogram with the quantile list and keep the bracketing bin per q
+    # — a per-q union would recompute the merged state |qs| times
+    qdf = merged.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+    target = F.ceil(F.col("q") * F.col("_qn")).cast("bigint")
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter((F.col("cum") >= target) & (F.col("cum_prev") < target))
+        .select(
+            "q",
+            (
+                F.col("_qvmin")
+                + width
+                * (
+                    F.col("bin").cast("double")
+                    + (target - F.col("cum_prev")).cast("double")
+                    / F.col("c").cast("double")
+                )
+            ).alias("est"),
         )
-        out = hit if out is None else out.unionByName(hit)
-    return out
+    )

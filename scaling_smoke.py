@@ -74,6 +74,14 @@ STAGES = {
     "drift_ks_doc_lengths": "documents",
     # incremental dedup: per-batch candidate work must track the batch
     "dedup_incremental_candidates": "documents",
+    # round-4 additions: tokenizer apply (vocab-sized merge loop), Gopher
+    # gate (two hash aggs), semantic CC (bucketed pairs + label prop),
+    # mergeable quantile state, broadcast-only erasure audit
+    "bpe_encode_corpus": "documents",
+    "text_gopher_rules": "documents",
+    "dedup_semantic_clusters": "embeddings",
+    "quantile_bins_merge": "orders",
+    "privacy_erasure_audit": "lineitem",
 }
 
 
@@ -152,6 +160,30 @@ def _lm_decomposition(spark, src_dir: str, out_dir: str) -> dict:
     b, s = out["distinct_bigrams_base"], out["distinct_bigrams_scaled"]
     out["vocab_ratio"] = round(s / b, 2) if b else None
     return out
+
+def _semantic_decomposition(spark, src_dir: str, out_dir: str) -> dict:
+    """Measured explanation for the semantic-clusters ratio: cost is the
+    cosine near-dup PAIR count (the perturbed embedding replicas stay
+    near their originals, so pair density grows faster than rows) plus
+    label-propagation rounds over those pairs — data growth, not an
+    all-pairs plan."""
+    from ecs_ecommerce_data_pipeline_spark.operators import similarity
+    from ecs_ecommerce_data_pipeline_spark.queries.similarity_q import (
+        _COS_THRESH,
+        _N_PLANES,
+    )
+
+    out: dict = {}
+    for label, d in (("base", src_dir), ("scaled", out_dir)):
+        out[f"cosine_pairs_{label}"] = similarity.cosine_near_dup_pairs(
+            load_table(spark, d, "embeddings"),
+            threshold=_COS_THRESH,
+            n_planes=_N_PLANES,
+        ).count()
+    b, s = out["cosine_pairs_base"], out["cosine_pairs_scaled"]
+    out["pairs_ratio"] = round(s / b, 2) if b else None
+    return out
+
 
 def _basket_decomposition(spark, src_dir: str, out_dir: str) -> dict:
     """Measured explanation for the basket-affinity ratio: pair-mining
@@ -372,6 +404,9 @@ def main() -> None:
             _SPARK, src_dir, out_dir
         )
         result["contamination_decomposition"] = _contamination_decomposition(
+            _SPARK, src_dir, out_dir
+        )
+        result["semantic_clusters_decomposition"] = _semantic_decomposition(
             _SPARK, src_dir, out_dir
         )
     finally:
