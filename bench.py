@@ -212,6 +212,8 @@ _BENCH_EXTRA: set[str] = {
     "dedup_semantic_clusters",
     "quantile_bins_merge",
     "privacy_erasure_audit",
+    "dedup_keep_best_quality",
+    "tokenizer_fertility_by_lang",
 }
 
 if __name__ == "__main__":

@@ -129,18 +129,26 @@ def _run_merges(doc: DataFrame, rounds: int) -> tuple[DataFrame, DataFrame]:
         out = row if out is None else out.unionByName(row)
         # each round references `state` twice (pair counts + merge) and
         # embeds the previous round's subtree — without a per-round
-        # lineage cut the logical plan doubles every round (2^K growth)
-        state = state.crossJoin(F.broadcast(top)).select(
+        # lineage cut the logical plan doubles every round (2^K growth).
+        # LEFT join against the 1-row winner: when a round finds NO pair
+        # (every word already a single symbol) the winner is empty, and a
+        # cross join would annihilate the state — the fully-merged corpus
+        # must pass through unchanged instead.
+        state = state.join(F.broadcast(top), F.lit(True), "left").select(
             "word",
             "cnt",
-            F.replace(
-                F.col("seq"),
-                F.concat(
-                    F.lit(SEP), F.col("_a"), F.lit(SEP),
-                    F.lit(SEP), F.col("_b"), F.lit(SEP),
-                ),
-                F.concat(F.lit(SEP), F.col("_a"), F.col("_b"), F.lit(SEP)),
-            ).alias("seq"),
+            F.when(F.col("_a").isNull(), F.col("seq"))
+            .otherwise(
+                F.replace(
+                    F.col("seq"),
+                    F.concat(
+                        F.lit(SEP), F.col("_a"), F.lit(SEP),
+                        F.lit(SEP), F.col("_b"), F.lit(SEP),
+                    ),
+                    F.concat(F.lit(SEP), F.col("_a"), F.col("_b"), F.lit(SEP)),
+                )
+            )
+            .alias("seq"),
         ).localCheckpoint(eager=False)
     assert out is not None
     return out, state

@@ -54,10 +54,14 @@ t{r} AS (
     FROM p{r} ORDER BY pair_cnt DESC, pair ASC LIMIT 1
 ),
 s{r} AS (
+    -- LEFT JOIN: a round with no remaining pair has an empty winner and
+    -- must pass the fully-merged corpus through unchanged (a comma join
+    -- would annihilate it — same guard as the engine's merge loop)
     SELECT word, cnt,
-           replace(seq, chr(1) || t.a || chr(1) || chr(1) || t.b || chr(1),
-                        chr(1) || t.a || t.b || chr(1)) AS seq
-    FROM s{r - 1}, t{r} t
+           CASE WHEN t.a IS NULL THEN seq
+                ELSE replace(seq, chr(1) || t.a || chr(1) || chr(1) || t.b || chr(1),
+                             chr(1) || t.a || t.b || chr(1)) END AS seq
+    FROM s{r - 1} LEFT JOIN t{r} t ON TRUE
 )"""
         )
     selects = " UNION ALL ".join(

@@ -386,3 +386,79 @@ def q_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=_BAND_SIZE,
         max_bucket=_MAX_BUCKET,
     )
+
+
+# --- survivor selection: keep the best-quality doc per cluster -------------
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_CANDIDATES_CTES},
+und AS (
+    SELECT doc_a AS u, doc_b AS v FROM candidates
+    UNION ALL
+    SELECT doc_b, doc_a FROM candidates
+),
+cc_nodes AS (SELECT DISTINCT u AS node FROM und),
+reach(node, r) AS (
+    SELECT node, node FROM cc_nodes
+    UNION
+    SELECT e.v, r.r FROM reach r JOIN und e ON e.u = r.node
+),
+labeled AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+enriched AS (
+    SELECT l.node, l.component, d.n_chars
+    FROM labeled l JOIN documents d ON d.doc_id = l.node
+)
+SELECT component,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(node AS BIGINT) AS kept_doc_id,
+       CAST(n_chars AS BIGINT) AS kept_n_chars
+FROM (
+    SELECT *,
+           COUNT(*) OVER (PARTITION BY component) AS n_members,
+           ROW_NUMBER() OVER (
+               PARTITION BY component ORDER BY n_chars DESC, node) AS rn
+    FROM enriched
+)
+WHERE rn = 1
+"""
+
+
+@register("dedup_keep_best_quality", _KEEP_BEST_SQL)
+def q_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor SELECTION policy: near-dup clusters keep their
+    best-quality member (longest text, ties to the smallest doc_id) —
+    the policy step after clustering that production dedup actually
+    ships (min-id canonical is a label, not a keep decision).
+
+    Scale shape: the per-cluster window is bounded by cluster size
+    (near-cliques from LSH), never corpus-sized; the quality join is an
+    equi-join on doc_id."""
+    from pyspark.sql import Window
+
+    doc = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        dedup.shingle_docs(doc, k=_SHINGLE_K), num_hashes=_NUM_HASHES
+    )
+    cands = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE, max_bucket=_MAX_BUCKET
+    )
+    labels = dedup.connected_components(cands)
+    enriched = labels.join(
+        doc.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    w = Window.partitionBy("component")
+    ranked = enriched.select(
+        "component",
+        "node",
+        "n_chars",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), F.asc("node")))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component",
+        "n_members",
+        F.col("node").cast("bigint").alias("kept_doc_id"),
+        F.col("n_chars").cast("bigint").alias("kept_n_chars"),
+    )

@@ -469,3 +469,46 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import gopher_rules
 
     return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+_FERTILITY_SQL = f"""
+WITH t AS (
+    SELECT lang,
+           CAST(len({_TOKS}) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS BIGINT) AS n_bpe
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_words) AS fertility
+FROM t
+GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility_by_lang", _FERTILITY_SQL)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE-ish tokens per whitespace word) by
+    language — the standard multilingual-tokenizer health metric; a
+    lang whose fertility balloons is under-served by the vocabulary.
+    One map + one tiny aggregation."""
+    from ..operators.text import bpe_ish_token_count
+    from ..functions.textfn import tokens as _tok
+
+    doc = load_table(spark, sf_dir, "documents")
+    per = doc.select(
+        "lang",
+        F.size(_tok("text")).cast("bigint").alias("n_words"),
+        bpe_ish_token_count("text").cast("bigint").alias("n_bpe"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        (
+            F.sum("n_bpe").cast("double") / F.sum("n_words").cast("double")
+        ).alias("fertility"),
+    )

@@ -378,3 +378,119 @@ def test_settled_balance_fold_matches_loop(spark, per_cust, cap):
         for r in settled_balances(orders, cap_cents=cap).collect()
     }
     assert got == {k: (n, s, round(b, 2)) for k, (n, s, b) in want.items()}
+
+
+# --- round-4 operators -----------------------------------------------------
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=80
+    ),
+    n_batches=st.integers(min_value=1, max_value=4),
+    n_bins=st.sampled_from([4, 16]),
+    q=st.sampled_from([0.25, 0.5, 0.9]),
+)
+@_SETTINGS
+def test_quantile_bin_merge_estimate_within_one_bin(
+    spark, vals, n_batches, n_bins, q
+):
+    """For ANY values, ANY batch split, and ANY bin count: batch states
+    merged by count sum must estimate each quantile within one bin width
+    of the exact order statistic at rank ceil(q·N)."""
+    import math
+
+    from ecs_ecommerce_data_pipeline_spark.operators.sketch import (
+        quantile_bin_state,
+        quantile_from_bins,
+        quantile_value_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i long, v double"
+    )
+    stats = quantile_value_stats(df, "v")
+    states = [
+        quantile_bin_state(
+            df.filter(F.col("i") % n_batches == b), "v", stats, n_bins
+        )
+        for b in range(n_batches)
+    ]
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    merged = merged.groupBy("bin").agg(F.sum("c").cast("bigint").alias("c"))
+    got = {
+        r["q"]: r["est"]
+        for r in quantile_from_bins(merged, stats, [q], n_bins).collect()
+    }
+    srt = sorted(vals)
+    exact = float(srt[max(0, math.ceil(q * len(vals)) - 1)])
+    width = (max(vals) - min(vals)) / n_bins if max(vals) > min(vals) else 0.0
+    assert abs(got[q] - exact) <= width + 1e-9
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["the", "a", "of", "value", "table", "zz", "x1", "data"]
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_gopher_rules_match_python_reference(spark, docs):
+    """Rule signals must equal a naive per-doc Python computation for
+    arbitrary word mixes."""
+    from collections import Counter
+
+    from ecs_ecommerce_data_pipeline_spark.operators.text import (
+        STOPWORDS_EN,
+        gopher_rules,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    for i, words in enumerate(docs):
+        c = Counter(words)
+        n = len(words)
+        r = got[i]
+        assert r["n_words"] == n
+        assert abs(r["mean_word_len"] - sum(map(len, words)) / n) < 1e-12
+        assert r["stop_hits"] == len(
+            {w for w in words if w in STOPWORDS_EN}
+        )
+        assert abs(r["top_word_share"] - max(c.values()) / n) < 1e-12
+        assert r["rule_repetition"] == (max(c.values()) / n <= 0.12)
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["aaab", "abab", "banana", "cc", "a"]),
+        min_size=2,
+        max_size=30,
+    ),
+    rounds=st.integers(min_value=1, max_value=3),
+)
+@_SETTINGS
+def test_bpe_encode_preserves_character_mass(spark, words, rounds):
+    """Merges re-segment words but never create or destroy characters:
+    Σ n_occurrences·len(token) over the FULL encoded vocabulary must
+    equal Σ count(word)·len(word) over the corpus."""
+    from ecs_ecommerce_data_pipeline_spark.operators.bpe import (
+        bpe_encode_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    vocab = bpe_encode_tokens(df, rounds=rounds, top_n=10_000).collect()
+    got_chars = sum(r["n_occurrences"] * len(r["token"]) for r in vocab)
+    want_chars = sum(len(w) for w in words)
+    assert got_chars == want_chars
