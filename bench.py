@@ -214,6 +214,8 @@ _BENCH_EXTRA: set[str] = {
     "privacy_erasure_audit",
     "dedup_keep_best_quality",
     "tokenizer_fertility_by_lang",
+    "lineitem_price_asof_enrich",
+    "domain_mix_temperature",
 }
 
 if __name__ == "__main__":

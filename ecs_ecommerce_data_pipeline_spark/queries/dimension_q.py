@@ -400,3 +400,96 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "p_partkey", "price", "category", as_of.alias("as_of_date")
     )
+
+
+# --------------------------------------------------------------------------
+# Event-time dimension enrichment: fact rows joined to the SCD2 version
+# valid AT EACH ROW'S OWN timestamp (the per-row as-of, vs the fixed-ts
+# scd2_as_of_snapshot)
+# --------------------------------------------------------------------------
+
+_ASOF_ENRICH_SQL = """
+WITH pm AS (
+    SELECT p_partkey,
+           CAST(ROUND(p_retailprice * 1000) AS BIGINT) AS price_milli
+    FROM part
+),
+dim AS (
+    SELECT p_partkey, price_milli,
+           DATE '1992-01-01' AS valid_from,
+           CASE WHEN p_partkey % 7 = 0 THEN DATE '1998-01-01' END AS valid_to
+    FROM pm
+    UNION ALL
+    SELECT p_partkey, price_milli * 11 // 10,
+           DATE '1998-01-01', CAST(NULL AS DATE)
+    FROM pm WHERE p_partkey % 7 = 0
+),
+j AS (
+    SELECT d.valid_from, CAST(l.l_quantity AS BIGINT) AS qty, d.price_milli
+    FROM lineitem l JOIN dim d
+      ON l.l_partkey = d.p_partkey
+     AND CAST(l.l_shipdate AS DATE) >= d.valid_from
+     AND (d.valid_to IS NULL OR CAST(l.l_shipdate AS DATE) < d.valid_to)
+)
+SELECT strftime(valid_from, '%Y-%m-%d') AS valid_from,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(CAST(SUM(qty * price_milli) AS BIGINT) AS DOUBLE) / 1000.0
+           AS revenue_restated
+FROM j
+GROUP BY 1
+"""
+
+
+@register("lineitem_price_asof_enrich", _ASOF_ENRICH_SQL)
+def q_price_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row event-time enrichment: every lineitem joins the product
+    price VERSION valid on its own ship date (SCD2 interval containment
+    — the bitemporal fact-enrichment every warehouse needs), revenue
+    restated at the in-effect price, summarized per version.
+
+    Scale shape: an equi-join on p_partkey with a residual interval
+    predicate; the versioned dimension is dims-sized and broadcast, so
+    the fact table is scanned once map-side with no shuffle before the
+    final tiny aggregation. Money rides as exact integer milli-units
+    (ROUND(price·1000) — the ·1.1 reprice is integer `div`-exact), so
+    the restated sum is order-independent."""
+    part = load_table(spark, sf_dir, "part")
+    pm = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 1000).cast("bigint").alias("price_milli"),
+    )
+    v1 = pm.select(
+        "p_partkey",
+        "price_milli",
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.when(
+            F.col("p_partkey") % 7 == 0, F.lit("1998-01-01").cast("date")
+        ).alias("valid_to"),
+    )
+    v2 = pm.filter(F.col("p_partkey") % 7 == 0).select(
+        "p_partkey",
+        F.expr("price_milli * 11 div 10").alias("price_milli"),
+        F.lit("1998-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.to_date("l_shipdate").alias("ship_d"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    j = li.join(
+        F.broadcast(dim),
+        (li["l_partkey"] == dim["p_partkey"])
+        & (F.col("ship_d") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ship_d") < F.col("valid_to"))),
+    )
+    return j.groupBy(
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        (
+            F.sum(F.col("qty") * F.col("price_milli")).cast("bigint").cast("double")
+            / 1000.0
+        ).alias("revenue_restated"),
+    )

@@ -142,3 +142,61 @@ def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform domain distribution (DoReMi-style static reweighting)."""
     docs = load_table(spark, sf_dir, "documents")
     return mix_weights(docs, "source")
+
+
+# α = 0.5 exactly, so share^α is sqrt(share) — sqrt is CORRECTLY
+# ROUNDED in IEEE 754 (unlike pow, where libm implementations differ in
+# the last ulp); the normalizer then sums FLOOR(sqrt·2^20) BIGINTs so
+# aggregation order cannot move it either (the repo's standard
+# quantized-transcendental idiom — 2^20 keeps the ulp-flip hazard
+# negligible per the 2^S·1e-16 analysis in the verify notes).
+_TEMP_SCALE = float(2**20)
+
+_MIX_TEMP_SQL = f"""
+WITH c AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+p AS (
+    SELECT c.source, c.n_docs,
+           CAST(c.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share,
+           CAST(FLOOR(SQRT(CAST(c.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+                      * {_TEMP_SCALE!r}) AS BIGINT) AS pow_q
+    FROM c, t
+),
+z AS (SELECT CAST(SUM(pow_q) AS BIGINT) AS z FROM p)
+SELECT p.source, p.n_docs, p.share,
+       CAST(p.pow_q AS DOUBLE) / CAST(z.z AS DOUBLE) AS target_share,
+       (CAST(p.pow_q AS DOUBLE) / CAST(z.z AS DOUBLE)) / p.share AS weight
+FROM p, z
+"""
+
+
+@register("domain_mix_temperature", _MIX_TEMP_SQL)
+def q_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain sampling (multilingual-LM style):
+    target share ∝ share^α with α = 0.5 — up-weights rare sources
+    without flattening to uniform (α=1 keeps the natural mix, α=0 is
+    uniform). The per-source multiplier feeds the weighted samplers.
+    Two tiny aggregations; the normalizer rides a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    total = counts.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    share = F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+    p = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        share.alias("share"),
+        F.floor(F.sqrt(share) * F.lit(_TEMP_SCALE)).cast("bigint").alias("pow_q"),
+    )
+    z = p.agg(F.sum("pow_q").cast("bigint").alias("z"))
+    tgt = F.col("pow_q").cast("double") / F.col("z").cast("double")
+    return p.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "share",
+        tgt.alias("target_share"),
+        (tgt / F.col("share")).alias("weight"),
+    )

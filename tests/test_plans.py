@@ -642,3 +642,14 @@ def test_quantile_bins_state_is_bounded(spark):
     # plan still contains the bin aggregate); corpus rows never reach it
     assert "HashAggregate" in plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_price_asof_enrich_is_broadcast_equi_join(spark):
+    """The versioned-dimension enrichment must plan as a BROADCAST
+    HASH join on the part key (interval predicate as residual), never a
+    nested-loop or a fact-side shuffle."""
+    df = catalog.queries()["lineitem_price_asof_enrich"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
