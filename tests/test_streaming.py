@@ -870,3 +870,65 @@ def test_stream_stream_outer_attribution(spark):
     # non-vacuous: the event horizon spans far beyond the watermark, so
     # early unmatched views MUST have flushed
     assert got_unmatched
+
+
+def test_quantile_state_stream_merges_to_batch_histogram(spark, tmp_path):
+    """Union of per-micro-batch quantile states must equal the batch
+    histogram over the full table, and estimates from the merged state
+    must match the batch estimate exactly (same frozen bounds)."""
+    from ecs_ecommerce_data_pipeline_spark.operators.sketch import (
+        quantile_bin_state,
+        quantile_from_bins,
+        quantile_value_stats,
+    )
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.pipeline import (
+        stream_events,
+    )
+    from ecs_ecommerce_data_pipeline_spark.streaming.quantile_stream import (
+        quantile_state_stream,
+        read_quantile_state,
+    )
+
+    ev = load_table(spark, SF, "events")
+    stats = quantile_value_stats(ev, "value")
+    row = stats.collect()[0]
+    vmin, vmax = row["_qvmin"], row["_qvmax"]
+
+    state_path = str(tmp_path / "qstate")
+    q = quantile_state_stream(
+        stream_events(spark, SF),
+        vmin,
+        vmax,
+        "value",
+        state_path,
+        str(tmp_path / "ckpt"),
+        n_bins=16,
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    merged = {
+        r["bin"]: r["c"] for r in read_quantile_state(spark, state_path).collect()
+    }
+    batch = {
+        r["bin"]: r["c"]
+        for r in quantile_bin_state(ev, "value", stats, 16).collect()
+    }
+    assert merged == batch and merged
+
+    est_stream = {
+        r["q"]: r["est"]
+        for r in quantile_from_bins(
+            read_quantile_state(spark, state_path), stats, [0.5, 0.9], 16
+        ).collect()
+    }
+    est_batch = {
+        r["q"]: r["est"]
+        for r in quantile_from_bins(
+            quantile_bin_state(ev, "value", stats, 16), stats, [0.5, 0.9], 16
+        ).collect()
+    }
+    assert est_stream == est_batch
