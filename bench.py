@@ -216,6 +216,8 @@ _BENCH_EXTRA: set[str] = {
     "tokenizer_fertility_by_lang",
     "lineitem_price_asof_enrich",
     "domain_mix_temperature",
+    "dedup_recall_lsh_pairs",
+    "source_overlap_matrix",
 }
 
 if __name__ == "__main__":

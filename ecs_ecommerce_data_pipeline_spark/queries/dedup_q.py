@@ -462,3 +462,156 @@ def q_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("kept_doc_id"),
         F.col("n_chars").cast("bigint").alias("kept_n_chars"),
     )
+
+
+# --- dedup QUALITY gates: LSH recall + cross-source overlap ----------------
+
+_RECALL_MAX_ID = 500
+
+_LSH_RECALL_SQL = f"""
+WITH {_CANDIDATES_CTES},
+sub AS (SELECT * FROM ex WHERE doc_id < {_RECALL_MAX_ID}),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sub GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS i
+    FROM sub a JOIN sub b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT i.da, i.db
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.da
+                 JOIN sizes sb ON sb.doc_id = i.db
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {_JACCARD_T}
+),
+cand AS (
+    SELECT doc_a, doc_b FROM candidates
+    WHERE doc_a < {_RECALL_MAX_ID} AND doc_b < {_RECALL_MAX_ID}
+),
+caught AS (
+    SELECT t.da FROM truth t JOIN cand c ON t.da = c.doc_a AND t.db = c.doc_b
+)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM caught) AS BIGINT) AS n_caught,
+       CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+            THEN CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM truth)
+       END AS recall
+"""
+
+
+@register("dedup_recall_lsh_pairs", _LSH_RECALL_SQL)
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH dedup RECALL gate: exact all-pairs Jaccard ground truth on a
+    deterministic audit slice (doc_id < 500) vs the production LSH
+    candidate set restricted to the same slice — the fraction of true
+    ≥-threshold pairs the banding actually catches. The gold standard
+    is quadratic, which is exactly why it runs on a bounded slice; the
+    candidates come from the FULL-corpus banding (deployed config), so
+    the number grades what production would ship."""
+    doc = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_docs(doc, k=_SHINGLE_K)
+    sub = sh.filter(F.col("doc_id") < _RECALL_MAX_ID)
+    sizes = sub.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = sub.select(F.col("doc_id").alias("da"), "shingle")
+    b = sub.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .filter(
+            F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+            >= _JACCARD_T
+        )
+        .select("da", "db")
+    )
+    sigs = dedup.minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    cand = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE, max_bucket=_MAX_BUCKET
+    ).filter(
+        (F.col("doc_a") < _RECALL_MAX_ID) & (F.col("doc_b") < _RECALL_MAX_ID)
+    )
+    caught = truth.join(
+        cand,
+        (F.col("da") == F.col("doc_a")) & (F.col("db") == F.col("doc_b")),
+        "left_semi",
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    nc = caught.agg(F.count(F.lit(1)).cast("bigint").alias("n_caught"))
+    return nt.crossJoin(nc).select(
+        "n_truth",
+        "n_caught",
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("n_caught").cast("double") / F.col("n_truth").cast("double"),
+        ).alias("recall"),
+    )
+
+
+_OVERLAP_SQL = """
+WITH h AS (
+    SELECT DISTINCT source,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS th
+    FROM documents
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       ANY_VALUE(sa.n) AS n_a, ANY_VALUE(sb.n) AS n_b,
+       CAST(COUNT(*) AS DOUBLE)
+           / (ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*)) AS jaccard
+FROM h a JOIN h b ON a.th = b.th AND a.source < b.source
+JOIN sizes sa ON sa.source = a.source
+JOIN sizes sb ON sb.source = b.source
+GROUP BY 1, 2
+"""
+
+
+@register("source_overlap_matrix", _OVERLAP_SQL)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct normalized-text fingerprints they share (+ Jaccard of the
+    fingerprint sets) — the dedup-planning signal that tells you which
+    ingest feeds are re-crawls of each other. Shuffles 16-byte hashes
+    keyed by fingerprint; |sources|² output."""
+    doc = load_table(spark, sf_dir, "documents")
+    h = doc.select(
+        "source",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+        ).alias("th"),
+    ).distinct()
+    sizes = h.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = h.select(F.col("source").alias("source_a"), "th")
+    b = h.select(F.col("source").alias("source_b"), "th")
+    pairs = (
+        a.join(b, "th")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
