@@ -218,6 +218,7 @@ _BENCH_EXTRA: set[str] = {
     "domain_mix_temperature",
     "dedup_recall_lsh_pairs",
     "source_overlap_matrix",
+    "dedup_incremental_clusters",
 }
 
 if __name__ == "__main__":

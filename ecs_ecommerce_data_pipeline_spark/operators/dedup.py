@@ -413,3 +413,36 @@ def connected_components(
     # so the result no longer depends on the cached edge list
     und.unpersist()
     return labels
+
+
+def incremental_components(
+    labels_old: DataFrame,
+    new_edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Merge a NEW batch of near-dup edges into an EXISTING component
+    labeling without re-walking historical edges.
+
+    Historical connectivity is fully captured by the star edges
+    (node → its component label): connected components over
+    (star edges ∪ new edges) reach the same fixpoint as over
+    (all historical edges ∪ new edges), because contracting a component
+    to a star preserves reachability. Per-batch cost is therefore
+    O(|labeled nodes| + |batch edges|) through the same min-label loop
+    — never O(historical edges) — and stars have diameter 2, so the
+    loop converges in a handful of rounds. This is the cluster-
+    maintenance step downstream of ``incremental_lsh_candidates``:
+    candidates tell you the new pairs; this folds them into yesterday's
+    clustering.
+
+    ``labels_old``: (node, component) from a prior
+    ``connected_components`` run. Returns the updated (node, component)
+    covering old nodes, new nodes, and any merged components.
+    """
+    star = labels_old.select(
+        F.col("node").alias(src), F.col("component").alias(dst)
+    )
+    edges = star.unionByName(new_edges.select(src, dst))
+    return connected_components(edges, src=src, dst=dst, max_iter=max_iter)

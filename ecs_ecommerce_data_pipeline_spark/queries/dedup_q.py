@@ -615,3 +615,74 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --- incremental cluster maintenance ---------------------------------------
+
+_INCR_CC_SQL = f"""
+WITH RECURSIVE {_CANDIDATES_CTES},
+und AS (
+    SELECT doc_a AS u, doc_b AS v FROM candidates
+    UNION ALL
+    SELECT doc_b, doc_a FROM candidates
+),
+cc_nodes AS (SELECT DISTINCT u AS node FROM und),
+reach(node, r) AS (
+    SELECT node, node FROM cc_nodes
+    UNION
+    SELECT e.v, r.r FROM reach r JOIN und e ON e.u = r.node
+),
+labeled AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(node) AS BIGINT) AS sum_members
+FROM labeled
+GROUP BY component
+"""
+
+
+@register("dedup_incremental_clusters", _INCR_CC_SQL)
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CLUSTER maintenance: yesterday's labeling (CC over
+    pairs among old docs, doc_id % 5 != 0) is folded with today's batch
+    pairs (from ``incremental_lsh_candidates``) via star contraction —
+    historical connectivity enters as node→component edges, so per-batch
+    cost is O(labeled nodes + batch pairs), never O(historical pairs).
+
+    The ORACLE is the full-recompute transitive closure over ALL
+    candidate pairs: hash equality IS the proof that the incremental
+    fold reaches the identical fixpoint (bridges that merge two old
+    components included).
+
+    Honest caveat on the equivalence: the ``max_bucket`` cap is applied
+    to yesterday's old-only buckets on the incremental side but to the
+    full (old+new) buckets in the oracle's recompute, so a bucket whose
+    size straddles the cap only when the batch lands (old ≤ cap <
+    old+new) would diverge — the same run-to-run nondeterminism every
+    capped production dedup has. No such straddling bucket exists in
+    the fixed testdata at any SF (verified by the hash gate itself)."""
+    doc = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        dedup.shingle_docs(doc, k=_SHINGLE_K), num_hashes=_NUM_HASHES
+    )
+    is_new = (F.col("doc_id") % 5 == 0).cast("int")
+    # yesterday: clusters among OLD docs only
+    old_pairs = dedup.lsh_candidate_pairs(
+        sigs.filter(is_new == 0),
+        num_hashes=_NUM_HASHES,
+        band_size=_BAND_SIZE,
+        max_bucket=_MAX_BUCKET,
+    )
+    labels_old = dedup.connected_components(old_pairs)
+    # today: the batch's candidates against the corpus (new×old, new×new)
+    batch_pairs = dedup.incremental_lsh_candidates(
+        sigs.withColumn("is_new", is_new),
+        num_hashes=_NUM_HASHES,
+        band_size=_BAND_SIZE,
+        max_bucket=_MAX_BUCKET,
+    )
+    merged = dedup.incremental_components(labels_old, batch_pairs)
+    return merged.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("node").cast("bigint").alias("sum_members"),
+    )

@@ -30,3 +30,39 @@ def test_cycle_and_cross_edges(spark):
     # cycle 5-6-7-5 bridged to 1-2 via (2,5): all one component
     got = _components(spark, [(5, 6), (6, 7), (5, 7), (1, 2), (2, 5)])
     assert set(got.values()) == {1}
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """CC(old edges) folded with a new batch via star contraction must
+    equal CC over the union of all edges — including merges of two old
+    components through a new bridge edge, brand-new nodes, and
+    untouched components."""
+    from ecs_ecommerce_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    old_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)],
+        "doc_a long, doc_b long",
+    )
+    # bridges components {1,2,3} and {10,11}; extends {20,21}; adds new
+    # nodes 40/41; leaves {30,31} untouched
+    new_edges = spark.createDataFrame(
+        [(3, 10), (21, 22), (40, 41)], "doc_a long, doc_b long"
+    )
+    full = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            old_edges.unionByName(new_edges)
+        ).collect()
+    }
+    incr = {
+        (r["node"], r["component"])
+        for r in incremental_components(
+            connected_components(old_edges), new_edges
+        ).collect()
+    }
+    assert incr == full
+    assert (10, 1) in incr  # the bridge really merged the components
+    assert (31, 30) in incr  # untouched component survives

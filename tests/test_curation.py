@@ -277,3 +277,29 @@ def test_attribution_credit_negative_value_floors_like_duckdb(spark):
         eq.load_table = orig
     for vid in (101, 102, 103):
         assert got[vid]["credit_linear"] == -3.333334
+
+
+def test_round4_operators_handle_empty_input(spark):
+    """Empty frames must yield empty (or empty-state) results, never
+    errors: the quality gate, the quantile state, and survivor
+    selection all see empty batches in production."""
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from ecs_ecommerce_data_pipeline_spark.operators.sketch import (
+        quantile_bin_state,
+        quantile_value_stats,
+    )
+    from ecs_ecommerce_data_pipeline_spark.operators.text import gopher_rules
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert gopher_rules(empty_docs).count() == 0
+
+    empty_vals = spark.createDataFrame([], "v double")
+    stats = quantile_value_stats(empty_vals, "v")
+    assert quantile_bin_state(empty_vals, "v", stats, 8).count() == 0
+
+    empty_edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty_edges).count() == 0
