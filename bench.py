@@ -219,6 +219,7 @@ _BENCH_EXTRA: set[str] = {
     "dedup_recall_lsh_pairs",
     "source_overlap_matrix",
     "dedup_incremental_clusters",
+    "multimodal_audio_windows",
 }
 
 if __name__ == "__main__":

@@ -254,3 +254,52 @@ def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
             )
 
     return df.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, window_idx int, "
+    "start_sample long, window_len long, window_checksum string"
+)
+
+
+def audio_windows(df: DataFrame) -> DataFrame:
+    """Audio-windowing stage: ONE payload row → one row per 1-second
+    analysis window (the fixed-hop segmentation every speech/audio
+    feature extractor runs before STFT/fbank).
+
+    The "decode" is the documented md5-deterministic stub (the sandbox
+    has no audio codecs — swap in soundfile/ffmpeg in production): the
+    payload hash derives a sample rate from {16000, 22050, 44100} and a
+    non-integral duration of 1–8 s, so the LAST window is genuinely
+    truncated and the expansion factor varies per row. The Spark-side
+    shape is the subject: a data-sized 1→N expansion streamed through
+    Arrow-batched ``mapInPandas`` with no driver involvement.
+    """
+    rates = [16000, 22050, 44100]
+
+    def _windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "window_idx": [], "start_sample": [], "window_len": [],
+                "window_checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = hashlib.md5(bytes(payload)).hexdigest()
+                sr = rates[int(m[:4], 16) % 3]
+                n_samples = sr * (1 + int(m[4:8], 16) % 7) + int(m[8:12], 16) % sr
+                n_win = (n_samples + sr - 1) // sr
+                for i in range(n_win):
+                    start = i * sr
+                    out["doc_id"].append(doc_id)
+                    out["sample_rate"].append(sr)
+                    out["n_samples"].append(n_samples)
+                    out["window_idx"].append(i)
+                    out["start_sample"].append(start)
+                    out["window_len"].append(min(sr, n_samples - start))
+                    out["window_checksum"].append(
+                        hashlib.md5(f"{m}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_windows, schema=AUDIO_WINDOW_SCHEMA)

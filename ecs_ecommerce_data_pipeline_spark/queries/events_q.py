@@ -610,3 +610,46 @@ def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("credit_last"),
     )
+
+
+_AUDIO_SQL = """
+WITH d AS (SELECT doc_id, md5(text) AS m FROM documents),
+a AS (
+    SELECT doc_id, m,
+           [16000, 22050, 44100][CAST(('0x' || substr(m, 1, 4))::BIGINT % 3 AS INT) + 1]
+               AS sr,
+           ('0x' || substr(m, 5, 4))::BIGINT % 7 AS dur_extra,
+           ('0x' || substr(m, 9, 4))::BIGINT AS frac_raw
+    FROM d
+),
+s AS (
+    SELECT doc_id, m, sr,
+           sr * (1 + dur_extra) + frac_raw % sr AS n_samples
+    FROM a
+),
+w AS (
+    SELECT doc_id, m, sr, n_samples,
+           unnest(range(0, (n_samples + sr - 1) // sr)) AS idx
+    FROM s
+)
+SELECT doc_id,
+       CAST(sr AS INT) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(idx AS INT) AS window_idx,
+       CAST(idx * sr AS BIGINT) AS start_sample,
+       CAST(LEAST(sr, n_samples - idx * sr) AS BIGINT) AS window_len,
+       md5(m || ':' || idx) AS window_checksum
+FROM w
+"""
+
+
+@register("multimodal_audio_windows", _AUDIO_SQL)
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio 1-second windowing: 1 payload row → one row per analysis
+    window, the window count derived from the (stub-)decoded duration —
+    a DATA-sized mapInPandas expansion (vs the hash-mod-sized frame
+    sampler), truncated final window included. Hash-checked end-to-end."""
+    from ..operators.multimodal import audio_windows, with_binary_payload
+
+    doc = load_table(spark, sf_dir, "documents")
+    return audio_windows(with_binary_payload(doc))
