@@ -259,34 +259,45 @@ def gopher_rules(
     DISTINCT English stopwords present; the single most frequent word's
     share of the doc ≤ max_top_word_share (the repetition gate).
 
-    Shape: one explode + two hash aggregations keyed by (doc_id, word)
-    then doc_id — partial aggregation absorbs the fan-out map-side, and
-    all rule math happens on the ≤1-row-per-doc aggregate. No windows,
-    no Python.
+    Shape: MAP-ONLY — every signal is an array fold over the row's own
+    token list, so the plan contains NO shuffle at all (an earlier form
+    exploded tokens and aggregated by (doc_id, word): that shuffles
+    every token in the corpus to compute what is logically a per-row
+    function — the top-word count is instead a run-length fold over the
+    sorted token array). No windows, no Python.
     """
-    tok = (
-        doc.select("doc_id", F.explode(tokens(text_col)).alias("word"))
-        .filter(F.col("word") != "")
-    )
-    wc = tok.groupBy("doc_id", "word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    toks_ne = F.filter(tokens(text_col), lambda x: x != "")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
-    per_doc = wc.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n_words"),
-        F.max("c").cast("bigint").alias("top_word_cnt"),
-        F.sum(F.col("c") * F.length("word")).cast("bigint").alias("_char_sum"),
-        F.sum(
-            F.when(F.col("word").rlike("[a-z]"), F.col("c")).otherwise(F.lit(0))
+    zero = F.lit(0).cast("bigint")
+    # max multiplicity of any word = longest run in the sorted array
+    run_acc = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def _run_step(a, x):
+        run = F.when(x == a["prev"], a["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
         )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
+        )
+
+    per_doc = doc.select(
+        "doc_id",
+        F.size(toks_ne).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.array_sort(toks_ne), run_acc, _run_step, lambda a: a["best"]
+        ).alias("top_word_cnt"),
+        F.aggregate(
+            toks_ne, zero, lambda a, x: a + F.length(x)
+        ).alias("_char_sum"),
+        F.size(F.filter(toks_ne, lambda x: x.rlike("[a-z]")))
         .cast("bigint")
         .alias("_alpha_words"),
-        F.count_distinct(
-            F.when(F.array_contains(stop_arr, F.col("word")), F.col("word"))
-        )
+        F.size(F.array_intersect(F.array_distinct(toks_ne), stop_arr))
         .cast("bigint")
         .alias("stop_hits"),
-    )
+    ).filter(F.col("n_words") > 0)
     mean_len = F.col("_char_sum").cast("double") / F.col("n_words").cast("double")
     alpha_ratio = (
         F.col("_alpha_words").cast("double") / F.col("n_words").cast("double")

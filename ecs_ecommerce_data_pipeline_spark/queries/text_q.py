@@ -423,22 +423,21 @@ def q_doc_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GOPHER_SQL = f"""
 WITH t AS (
-    SELECT doc_id, unnest({_TOKS}) AS word FROM documents
-),
-w AS (
-    SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
-    FROM t WHERE word <> '' GROUP BY doc_id, word
+    SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS tn FROM documents
 ),
 d AS (
     SELECT doc_id,
-           CAST(sum(c) AS BIGINT) AS n_words,
-           CAST(max(c) AS BIGINT) AS top_word_cnt,
-           CAST(sum(c * length(word)) AS BIGINT) AS char_sum,
-           CAST(sum(CASE WHEN regexp_matches(word, '[a-z]') THEN c ELSE 0 END)
+           CAST(len(tn) AS BIGINT) AS n_words,
+           CAST(list_max(list_transform(list_distinct(tn),
+                    x -> len(list_filter(tn, y -> y = x)))) AS BIGINT)
+               AS top_word_cnt,
+           CAST(list_sum(list_transform(tn, x -> length(x))) AS BIGINT)
+               AS char_sum,
+           CAST(len(list_filter(tn, x -> regexp_matches(x, '[a-z]')))
                 AS BIGINT) AS alpha_words,
-           CAST(count(DISTINCT CASE WHEN word IN ({_stop_list}) THEN word END)
+           CAST(len(list_intersect(list_distinct(tn), [{_stop_list}]))
                 AS BIGINT) AS stop_hits
-    FROM w GROUP BY doc_id
+    FROM t WHERE len(tn) > 0
 )
 SELECT doc_id, n_words,
        CAST(char_sum AS DOUBLE) / n_words AS mean_word_len,

@@ -602,14 +602,16 @@ def test_analyzed_table_feeds_cbo_statistics(spark, tmp_path):
         spark.sql("DROP TABLE cbo_orders")
 
 
-def test_gopher_rules_no_windows_two_aggregations(spark):
-    """The Gopher gate must stay pure hash aggregation: no Window node
-    (per-doc rule math happens on grouped rows), no Python boundary."""
+def test_gopher_rules_is_map_only(spark):
+    """The Gopher gate is logically a per-row function and must plan as
+    one: NO shuffle (Exchange), no Window, no aggregation, no Python —
+    every signal is an array fold over the row's own token list."""
     df = catalog.queries()["text_gopher_rules"](spark, SF_SMOKE)
     plan = _plan(df)
+    assert "Exchange" not in plan
     assert "Window" not in plan
+    assert "HashAggregate" not in plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
-    assert plan.count("HashAggregate") >= 2  # (doc,word) then doc
 
 
 def test_bpe_encode_topn_is_take_ordered(spark):
