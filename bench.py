@@ -223,6 +223,7 @@ _BENCH_EXTRA: set[str] = {
     # old-corpus clustering plus the incremental fold - so its ~15 s is
     # duplicated-by-construction work; the sf0.01 hash gate grades it)
     "multimodal_audio_windows",
+    "quantile_bins_merge_by_group",
 }
 
 if __name__ == "__main__":

@@ -168,3 +168,124 @@ def q_quantile_bins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- per-group mergeable quantile state ------------------------------------
+
+_QBG_Q = 0.5
+
+_QBG_SQL = f"""
+WITH vals AS (
+    SELECT o_orderpriority AS grp, CAST(o_totalprice AS DOUBLE) AS v
+    FROM orders WHERE o_totalprice IS NOT NULL
+),
+n AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM vals GROUP BY grp),
+c AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY grp, v),
+cdf AS (
+    SELECT grp, v,
+           CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum
+    FROM c
+)
+SELECT d.grp AS grp, MIN(d.v) AS exact_median, TRUE AS within_bounds
+FROM cdf d JOIN n USING (grp)
+WHERE d.cum >= CAST(CEIL({_QBG_Q!r} * n.n) AS BIGINT)
+GROUP BY d.grp
+"""
+
+
+@register("quantile_bins_merge_by_group", _QBG_SQL)
+def q_quantile_bins_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP incremental percentile maintenance: the keyed variant
+    of ``quantile_bins_merge`` — each order-priority group keeps its own
+    ≤64-row bin-count state (shared global (vmin, vmax) frame, so merge
+    stays a blind count sum on (grp, bin)), batches merge associatively,
+    and the per-group median estimate is gated within one bin width of
+    each group's exact order statistic.
+
+    Scale shape: state is O(groups × n_bins) regardless of batch size;
+    the per-group CDF walk on the estimate side runs over ≤n_bins rows
+    per group (bounded window); the exact anchor's ordered window is
+    PARTITIONED by group — no single-task global sort."""
+    from pyspark.sql import Window
+
+    from ..operators.sketch import quantile_value_stats
+
+    n_bins = 64
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    stats = quantile_value_stats(orders, "v")
+
+    width = (F.col("_qvmax") - F.col("_qvmin")) / F.lit(float(n_bins))
+    bin_id = F.when(F.col("_qvmax") == F.col("_qvmin"), F.lit(0)).otherwise(
+        F.least(F.lit(n_bins - 1), F.floor((F.col("v") - F.col("_qvmin")) / width).cast("int"))
+    )
+    # three batch states, merged by blind count sum on (grp, bin)
+    states = [
+        orders.filter(F.col("k") % 3 == b)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col("grp"), bin_id.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        for b in range(3)
+    ]
+    merged = (
+        states[0].unionByName(states[1]).unionByName(states[2])
+        .groupBy("grp", "bin")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    wg = Window.partitionBy("grp").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    totals = merged.groupBy("grp").agg(F.sum("c").cast("bigint").alias("_qn"))
+    cum = (
+        merged.withColumn("cum", F.sum("c").over(wg))
+        .withColumn("cum_prev", F.col("cum") - F.col("c"))
+        .join(totals, "grp")
+        .crossJoin(F.broadcast(stats))
+    )
+    target = F.ceil(F.lit(_QBG_Q) * F.col("_qn")).cast("bigint")
+    est = cum.filter((F.col("cum") >= target) & (F.col("cum_prev") < target)).select(
+        "grp",
+        (
+            F.col("_qvmin")
+            + width
+            * (
+                F.col("bin").cast("double")
+                + (target - F.col("cum_prev")).cast("double")
+                / F.col("c").cast("double")
+            )
+        ).alias("est"),
+    )
+    # exact per-group order statistic: group-partitioned ordered window
+    counts = orders.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wv = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gn = counts.groupBy("grp").agg(F.sum("c").cast("bigint").alias("_gn"))
+    cdf = counts.withColumn("cum", F.sum("c").over(wv)).join(gn, "grp")
+    exact = (
+        cdf.filter(
+            F.col("cum") >= F.ceil(F.lit(_QBG_Q) * F.col("_gn")).cast("bigint")
+        )
+        .groupBy("grp")
+        .agg(F.min("v").alias("exact_median"))
+    )
+    bound = (
+        (F.col("_qvmax") - F.col("_qvmin")) / F.lit(float(n_bins))
+    ) * F.lit(1.0 + 1e-9)
+    return (
+        exact.join(est, "grp")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "grp",
+            "exact_median",
+            (F.abs(F.col("est") - F.col("exact_median")) <= bound).alias(
+                "within_bounds"
+            ),
+        )
+    )
