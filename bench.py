@@ -224,6 +224,7 @@ _BENCH_EXTRA: set[str] = {
     # duplicated-by-construction work; the sf0.01 hash gate grades it)
     "multimodal_audio_windows",
     "quantile_bins_merge_by_group",
+    "events_hourly_anomaly",
 }
 
 if __name__ == "__main__":

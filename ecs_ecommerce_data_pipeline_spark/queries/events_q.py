@@ -653,3 +653,103 @@ def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load_table(spark, sf_dir, "documents")
     return audio_windows(with_binary_payload(doc))
+
+
+# --- hourly volume anomaly detection (trailing z-score) --------------------
+
+_ANOM_MIN_TRAIL = 12
+_ANOM_Z = 3.0
+
+_ANOMALY_SQL = f"""
+WITH h AS (
+    SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+w AS (
+    SELECT event_type, hr, n_events,
+           CAST(COUNT(*) OVER tw AS BIGINT) AS trailing_n,
+           CAST(SUM(n_events) OVER tw AS BIGINT) AS s,
+           CAST(SUM(n_events * n_events) OVER tw AS BIGINT) AS ss
+    FROM h
+    WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       n_events, trailing_n,
+       CASE WHEN trailing_n >= {_ANOM_MIN_TRAIL}
+             AND SQRT(GREATEST(
+                   CAST(ss AS DOUBLE) / trailing_n
+                   - (CAST(s AS DOUBLE) / trailing_n)
+                     * (CAST(s AS DOUBLE) / trailing_n), 0.0)) > 0.0
+            THEN (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / trailing_n)
+                 / SQRT(GREATEST(
+                     CAST(ss AS DOUBLE) / trailing_n
+                     - (CAST(s AS DOUBLE) / trailing_n)
+                       * (CAST(s AS DOUBLE) / trailing_n), 0.0))
+       END AS z,
+       COALESCE(ABS(
+           CASE WHEN trailing_n >= {_ANOM_MIN_TRAIL}
+                 AND SQRT(GREATEST(
+                       CAST(ss AS DOUBLE) / trailing_n
+                       - (CAST(s AS DOUBLE) / trailing_n)
+                         * (CAST(s AS DOUBLE) / trailing_n), 0.0)) > 0.0
+                THEN (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / trailing_n)
+                     / SQRT(GREATEST(
+                         CAST(ss AS DOUBLE) / trailing_n
+                         - (CAST(s AS DOUBLE) / trailing_n)
+                           * (CAST(s AS DOUBLE) / trailing_n), 0.0))
+           END) > {_ANOM_Z!r}, FALSE) AS is_anomaly
+FROM w
+"""
+
+
+@register("events_hourly_anomaly", _ANOMALY_SQL)
+def q_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational volume-anomaly detection: per event type, each hour's
+    count scored against the TRAILING 24 hours' mean/std (z-score; flag
+    at |z| > 3, NULL until 12 trailing hours exist or when the trailing
+    window is flat). The monitoring query every ingest pipeline runs on
+    itself.
+
+    Scale shape: the corpus reduces to (event_type × hour) counts
+    BEFORE any window; the trailing frame is a bounded 24-row
+    ROWS-frame partitioned by type — never corpus-sized, never a
+    global sort. All window sums are BIGINT; mean/std/z are computed
+    with the same IEEE expression on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    tw = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    w = h.select(
+        "event_type",
+        "hr",
+        "n_events",
+        F.count(F.lit(1)).over(tw).cast("bigint").alias("trailing_n"),
+        F.sum("n_events").over(tw).cast("bigint").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(tw).cast("bigint").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("trailing_n")
+    var = F.greatest(
+        F.col("ss").cast("double") / F.col("trailing_n") - mean * mean,
+        F.lit(0.0),
+    )
+    std = F.sqrt(var)
+    z = F.when(
+        (F.col("trailing_n") >= _ANOM_MIN_TRAIL) & (std > 0.0),
+        (F.col("n_events").cast("double") - mean) / std,
+    )
+    return w.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        "n_events",
+        "trailing_n",
+        z.alias("z"),
+        F.coalesce(F.abs(z) > _ANOM_Z, F.lit(False)).alias("is_anomaly"),
+    )
