@@ -225,6 +225,7 @@ _BENCH_EXTRA: set[str] = {
     "multimodal_audio_windows",
     "quantile_bins_merge_by_group",
     "events_hourly_anomaly",
+    "revenue_pareto_deciles",
 }
 
 if __name__ == "__main__":

@@ -626,3 +626,81 @@ def q_equidepth_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edge_arr = edges.agg(F.collect_list("edge").alias("e"))
     return _bin_by_edges(li, edge_arr)
+
+
+# --- revenue concentration (Pareto / whale analysis) -----------------------
+
+_PARETO_SQL = """
+WITH cr AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(cents) AS BIGINT) AS total_cents FROM cr),
+rk AS (
+    SELECT o_custkey, cents,
+           CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+               AS rnk
+    FROM cr
+)
+SELECT CAST((rnk - 1) * 10 // n.n_cust AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
+       CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+           / CAST(ANY_VALUE(n.total_cents) AS DOUBLE) AS revenue_share
+FROM rk, n
+GROUP BY 1
+"""
+
+
+@register("revenue_pareto_deciles", _PARETO_SQL)
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: customers ranked by lifetime revenue and
+    bucketed into deciles (decile 0 = top 10 % of customers); each
+    decile's exact revenue and share of total — the whale-curve /
+    Pareto report.
+
+    Scale shape: ranks come from the shared TWO-PHASE prefix sum
+    (``functions.prefix``) over the per-customer revenue aggregate —
+    customers-sized, and still no single-task global window; money is
+    BIGINT cents end-to-end, so shares are exact divisions."""
+    from ..functions.prefix import two_phase_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cr = orders.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    totals = cr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    # rank by revenue DESC with custkey tiebreak: the two-phase helper
+    # orders ascending, so rank on negated cents
+    ranked = two_phase_cumsum(
+        cr.withColumn("_negrev", -F.col("cents")),
+        "_negrev",
+        {"rnk": F.lit(1)},
+        order_cols=["_negrev", "o_custkey"],
+    ).withColumn("rnk", F.col("rnk").cast("bigint"))
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "decile",
+            F.expr("(rnk - 1) * 10 div n_cust").cast("bigint"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (F.sum("cents").cast("bigint").cast("double") / 100.0).alias("revenue"),
+            (
+                F.sum("cents").cast("bigint").cast("double")
+                / F.first("total_cents").cast("double")
+            ).alias("revenue_share"),
+        )
+    )
