@@ -226,6 +226,7 @@ _BENCH_EXTRA: set[str] = {
     "quantile_bins_merge_by_group",
     "events_hourly_anomaly",
     "revenue_pareto_deciles",
+    "events_dau_wau_stickiness",
 }
 
 if __name__ == "__main__":

@@ -753,3 +753,61 @@ def q_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         F.coalesce(F.abs(z) > _ANOM_Z, F.lit(False)).alias("is_anomaly"),
     )
+
+
+# --- DAU / WAU stickiness --------------------------------------------------
+
+_STICKY_SQL = """
+WITH d AS (
+    SELECT CAST(ts AS DATE) AS day, user_id FROM events
+),
+dau AS (
+    SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau FROM d GROUP BY day
+),
+wau AS (
+    SELECT a.day,
+           CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS wau
+    FROM (SELECT DISTINCT day FROM d) a
+    JOIN d b ON b.day > a.day - 7 AND b.day <= a.day
+    GROUP BY a.day
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+"""
+
+
+@register("events_dau_wau_stickiness", _STICKY_SQL)
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU stickiness per day — the standard
+    product-engagement ratio, with EXACT distinct counts.
+
+    Scale shape: the corpus first reduces to distinct (day, user) pairs
+    (one hash aggregation); the trailing-window WAU re-counts distincts
+    over a 7-day RANGE join of that reduced relation — cost is
+    7×|distinct day-user| join rows, never corpus-sized, and the day
+    list side is tiny. (An approximate twin would merge 7 daily HLL
+    sketches — see ``hll_distinct_merge`` — but the gate here is exact.)
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = d.groupBy("day").agg(F.countDistinct("user_id").cast("bigint").alias("dau"))
+    days = d.select("day").distinct().select(F.col("day").alias("aday"))
+    wau = (
+        days.join(
+            d,
+            (F.col("day") > F.date_sub(F.col("aday"), 7))
+            & (F.col("day") <= F.col("aday")),
+        )
+        .groupBy("aday")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["aday"])
+        .select(
+            F.date_format(dau["day"], "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )

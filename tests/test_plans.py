@@ -655,3 +655,26 @@ def test_price_asof_enrich_is_broadcast_equi_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anomaly_window_is_group_partitioned(spark):
+    """The trailing z-score window must be partitioned by event_type —
+    a global ordered window here would funnel every (type, hour) row
+    through one task."""
+    df = catalog.queries()["events_hourly_anomaly"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pareto_rank_has_no_global_window(spark):
+    """Customer ranks must come from the two-phase prefix sum — no Sort
+    over a single-partition Exchange (the classic global-rank trap)."""
+    df = catalog.queries()["revenue_pareto_deciles"](spark, SF_SMOKE)
+    plan = _plan(df)
+    import re
+
+    # no Sort node may sit directly above an Exchange SinglePartition
+    assert not re.search(
+        r"Sort[^\n]*\n[^\n]*Exchange SinglePartition", plan
+    ), "global single-partition sort found"
