@@ -82,6 +82,14 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
     total = round(time.time() - t_start, 3)
 
+    # The final JSON line must ALWAYS print (the driver parses only it);
+    # a malformed SPARK_GRAFT_CPUS or a None os.cpu_count() must not
+    # raise after the measurements already ran.
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 0)
+    except (TypeError, ValueError):
+        cpus = 0
+
     # Two lines, per-query map FIRST, tiny summary LAST. The driver
     # captures only the output TAIL and parses the FINAL line; rounds
     # 1-3 all recorded "parsed": null because the final line embedded
@@ -104,7 +112,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count())),
+                "cpus": cpus,
                 "n_queries": len(timings),
             },
             separators=(",", ":"),

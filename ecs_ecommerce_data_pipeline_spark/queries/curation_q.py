@@ -80,7 +80,8 @@ q AS (
                AS codes
     FROM mm
 )
-SELECT vec_id, vmin, vmax, codes,
+SELECT vec_id, vmin, vmax,
+       array_to_string(codes, ',') AS codes_csv,
        list_aggregate(
            list_transform(range(1, len(v) + 1),
                i -> abs(v[i] - (vmin + (CAST(codes[i] + 127 AS DOUBLE)
@@ -94,8 +95,23 @@ FROM q
 def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 scalar quantization (min/max affine codes) with
     the max reconstruction error — map-only; every scalar step is a
-    single IEEE double op, so codes match DuckDB bit-for-bit."""
-    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    single IEEE double op, so codes match DuckDB bit-for-bit.
+
+    The codes array is serialized to a CSV string (``codes_csv``) for
+    the registered output: the driver canonicalizes results via pandas
+    ``sort_values``, which cannot hash list cells, so no registered
+    query may emit ArrayType columns (enforced repo-wide by
+    tests/test_catalog_contract.py)."""
+    q = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "vmin",
+        "vmax",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias(
+            "codes_csv"
+        ),
+        "max_abs_err",
+    )
 
 
 _QUOTA = 20

@@ -713,6 +713,14 @@ def q_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is flat). The monitoring query every ingest pipeline runs on
     itself.
 
+    Frame semantics (deliberate, documented): the ROWS frame spans the
+    trailing 24 OBSERVED (event_type, hour) buckets — hours with zero
+    events produce no row, so across a gap the frame silently covers a
+    longer wall-clock span, and a TOTAL volume dropout emits no row and
+    is never flagged here. ``events_hourly_anomaly_gapfill`` below is
+    the dropout-aware variant (zero-filled hour spine, so missing hours
+    score z < 0 and a dead stream IS flagged).
+
     Scale shape: the corpus reduces to (event_type × hour) counts
     BEFORE any window; the trailing frame is a bounded 24-row
     ROWS-frame partitioned by type — never corpus-sized, never a
@@ -728,6 +736,129 @@ def q_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-24, -1)
     )
     w = h.select(
+        "event_type",
+        "hr",
+        "n_events",
+        F.count(F.lit(1)).over(tw).cast("bigint").alias("trailing_n"),
+        F.sum("n_events").over(tw).cast("bigint").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(tw).cast("bigint").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("trailing_n")
+    var = F.greatest(
+        F.col("ss").cast("double") / F.col("trailing_n") - mean * mean,
+        F.lit(0.0),
+    )
+    std = F.sqrt(var)
+    z = F.when(
+        (F.col("trailing_n") >= _ANOM_MIN_TRAIL) & (std > 0.0),
+        (F.col("n_events").cast("double") - mean) / std,
+    )
+    return w.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        "n_events",
+        "trailing_n",
+        z.alias("z"),
+        F.coalesce(F.abs(z) > _ANOM_Z, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+_ANOMALY_GAPFILL_SQL = f"""
+WITH h AS (
+    SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT event_type, MIN(hr) AS t0,
+           (SELECT MAX(hr) FROM h) AS t1
+    FROM h GROUP BY event_type
+),
+spine AS (
+    SELECT event_type, unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS hr
+    FROM bounds
+),
+filled AS (
+    SELECT s.event_type, s.hr, COALESCE(h.n_events, 0) AS n_events
+    FROM spine s LEFT JOIN h ON h.event_type = s.event_type AND h.hr = s.hr
+),
+w AS (
+    SELECT event_type, hr, n_events,
+           CAST(COUNT(*) OVER tw AS BIGINT) AS trailing_n,
+           CAST(SUM(n_events) OVER tw AS BIGINT) AS s,
+           CAST(SUM(n_events * n_events) OVER tw AS BIGINT) AS ss
+    FROM filled
+    WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       n_events, trailing_n,
+       CASE WHEN trailing_n >= {_ANOM_MIN_TRAIL}
+             AND SQRT(GREATEST(
+                   CAST(ss AS DOUBLE) / trailing_n
+                   - (CAST(s AS DOUBLE) / trailing_n)
+                     * (CAST(s AS DOUBLE) / trailing_n), 0.0)) > 0.0
+            THEN (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / trailing_n)
+                 / SQRT(GREATEST(
+                     CAST(ss AS DOUBLE) / trailing_n
+                     - (CAST(s AS DOUBLE) / trailing_n)
+                       * (CAST(s AS DOUBLE) / trailing_n), 0.0))
+       END AS z,
+       COALESCE(ABS(
+           CASE WHEN trailing_n >= {_ANOM_MIN_TRAIL}
+                 AND SQRT(GREATEST(
+                       CAST(ss AS DOUBLE) / trailing_n
+                       - (CAST(s AS DOUBLE) / trailing_n)
+                         * (CAST(s AS DOUBLE) / trailing_n), 0.0)) > 0.0
+                THEN (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / trailing_n)
+                     / SQRT(GREATEST(
+                         CAST(ss AS DOUBLE) / trailing_n
+                         - (CAST(s AS DOUBLE) / trailing_n)
+                           * (CAST(s AS DOUBLE) / trailing_n), 0.0))
+           END) > {_ANOM_Z!r}, FALSE) AS is_anomaly
+FROM w
+"""
+
+
+@register("events_hourly_anomaly_gapfill", _ANOMALY_GAPFILL_SQL)
+def q_hourly_anomaly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropout-aware volume-anomaly detection: the hour axis is
+    GAP-FILLED with zero-count rows (per type, from the type's first
+    hour to the corpus' last hour) before the trailing-24h z-score — so
+    the trailing frame always spans exactly 24 wall-clock hours, and a
+    total volume dropout (the classic incident the observed-bucket
+    variant above cannot see) emits an n_events=0 row that scores
+    z < 0 and gets flagged.
+
+    Scale shape: the spine is |types| × |hours| rows — sequence+explode
+    over a per-type (first_hour, last_hour) bounds frame, tiny relative
+    to the event corpus; everything downstream matches
+    ``events_hourly_anomaly``."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    # global last hour: 1-row broadcast onto the per-type bounds
+    t1 = h.agg(F.max("hr").alias("t1"))
+    bounds = (
+        h.groupBy("event_type")
+        .agg(F.min("hr").alias("t0"))
+        .crossJoin(F.broadcast(t1))
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    filled = spine.join(h, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+    )
+    tw = W.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+    w = filled.select(
         "event_type",
         "hr",
         "n_events",

@@ -464,7 +464,9 @@ FROM d
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style heuristic quality gate: per-doc word-count / mean
     word-length / alpha-word / stopword / top-word-repetition rules and
-    the composite pass flag. Two hash aggregations, no windows."""
+    the composite pass flag. Map-only: every per-doc statistic is an
+    array fold over the tokenized text (no shuffle, no aggregation, no
+    window — plan-gated in tests/test_plans.py)."""
     from ..operators.text import gopher_rules
 
     return gopher_rules(load_table(spark, sf_dir, "documents"))

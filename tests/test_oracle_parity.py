@@ -28,6 +28,7 @@ def con():
     c.close()
 
 
+@pytest.mark.oracle
 @pytest.mark.parametrize("name", _params())
 def test_query_matches_oracle(spark, con, name):
     fn = catalog.queries()[name]
@@ -35,6 +36,7 @@ def test_query_matches_oracle(spark, con, name):
     compare(fn(spark, SF), sql, con, name)
 
 
+@pytest.mark.oracle
 def test_all_queries_run(spark):
     """Queries without oracles still must execute and return a schema."""
     for name, fn in catalog.queries().items():
