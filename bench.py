@@ -235,6 +235,13 @@ _BENCH_EXTRA: set[str] = {
     "events_hourly_anomaly",
     "revenue_pareto_deciles",
     "events_dau_wau_stickiness",
+    # round-5 additions: survivor selection got its CC star-contraction
+    # rewrite (tracked above); the IVF index split, token-budget packing,
+    # and the gap-filled anomaly variant are new surface
+    "sim_ivf_index_build",
+    "sim_ivf_index_query",
+    "pack_token_budget",
+    "events_hourly_anomaly_gapfill",
 }
 
 if __name__ == "__main__":

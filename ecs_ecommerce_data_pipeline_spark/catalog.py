@@ -246,36 +246,16 @@ def _load_all() -> None:
 # always sort last.  Rounds 1-3 confirmed the harness does take the
 # head: each round's sampled set matched that round's catalog head.
 #
-# Round-4 head: the 24 queries never sampled through round 3 — pinned
-# explicitly so catalog additions THIS round (which are also unverified)
-# cannot displace them.  Highest-value first: text_lm_score and
-# drift_ks_doc_lengths changed physical shape in round 3 (hashed bigram
-# keys / two-phase CDF) with no driver confirmation yet;
-# settled_running_balance is a brand-new operator; the two recall gates
-# grade the ANN stack.
+# Round-5 head: quantize_embeddings FIRST — the only catalog entry with
+# no green row anywhere (round-4 err: its codes array<int> column broke
+# the driver canonicalizer; now serialized as codes_csv).  Then the
+# round-5 additions: the IVF index build/query/maintenance split,
+# token-budget packing, and the dropout-aware anomaly variant.
 _PRIORITY = [
-    "text_lm_score",
-    "drift_ks_doc_lengths",
-    "settled_running_balance",
-    "sim_recall_lsh_at_k",
-    "sim_recall_ivf_at_k",
-    "bpe_merge_rounds",
-    "chunk_documents",
-    "customer_decay_score",
-    "dataset_manifest",
-    "domain_mix_weights",
-    "dq_expectations",
-    "drift_psi_doc_lengths",
-    "geo_grid_buckets",
-    "geo_nearest_center",
-    "hll_distinct_merge",
-    "label_balance_by_split",
-    "mad_outliers_doc_lengths",
-    "mv_rollup_category",
     "quantize_embeddings",
-    "quota_cap_per_source",
-    "redaction_stats",
-    "split_leakage_check",
-    "weighted_sample_quality",
-    "winsorize_doc_lengths",
+    "sim_ivf_index_build",
+    "sim_ivf_index_query",
+    "sim_ivf_index_incremental",
+    "pack_token_budget",
+    "events_hourly_anomaly_gapfill",
 ]

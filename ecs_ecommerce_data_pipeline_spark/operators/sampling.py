@@ -147,6 +147,131 @@ def pack_shards(
     )
 
 
+def pack_token_budget(
+    df: DataFrame,
+    part_col: str,
+    token_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Deterministic token-budget sequence packing (next-fit-decreasing):
+    within each ``part_col`` group, documents are walked in
+    (``token_col`` DESC, ``id_col``) order and greedily packed into bins
+    of capacity ``budget`` — the step that turns a curated corpus into
+    fixed-token-budget training sequences.
+
+    Semantics (the exact per-row recurrence both engines implement):
+    ``fill + t > budget  →  bin += 1, fill = t``, else ``fill += t``.
+    Consequences: no bin ever exceeds the budget EXCEPT a bin holding a
+    single oversized document (t > budget), which sits alone and is
+    flagged by the caller via ``bin_tokens > budget``; every document is
+    packed exactly once; decreasing order gives the classical NFD
+    packing quality without bin-state joins.
+
+    Scale shape: one shuffle (repartition by group) + an in-partition
+    sort; the fold itself is a numpy kernel vectorized PER BIN
+    (``searchsorted`` over the monotone token cumsum — same idiom as the
+    settle fold in ``balance_q``), with dict-free carry across Arrow
+    batch boundaries.  Parallelism = number of groups; pick ``part_col``
+    at least cluster-wide (source, lang, date…).
+
+    Returns the input ids with (bin_id, n_tokens) per row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    budget_i = int(budget)
+
+    def pack_partitions(batches):
+        carry_part = None
+        carry_bin = 0
+        carry_fill = 0
+
+        def pack_segment(t: "np.ndarray", b0: int, f0: int):
+            """NFD fold of one group's desc-sorted token counts starting
+            from (bin b0, fill f0).  Vectorized per bin: each bin
+            boundary is one searchsorted over the monotone cumsum."""
+            n = len(t)
+            bins = np.empty(n, dtype=np.int64)
+            csum = np.cumsum(t)
+            b, base, pos = b0, -f0, 0
+            fresh = f0 == 0
+            while pos < n:
+                j = int(np.searchsorted(csum, base + budget_i, side="right"))
+                if j == pos:
+                    if not fresh:
+                        # doesn't fit the carried bin — open a new one
+                        b += 1
+                        base = int(csum[pos]) - int(t[pos])
+                        fresh = True
+                        continue
+                    # oversized document: its own (flagged) bin
+                    bins[pos] = b
+                    base = int(csum[pos])
+                    pos += 1
+                    b += 1
+                    continue
+                bins[pos:j] = b
+                pos = j
+                fresh = False
+                if pos < n:
+                    b += 1
+                    base = int(csum[pos - 1])
+                    fresh = True
+            return bins, b, int(csum[-1]) - base
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parts = pdf["_part"].to_numpy()
+            toks = pdf["_tok"].to_numpy()
+            ids = pdf["_id"].to_numpy()
+            bins_out = np.empty(len(parts), dtype=np.int64)
+            starts = np.flatnonzero(
+                np.concatenate(([True], parts[1:] != parts[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [len(parts)]))
+            for s, e in zip(starts, ends):
+                part = parts[s]
+                if part == carry_part:
+                    b0, f0 = carry_bin, carry_fill
+                else:
+                    b0, f0 = 0, 0
+                seg_bins, carry_bin, carry_fill = pack_segment(
+                    toks[s:e], b0, f0
+                )
+                bins_out[s:e] = seg_bins
+                carry_part = part
+            yield pd.DataFrame(
+                {
+                    "_part": parts,
+                    "_id": ids,
+                    "n_tokens": toks,
+                    "bin_id": bins_out,
+                }
+            )
+
+    prepared = df.select(
+        F.col(part_col).alias("_part"),
+        F.col(id_col).alias("_id"),
+        F.col(token_col).cast("bigint").alias("_tok"),
+    )
+    out_schema = (
+        "_part string, _id bigint, n_tokens bigint, bin_id bigint"
+    )
+    return (
+        prepared.repartition("_part")
+        .sortWithinPartitions("_part", F.desc("_tok"), F.asc("_id"))
+        .mapInPandas(pack_partitions, out_schema)
+        .select(
+            F.col("_part").alias(part_col),
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            "bin_id",
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame, key: str, weight: Column, salt: str = ""
 ) -> DataFrame:

@@ -382,6 +382,169 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    path: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index ONCE: (centroids, assignments), optionally
+    persisted to parquet so queries stop re-deriving the coarse
+    quantizer per call (the round-4 gap: ``ivf_topk`` recomputed
+    centroids + cell assignments on every query).
+
+    * ``centroids``: (cell, cvec, cnrm) — the deterministic smallest-id
+      quantizer of ``ivf_centroid_scores`` (a production build would
+      k-means; see ``kmeans_refine`` — the index plumbing is identical).
+    * ``assignments``: (vid, vec, nrm, cell) — each corpus vector in
+      exactly one cell, written ``partitionBy("cell")`` so a query that
+      probes P cells READS only P partitions (parquet partition
+      pruning), never the whole corpus — the on-disk analogue of an IVF
+      inverted list.
+
+    Returns the two DataFrames; when ``path`` is given they are
+    re-loaded from the written files so downstream plans scan the index,
+    not the build lineage.
+    """
+    ranked = ivf_centroid_scores(embeddings, n_centroids, id_col, vec_col)
+    assignments = ranked.filter(F.col("rn") == 1).select(
+        "vid", "vec", "nrm", F.col("cid").alias("cell")
+    )
+    v = as_double_array(vec_col)
+    centroids = (
+        embeddings.select(F.col(id_col).alias("cell"), v.alias("cvec"))
+        .withColumn("cnrm", norm(F.col("cvec")))
+        .orderBy("cell")
+        .limit(n_centroids)
+    )
+    if path is None:
+        return centroids, assignments
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    assignments.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/assignments"
+    )
+    return load_ivf_index(embeddings.sparkSession, path)
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted IVF index: (centroids, assignments).  Vectors
+    were written as ARRAY<DOUBLE>, so reloaded cosines are bit-identical
+    to build-time values (parquet doubles round-trip exactly)."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assignments = spark.read.parquet(f"{path}/assignments").select(
+        "vid", "vec", "nrm", F.col("cell").cast("long").alias("cell")
+    )
+    return centroids, assignments
+
+
+def ivf_index_topk(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a prebuilt IVF index: rank the query vectors against the
+    (broadcast) centroid table, probe the top-``nprobe`` cells, run
+    exact cosine only inside those cells.
+
+    The probed cell ids are collected to the driver — a bounded
+    |queries| × nprobe list, never data-sized — and pushed into the
+    assignments scan as an IN-filter, so a partitionBy("cell") index on
+    disk prunes to exactly the probed partitions.  Results are identical
+    to ``ivf_topk`` with the same (n_centroids, nprobe): the index
+    changes WHERE the plan reads, not what it computes.
+    """
+    queries = assignments.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("query_vec"),
+        F.col("nrm").alias("query_norm"),
+    )
+    scored_q = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "query_vec",
+        "query_norm",
+        F.col("cell"),
+        (
+            dot(F.col("query_vec"), F.col("cvec"))
+            / (F.col("query_norm") * F.col("cnrm"))
+        ).alias("cos"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell"))
+    probes = (
+        scored_q.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "query_vec", "query_norm", "cell")
+    )
+    # bounded driver collect: |queries| × nprobe cell ids → static
+    # partition pruning on the on-disk inverted lists
+    probe_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    cells = assignments.filter(F.col("cell").isin(probe_cells)).select(
+        F.col("vid").alias("corpus_id"),
+        F.col("vec").alias("corpus_vec"),
+        F.col("nrm").alias("corpus_norm"),
+        "cell",
+    )
+    scored = cells.join(
+        F.broadcast(probes),
+        (cells["cell"] == probes["cell"])
+        & (F.col("corpus_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "corpus_id",
+        (
+            dot(F.col("query_vec"), F.col("corpus_vec"))
+            / (F.col("query_norm") * F.col("corpus_norm"))
+        ).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rnk") <= k
+    )
+
+
+def ivf_index_add_batch(
+    centroids: DataFrame,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    path: str | None = None,
+) -> DataFrame:
+    """Incremental IVF maintenance: assign a NEW batch of vectors to the
+    EXISTING centroids — O(|batch| × n_centroids) map work against a
+    broadcast centroid table, never a corpus rescan (mirrors the
+    incremental LSH signature store: per-batch cost tracks the batch).
+    With ``path``, the new rows are APPENDED to the persisted inverted
+    lists (same partitionBy("cell") layout — append-only maintenance;
+    periodic centroid re-training is a separate offline rebuild, exactly
+    as production IVF indexes do it)."""
+    v = as_double_array(vec_col)
+    base = new_embeddings.select(F.col(id_col).alias("vid"), v.alias("vec")).withColumn(
+        "nrm", norm(F.col("vec"))
+    )
+    scored = base.crossJoin(F.broadcast(centroids)).select(
+        "vid",
+        "vec",
+        "nrm",
+        "cell",
+        (dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))).alias(
+            "cos"
+        ),
+    )
+    w = W.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "vec", "nrm", "cell")
+    )
+    if path is not None:
+        assigned.write.mode("append").partitionBy("cell").parquet(
+            f"{path}/assignments"
+        )
+    return assigned
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

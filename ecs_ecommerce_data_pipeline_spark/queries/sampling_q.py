@@ -145,6 +145,77 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_BUDGET = 512
+
+# the same BPE-ish token proxy verified by tokenizer_fertility_by_lang
+# (non-raw string: DuckDB must receive \s, not \\s)
+_TOK_EXPR = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+
+_PACK_TOKEN_SQL = f"""
+WITH RECURSIVE ranked AS (
+    SELECT source, doc_id,
+           CAST({_TOK_EXPR} AS BIGINT) AS n_tokens,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST({_TOK_EXPR} AS BIGINT) DESC, doc_id) AS rn
+    FROM documents
+),
+walk AS (
+    SELECT source, rn, doc_id, n_tokens,
+           n_tokens AS fill, 0 AS bin
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT r.source, r.rn, r.doc_id, r.n_tokens,
+           CASE WHEN w.fill + r.n_tokens > {_TOKEN_BUDGET}
+                THEN r.n_tokens ELSE w.fill + r.n_tokens END,
+           w.bin + CASE WHEN w.fill + r.n_tokens > {_TOKEN_BUDGET}
+                        THEN 1 ELSE 0 END
+    FROM walk w JOIN ranked r
+      ON r.source = w.source AND r.rn = w.rn + 1
+)
+SELECT source,
+       CAST(bin AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / {_TOKEN_BUDGET}.0 AS fill_ratio,
+       SUM(n_tokens) > {_TOKEN_BUDGET} AS is_overflow,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM walk
+GROUP BY source, bin
+"""
+
+
+@register("pack_token_budget", _PACK_TOKEN_SQL)
+def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (next-fit-decreasing, 512-token
+    bins): the step that turns curated documents into fixed-budget
+    training sequences.  No bin exceeds the budget except a single
+    oversized document's own bin (flagged ``is_overflow``); every doc is
+    packed exactly once (pinned by tests/test_sampling.py property
+    tests).  The oracle walks the identical recurrence as a recursive
+    CTE; the engine runs it as a per-bin-vectorized numpy fold behind
+    one repartition+sort (``operators.sampling.pack_token_budget``)."""
+    from ..operators.sampling import pack_token_budget
+    from ..operators.text import bpe_ish_token_count
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", bpe_ish_token_count("text").cast("bigint").alias("n_tok")
+    )
+    packed = pack_token_budget(
+        doc, part_col="source", token_col="n_tok", id_col="doc_id",
+        budget=_TOKEN_BUDGET,
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        (F.sum("n_tokens").cast("double") / F.lit(float(_TOKEN_BUDGET))).alias(
+            "fill_ratio"
+        ),
+        (F.sum("n_tokens") > _TOKEN_BUDGET).alias("is_overflow"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )
+
+
 _ES_SQL = """
 WITH scored AS (
     SELECT lang, doc_id, n_chars,

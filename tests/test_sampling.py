@@ -130,3 +130,88 @@ def test_weighted_exact_k_pins_size_and_prefers_heavy(spark):
     )
     outz = weighted_sample_exact_k(dfz, "id", "w", k=5, stratum="grp").collect()
     assert {r["id"] for r in outz} == {3}
+
+
+# --- token-budget packing (next-fit-decreasing) -----------------------------
+
+
+def _pack_reference(rows: list[tuple[str, int, int]], budget: int):
+    """Per-row reference recurrence: fill+t > budget → new bin."""
+    out = {}
+    by_part: dict[str, list[tuple[int, int]]] = {}
+    for part, did, tok in rows:
+        by_part.setdefault(part, []).append((tok, did))
+    for part, docs in by_part.items():
+        docs.sort(key=lambda x: (-x[0], x[1]))
+        fill, b = None, 0
+        for tok, did in docs:
+            if fill is None:
+                fill = tok
+            elif fill + tok > budget:
+                b += 1
+                fill = tok
+            else:
+                fill += tok
+            out[(part, did)] = b
+    return out
+
+
+def _run_pack(spark, rows, budget, batch_size=None):
+    from ecs_ecommerce_data_pipeline_spark.operators.sampling import (
+        pack_token_budget,
+    )
+
+    df = spark.createDataFrame(rows, "part string, doc_id long, tok long")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        if batch_size is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+            )
+        packed = pack_token_budget(df, "part", "tok", "doc_id", budget)
+        return {(r["part"], r["doc_id"]): r["bin_id"] for r in packed.collect()}
+    finally:
+        if batch_size is not None and old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_pack_token_budget_matches_reference_and_bounds(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"s{i % 3}", i, rng.choice([3, 10, 40, 100, 480, 512, 600, 1500]))
+        for i in range(200)
+    ]
+    budget = 512
+    got = _run_pack(spark, rows, budget)
+    assert got == _pack_reference(rows, budget)
+    # every doc packed exactly once
+    assert len(got) == len(rows)
+    # no bin over budget except single-doc oversized bins
+    fills: dict[tuple[str, int], list[int]] = {}
+    toks = {(p, d): t for p, d, t in rows}
+    for (part, did), b in got.items():
+        fills.setdefault((part, b), []).append(toks[(part, did)])
+    for (part, b), members in fills.items():
+        if sum(members) > budget:
+            assert len(members) == 1 and members[0] > budget, (part, b, members)
+    # bins contiguous from 0 per part
+    per_part: dict[str, set[int]] = {}
+    for (part, b) in fills:
+        per_part.setdefault(part, set()).add(b)
+    for part, bins in per_part.items():
+        assert bins == set(range(len(bins))), (part, bins)
+
+
+def test_pack_token_budget_carry_across_arrow_batches(spark):
+    """Tiny Arrow batches force the mapInPandas carry path: results must
+    be identical to single-batch execution."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(f"s{i % 2}", i, rng.randint(1, 700)) for i in range(97)]
+    budget = 256
+    whole = _run_pack(spark, rows, budget)
+    tiny = _run_pack(spark, rows, budget, batch_size=5)
+    assert whole == tiny == _pack_reference(rows, budget)
