@@ -228,7 +228,8 @@ _BENCH_EXTRA: set[str] = {
     "source_overlap_matrix",
     # (dedup_incremental_clusters stays OUT of the headline set: it is an
     # equivalence PROOF that deliberately runs two full dedup pipelines -
-    # old-corpus clustering plus the incremental fold - so its ~15 s is
+    # old-corpus clustering plus the incremental fold - so its ~7 s
+    # (was ~15 s before the round-5 CC star-contraction rewrite) is
     # duplicated-by-construction work; the sf0.01 hash gate grades it)
     "multimodal_audio_windows",
     "quantile_bins_merge_by_group",

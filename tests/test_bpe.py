@@ -3,6 +3,8 @@ determinism under repartitioning."""
 
 from __future__ import annotations
 
+import pytest
+
 from ecs_ecommerce_data_pipeline_spark.operators.bpe import (
     bpe_merge_rounds,
     init_sequences,
@@ -10,6 +12,7 @@ from ecs_ecommerce_data_pipeline_spark.operators.bpe import (
 )
 
 
+@pytest.mark.slow
 def test_known_corpus_merge_order(spark):
     # words: "low" x5, "lower" x2, "widest" x3  (classic BPE example)
     text = " ".join(["low"] * 5 + ["lower"] * 2 + ["widest"] * 3)

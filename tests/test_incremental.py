@@ -229,6 +229,7 @@ def test_merge_upsert_unpartitioned_fallback(spark, tmp_path):
     assert got == {(1, "a"), (2, "B"), (3, "c")}
 
 
+@pytest.mark.slow
 def test_process_batch_failed_validation_hits_status_log(spark, tmp_path):
     """A batch with a critical-field violation must: not write outputs,
     leave the ledger retryable (failed, not done), and leave a queryable
@@ -286,6 +287,7 @@ def test_process_batch_failed_validation_hits_status_log(spark, tmp_path):
     assert final == 1
 
 
+@pytest.mark.slow
 def test_process_batch_records_observed_metrics(spark, tmp_path):
     """df.observe metrics accumulate during the sink write (no second
     scan) and land in the run-status log as the 'metrics' stage."""

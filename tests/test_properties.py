@@ -18,6 +18,8 @@ disabled — breadth comes from the generators, not the example count.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -39,6 +41,7 @@ _row = st.tuples(_key, st.integers(min_value=-10_000, max_value=10_000))
 _rows = st.lists(_row, min_size=1, max_size=60)
 
 
+@pytest.mark.slow
 @given(rows=_rows, buckets=st.integers(min_value=1, max_value=5))
 @_SETTINGS
 def test_salted_agg_equals_plain(spark, rows, buckets):
@@ -69,6 +72,7 @@ def test_salted_agg_equals_plain(spark, rows, buckets):
     buckets=st.integers(min_value=1, max_value=4),
     how=st.sampled_from(["inner", "left"]),
 )
+@pytest.mark.slow
 @_SETTINGS
 def test_salted_join_equals_plain(spark, large, small, buckets, how):
     ldf = spark.createDataFrame(large or [(0, 0)], "k long, v long")
@@ -92,6 +96,7 @@ def test_salted_join_equals_plain(spark, large, small, buckets, how):
     null_user=st.booleans(),
     drop_col=st.booleans(),
 )
+@pytest.mark.slow
 @_SETTINGS
 def test_validation_rejects_iff_defect(spark, orphan_items, null_user, drop_col):
     """reject ⇔ ∃ defect — the SURVEY §5 property, all 8 combinations."""
@@ -133,6 +138,7 @@ _texts = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(texts=_texts)
 @_SETTINGS
 def test_exact_dedup_partitions_corpus(spark, texts):
@@ -161,6 +167,7 @@ _upd_row = st.tuples(_scd_key, _scd_price)
     dim_rows=st.lists(_dim_row, min_size=1, max_size=6, unique_by=lambda t: t[0]),
     upd_rows=st.lists(_upd_row, min_size=0, max_size=6, unique_by=lambda t: t[0]),
 )
+@pytest.mark.slow
 @_SETTINGS
 def test_scd2_invariants(spark, dim_rows, upd_rows):
     from ecs_ecommerce_data_pipeline_spark.operators.scd import scd2_apply
@@ -214,6 +221,7 @@ _vals = st.lists(
 ).filter(lambda rs: {s for _, s in rs} == {"a", "b"})
 
 
+@pytest.mark.slow
 @given(rows=_vals)
 @_SETTINGS
 def test_ks_statistic_bounds_and_symmetry(spark, rows):
@@ -238,6 +246,7 @@ _asof_right = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(left=_asof_left, right=_asof_right)
 @_SETTINGS
 def test_asof_join_matches_naive_reference(spark, left, right):
@@ -269,6 +278,7 @@ _words = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(words=_words)
 @_SETTINGS
 def test_bpe_first_merge_is_true_max_pair(spark, words):
@@ -347,6 +357,7 @@ def test_capped_balance_window_identity_matches_loop(spark, per_cust, cap):
     ),
     cap=st.integers(min_value=100, max_value=2000),
 )
+@pytest.mark.slow
 @_SETTINGS
 def test_settled_balance_fold_matches_loop(spark, per_cust, cap):
     """The vectorized searchsorted segment fold must equal the
@@ -391,6 +402,7 @@ def test_settled_balance_fold_matches_loop(spark, per_cust, cap):
     n_bins=st.sampled_from([4, 16]),
     q=st.sampled_from([0.25, 0.5, 0.9]),
 )
+@pytest.mark.slow
 @_SETTINGS
 def test_quantile_bin_merge_estimate_within_one_bin(
     spark, vals, n_batches, n_bins, q
@@ -443,6 +455,7 @@ def test_quantile_bin_merge_estimate_within_one_bin(
         max_size=8,
     )
 )
+@pytest.mark.slow
 @_SETTINGS
 def test_gopher_rules_match_python_reference(spark, docs):
     """Rule signals must equal a naive per-doc Python computation for
@@ -478,6 +491,7 @@ def test_gopher_rules_match_python_reference(spark, docs):
     ),
     rounds=st.integers(min_value=1, max_value=3),
 )
+@pytest.mark.slow
 @_SETTINGS
 def test_bpe_encode_preserves_character_mass(spark, words, rounds):
     """Merges re-segment words but never create or destroy characters:

@@ -6,6 +6,9 @@ from __future__ import annotations
 
 import pytest
 
+# streaming end-to-end proofs: minutes-scale, excluded from the fast gate
+pytestmark = pytest.mark.slow
+
 from ecs_ecommerce_data_pipeline_spark.streaming.pipeline import (
     run_to_memory,
     session_windows,
