@@ -243,6 +243,8 @@ _BENCH_EXTRA: set[str] = {
     "sim_ivf_index_query",
     "pack_token_budget",
     "events_hourly_anomaly_gapfill",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
 }
 
 if __name__ == "__main__":

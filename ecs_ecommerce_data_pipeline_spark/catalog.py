@@ -258,4 +258,6 @@ _PRIORITY = [
     "sim_ivf_index_incremental",
     "pack_token_budget",
     "events_hourly_anomaly_gapfill",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
 ]

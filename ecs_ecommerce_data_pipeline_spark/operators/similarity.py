@@ -545,6 +545,174 @@ def ivf_index_add_batch(
     return assigned
 
 
+# reconstruction-error quantum for cross-engine PQ sums: FLOOR(d² · 2^20)
+# BIGINT per subspace, summed exactly — 2^20 keeps the last-ulp
+# bin-flip probability ~1e-10/row (2^40 would be a real hazard)
+_PQ_SCALE = float(1 << 20)
+
+
+def pq_subspace_assignments(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization assignment: split each vector into ``m``
+    equal subspaces; in each subspace, code = the nearest of ``k``
+    codewords (deterministic training-free codebook: the subvectors of
+    the ``k`` smallest-id vectors, codeword index = dense id rank — a
+    production build would k-means per subspace; the assignment/ADC
+    plumbing is identical).
+
+    Scale shape: the codebook is m·k tiny rows, broadcast; corpus work
+    is an explode to |corpus|·m subvector rows joined against it —
+    O(n·m·k) subspace distances, never vector-dimension² and never
+    corpus×corpus.  Distances are the same sequential fold on both
+    engines, so every argmin decision is bit-reproducible; the
+    per-subspace squared error is quantized FLOOR(d²·2^20) for exact
+    BIGINT summation.
+
+    Returns (vid, s, code, dist2, dq) — one row per vector × subspace.
+    """
+    dims = _vector_dims(embeddings, vec_col)
+    if dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    sub = dims // m
+    v = as_double_array(vec_col)
+    base = embeddings.select(F.col(id_col).alias("vid"), v.alias("vec"))
+    cb_vecs = base.orderBy("vid").limit(k)
+    cw = W.orderBy("vid")  # k rows only — the single-partition window is fine
+    subspaces = F.sequence(F.lit(0), F.lit(m - 1))
+    codebook = (
+        cb_vecs.withColumn("cw", F.row_number().over(cw) - 1)
+        .select("cw", F.explode(subspaces).alias("s"), "vec")
+        .select(
+            "cw",
+            "s",
+            F.slice(F.col("vec"), F.col("s") * sub + 1, sub).alias("cv"),
+        )
+    )
+    corpus = base.select(
+        "vid", F.explode(subspaces).alias("s"), "vec"
+    ).select(
+        "vid",
+        "s",
+        F.slice(F.col("vec"), F.col("s") * sub + 1, sub).alias("vs"),
+    )
+    diff = F.zip_with(F.col("vs"), F.col("cv"), lambda x, y: x - y)
+    scored = corpus.join(F.broadcast(codebook), "s").select(
+        "vid", "s", "cw", dot(diff, diff).alias("dist2")
+    )
+    wa = W.partitionBy("vid", "s").orderBy(F.asc("dist2"), F.asc("cw"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vid",
+            "s",
+            F.col("cw").alias("code"),
+            "dist2",
+            F.floor(F.col("dist2") * F.lit(_PQ_SCALE)).cast("bigint").alias("dq"),
+        )
+    )
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector PQ code string + quantized reconstruction error:
+    (vec_id, codes_csv, err_q).  ``codes_csv`` joins the m subspace
+    codes in subspace order (scalar output — the driver canonicalizer
+    contract forbids array columns); ``err_q`` is the exact BIGINT sum
+    of FLOOR(d²·2^20) over subspaces (order-independent, cross-engine
+    exact)."""
+    a = pq_subspace_assignments(embeddings, m, k, id_col, vec_col)
+    return a.groupBy(F.col("vid").alias(id_col)).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda x: x["code"].cast("string"),
+            ),
+        ).alias("codes_csv"),
+        F.sum("dq").cast("bigint").alias("err_q"),
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    topk: int = 10,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance-computation top-k over PQ codes: each query
+    precomputes its m×k lookup table of quantized subspace distances to
+    every codeword; a corpus vector's approximate distance is the exact
+    BIGINT sum of m table lookups on its codes — the classic PQ search
+    (Jégou et al.), never touching corpus vectors at query time.
+
+    Scale shape: the LUT is |Q|·m·k rows (broadcast); scoring is an
+    equi-join of the |corpus|·m code rows against it plus one hash
+    aggregation — O(n·m) lookup work per query set.  All-integer after
+    quantization, so ranks are bit-reproducible cross-engine.
+    """
+    codes = pq_subspace_assignments(embeddings, m, k, id_col, vec_col).select(
+        "vid", "s", "code"
+    )
+    dims = _vector_dims(embeddings, vec_col)
+    sub = dims // m
+    v = as_double_array(vec_col)
+    base = embeddings.select(F.col(id_col).alias("vid"), v.alias("vec"))
+    cb_vecs = base.orderBy("vid").limit(k)
+    cw = W.orderBy("vid")
+    subspaces = F.sequence(F.lit(0), F.lit(m - 1))
+    codebook = (
+        cb_vecs.withColumn("cw", F.row_number().over(cw) - 1)
+        .select("cw", F.explode(subspaces).alias("s"), "vec")
+        .select(
+            "cw",
+            "s",
+            F.slice(F.col("vec"), F.col("s") * sub + 1, sub).alias("cv"),
+        )
+    )
+    qsub = (
+        base.filter(F.col("vid").isin(query_ids))
+        .select(
+            F.col("vid").alias("query_id"), F.explode(subspaces).alias("s"), "vec"
+        )
+        .select(
+            "query_id",
+            "s",
+            F.slice(F.col("vec"), F.col("s") * sub + 1, sub).alias("qs"),
+        )
+    )
+    qdiff = F.zip_with(F.col("qs"), F.col("cv"), lambda x, y: x - y)
+    lut = qsub.join(F.broadcast(codebook), "s").select(
+        "query_id",
+        "s",
+        F.col("cw").alias("code"),
+        F.floor(dot(qdiff, qdiff) * F.lit(_PQ_SCALE)).cast("bigint").alias("dq"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("vid").alias("corpus_id"))
+        .agg(F.sum("dq").cast("bigint").alias("adc_q"))
+    )
+    wt = W.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("corpus_id"))
+    return scored.withColumn("rnk", F.row_number().over(wt).cast("bigint")).filter(
+        F.col("rnk") <= topk
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -329,6 +329,118 @@ def q_ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 8
+_PQ_K = 16
+_PQ_SUB = _DIMS // _PQ_M
+_PQ_SCALE = "1048576.0"  # 2^20 — see operators.similarity._PQ_SCALE
+
+# shared PQ CTE prefix: corpus, dense-ranked smallest-id codebook,
+# per-(vector, subspace) squared distances, and the argmin code rows
+_PQ_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (SELECT vec_id AS vid, v FROM e),
+cbv AS (
+    SELECT vid, v, CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT) AS cw
+    FROM base ORDER BY vid LIMIT {_PQ_K}
+),
+subs AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+cb AS (
+    SELECT cw, s, v[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS cv
+    FROM cbv CROSS JOIN subs
+),
+corp AS (
+    SELECT vid, s, v[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS vs
+    FROM base CROSS JOIN subs
+),
+dists AS (
+    SELECT vid, s, cw,
+           list_dot_product(
+               list_transform(generate_series(1, {_PQ_SUB}), i -> vs[i] - cv[i]),
+               list_transform(generate_series(1, {_PQ_SUB}), i -> vs[i] - cv[i])
+           ) AS dist2
+    FROM corp JOIN cb USING (s)
+),
+codes AS (
+    SELECT vid, s, cw AS code, dist2,
+           CAST(FLOOR(dist2 * {_PQ_SCALE}) AS BIGINT) AS dq
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vid, s ORDER BY dist2 ASC, cw ASC) AS rn
+        FROM dists
+    ) WHERE rn = 1
+)"""
+
+_PQ_CODES_SQL = f"""
+WITH {_PQ_CTES}
+SELECT vid AS vec_id,
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS codes_csv,
+       CAST(SUM(dq) AS BIGINT) AS err_q
+FROM codes
+GROUP BY vid
+"""
+
+
+@register("sim_pq_codes", _PQ_CODES_SQL)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each vector → m=8 subspace codes against a
+    deterministic 16-codeword-per-subspace codebook (smallest-id
+    subvectors, dense rank — k-means training is a drop-in), plus the
+    exact BIGINT sum of quantized per-subspace reconstruction errors.
+    Codes serialize to CSV (driver canonicalizer contract).  The
+    memory story at 100 TB: 8 bytes of codes standing in for 512 bytes
+    of float64 vector — the compression IVF-PQ search rides on."""
+    return similarity.pq_codes(
+        load_table(spark, sf_dir, "embeddings"), m=_PQ_M, k=_PQ_K
+    )
+
+
+_PQ_ADC_SQL = f"""
+WITH {_PQ_CTES},
+qsub AS (
+    SELECT vid AS query_id, s,
+           v[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS qs
+    FROM base CROSS JOIN subs
+    WHERE vid IN ({_qids})
+),
+lut AS (
+    SELECT query_id, s, cw AS code,
+           CAST(FLOOR(list_dot_product(
+               list_transform(generate_series(1, {_PQ_SUB}), i -> qs[i] - cv[i]),
+               list_transform(generate_series(1, {_PQ_SUB}), i -> qs[i] - cv[i])
+           ) * {_PQ_SCALE}) AS BIGINT) AS dq
+    FROM qsub JOIN cb USING (s)
+),
+scored AS (
+    SELECT l.query_id, c.vid AS corpus_id, CAST(SUM(l.dq) AS BIGINT) AS adc_q
+    FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+    WHERE c.vid <> l.query_id
+    GROUP BY 1, 2
+)
+SELECT query_id, corpus_id, adc_q, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_q ASC, corpus_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= {_K}
+"""
+
+
+@register("sim_pq_adc_topk", _PQ_ADC_SQL)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jégou et al.): queries precompute a
+    broadcast m×k lookup table of quantized subspace distances; corpus
+    scoring is m integer table lookups + one hash aggregation per
+    vector — approximate NN search that never touches corpus vectors at
+    query time.  All-integer after quantization, so ranks are
+    bit-reproducible cross-engine."""
+    return similarity.pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        topk=_K,
+        m=_PQ_M,
+        k=_PQ_K,
+    )
+
+
 _COS_THRESH = 0.3
 
 _COS_DEDUP_SQL = f"""

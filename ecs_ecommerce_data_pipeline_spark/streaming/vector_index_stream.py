@@ -1,0 +1,120 @@
+"""Streaming maintenance of the persisted IVF vector index.
+
+The batch operators (``operators.similarity.build_ivf_index`` /
+``ivf_index_add_batch``) persist ``partitionBy(cell)`` inverted lists; a
+stream of newly-embedded vectors maintains the SAME index shape
+incrementally:
+
+* the FIRST micro-batch trains the deterministic coarse quantizer
+  (smallest-id subvector codebook rule) and freezes the centroid table —
+  the standard production trade: the quantizer is trained once (or
+  offline) and batches are assigned against it; re-training is an
+  offline rebuild, not a streaming concern;
+* every micro-batch assigns ONLY its own vectors against the frozen
+  broadcast centroids — O(|batch| × n_centroids), never a corpus rescan
+  (the vector-index analogue of ``kpi_stream.lsh_dedup_stream``'s
+  signature store);
+* each batch writes its own ``(_batch_id, cell)`` partitions as a
+  dynamic overwrite, so an at-least-once replay rewrites exactly its own
+  partitions — idempotent by construction, no append duplication;
+* ``load_stream_index`` reads the accumulated lists back with
+  latest-batch-wins per vector id (a re-embedded id supersedes its older
+  assignment) and serves the same (centroids, assignments) pair the
+  batch query path (``ivf_index_topk``) consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.errors.exceptions.captured import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    as_double_array,
+    ivf_index_add_batch,
+    norm,
+)
+from ..plans.incremental import BatchLedger
+
+
+def vector_index_stream(
+    emb_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    ledger: BatchLedger | None = None,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Maintain a persisted IVF index from a stream of embedding rows.
+
+    Exactly-once: the checkpoint dedups source offers; the ledger
+    guards the crash window; batch-stamped dynamic overwrites make
+    replays idempotent (see module docstring).
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        bid = f"vecidx-microbatch-{batch_id}"
+        if ledger is not None and not ledger.try_start(bid):
+            return
+        if batch_df.isEmpty():
+            if ledger is not None:
+                ledger.mark_done(bid)
+            return
+        spark = batch_df.sparkSession
+        cpath = f"{index_path}/centroids"
+        try:
+            centroids = spark.read.parquet(cpath)
+        except AnalysisException:
+            # first batch trains the frozen quantizer (deterministic
+            # smallest-id rule, same as build_ivf_index) and persists it
+            v = as_double_array(vec_col)
+            (
+                batch_df.select(F.col(id_col).alias("cell"), v.alias("cvec"))
+                .withColumn("cnrm", norm(F.col("cvec")))
+                .orderBy("cell")
+                .limit(n_centroids)
+                .write.mode("overwrite")
+                .parquet(cpath)
+            )
+            centroids = spark.read.parquet(cpath)
+        assigned = ivf_index_add_batch(
+            centroids, batch_df, id_col=id_col, vec_col=vec_col
+        )
+        (
+            assigned.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id", "cell")
+            .parquet(f"{index_path}/assignments")
+        )
+        if ledger is not None:
+            ledger.mark_done(bid)
+
+    return (
+        emb_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def load_stream_index(
+    spark: SparkSession, index_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Load the stream-maintained index as the (centroids, assignments)
+    pair ``ivf_index_topk`` consumes.  Latest-batch-wins per vector id:
+    a re-embedded id's newest assignment supersedes older rows (the
+    dedup is one window over the id — state-sized, not corpus-scan
+    work, and only at read/compaction time)."""
+    from pyspark.sql import Window as W
+
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    raw = spark.read.parquet(f"{index_path}/assignments")
+    w = W.partitionBy("vid").orderBy(F.desc("_batch_id"))
+    assignments = (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vid", "vec", "nrm", F.col("cell").cast("long").alias("cell"))
+    )
+    return centroids, assignments

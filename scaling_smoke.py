@@ -87,6 +87,7 @@ STAGES = {
     "dedup_keep_best_quality": "documents",
     "sim_ivf_index_build": "embeddings",
     "pack_token_budget": "documents",
+    "sim_pq_codes": "embeddings",
 }
 
 

@@ -935,3 +935,71 @@ def test_quantile_state_stream_merges_to_batch_histogram(spark, tmp_path):
         ).collect()
     }
     assert est_stream == est_batch
+
+
+def test_vector_index_stream_equals_batch_assignment(spark, tmp_path):
+    """Embeddings arrive over three micro-batches; the stream-maintained
+    index must hold exactly the assignments the batch path produces
+    against the SAME frozen centroids, a replayed crash window must
+    change nothing (batch-stamped dynamic overwrites), and the loaded
+    index must serve ivf_index_topk."""
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.operators import similarity
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import BatchLedger
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        load_stream_index,
+        vector_index_stream,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    drop_dir = str(tmp_path / "emb_drop")
+    emb.repartition(3).write.parquet(drop_dir)
+
+    index_path = str(tmp_path / "vec_index")
+    lpath = str(tmp_path / "ledger.json")
+    ledger = BatchLedger(lpath)
+
+    def start(ckpt):
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop_dir)
+        )
+        return vector_index_stream(stream, index_path, ckpt, ledger)
+
+    q = start(str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+
+    centroids, assignments = load_stream_index(spark, index_path)
+    # batch reference: assign the WHOLE corpus against the stream's
+    # frozen centroids (trained on whichever file formed batch 0)
+    expect = {
+        (r["vid"], r["cell"])
+        for r in similarity.ivf_index_add_batch(centroids, emb).collect()
+    }
+    got = {(r["vid"], r["cell"]) for r in assignments.collect()}
+    assert got == expect and len(got) == emb.count()
+
+    # crash-window replay: flip the last batch back to 'running' and
+    # re-run from a fresh checkpoint — outputs must be unchanged
+    import json as _json
+
+    state = _json.load(open(lpath))
+    victim = sorted(k for k in state if k.startswith("vecidx-microbatch-"))[-1]
+    state[victim] = "running"
+    _json.dump(state, open(lpath, "w"))
+    q2 = start(str(tmp_path / "ckpt2"))
+    q2.awaitTermination(240)
+    # reload: the replay dynamic-overwrote its partitions, so pre-replay
+    # DataFrames hold stale file listings by design
+    centroids2, again = load_stream_index(spark, index_path)
+    assert {(r["vid"], r["cell"]) for r in again.collect()} == expect
+
+    # the loaded index serves the batch query path
+    topk = similarity.ivf_index_topk(
+        centroids2, again, [0, 1, 2], k=5, nprobe=4
+    )
+    per_q = {r["query_id"] for r in topk.collect()}
+    assert per_q == {0, 1, 2}
