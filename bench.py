@@ -245,6 +245,8 @@ _BENCH_EXTRA: set[str] = {
     "events_hourly_anomaly_gapfill",
     "sim_pq_codes",
     "sim_pq_adc_topk",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
 }
 
 if __name__ == "__main__":

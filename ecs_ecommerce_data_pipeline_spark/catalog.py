@@ -260,4 +260,6 @@ _PRIORITY = [
     "events_hourly_anomaly_gapfill",
     "sim_pq_codes",
     "sim_pq_adc_topk",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
 ]

@@ -942,3 +942,185 @@ def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+# --- funnel conversion (ordered steps within a horizon) --------------------
+
+_FUNNEL_HOURS = 24
+
+_FUNNEL_SQL = f"""
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON s1.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+      AND e.ts <= s1.t1 + INTERVAL '{_FUNNEL_HOURS}' HOUR
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e
+    JOIN s1 ON s1.user_id = e.user_id
+    JOIN s2 ON s2.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      AND e.ts <= s1.t1 + INTERVAL '{_FUNNEL_HOURS}' HOUR
+    GROUP BY e.user_id
+),
+counts AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
+)
+SELECT step, step_name, n_users, conv_from_prev, conv_from_start
+FROM counts, LATERAL (VALUES
+    (CAST(1 AS BIGINT), 'view', n1, CAST(NULL AS DOUBLE),
+     CAST(NULL AS DOUBLE)),
+    (CAST(2 AS BIGINT), 'click', n2,
+     CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END,
+     CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END),
+    (CAST(3 AS BIGINT), 'purchase', n3,
+     CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / n2 END,
+     CASE WHEN n1 > 0 THEN CAST(n3 AS DOUBLE) / n1 END)
+) AS t(step, step_name, n_users, conv_from_prev, conv_from_start)
+"""
+
+
+@register("events_funnel_conversion", _FUNNEL_SQL)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (view → click → purchase within 24 h of the
+    first view): per step, how many users progressed IN ORDER, plus
+    step-over-step and end-to-end conversion rates — the product
+    analytics query every event pipeline serves.
+
+    Semantics: step k's timestamp is the user's FIRST qualifying event
+    strictly after step k-1's timestamp and inside the horizon anchored
+    at step 1 — ordered progression, not mere co-occurrence.
+
+    Scale shape: three per-user MIN aggregations + two equi-joins on
+    user_id (user-sized, never event²); the final step table is 3 rows.
+    Rates are BIGINT/BIGINT divisions — bit-identical cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    horizon = F.col("t1") + F.expr(f"INTERVAL {_FUNNEL_HOURS} HOURS")
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    n3 = s3.agg(F.count(F.lit(1)).cast("bigint").alias("n3"))
+    counts = F.broadcast(n1).crossJoin(F.broadcast(n2)).crossJoin(
+        F.broadcast(n3)
+    )
+    steps = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("bigint").alias("step"),
+                    F.lit("view").alias("step_name"),
+                    F.col("n1").alias("n_users"),
+                    F.lit(None).cast("double").alias("conv_from_prev"),
+                    F.lit(None).cast("double").alias("conv_from_start"),
+                ),
+                F.struct(
+                    F.lit(2).cast("bigint").alias("step"),
+                    F.lit("click").alias("step_name"),
+                    F.col("n2").alias("n_users"),
+                    F.when(
+                        F.col("n1") > 0,
+                        F.col("n2").cast("double") / F.col("n1"),
+                    ).alias("conv_from_prev"),
+                    F.when(
+                        F.col("n1") > 0,
+                        F.col("n2").cast("double") / F.col("n1"),
+                    ).alias("conv_from_start"),
+                ),
+                F.struct(
+                    F.lit(3).cast("bigint").alias("step"),
+                    F.lit("purchase").alias("step_name"),
+                    F.col("n3").alias("n_users"),
+                    F.when(
+                        F.col("n2") > 0,
+                        F.col("n3").cast("double") / F.col("n2"),
+                    ).alias("conv_from_prev"),
+                    F.when(
+                        F.col("n1") > 0,
+                        F.col("n3").cast("double") / F.col("n1"),
+                    ).alias("conv_from_start"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    return steps
+
+
+# --- weekly retention cohorts ----------------------------------------------
+
+_RETENTION_SQL = """
+WITH firsts AS (
+    SELECT user_id, date_trunc('week', CAST(MIN(ts) AS DATE)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_week,
+           date_trunc('week', CAST(e.ts AS DATE)) AS active_week
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT)
+           AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM activity
+GROUP BY cohort_week, 2
+"""
+
+
+@register("events_retention_cohorts", _RETENTION_SQL)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort triangle: users grouped by first-seen
+    week; for each later week, how many of that cohort were active —
+    the second canonical product-analytics rollup (with the funnel
+    above).  Two hash aggregations + one user-sized equi-join; the
+    output is |cohorts| × |weeks| rows."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts").cast("date")).cast("date").alias(
+            "cohort_week"
+        )
+    )
+    activity = (
+        e.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias(
+                "active_week"
+            ),
+        )
+        .distinct()
+        .join(firsts, "user_id")
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff("active_week", "cohort_week") / 7
+            ).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
