@@ -247,6 +247,9 @@ _BENCH_EXTRA: set[str] = {
     "sim_pq_adc_topk",
     "events_funnel_conversion",
     "events_retention_cohorts",
+    "hll_overlap_event_types",
+    "parts_skyline_price_size",
+    "ivm_join_delta_nation",
 }
 
 if __name__ == "__main__":

@@ -262,4 +262,7 @@ _PRIORITY = [
     "sim_pq_adc_topk",
     "events_funnel_conversion",
     "events_retention_cohorts",
+    "hll_overlap_event_types",
+    "parts_skyline_price_size",
+    "ivm_join_delta_nation",
 ]

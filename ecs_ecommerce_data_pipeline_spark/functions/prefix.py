@@ -40,6 +40,74 @@ def _n_buckets(df: DataFrame) -> int:
         return 32
 
 
+def two_phase_cummax_excl(
+    df: DataFrame,
+    value_col: str | Column,
+    target_col: str | Column,
+    out_col: str,
+    order_cols: list[str] | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running max of ``target_col`` in global ``value_col``
+    order — each row gets max(target) over all STRICTLY EARLIER rows
+    (NULL for the global first row) — via the same two-phase shape as
+    ``two_phase_cumsum``: per-bucket exclusive window max + a broadcast
+    max over earlier buckets' totals, no global ordered window.
+
+    The skyline sweep's primitive: with rows pre-reduced to one per
+    distinct ordering value, "earlier" means "strictly smaller value".
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    v = v.cast("double")
+    t = F.col(target_col) if isinstance(target_col, str) else target_col
+    p = n_buckets or _n_buckets(df)
+    stats = df.agg(F.min(v).alias("_vmin"), F.max(v).alias("_vmax"))
+    width = (F.col("_vmax") - F.col("_vmin")) / F.lit(float(p))
+    pid = (
+        F.when(
+            v.isNull(),
+            F.raise_error(
+                F.lit("two_phase_cummax_excl: value_col must be non-NULL")
+            ).cast("int"),
+        )
+        .when(F.col("_vmax") == F.col("_vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(p - 1), F.floor((v - F.col("_vmin")) / width).cast("int")
+            )
+        )
+    )
+    binned = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(_PID, pid)
+        .drop("_vmin", "_vmax")
+    )
+    order = order_cols or [value_col if isinstance(value_col, str) else v]
+    wloc = (
+        Window.partitionBy(_PID)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = binned.withColumn("_loc_mx", F.max(t).over(wloc))
+    ptot = binned.groupBy(_PID).agg(F.max(t).alias("_pc_mx"))
+    offs = (
+        ptot.alias("a")
+        .join(
+            F.broadcast(ptot.alias("b")),
+            F.col(f"b.{_PID}") < F.col(f"a.{_PID}"),
+            "left",
+        )
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(F.max("b._pc_mx").alias("_off_mx"))
+    )
+    out = local.join(F.broadcast(offs), _PID)
+    # greatest() skips NULLs (all-NULL → NULL): the global first row
+    # correctly gets NULL, a bucket-first row falls back to the offset
+    return out.withColumn(
+        out_col, F.greatest(F.col("_loc_mx"), F.col("_off_mx"))
+    ).drop(_PID, "_loc_mx", "_off_mx")
+
+
 def two_phase_cumsum(
     df: DataFrame,
     value_col: str | Column,

@@ -704,3 +704,62 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+# --- 2D skyline (Pareto-optimal frontier) ----------------------------------
+
+_SKYLINE_SQL = """
+WITH pp AS (
+    SELECT p_partkey,
+           CAST(p_retailprice AS DOUBLE) AS price,
+           CAST(p_size AS BIGINT) AS size
+    FROM part
+)
+SELECT b.p_partkey, b.price, b.size
+FROM pp b
+WHERE NOT EXISTS (
+    SELECT 1 FROM pp a
+    WHERE a.price <= b.price AND a.size >= b.size
+      AND (a.price < b.price OR a.size > b.size)
+)
+"""
+
+
+@register("parts_skyline_price_size", _SKYLINE_SQL)
+def q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline / Pareto frontier: parts not dominated on (cheaper
+    price, larger size) — the multi-objective shortlist query (best
+    price-for-size tradeoffs).
+
+    Engine plan is the classic linear sweep, SHUFFLE-SAFE: reduce to
+    one row per distinct price (hash agg, pmax = best size at that
+    price), take the EXCLUSIVE running max of pmax in price order via
+    the two-phase idiom (``two_phase_cummax_excl`` — per-bucket window
+    + broadcast bucket offsets, no global ordered window), then a row
+    survives iff it ties its price group's best size AND beats every
+    strictly-cheaper price's best (prev_max NULL or size > prev_max).
+    The oracle is the textbook O(n²) NOT EXISTS dominance predicate —
+    obviously correct, and exactly what the sweep must reproduce.
+
+    Ties: equal (price, size) rows dominate neither direction, so ALL
+    of them survive — both formulations agree."""
+    from ..functions.prefix import two_phase_cummax_excl
+
+    part = load_table(spark, sf_dir, "part")
+    pp = part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    per_price = pp.groupBy("price").agg(F.max("size").alias("pmax"))
+    swept = two_phase_cummax_excl(
+        per_price, "price", "pmax", out_col="prev_max"
+    )
+    return (
+        pp.join(swept, "price")
+        .filter(
+            (F.col("size") == F.col("pmax"))
+            & (F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max")))
+        )
+        .select("p_partkey", "price", "size")
+    )

@@ -179,3 +179,64 @@ def q_ivm_retract_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_sum").cast("double").alias("revenue"),
         F.col("row_cnt").cast("bigint").alias("row_cnt"),
     )
+
+
+# Join-view delta maintenance: the view is an ENRICHED aggregate
+# (orders ⋈ customer ⋈ nation → per-nation revenue); a new order batch
+# must be propagated through the join — Δ(A ⋈ D) = ΔA ⋈ D for a static
+# dimension — then merged into the old state as partials. Work is
+# O(|Δ| + |state|), never a fact rescan; the oracle is the full
+# recompute over ALL orders.
+_IVM_JOIN_SQL = """
+WITH dim AS (
+    SELECT c_custkey, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT d.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+GROUP BY d.n_name
+"""
+
+
+@register("ivm_join_delta_nation", _IVM_JOIN_SQL)
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view delta maintenance: per-nation revenue over
+    orders ⋈ customer ⋈ nation, maintained under an insert batch
+    (o_orderkey % 7 = 0 plays the newly-arrived orders).
+
+    Engine path: the OLD state's decimal partials (built from the rest)
+    and the DELTA's partials — the batch broadcast-joined through the
+    customer→nation dimension, O(|Δ| × broadcast) — merge by one hash
+    agg; decimal partial sums are associative, so merge-then-finalize
+    must hash-match the oracle's full recompute.  Complements
+    ``ivm_retract_merge`` (signed-partial retraction) with the JOIN
+    propagation rule Δ(A ⋈ D) = ΔA ⋈ D."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dim = customer.join(
+        nation, customer["c_nationkey"] == nation["n_nationkey"]
+    ).select("c_custkey", "n_name")
+
+    def partials(fact: DataFrame) -> DataFrame:
+        return (
+            fact.join(F.broadcast(dim), fact["o_custkey"] == dim["c_custkey"])
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"),
+            )
+        )
+
+    old_state = partials(orders.filter(F.col("o_orderkey") % 7 != 0))
+    delta_state = partials(orders.filter(F.col("o_orderkey") % 7 == 0))
+    return (
+        old_state.unionByName(delta_state)
+        .groupBy("n_name")
+        .agg(
+            F.sum("_cnt").cast("bigint").alias("n_orders"),
+            F.sum("_rev").cast("double").alias("revenue"),
+        )
+    )

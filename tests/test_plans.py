@@ -678,3 +678,20 @@ def test_pareto_rank_has_no_global_window(spark):
     assert not re.search(
         r"Sort[^\n]*\n[^\n]*Exchange SinglePartition", plan
     ), "global single-partition sort found"
+
+
+def test_skyline_has_no_global_window_sort(spark):
+    """The skyline sweep must be the two-phase exclusive running max —
+    per-bucket windows + broadcast bucket offsets — never a Sort fed by
+    an Exchange SinglePartition over the distinct-price relation."""
+    plan = _plan(catalog.queries()["parts_skyline_price_size"](spark, SF_SMOKE))
+    _assert_no_global_window_sort(plan)
+
+
+def test_ivm_join_delta_broadcasts_dimension(spark):
+    """The delta path's whole point is O(batch) work: the customer→nation
+    dimension must reach both fact sides as a broadcast join, never a
+    SortMergeJoin shuffling the facts on the join key."""
+    plan = _plan(catalog.queries()["ivm_join_delta_nation"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
