@@ -604,16 +604,21 @@ def pq_subspace_assignments(
     scored = corpus.join(F.broadcast(codebook), "s").select(
         "vid", "s", "cw", dot(diff, diff).alias("dist2")
     )
-    wa = W.partitionBy("vid", "s").orderBy(F.asc("dist2"), F.asc("cw"))
+    # argmin as min(struct(dist2, cw)) — lexicographic struct order IS
+    # the (distance, tie-to-smallest-codeword) rule, and a hash
+    # aggregate combines map-side: the n·m·k scored rows never shuffle
+    # (a window row_number would sort-shuffle all of them)
     return (
-        scored.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("vid", "s")
+        .agg(F.min(F.struct("dist2", "cw")).alias("m"))
         .select(
             "vid",
             "s",
-            F.col("cw").alias("code"),
-            "dist2",
-            F.floor(F.col("dist2") * F.lit(_PQ_SCALE)).cast("bigint").alias("dq"),
+            F.col("m.cw").alias("code"),
+            F.col("m.dist2").alias("dist2"),
+            F.floor(F.col("m.dist2") * F.lit(_PQ_SCALE))
+            .cast("bigint")
+            .alias("dq"),
         )
     )
 
