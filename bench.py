@@ -250,6 +250,10 @@ _BENCH_EXTRA: set[str] = {
     "hll_overlap_event_types",
     "parts_skyline_price_size",
     "ivm_join_delta_nation",
+    # (dedup_exact_substring_spans stays OUT of the headline set: hashing
+    # EVERY character position of the corpus is ~16 s at sf0.1 by honest
+    # md5 contract — the sf0.01 hash gate grades it; production would use
+    # suffix arrays or stride-sampled anchors for the first pass)
 }
 
 if __name__ == "__main__":

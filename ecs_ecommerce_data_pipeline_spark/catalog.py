@@ -265,4 +265,5 @@ _PRIORITY = [
     "hll_overlap_event_types",
     "parts_skyline_price_size",
     "ivm_join_delta_nation",
+    "dedup_exact_substring_spans",
 ]

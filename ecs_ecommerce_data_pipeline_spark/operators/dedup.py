@@ -543,3 +543,85 @@ def incremental_components(
     )
     edges = star.unionByName(new_edges.select(src, dst))
     return connected_components(edges, src=src, dst=dst, max_iter=max_iter)
+
+
+def exact_substring_spans(
+    doc: DataFrame,
+    k: int = 20,
+    min_span: int = 50,
+    max_df: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact repeated-substring detection across documents (the signal
+    behind suffix-array dedup à la Lee et al., 'Deduplicating Training
+    Data Makes Language Models Better'): find cross-document runs of
+    identical text ≥ ``min_span`` characters.
+
+    Method (Spark-shaped, no suffix array): hash EVERY k-char gram of
+    every document (one md5-derived 60-bit key per position — linear in
+    corpus characters, same cost class as the shingle explode the
+    MinHash path already pays); drop grams occurring in more than
+    ``max_df`` documents (boilerplate guard — the standard df-cap that
+    keeps the self-join off quadratic hub grams); equi-join on the gram
+    key to get matched position pairs; then a shared substring of
+    length L appears as L−k+1 CONSECUTIVE positions on one diagonal
+    (pa − pb constant), so per (pair, diagonal) the classic
+    gaps-and-islands trick (pos − row_number is constant within a run)
+    turns runs into groups: span = run_length + k − 1.
+
+    Every window is partitioned by (doc_a, doc_b, diagonal) — bounded
+    by a single pair's overlap, never corpus-sized.  Returns one row
+    per document pair with any qualifying run: (doc_a, doc_b,
+    max_span_chars, n_runs).
+    """
+    from pyspark.sql import Window
+
+    n = F.length(F.col(text_col))
+    grams = (
+        doc.filter(n >= k)
+        .select(
+            F.col(id_col).alias("d"),
+            F.explode(F.sequence(F.lit(0), n - k)).alias("pos"),
+            F.col(text_col).alias("_t"),
+        )
+        .select(
+            "d",
+            "pos",
+            F.conv(
+                F.substring(F.md5(F.expr(f"substring(_t, pos + 1, {k})")), 1, 15),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    keep = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("d").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("h")
+    )
+    gk = grams.join(keep, "h")
+    a = gk.select(F.col("d").alias("doc_a"), F.col("pos").alias("pa"), "h")
+    b = gk.select(F.col("d").alias("doc_b"), F.col("pos").alias("pb"), "h")
+    m = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+    w = Window.partitionBy(
+        "doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("diag")
+    ).orderBy("pa")
+    isl = m.select(
+        "doc_a",
+        "doc_b",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        (F.col("pa") - F.row_number().over(w)).alias("island"),
+    )
+    runs = (
+        isl.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg((F.count(F.lit(1)) + F.lit(k - 1)).cast("bigint").alias("span"))
+        .filter(F.col("span") >= min_span)
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.max("span").alias("max_span_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+    )

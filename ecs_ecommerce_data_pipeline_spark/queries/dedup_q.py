@@ -686,3 +686,64 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.sum("node").cast("bigint").alias("sum_members"),
     )
+
+
+# --- exact repeated-substring spans (suffix-array-style signal) ------------
+
+_SS_K = 20
+_SS_MIN = 50
+_SS_DF = 20
+
+_SUBSTR_SPANS_SQL = f"""
+WITH g AS (
+    SELECT d, pos,
+           ('0x' || substr(md5(substring(text, pos + 1, {_SS_K})), 1, 15))::BIGINT AS h
+    FROM (
+        SELECT doc_id AS d, text,
+               unnest(range(0, length(text) - {_SS_K} + 1)) AS pos
+        FROM documents WHERE length(text) >= {_SS_K}
+    )
+),
+keep AS (
+    SELECT h FROM (
+        SELECT h, COUNT(DISTINCT d) AS c FROM g GROUP BY h
+    ) WHERE c <= {_SS_DF}
+),
+gk AS (SELECT g.* FROM g JOIN keep USING (h)),
+m AS (
+    SELECT a.d AS doc_a, b.d AS doc_b, a.pos AS pa, b.pos AS pb
+    FROM gk a JOIN gk b ON a.h = b.h AND a.d < b.d
+),
+isl AS (
+    SELECT doc_a, doc_b, pa - pb AS diag, pa,
+           pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS island
+    FROM m
+),
+runs AS (
+    SELECT doc_a, doc_b, CAST(COUNT(*) + {_SS_K} - 1 AS BIGINT) AS span
+    FROM isl GROUP BY doc_a, doc_b, diag, island
+    HAVING COUNT(*) + {_SS_K} - 1 >= {_SS_MIN}
+)
+SELECT doc_a, doc_b,
+       CAST(MAX(span) AS BIGINT) AS max_span_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM runs GROUP BY doc_a, doc_b
+"""
+
+
+@register("dedup_exact_substring_spans", _SUBSTR_SPANS_SQL)
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document repeated substrings ≥ 50 chars — the signal
+    suffix-array dedup (Lee et al.) removes, Spark-shaped: every-position
+    hashed 20-grams (linear in corpus chars), a df-cap dropping
+    boilerplate hub grams, gram-key equi-join, and gaps-and-islands per
+    (pair, diagonal) turning consecutive matches into runs
+    (``operators.dedup.exact_substring_spans``).  Windows are bounded by
+    a single pair's overlap — never corpus-sized."""
+    return dedup.exact_substring_spans(
+        load_table(spark, sf_dir, "documents"),
+        k=_SS_K,
+        min_span=_SS_MIN,
+        max_df=_SS_DF,
+    )

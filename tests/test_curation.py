@@ -303,3 +303,37 @@ def test_round4_operators_handle_empty_input(spark):
 
     empty_edges = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(empty_edges).count() == 0
+
+
+def test_two_phase_cummax_excl_matches_naive(spark):
+    """Exclusive running max vs a brute-force reference on a skewed
+    value distribution (duplicates, clusters at one bucket edge, a
+    single outlier): every row must see max(target) over strictly
+    earlier rows in (value, id) order, NULL for the global first."""
+    import random
+
+    from ecs_ecommerce_data_pipeline_spark.functions.prefix import (
+        two_phase_cummax_excl,
+    )
+
+    rng = random.Random(3)
+    vals = (
+        [1.0] * 7
+        + [rng.uniform(0, 1) for _ in range(40)]
+        + [1000.0]
+        + [rng.choice([2.5, 3.5]) for _ in range(20)]
+    )
+    rows = [(i, v, rng.randint(0, 50)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double, t long")
+
+    got = {
+        r["id"]: r["mx"]
+        for r in two_phase_cummax_excl(
+            df, "v", "t", out_col="mx", order_cols=["v", "id"], n_buckets=8
+        ).collect()
+    }
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    run = None
+    for rid, _v, t in ordered:
+        assert got[rid] == run, (rid, got[rid], run)
+        run = t if run is None else max(run, t)
