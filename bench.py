@@ -250,6 +250,7 @@ _BENCH_EXTRA: set[str] = {
     "hll_overlap_event_types",
     "parts_skyline_price_size",
     "ivm_join_delta_nation",
+    "events_ab_cuped",
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use

@@ -266,4 +266,5 @@ _PRIORITY = [
     "parts_skyline_price_size",
     "ivm_join_delta_nation",
     "dedup_exact_substring_spans",
+    "events_ab_cuped",
 ]

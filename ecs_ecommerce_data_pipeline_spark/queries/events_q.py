@@ -1124,3 +1124,136 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
     )
+
+
+# --- A/B experiment readout with CUPED variance reduction ------------------
+
+# Deterministic assignment: md5-bucket of user_id (the engine's standard
+# portable hash idiom); pre-period = first 15 days, experiment = rest.
+_AB_SPLIT_DAY = 15
+
+_AB_CUPED_SQL = f"""
+WITH per_user AS (
+    SELECT user_id,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+               AS variant,
+           CAST(COALESCE(SUM(CASE
+               WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    < {_AB_SPLIT_DAY}
+               THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+               AS BIGINT) AS x_cents,
+           CAST(COALESCE(SUM(CASE
+               WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    >= {_AB_SPLIT_DAY}
+               THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+               AS BIGINT) AS y_cents
+    FROM events
+    GROUP BY user_id
+),
+pooled AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x_cents) AS BIGINT) AS sx,
+           CAST(SUM(y_cents) AS BIGINT) AS sy,
+           CAST(SUM(x_cents * x_cents) AS BIGINT) AS sxx,
+           CAST(SUM(x_cents * y_cents) AS BIGINT) AS sxy
+    FROM per_user
+),
+theta AS (
+    SELECT n, sx,
+           CASE WHEN CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx > 0.0
+                THEN (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx)
+                ELSE 0.0 END AS th
+    FROM pooled
+)
+SELECT v.variant,
+       CAST(v.nv AS BIGINT) AS n_users,
+       (CAST(v.syv AS DOUBLE) / v.nv) / 100.0 AS mean_post,
+       ((CAST(v.syv AS DOUBLE) / v.nv)
+        - t.th * (CAST(v.sxv AS DOUBLE) / v.nv - CAST(t.sx AS DOUBLE) / t.n))
+       / 100.0 AS mean_cuped
+FROM (
+    SELECT variant, COUNT(*) AS nv,
+           CAST(SUM(x_cents) AS BIGINT) AS sxv,
+           CAST(SUM(y_cents) AS BIGINT) AS syv
+    FROM per_user GROUP BY variant
+) v CROSS JOIN theta t
+"""
+
+
+@register("events_ab_cuped", _AB_CUPED_SQL)
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng et
+    al.): users hash-assigned to two variants; the experiment-period
+    revenue mean is adjusted by the pre-period covariate,
+    ``mean_y − θ·(mean_x − pooled_mean_x)`` with
+    ``θ = cov(x,y)/var(x)`` — the standard trick that removes
+    pre-existing user-spend variance from the treatment estimate.
+
+    Determinism: assignment is the md5-bucket idiom; x/y are exact
+    BIGINT cent sums per user, θ and the adjusted means are computed
+    once in double FROM identical integers — bit-reproducible.  Scale
+    shape: one per-user hash agg, one per-variant agg, one 1-row
+    broadcast of pooled moments."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    per_user = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(day < _AB_SPLIT_DAY, cents)), F.lit(0)
+        ).cast("bigint").alias("x_cents"),
+        F.coalesce(
+            F.sum(F.when(day >= _AB_SPLIT_DAY, cents)), F.lit(0)
+        ).cast("bigint").alias("y_cents"),
+    ).withColumn(
+        "variant",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 2,
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x_cents").cast("bigint").alias("sx"),
+        F.sum("y_cents").cast("bigint").alias("sy"),
+        F.sum(F.col("x_cents") * F.col("x_cents")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x_cents") * F.col("y_cents")).cast("bigint").alias("sxy"),
+    )
+    denom = F.col("sxx").cast("double") * F.col("n") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx")
+    theta = pooled.select(
+        "n",
+        "sx",
+        F.when(
+            denom > 0.0,
+            (
+                F.col("sxy").cast("double") * F.col("n")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / denom,
+        )
+        .otherwise(0.0)
+        .alias("th"),
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum("x_cents").cast("bigint").alias("sxv"),
+        F.sum("y_cents").cast("bigint").alias("syv"),
+    )
+    return per_variant.crossJoin(F.broadcast(theta)).select(
+        "variant",
+        F.col("nv").cast("bigint").alias("n_users"),
+        ((F.col("syv").cast("double") / F.col("nv")) / 100.0).alias("mean_post"),
+        (
+            (
+                (F.col("syv").cast("double") / F.col("nv"))
+                - F.col("th")
+                * (
+                    F.col("sxv").cast("double") / F.col("nv")
+                    - F.col("sx").cast("double") / F.col("n")
+                )
+            )
+            / 100.0
+        ).alias("mean_cuped"),
+    )
