@@ -251,6 +251,11 @@ _BENCH_EXTRA: set[str] = {
     "parts_skyline_price_size",
     "ivm_join_delta_nation",
     "events_ab_cuped",
+    "dsir_importance_weights",
+    "bloom_membership",
+    "events_ewma_hourly",
+    "quality_quantile_normalize",
+    "cms_trend_shift",
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use

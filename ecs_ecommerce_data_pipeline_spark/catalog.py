@@ -267,4 +267,9 @@ _PRIORITY = [
     "ivm_join_delta_nation",
     "dedup_exact_substring_spans",
     "events_ab_cuped",
+    "dsir_importance_weights",
+    "bloom_membership",
+    "events_ewma_hourly",
+    "quality_quantile_normalize",
+    "cms_trend_shift",
 ]

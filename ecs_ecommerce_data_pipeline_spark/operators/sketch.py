@@ -199,3 +199,73 @@ def quantile_from_bins(
             ).alias("est"),
         )
     )
+
+
+# --- Bloom filter membership ------------------------------------------------
+
+
+def _bloom_pos(i: F.Column, key: F.Column, m: int) -> F.Column:
+    """Bit position of hash function ``i`` for ``key``: 60-bit md5 of
+    ``'bf' || i || ':' || key`` mod ``m`` — the same portable-hash idiom
+    as the CMS buckets, so a foreign engine rebuilds the filter
+    bit-for-bit."""
+    return (
+        md5_bigint(
+            F.concat(
+                F.lit("bf"), i.cast("string"), F.lit(":"), key.cast("string")
+            )
+        )
+        % m
+    )
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, k: int = 4, m: int = 65536
+) -> DataFrame:
+    """(pos) — the DISTINCT set bit positions of a Bloom filter over the
+    key column: ``m`` bits of state TOTAL regardless of how many keys go
+    in, and mergeable (union of position sets == filter of the union).
+
+    This is the membership twin of the CMS frequency sketch: exact
+    membership needs every distinct key shuffled somewhere; the Bloom
+    filter needs ≤ ``m`` rows, answers "definitely absent / probably
+    present", and NEVER false-negatives — the property the test suite
+    pins. NULL keys are excluded (no membership identity).
+
+    Shape: one explode (×k) over the key stream → one distinct on an
+    integer ≤ ``m`` — map-side-combinable, shuffle bounded by ``m``
+    rows per map partition."""
+    key = F.col(key_col)
+    rows = df.filter(key.isNotNull()).select(
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        key.alias("key"),
+    )
+    return rows.select(
+        _bloom_pos(F.col("i"), F.col("key"), m).alias("pos")
+    ).distinct()
+
+
+def bloom_probe(
+    bits: DataFrame, probes: DataFrame, key_col: str, k: int = 4,
+    m: int = 65536,
+) -> DataFrame:
+    """(key_col, bloom_member) — probe each key against the filter:
+    member iff ALL ``k`` positions are set.
+
+    The bit table is broadcast (≤ ``m`` rows); the probe stream never
+    shuffles — per key it explodes its ``k`` positions, left-joins the
+    broadcast bits, and counts hits (a per-key agg on the probe's own
+    key, map-side combinable)."""
+    marked = bits.withColumn("_hit", F.lit(1))
+    ppos = probes.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+    ).select(
+        key_col,
+        _bloom_pos(F.col("i"), F.col(key_col), m).alias("pos"),
+    )
+    return (
+        ppos.join(F.broadcast(marked), "pos", "left")
+        .groupBy(key_col)
+        .agg((F.count("_hit") == k).alias("bloom_member"))
+    )

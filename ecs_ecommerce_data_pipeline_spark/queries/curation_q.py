@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import register
 from ..operators.curation import (
@@ -210,3 +211,154 @@ def q_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     id range, and an order-independent membership fingerprint (md5 of
     the sorted id list) — what a reproducible data release pins."""
     return dataset_manifest(load_table(spark, sf_dir, "documents"))
+
+
+# --- per-source quantile normalization (cross-domain score calibration) ----
+
+_QN_B = 32  # global equi-depth bins the per-source percentiles map onto
+
+_QN_SQL = f"""
+WITH cnts AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1),
+cum AS (
+    SELECT v, c,
+           CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS hi,
+           CAST(SUM(c) OVER (ORDER BY v) - c AS BIGINT) AS lo
+    FROM cnts
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+bs AS (SELECT unnest(range(0, {_QN_B})) AS bin),
+bounds AS (
+    SELECT bin,
+           CAST(bin + 1 AS DOUBLE) / {_QN_B} * (n - 1) AS pos,
+           CAST(FLOOR(CAST(bin + 1 AS DOUBLE) / {_QN_B} * (n - 1)) AS BIGINT)
+               AS fl,
+           CAST(CEIL(CAST(bin + 1 AS DOUBLE) / {_QN_B} * (n - 1)) AS BIGINT)
+               AS ce
+    FROM bs CROSS JOIN tot
+),
+edges AS (
+    SELECT b.bin,
+           CAST(MIN(CASE WHEN b.fl >= c.lo AND b.fl < c.hi THEN c.v END)
+               AS DOUBLE)
+         + (MIN(CASE WHEN b.ce >= c.lo AND b.ce < c.hi THEN c.v END)
+            - MIN(CASE WHEN b.fl >= c.lo AND b.fl < c.hi THEN c.v END))
+           * (ANY_VALUE(b.pos) - ANY_VALUE(b.fl)) AS edge
+    FROM bounds b JOIN cum c
+      ON (b.fl >= c.lo AND b.fl < c.hi) OR (b.ce >= c.lo AND b.ce < c.hi)
+    GROUP BY b.bin
+),
+ranked AS (
+    SELECT doc_id, source, n_chars,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+               AS rk,
+           CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, source, n_chars,
+           CAST(rk AS DOUBLE) / GREATEST(1, ns - 1) AS src_pctl
+    FROM ranked
+)
+SELECT s.doc_id, s.source, s.n_chars, s.src_pctl,
+       CAST(LEAST({_QN_B} - 1, CAST(FLOOR(s.src_pctl * {_QN_B}) AS BIGINT))
+           AS BIGINT) AS bin,
+       e.edge AS norm_score
+FROM scored s
+JOIN edges e
+  ON e.bin = LEAST({_QN_B} - 1, CAST(FLOOR(s.src_pctl * {_QN_B}) AS BIGINT))
+"""
+
+
+@register("quality_quantile_normalize", _QN_SQL)
+def q_quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of a document score (the length
+    proxy ``n_chars``) onto the GLOBAL score distribution — the standard
+    calibration step before cross-domain quality filtering: a quality
+    classifier's scores are not comparable across domains, so each doc's
+    within-source percentile is mapped to the global distribution's
+    value at that percentile (bucketed to 32 global equi-depth edges).
+
+    Determinism: within-source percentiles are rank-based with a doc_id
+    tiebreak (integers → one double division); global edges use the
+    exact ``quantile_cont`` interpolation over order statistics, derived
+    from BIGINT cumulative positions.
+
+    Scale shape: the global edges reuse the two-phase prefix-sum order
+    statistics of ``histogram_equidepth_scalable`` (no global sort —
+    plan-gated there); the per-source rank is a partitioned window; the
+    32-row edge table broadcasts into the final join. The corpus
+    shuffles twice (value-count agg, source window) — both map-side
+    bounded."""
+    from ..functions.prefix import two_phase_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = (
+        two_phase_cumsum(vals, "v", {"hi": "c"})
+        .withColumn("hi", F.col("hi").cast("bigint"))
+        .withColumn("lo", (F.col("hi") - F.col("c")).cast("bigint"))
+        .select("v", "c", "lo", "hi")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bins = spark.range(_QN_B).select(F.col("id").alias("bin"))
+    pos = (F.col("bin") + 1).cast("double") / _QN_B * (F.col("n") - 1)
+    bounds = (
+        bins.crossJoin(F.broadcast(tot))
+        .select("bin", pos.alias("pos"))
+        .withColumn("fl", F.floor("pos").cast("bigint"))
+        .withColumn("ce", F.ceil("pos").cast("bigint"))
+    )
+    in_fl = (F.col("fl") >= F.col("lo")) & (F.col("fl") < F.col("hi"))
+    in_ce = (F.col("ce") >= F.col("lo")) & (F.col("ce") < F.col("hi"))
+    edges = (
+        cum.crossJoin(F.broadcast(bounds))
+        .filter(in_fl | in_ce)
+        .groupBy("bin")
+        .agg(
+            F.min(F.when(in_fl, F.col("v"))).alias("vfl"),
+            F.min(F.when(in_ce, F.col("v"))).alias("vce"),
+            F.first("pos").alias("pos"),
+            F.first("fl").alias("fl"),
+        )
+        .select(
+            "bin",
+            (
+                F.col("vfl").cast("double")
+                + (F.col("vce") - F.col("vfl"))
+                * (F.col("pos") - F.col("fl"))
+            ).alias("edge"),
+        )
+    )
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.row_number().over(w) - 1).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).cast("bigint").alias("ns"),
+    )
+    scored = ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.col("rk").cast("double")
+            / F.greatest(F.lit(1).cast("bigint"), F.col("ns") - 1)
+        ).alias("src_pctl"),
+    )
+    bin_expr = F.least(
+        F.lit(_QN_B - 1).cast("bigint"),
+        F.floor(F.col("src_pctl") * _QN_B).cast("bigint"),
+    )
+    return (
+        scored.withColumn("bin", bin_expr)
+        .join(F.broadcast(edges), "bin")
+        .select(
+            "doc_id", "source", "n_chars", "src_pctl", "bin",
+            F.col("edge").alias("norm_score"),
+        )
+    )

@@ -1257,3 +1257,122 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("mean_cuped"),
     )
+
+
+# --- EWMA-smoothed hourly volumes (exact power-of-two decay) ---------------
+
+# Half-life decay α=1/2 truncated at 24 lags: relative weight of lag j is
+# 2^(24−j) — every weight is an exact integer, num/den are BIGINT sums,
+# and the smoothed value is ONE double division of identical integers on
+# both engines. Warm-up rows renormalize by the weights actually present.
+_EWMA_J = 24
+_EWMA_SPIKE_MULT = 4.0
+_EWMA_SPIKE_MIN = 10
+
+
+def _ewma_terms(lag_fmt: str, cur: str) -> tuple[str, str]:
+    """(numerator, denominator) SQL fragments: Σ lag_j·2^(24−j) and
+    Σ present_j·2^(24−j), j=0 being the current row."""
+    num = [f"{cur} * {1 << _EWMA_J}"]
+    den = [f"{1 << _EWMA_J}"]
+    for j in range(1, _EWMA_J + 1):
+        w = 1 << (_EWMA_J - j)
+        lj = lag_fmt.format(j=j)
+        num.append(f"COALESCE({lj}, 0) * {w}")
+        den.append(f"CASE WHEN {lj} IS NOT NULL THEN {w} ELSE 0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms(
+    "lag(n_events, {j}) OVER (PARTITION BY event_type ORDER BY hr)", "n_events"
+)
+
+_EWMA_SQL = f"""
+WITH h AS (
+    SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT event_type, MIN(hr) AS t0, (SELECT MAX(hr) FROM h) AS t1
+    FROM h GROUP BY event_type
+),
+spine AS (
+    SELECT event_type, unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS hr
+    FROM bounds
+),
+filled AS (
+    SELECT s.event_type, s.hr, COALESCE(h.n_events, 0) AS n_events
+    FROM spine s LEFT JOIN h ON h.event_type = s.event_type AND h.hr = s.hr
+),
+w AS (
+    SELECT event_type, hr, n_events,
+           CAST({_EWMA_NUM} AS BIGINT) AS num,
+           CAST({_EWMA_DEN} AS BIGINT) AS den
+    FROM filled
+)
+SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts, n_events,
+       CAST(num AS DOUBLE) / den AS ewma,
+       n_events >= {_EWMA_SPIKE_MIN}
+       AND CAST(n_events AS DOUBLE) > {_EWMA_SPIKE_MULT!r} *
+           (CAST(num AS DOUBLE) / den) AS is_spike
+FROM w
+"""
+
+
+@register("events_ewma_hourly", _EWMA_SQL)
+def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed hourly event volume per type with spike flags — the
+    exponential-decay twin of the trailing-z-score monitors above.
+
+    The sequential EWMA recurrence is re-expressed as a FINITE KERNEL
+    CONVOLUTION: with α=1/2 the relative weight of lag j is exactly
+    2^(24−j), so a 25-term lag window (one pass — all terms share the
+    window spec) computes Σ n_{h−j}·2^(24−j) and the present-weight sum
+    as BIGINT, and the smoothed value is one double division. Weights
+    are exact powers of two (``customer_decay_score``'s idiom), the
+    truncation error is 2^-25 of the oldest mass, and warm-up rows
+    renormalize by the weights present instead of biasing low. The hour
+    axis is the gap-filled spine of ``events_hourly_anomaly_gapfill``,
+    so silent hours decay the average instead of vanishing.
+
+    Scale shape: one hash agg to hourly counts, a tiny per-type spine,
+    one window pass partitioned by type — no global sort, no iterative
+    fold."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    t1 = h.agg(F.max("hr").alias("t1"))
+    bounds = (
+        h.groupBy("event_type")
+        .agg(F.min("hr").alias("t0"))
+        .crossJoin(F.broadcast(t1))
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    filled = spine.join(h, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+    )
+    num_sql, den_sql = _ewma_terms(
+        "lag(n_events, {j}) OVER (PARTITION BY event_type ORDER BY hr)",
+        "n_events",
+    )
+    w = filled.withColumn("num", F.expr(num_sql).cast("bigint")).withColumn(
+        "den", F.expr(den_sql).cast("bigint")
+    )
+    ewma = F.col("num").cast("double") / F.col("den")
+    return w.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        "n_events",
+        ewma.alias("ewma"),
+        (
+            (F.col("n_events") >= _EWMA_SPIKE_MIN)
+            & (F.col("n_events").cast("double") > _EWMA_SPIKE_MULT * ewma)
+        ).alias("is_spike"),
+    )

@@ -139,3 +139,233 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_upper_bound"),
         )
     )
+
+
+# --- Bloom filter membership audit -----------------------------------------
+
+_BF_K = 4
+_BF_M = 65536
+
+_BLOOM_SQL = f"""
+WITH members AS (SELECT DISTINCT o_custkey AS key FROM orders),
+mx AS (SELECT MAX(key) AS maxk FROM members),
+probes AS (
+    SELECT c_custkey AS key FROM customer
+    UNION ALL
+    SELECT c_custkey + (SELECT maxk FROM mx) + 1 AS key FROM customer
+),
+hashes AS (SELECT unnest(range(0, {_BF_K})) AS i),
+bits AS (
+    SELECT DISTINCT
+        ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || ':'
+                             || CAST(key AS VARCHAR)), 1, 15))::BIGINT
+            % {_BF_M} AS pos
+    FROM members CROSS JOIN hashes
+),
+ppos AS (
+    SELECT key,
+        ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || ':'
+                             || CAST(key AS VARCHAR)), 1, 15))::BIGINT
+            % {_BF_M} AS pos
+    FROM probes CROSS JOIN hashes
+),
+hits AS (
+    SELECT p.key, COUNT(b.pos) = {_BF_K} AS predicted
+    FROM ppos p LEFT JOIN bits b ON b.pos = p.pos
+    GROUP BY p.key
+),
+labeled AS (
+    SELECT h.key, h.predicted, m.key IS NOT NULL AS is_member
+    FROM hits h LEFT JOIN members m ON m.key = h.key
+)
+SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+    CAST(COUNT(*) AS BIGINT) AS n_probes,
+    CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_true_members,
+    CAST(SUM(CASE WHEN predicted THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_pred_positive,
+    CAST(SUM(CASE WHEN predicted AND NOT is_member THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_false_positive,
+    CAST(SUM(CASE WHEN is_member AND NOT predicted THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_false_negative,
+    CAST(FLOOR(1000000.0 * SUM(CASE WHEN predicted AND NOT is_member
+                                    THEN 1 ELSE 0 END)
+               / GREATEST(1, COUNT(*) - SUM(CASE WHEN is_member
+                                                 THEN 1 ELSE 0 END)))
+        AS BIGINT) AS fpr_ppm
+FROM labeled
+"""
+
+
+@register("bloom_membership", _BLOOM_SQL)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit: build a 65536-bit / k=4 filter over
+    the custkeys that placed orders, probe it with a half-member /
+    half-guaranteed-non-member key set (customer keys, plus the same
+    keys shifted past the max member key), and report the confusion
+    counts + measured false-positive rate.
+
+    The load-bearing invariant — a Bloom filter NEVER false-negatives —
+    is an output column (``n_false_negative``, pinned 0 by test and by
+    the oracle hash); the FPR quantifies what m bits of state buy at
+    this fill ratio, the same audit-the-approximation pattern as the
+    LSH/IVF recall gates.
+
+    Scale shape: filter state is ≤ m rows whatever the member
+    cardinality (the sketch property); the bit table and the 1-row
+    bounds broadcast; probe keys explode ×k and aggregate on their own
+    key, map-side combinable. The exact-membership join used to LABEL
+    probes is the audit harness, not the operator — production callers
+    keep only the bit table.
+    """
+    from ..operators.sketch import bloom_bits, bloom_probe
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    members = orders.select(F.col("o_custkey").alias("key")).distinct()
+    mx = members.agg(F.max("key").alias("maxk"))
+    ckeys = cust.select(F.col("c_custkey").alias("key"))
+    shifted = ckeys.crossJoin(F.broadcast(mx)).select(
+        (F.col("key") + F.col("maxk") + 1).alias("key")
+    )
+    probes = ckeys.unionAll(shifted)
+
+    bits = bloom_bits(members, "key", k=_BF_K, m=_BF_M)
+    pred = bloom_probe(bits, probes, "key", k=_BF_K, m=_BF_M)
+    labeled = pred.join(
+        F.broadcast(members.withColumn("_m", F.lit(1))), "key", "left"
+    ).select(
+        "key",
+        F.col("bloom_member").alias("predicted_"),
+        F.col("_m").isNotNull().alias("is_member"),
+    )
+
+    n_members = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    fp = F.sum(
+        F.when(F.col("predicted_") & ~F.col("is_member"), 1).otherwise(0)
+    ).cast("bigint")
+    neg = F.count(F.lit(1)) - F.sum(
+        F.when(F.col("is_member"), 1).otherwise(0)
+    )
+    summary = labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_members"),
+        F.sum(F.when(F.col("predicted_"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pred_positive"),
+        fp.alias("n_false_positive"),
+        F.sum(
+            F.when(F.col("is_member") & ~F.col("predicted_"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_negative"),
+        F.floor(
+            1000000.0 * fp / F.greatest(F.lit(1).cast("bigint"), neg)
+        )
+        .cast("bigint")
+        .alias("fpr_ppm"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(n_members))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_members", "n_bits_set", "n_probes", "n_true_members",
+            "n_pred_positive", "n_false_positive", "n_false_negative",
+            "fpr_ppm",
+        )
+    )
+
+
+# --- CMS week-over-week trend shift ----------------------------------------
+
+_TREND_SPLIT = 15  # day boundary between the two comparison windows
+_TREND_TOP = 20
+
+_TREND_SQL = f"""
+WITH d AS (SELECT unnest(range(0, {_DEPTH})) AS j),
+ka AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+       WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+             < {_TREND_SPLIT}),
+kb AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+       WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+             >= {_TREND_SPLIT}),
+sa AS (
+    SELECT j, {_B.format(w=_WIDTH)} AS bucket, COUNT(*) AS c
+    FROM ka CROSS JOIN d GROUP BY 1, 2
+),
+sb AS (
+    SELECT j, {_B.format(w=_WIDTH)} AS bucket, COUNT(*) AS c
+    FROM kb CROSS JOIN d GROUP BY 1, 2
+),
+probe AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events),
+ea AS (
+    SELECT p.k, MIN(COALESCE(sa.c, 0)) AS est
+    FROM probe p CROSS JOIN d
+    LEFT JOIN sa ON sa.j = d.j
+       AND sa.bucket = ('0x' || substr(md5(d.j || ':' || p.k), 1, 15))::BIGINT
+                       % {_WIDTH}
+    GROUP BY p.k
+),
+eb AS (
+    SELECT p.k, MIN(COALESCE(sb.c, 0)) AS est
+    FROM probe p CROSS JOIN d
+    LEFT JOIN sb ON sb.j = d.j
+       AND sb.bucket = ('0x' || substr(md5(d.j || ':' || p.k), 1, 15))::BIGINT
+                       % {_WIDTH}
+    GROUP BY p.k
+)
+SELECT CAST(ea.k AS BIGINT) AS user_id,
+       CAST(ea.est AS BIGINT) AS est_first,
+       CAST(eb.est AS BIGINT) AS est_second,
+       CAST(eb.est - ea.est AS BIGINT) AS delta
+FROM ea JOIN eb ON ea.k = eb.k
+ORDER BY delta DESC, user_id
+LIMIT {_TREND_TOP}
+"""
+
+
+@register("cms_trend_shift", _TREND_SQL)
+def q_cms_trend_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week trend detection from two count-min sketches: one
+    sketch per comparison window (first 15 days vs the rest), top
+    risers by estimated frequency delta — the "what's suddenly hot"
+    monitor that never shuffles raw keys: each window's state is
+    depth×width integers however large the stream, the two sketches
+    subtract bucket-wise, and at 100 TB yesterday's sketch is read back
+    from storage instead of recomputed (they're mergeable across time —
+    ``cms_join_size``'s note).
+
+    The probe set here is every distinct key (bounded: users), so the
+    estimate join is hash-checked for ALL keys; a production monitor
+    probes only current-window heavy hitters."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    first = e.filter(day < _TREND_SPLIT)
+    second = e.filter(day >= _TREND_SPLIT)
+    sa = cms_sketch(first, "user_id", depth=_DEPTH, width=_WIDTH)
+    sb = cms_sketch(second, "user_id", depth=_DEPTH, width=_WIDTH)
+    probe = e.select(F.col("user_id").cast("string").alias("k")).distinct()
+    ea = cms_estimate(sa, probe, "k", depth=_DEPTH, width=_WIDTH).select(
+        "k", F.col("cms_est").alias("est_first")
+    )
+    eb = cms_estimate(sb, probe, "k", depth=_DEPTH, width=_WIDTH).select(
+        "k", F.col("cms_est").alias("est_second")
+    )
+    return (
+        ea.join(eb, "k")
+        .select(
+            F.col("k").cast("bigint").alias("user_id"),
+            F.col("est_first").cast("bigint").alias("est_first"),
+            F.col("est_second").cast("bigint").alias("est_second"),
+            (F.col("est_second") - F.col("est_first"))
+            .cast("bigint")
+            .alias("delta"),
+        )
+        .orderBy(F.desc("delta"), "user_id")
+        .limit(_TREND_TOP)
+    )

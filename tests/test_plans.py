@@ -695,3 +695,57 @@ def test_ivm_join_delta_broadcasts_dimension(spark):
     plan = _plan(catalog.queries()["ivm_join_delta_nation"](spark, SF_SMOKE))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_probe_joins_broadcast_bits(spark):
+    """The Bloom bit table (≤ m rows) must broadcast into the probe
+    join — a sort-merge exchange of the probe stream on bit position
+    would shuffle data-sized rows for a ≤65536-row dimension."""
+    df = catalog.queries()["bloom_membership"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_lambda_join_is_broadcast(spark):
+    """DSIR's per-bucket λ table is 4096 rows — the (doc, bucket) count
+    stream must pick it up via BroadcastHashJoin, and the corpus must
+    never feed a Python boundary (pure Catalyst n-gram explode)."""
+    df = catalog.queries()["dsir_importance_weights"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ewma_kernel_is_single_window_pass(spark):
+    """All 50 EWMA lag terms share one window spec — the plan must
+    contain exactly ONE Window operator (per-type partitioned), not a
+    chain of 25."""
+    df = catalog.queries()["events_ewma_hourly"](spark, SF_SMOKE)
+    plan = _plan(df)
+    n_windows = sum(
+        1
+        for line in plan.splitlines()
+        if "Window " in line and "WindowGroupLimit" not in line
+    )
+    assert n_windows == 1, f"expected one Window pass, saw {n_windows}"
+    # and it is per-type partitioned, never a global single-partition sort
+    import re
+
+    assert not re.search(r"Sort .*\n.*Exchange SinglePartition", plan)
+
+
+def test_quantile_normalize_edges_broadcast_no_global_sort(spark):
+    """Per-source normalization: the 32-row global-edge table broadcasts
+    into the doc join, and no Sort runs above an Exchange
+    SinglePartition (the two-phase order statistics carry over from
+    histogram_equidepth_scalable)."""
+    df = catalog.queries()["quality_quantile_normalize"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    assert not re.search(
+        r"Sort .*\n.*Exchange SinglePartition", plan
+    ), "global sort found"
