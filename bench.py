@@ -256,6 +256,9 @@ _BENCH_EXTRA: set[str] = {
     "events_ewma_hourly",
     "quality_quantile_normalize",
     "cms_trend_shift",
+    "text_zipf_slope",
+    "forecast_backtest_smape",
+    "events_top_paths",
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use

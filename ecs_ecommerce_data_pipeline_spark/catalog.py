@@ -272,4 +272,7 @@ _PRIORITY = [
     "events_ewma_hourly",
     "quality_quantile_normalize",
     "cms_trend_shift",
+    "text_zipf_slope",
+    "forecast_backtest_smape",
+    "events_top_paths",
 ]

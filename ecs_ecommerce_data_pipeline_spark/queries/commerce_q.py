@@ -763,3 +763,118 @@ def q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "price", "size")
     )
+
+
+# --- forecast backtest (seasonal-naive vs held-out tail) -------------------
+
+_BT_TEST_DAYS = 28
+
+_BT_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+mx AS (SELECT MAX(d) AS dmax FROM daily),
+train AS (
+    SELECT * FROM daily
+    WHERE d <= (SELECT dmax FROM mx) - {_BT_TEST_DAYS}
+),
+test AS (
+    SELECT * FROM daily
+    WHERE d > (SELECT dmax FROM mx) - {_BT_TEST_DAYS}
+),
+fc AS (
+    SELECT CAST(isodow(d) AS BIGINT) AS dow_iso,
+           CAST(COUNT(*) AS BIGINT) AS n_train_days,
+           CAST(SUM(cents) AS BIGINT) AS train_cents
+    FROM train GROUP BY 1
+),
+scored AS (
+    SELECT f.dow_iso, f.n_train_days,
+           CAST(f.train_cents AS DOUBLE) / f.n_train_days AS fcast,
+           CAST(t.cents AS DOUBLE) AS actual
+    FROM test t JOIN fc f ON CAST(isodow(t.d) AS BIGINT) = f.dow_iso
+),
+quant AS (
+    SELECT dow_iso, n_train_days, fcast,
+           CAST(FLOOR(CASE WHEN fcast + actual > 0.0
+                           THEN 2.0 * ABS(fcast - actual) / (fcast + actual)
+                           ELSE 0.0 END * 1048576.0) AS BIGINT) AS rq
+    FROM scored
+)
+SELECT dow_iso,
+       CAST(ANY_VALUE(n_train_days) AS BIGINT) AS n_train_days,
+       CAST(COUNT(*) AS BIGINT) AS n_test_days,
+       ANY_VALUE(fcast) / 100.0 AS forecast_daily_revenue,
+       (CAST(CAST(SUM(rq) AS BIGINT) AS DOUBLE) / 1048576.0) / COUNT(*)
+           AS smape
+FROM quant
+GROUP BY dow_iso
+"""
+
+
+@register("forecast_backtest_smape", _BT_SQL)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster: hold out the last 28
+    days, forecast each weekday as the train-window mean of that
+    weekday's daily revenue, and score sMAPE per weekday against the
+    held-out actuals — the evaluation loop ``forecast_naive_seasonal``
+    feeds (a forecast without a backtest is a guess).
+
+    Determinism: daily revenue is exact BIGINT cents; each test day's
+    sMAPE term 2|f−a|/(f+a) is a fixed sequence of double ops on
+    identical integer-derived inputs, quantized FLOOR(r·2^20) BIGINT
+    before the distributed sum so partitioning can't reorder a float
+    accumulation.
+
+    Scale shape: one corpus-sized hash agg to daily totals; everything
+    after runs on |days| rows (7-row forecast table broadcast into the
+    28-row test join); the cutoff is a 1-row broadcast max."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    mx = daily.agg(F.max("d").alias("dmax"))
+    daily_b = daily.crossJoin(F.broadcast(mx))
+    train = daily_b.filter(
+        F.col("d") <= F.date_sub(F.col("dmax"), _BT_TEST_DAYS)
+    )
+    test = daily_b.filter(
+        F.col("d") > F.date_sub(F.col("dmax"), _BT_TEST_DAYS)
+    )
+    fc = train.groupBy(
+        (F.weekday("d") + 1).cast("bigint").alias("dow_iso")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_days"),
+        F.sum("cents").cast("bigint").alias("train_cents"),
+    )
+    scored = test.select(
+        (F.weekday("d") + 1).cast("bigint").alias("dow_iso"),
+        F.col("cents").cast("double").alias("actual"),
+    ).join(F.broadcast(fc), "dow_iso")
+    fcast = F.col("train_cents").cast("double") / F.col("n_train_days")
+    r = F.when(
+        fcast + F.col("actual") > 0.0,
+        2.0 * F.abs(fcast - F.col("actual")) / (fcast + F.col("actual")),
+    ).otherwise(0.0)
+    quant = scored.select(
+        "dow_iso",
+        "n_train_days",
+        fcast.alias("fcast"),
+        F.floor(r * 1048576.0).cast("bigint").alias("rq"),
+    )
+    return quant.groupBy("dow_iso").agg(
+        F.first("n_train_days").cast("bigint").alias("n_train_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test_days"),
+        (F.first("fcast") / 100.0).alias("forecast_daily_revenue"),
+        (
+            (F.sum("rq").cast("bigint").cast("double") / 1048576.0)
+            / F.count(F.lit(1))
+        ).alias("smape"),
+    )

@@ -1376,3 +1376,118 @@ def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_events").cast("double") > _EWMA_SPIKE_MULT * ewma)
         ).alias("is_spike"),
     )
+
+
+# --- clickstream path mining (top event-type trigrams within sessions) -----
+
+_PATH_TOP = 10
+
+_TOP_PATHS_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT *, SUM(is_new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+),
+tri AS (
+    SELECT event_type
+           || '>' || LEAD(event_type, 1) OVER s
+           || '>' || LEAD(event_type, 2) OVER s AS path,
+           CASE WHEN LEAD(session_id, 2) OVER s = session_id
+                THEN 1 ELSE 0 END AS in_session
+    FROM sessioned
+    WINDOW s AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+cnt AS (
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM tri WHERE in_session = 1 AND path IS NOT NULL
+    GROUP BY path
+)
+SELECT path, n_paths,
+       CAST(n_paths AS DOUBLE)
+           / CAST(SUM(n_paths) OVER () AS BIGINT) AS share
+FROM cnt
+ORDER BY n_paths DESC, path
+LIMIT {_PATH_TOP}
+"""
+
+
+@register("events_top_paths", _TOP_PATHS_SQL)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the top-10 most common 3-step
+    event-type paths that occur WITHIN one session (30-min-gap
+    sessions, the ``events_sessionize`` rule), with each path's share
+    of all session trigrams — the "how do users actually move"
+    readout behind funnel design.
+
+    Scale shape: sessionization and the two LEAD lookaheads share the
+    SAME per-user window spec (one partitioned window pass — the
+    sessionize lag, the running session sum, and the trigram leads all
+    ride one shuffle by user); trigram counting is a map-side
+    combinable hash agg on the path string; top-10 is TakeOrdered; the
+    denominator is a 1-row broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag(F.unix_micros("ts")).over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                > _SESSION_GAP_US
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("is_new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    tri = sessioned.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("path"),
+        F.when(
+            F.lead("session_id", 2).over(w) == F.col("session_id"), 1
+        )
+        .otherwise(0)
+        .alias("in_session"),
+        F.lead("event_type", 2).over(w).alias("_third"),
+    )
+    cnt = (
+        tri.filter((F.col("in_session") == 1) & F.col("_third").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    )
+    # denominator via an unordered global window over the path-count
+    # table — BOUNDED at |event_types|^3 rows, and it keeps ONE pipeline
+    # (a separate 1-row agg + crossJoin would re-execute the whole
+    # session window upstream: no CSE across join branches)
+    tot = F.sum("n_paths").over(W.partitionBy()).cast("bigint")
+    return (
+        cnt.select(
+            "path",
+            "n_paths",
+            (F.col("n_paths").cast("double") / tot).alias("share"),
+        )
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(_PATH_TOP)
+    )

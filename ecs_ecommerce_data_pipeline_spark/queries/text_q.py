@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import register
 from ..operators.text import LANG_PROFILES, STOPWORDS_EN, lang_id, quality_scores, token_stats
@@ -512,4 +513,102 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum("n_bpe").cast("double") / F.sum("n_words").cast("double")
         ).alias("fertility"),
+    )
+
+
+# --- Zipf's-law fit over the term rank-frequency curve ---------------------
+
+_ZIPF_TOP = 1000
+
+# x = lnq(rank), y = lnq(freq), both FLOOR(ln(int)·2^20) BIGINT — the
+# least-squares slope is scale-invariant, so the quantization factor
+# cancels; moment sums are exact BIGINT, the final slope/intercept are a
+# handful of double ops on identical integers.
+_ZIPF_SQL = f"""
+WITH t AS (SELECT unnest({_TOKS}) AS term FROM documents),
+cnts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+top AS (
+    SELECT term, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rnk
+    FROM cnts
+    ORDER BY cnt DESC, term
+    LIMIT {_ZIPF_TOP}
+),
+q AS (
+    SELECT CAST(FLOOR(LN(CAST(rnk AS DOUBLE)) * 1048576.0) AS BIGINT) AS xq,
+           CAST(FLOOR(LN(CAST(cnt AS DOUBLE)) * 1048576.0) AS BIGINT) AS yq
+    FROM top
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(xq) AS BIGINT) AS sx,
+           CAST(SUM(yq) AS BIGINT) AS sy,
+           CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+           CAST(SUM(xq * yq) AS BIGINT) AS sxy
+    FROM q
+)
+SELECT n AS n_terms,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_slope,
+       (CAST(sy AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) / 1048576.0 AS intercept_ln
+FROM m
+"""
+
+
+@register("text_zipf_slope", _ZIPF_SQL)
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: least-squares slope of ln(frequency) vs
+    ln(rank) over the top-1000 corpus terms — natural text sits near
+    −1; a slope far off it flags synthetic, boilerplate-heavy, or
+    truncated corpora (a standard corpus-health check before
+    tokenizer training).
+
+    Scale shape: term counts are the one corpus-sized hash agg; the
+    top-1000 cut is TakeOrdered (never a global sort of the vocab);
+    ranking and the moment sums run over a bounded 1000-row set. The
+    quantized-ln BIGINT moments make the regression bit-reproducible
+    (module-note idiom); the slope is scale-invariant so the 2^20
+    factor cancels."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    )
+    cnts = t.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    top = cnts.orderBy(F.desc("cnt"), "term").limit(_ZIPF_TOP)
+    w = W.orderBy(F.desc("cnt"), "term")
+    ranked = top.select(
+        F.row_number().over(w).cast("bigint").alias("rnk"), "cnt"
+    )
+
+    def _lnq(c):
+        return F.floor(F.log(c.cast("double")) * 1048576.0).cast("bigint")
+
+    q = ranked.select(
+        _lnq(F.col("rnk")).alias("xq"), _lnq(F.col("cnt")).alias("yq")
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("sxx"),
+        F.sum(F.col("xq") * F.col("yq")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    slope = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+    return m.select(
+        F.col("n").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        ((syd - slope * sxd) / nd / 1048576.0).alias("intercept_ln"),
     )

@@ -749,3 +749,29 @@ def test_quantile_normalize_edges_broadcast_no_global_sort(spark):
     assert not re.search(
         r"Sort .*\n.*Exchange SinglePartition", plan
     ), "global sort found"
+
+
+def test_zipf_vocab_cut_is_take_ordered(spark):
+    """The top-1000 vocabulary cut must be TakeOrdered — a global sort
+    of the term-count table would single-partition the whole vocab."""
+    df = catalog.queries()["text_zipf_slope"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_top_paths_single_scan_one_user_shuffle(spark):
+    """The session/trigram pipeline runs ONCE: exactly one events scan
+    (the share denominator is an unordered global window over the
+    bounded path-count table, never a 1-row agg + crossJoin that
+    re-executes the upstream), one per-user exchange feeding the
+    stacked window pass, and a TakeOrdered top-10."""
+    df = catalog.queries()["events_top_paths"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("events.parquet") == 1, "session pipeline re-executed"
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "TakeOrderedAndProject" in plan
+    import re
+
+    # the only SinglePartition exchange feeds the bounded global window,
+    # which is unordered — no Sort may sit above it
+    assert not re.search(r"Sort .*\n.*Exchange SinglePartition", plan)
