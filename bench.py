@@ -259,6 +259,15 @@ _BENCH_EXTRA: set[str] = {
     "text_zipf_slope",
     "forecast_backtest_smape",
     "events_top_paths",
+    "events_did_readout",
+    "text_novelty_ratio",
+    "stats_correlation_matrix",
+    "events_srm_check",
+    "dq_benford_first_digit",
+    "entity_fuzzy_parts",
+    "tokenizer_oov_rate",
+    "revenue_gini_by_nation",
+    "events_debounce",
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use

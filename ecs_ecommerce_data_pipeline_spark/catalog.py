@@ -275,4 +275,13 @@ _PRIORITY = [
     "text_zipf_slope",
     "forecast_backtest_smape",
     "events_top_paths",
+    "events_did_readout",
+    "text_novelty_ratio",
+    "stats_correlation_matrix",
+    "events_srm_check",
+    "dq_benford_first_digit",
+    "entity_fuzzy_parts",
+    "tokenizer_oov_rate",
+    "revenue_gini_by_nation",
+    "events_debounce",
 ]

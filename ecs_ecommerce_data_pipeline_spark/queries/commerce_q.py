@@ -878,3 +878,106 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("smape"),
     )
+
+
+# --- revenue inequality (Gini) per nation -----------------------------------
+
+_GINI_SQL = """
+WITH cr AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+cn AS (
+    SELECT n.n_name AS nation, cr.o_custkey, cr.cents
+    FROM cr
+    JOIN customer c ON c.c_custkey = cr.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+rk AS (
+    SELECT nation, cents,
+           CAST(ROW_NUMBER() OVER (PARTITION BY nation
+                ORDER BY cents, o_custkey) AS BIGINT) AS rnk
+    FROM cn
+),
+s AS (
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           SUM(CAST(cents AS DECIMAL(38,0))) AS sx,
+           SUM(CAST(rnk AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
+               AS srx
+    FROM rk GROUP BY nation
+)
+SELECT nation, n_customers,
+       CAST(CAST(sx AS VARCHAR) AS DOUBLE) / 100.0 AS total_revenue,
+       2.0 * CAST(CAST(srx AS VARCHAR) AS DOUBLE)
+           / (CAST(n_customers AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+           - (CAST(n_customers AS DOUBLE) + 1.0) / CAST(n_customers AS DOUBLE)
+           AS gini
+FROM s
+"""
+
+
+@register("revenue_gini_by_nation", _GINI_SQL)
+def q_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer lifetime revenue — the
+    inequality companion to ``revenue_pareto_deciles`` (a whale curve
+    says WHERE revenue concentrates; Gini gives one comparable number
+    per market): G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n over ascending
+    per-customer revenue.
+
+    Scale shape: facts collapse to per-customer cents FIRST (one
+    combinable agg), then join the customer dimension on the shared
+    custkey (both customers-sized; nation broadcasts), and the rank
+    window partitions by nation — per-group sort over customers-sized
+    data, never the order rows. Rank·cents products sum in
+    DECIMAL(38,0), exact at any scale; the Gini formula is a fixed
+    double-op sequence on those exact sums (VARCHAR-roundtrip cast on
+    the oracle side, per the repo's decimal→double contract)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cr = orders.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    cn = (
+        cr.join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name").alias("nation"), "o_custkey", "cents")
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "o_custkey")
+    rk = cn.select(
+        "nation",
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+    s = rk.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.col("rnk").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        ).alias("srx"),
+    )
+    nd = F.col("n_customers").cast("double")
+    sxd = F.col("sx").cast("double")
+    srxd = F.col("srx").cast("double")
+    return s.select(
+        "nation",
+        "n_customers",
+        (sxd / 100.0).alias("total_revenue"),
+        (2.0 * srxd / (nd * sxd) - (nd + 1.0) / nd).alias("gini"),
+    )

@@ -747,3 +747,73 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_span=_SS_MIN,
         max_df=_SS_DF,
     )
+
+
+# --- fuzzy entity resolution on the product dimension -----------------------
+
+_FUZZ_MAX_DIST = 3
+
+_FUZZ_SQL = f"""
+WITH names AS (
+    SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part GROUP BY p_name
+),
+blocked AS (
+    SELECT name, n_parts,
+           string_split(name, ' ')[len(string_split(name, ' '))] AS block
+    FROM names
+)
+SELECT a.name AS name_a, b.name AS name_b, a.block,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM blocked a JOIN blocked b
+  ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {_FUZZ_MAX_DIST}
+"""
+
+
+@register("entity_fuzzy_parts", _FUZZ_SQL)
+def q_entity_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution over product names: candidate variant
+    pairs (typos, brand respellings) = names sharing a blocking key
+    (their last token — the head noun) within Levenshtein distance 3.
+
+    The scale discipline is DISTINCT-FIRST: the edit-distance join runs
+    on the distinct-name dimension (vocabulary-sized — grows with the
+    entity universe, not the fact table), never on part rows; per-name
+    row counts ride along so a consumer can weigh merges. Blocking
+    bounds the quadratic term to within-block pairs — the same
+    candidates-not-all-pairs rule as the MinHash LSH family
+    (``dedup_minhash_candidates``), with levenshtein as the verifier
+    instead of Jaccard. Both engines implement classic
+    Wagner-Fischer edit distance on identical strings ⇒ identical
+    integer distances."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+    toks = F.split(F.col("name"), " ")
+    blocked = names.select(
+        "name",
+        "n_parts",
+        F.element_at(toks, F.size(toks)).alias("block"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .filter(dist <= _FUZZ_MAX_DIST)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.col("a.block").alias("block"),
+            dist.cast("bigint").alias("edit_dist"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+    )

@@ -69,3 +69,83 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return X.check(orders, rules)
+
+
+# --- Benford first-digit audit ----------------------------------------------
+
+# log10(1 + 1/d) written as identical decimal literals on both sides (a
+# runtime log10 could differ in the last ulp between engines).
+_BENFORD = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {lit}" for d, lit in _BENFORD.items()
+) + " END"
+
+_BENFORD_SQL = f"""
+WITH d AS (
+    SELECT CAST(regexp_extract(
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+               '([1-9])', 1) AS INTEGER) AS digit
+    FROM orders
+    WHERE o_totalprice > 0
+),
+c AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       {_BENFORD_CASE_SQL} AS benford_expected,
+       abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+           - {_BENFORD_CASE_SQL}) AS abs_dev
+FROM c, t
+"""
+
+
+@register("dq_benford_first_digit", _BENFORD_SQL)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the observed first-
+    significant-digit distribution against log10(1 + 1/d), the
+    fabricated-data / unit-mixing screen every financial DQ suite
+    carries. The digit comes from the DECIMAL(18,2) string rendering
+    (exact and identical on both engines), NOT floor(x/10^floor(log10 x))
+    — a last-ulp log10 difference at a power-of-ten boundary would flip
+    a digit.
+
+    Scale shape: map-only digit extraction, one hash agg to ≤9 rows,
+    broadcast 1-row total back — the scan never shuffles data rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") > 0).select(
+        F.regexp_extract(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            r"([1-9])",
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    total = c.agg(F.sum("n").cast("bigint").alias("total"))
+    expected = F.lit(None).cast("double")
+    for dig, lit in reversed(_BENFORD.items()):
+        expected = F.when(
+            F.col("digit") == dig, F.expr(lit + "D")
+        ).otherwise(expected)
+    share = F.col("n").cast("double") / F.col("total").cast("double")
+    return c.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        share.alias("share"),
+        expected.alias("benford_expected"),
+        F.abs(share - expected).alias("abs_dev"),
+    )

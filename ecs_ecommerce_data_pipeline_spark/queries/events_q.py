@@ -1491,3 +1491,280 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "path")
         .limit(_PATH_TOP)
     )
+
+
+# --- difference-in-differences readout -------------------------------------
+
+_DID_SQL = f"""
+WITH base AS (
+    SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+               AS variant,
+           CASE WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                     < {_AB_SPLIT_DAY} THEN 0 ELSE 1 END AS period,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           user_id
+    FROM events
+),
+cell AS (
+    SELECT variant, period,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM base GROUP BY 1, 2
+),
+m AS (
+    SELECT variant, period, n_users,
+           CAST(cents AS DOUBLE) / n_users / 100.0 AS mean_rev
+    FROM cell
+)
+SELECT t1.mean_rev - t0.mean_rev AS treat_delta,
+       c1.mean_rev - c0.mean_rev AS control_delta,
+       (t1.mean_rev - t0.mean_rev) - (c1.mean_rev - c0.mean_rev) AS did,
+       CAST(t0.n_users AS BIGINT) AS n_treat_pre,
+       CAST(t1.n_users AS BIGINT) AS n_treat_post,
+       CAST(c0.n_users AS BIGINT) AS n_control_pre,
+       CAST(c1.n_users AS BIGINT) AS n_control_post
+FROM m t0, m t1, m c0, m c1
+WHERE t0.variant = 1 AND t0.period = 0 AND t1.variant = 1 AND t1.period = 1
+  AND c0.variant = 0 AND c0.period = 0 AND c1.variant = 0 AND c1.period = 1
+"""
+
+
+@register("events_did_readout", _DID_SQL)
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: per-user-mean revenue in the
+    four (variant × pre/post) cells, the within-group deltas, and the
+    DiD estimate (treatment delta minus control delta) — the
+    observational counterpart of ``events_ab_cuped`` when assignment
+    isn't randomized and pre-trends must be differenced out.
+
+    Determinism: cell sums are exact BIGINT cents; per-cell means and
+    the three deltas are fixed double-op sequences on identical
+    integers. Scale shape: one hash agg to FOUR rows, then a
+    conditional-aggregation pivot of those four rows into one — a
+    filtered 4-way self-join would re-execute the corpus agg per cell
+    (no CSE across join branches), so the pivot is a second 4-row agg
+    on the SAME pipeline instead."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    base = e.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("variant"),
+        F.when(day < _AB_SPLIT_DAY, 0).otherwise(1).alias("period"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "user_id",
+    )
+    cell = base.groupBy("variant", "period").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    m = cell.select(
+        "variant",
+        "period",
+        "n_users",
+        (F.col("cents").cast("double") / F.col("n_users") / 100.0).alias(
+            "mean_rev"
+        ),
+    )
+
+    def _pick(v: int, p: int, col: str):
+        return F.max(
+            F.when(
+                (F.col("variant") == v) & (F.col("period") == p), F.col(col)
+            )
+        )
+
+    joined = m.agg(
+        _pick(1, 0, "mean_rev").alias("mr_t0"),
+        _pick(1, 1, "mean_rev").alias("mr_t1"),
+        _pick(0, 0, "mean_rev").alias("mr_c0"),
+        _pick(0, 1, "mean_rev").alias("mr_c1"),
+        _pick(1, 0, "n_users").alias("nu_t0"),
+        _pick(1, 1, "n_users").alias("nu_t1"),
+        _pick(0, 0, "n_users").alias("nu_c0"),
+        _pick(0, 1, "n_users").alias("nu_c1"),
+    )
+    return joined.select(
+        (F.col("mr_t1") - F.col("mr_t0")).alias("treat_delta"),
+        (F.col("mr_c1") - F.col("mr_c0")).alias("control_delta"),
+        (
+            (F.col("mr_t1") - F.col("mr_t0"))
+            - (F.col("mr_c1") - F.col("mr_c0"))
+        ).alias("did"),
+        F.col("nu_t0").cast("bigint").alias("n_treat_pre"),
+        F.col("nu_t1").cast("bigint").alias("n_treat_post"),
+        F.col("nu_c0").cast("bigint").alias("n_control_pre"),
+        F.col("nu_c1").cast("bigint").alias("n_control_post"),
+    )
+
+
+# --- sample-ratio-mismatch guard --------------------------------------------
+
+_SRM_SQL = f"""
+WITH base AS (
+    SELECT DISTINCT
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+               AS variant,
+           CASE WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                     < {_AB_SPLIT_DAY} THEN 0 ELSE 1 END AS period,
+           user_id
+    FROM events
+),
+cell AS (
+    SELECT period, variant, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM base GROUP BY 1, 2
+),
+p AS (
+    SELECT period,
+           CAST(MAX(CASE WHEN variant = 0 THEN n_users END) AS BIGINT)
+               AS n_control,
+           CAST(MAX(CASE WHEN variant = 1 THEN n_users END) AS BIGINT)
+               AS n_treat
+    FROM cell GROUP BY period
+)
+SELECT period, n_control, n_treat,
+       (CAST(n_control AS DOUBLE)
+            - (CAST(n_control AS DOUBLE) + CAST(n_treat AS DOUBLE)) / 2.0)
+       * (CAST(n_control AS DOUBLE)
+            - (CAST(n_control AS DOUBLE) + CAST(n_treat AS DOUBLE)) / 2.0)
+       / ((CAST(n_control AS DOUBLE) + CAST(n_treat AS DOUBLE)) / 2.0)
+       * 2.0 AS chi2,
+       (CAST(n_control AS DOUBLE)
+            - (CAST(n_control AS DOUBLE) + CAST(n_treat AS DOUBLE)) / 2.0)
+       * (CAST(n_control AS DOUBLE)
+            - (CAST(n_control AS DOUBLE) + CAST(n_treat AS DOUBLE)) / 2.0)
+       / ((CAST(n_control AS DOUBLE) + CAST(n_treat AS DOUBLE)) / 2.0)
+       * 2.0 > 3.841 AS srm_flag
+FROM p
+"""
+
+
+@register("events_srm_check", _SRM_SQL)
+def q_events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for the hash-split experiment: per
+    period, the distinct-user counts landing in each variant and the
+    1-df chi-square statistic against the designed 50/50 split
+    (symmetric cells make it 2·(n_c − e)²/e with e = (n_c + n_t)/2).
+    A flagged period means the assignment itself is broken — the
+    readout (``events_ab_cuped``, ``events_did_readout``) is invalid no
+    matter what the metric says; SRM is the first gate every experiment
+    pipeline runs.
+
+    Determinism: cells are exact distinct-user BIGINT counts; the
+    statistic is a fixed double-op sequence on those integers (one
+    hash-distinct + one agg, then a 2-row conditional pivot — same
+    single-pipeline shape as ``events_did_readout``)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    base = e.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("variant"),
+        F.when(day < _AB_SPLIT_DAY, 0).otherwise(1).alias("period"),
+        "user_id",
+    ).distinct()
+    cell = base.groupBy("period", "variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    p = cell.groupBy("period").agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users")))
+        .cast("bigint")
+        .alias("n_control"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users")))
+        .cast("bigint")
+        .alias("n_treat"),
+    )
+    nc = F.col("n_control").cast("double")
+    nt = F.col("n_treat").cast("double")
+    expected = (nc + nt) / 2.0
+    chi2 = (nc - expected) * (nc - expected) / expected * 2.0
+    return p.select(
+        "period",
+        "n_control",
+        "n_treat",
+        chi2.alias("chi2"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )
+
+
+# --- telemetry debounce (adjacent-duplicate suppression) ---------------------
+
+_DEBOUNCE_S = 5
+
+_DEBOUNCE_SQL = f"""
+WITH x AS (
+    SELECT event_type, user_id, ts,
+           date_diff('second',
+                     LAG(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id),
+                     ts) AS gap_s
+    FROM events
+),
+f AS (
+    SELECT event_type,
+           CASE WHEN gap_s IS NULL OR gap_s >= {_DEBOUNCE_S}
+                THEN 1 ELSE 0 END AS kept
+    FROM x
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_debounced,
+       CAST(COUNT(*) - SUM(kept) AS DOUBLE) / COUNT(*) AS debounce_rate
+FROM f
+GROUP BY event_type
+"""
+
+
+@register("events_debounce", _DEBOUNCE_SQL)
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce audit: per event type, how many events arrive
+    within 5 s of the SAME user's previous event of that type
+    (double-clicks, retry storms, SDK re-fires) and would be suppressed
+    by a 5-second debounce — the ingestion-side dedup every event
+    pipeline runs before sessionization.
+
+    Predecessor-gap semantics (each event vs its immediate predecessor),
+    deliberately NOT the greedy keep-first-then-reopen-window fold: the
+    lag form is one window pass — exactly parallelizable — while the
+    greedy fold is a sequential recurrence (see
+    ``settled_running_balance`` for how the repo handles those when the
+    semantics genuinely require it). One per-(user,type) window shuffle,
+    then a hash agg to |event types| rows; integer-second gaps, no
+    float anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    x = e.select(
+        "event_type",
+        gap.alias("gap_s"),
+    )
+    kept = F.when(
+        F.col("gap_s").isNull() | (F.col("gap_s") >= _DEBOUNCE_S), 1
+    ).otherwise(0)
+    f = x.select("event_type", kept.alias("kept"))
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("kept")).cast("bigint").alias(
+            "n_debounced"
+        ),
+        (
+            (F.count(F.lit(1)) - F.sum("kept")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("debounce_rate"),
+    )

@@ -207,6 +207,110 @@ def _lin_terms() -> dict[str, str]:
     }
 
 
+# --- full pairwise correlation matrix in one scan --------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_SHORT = {"l_quantity": "quantity", "l_extendedprice": "extendedprice",
+               "l_discount": "discount", "l_tax": "tax"}
+
+
+def _corr_pairs() -> list[tuple[str, str]]:
+    return [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+
+
+def _corr_matrix_sql() -> str:
+    sums = ",\n           ".join(
+        f"SUM(CAST({c} AS DECIMAL(18,4))) AS s_{_CORR_SHORT[c]}"
+        for c in _CORR_COLS
+    )
+    prods = ",\n           ".join(
+        f"SUM(CAST({a} AS DECIMAL(18,4)) * CAST({b} AS DECIMAL(20,4)))"
+        f" AS s_{_CORR_SHORT[a]}_{_CORR_SHORT[b]}"
+        for a in _CORR_COLS
+        for b in _CORR_COLS
+        if _CORR_COLS.index(a) <= _CORR_COLS.index(b)
+    )
+    rows = []
+    for a, b in _corr_pairs():
+        sa, sb = _CORR_SHORT[a], _CORR_SHORT[b]
+        nd = "CAST(n AS DOUBLE)"
+        x, y = _V.format(c=f"s_{sa}"), _V.format(c=f"s_{sb}")
+        xx = _V.format(c=f"s_{sa}_{sa}")
+        yy = _V.format(c=f"s_{sb}_{sb}")
+        xy = _V.format(c=f"s_{sa}_{sb}")
+        corr = (
+            f"({nd} * {xy} - {x} * {y})"
+            f" / sqrt(({nd} * {xx} - {x} * {x})"
+            f" * ({nd} * {yy} - {y} * {y}))"
+        )
+        rows.append(
+            f"SELECT '{sa}' AS col_x, '{sb}' AS col_y,"
+            f" CAST(n AS BIGINT) AS n, {corr} AS corr FROM s"
+        )
+    body = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH s AS (
+    SELECT COUNT(*) AS n,
+           {sums},
+           {prods}
+    FROM lineitem
+)
+{body}
+"""
+
+
+@register("stats_correlation_matrix", _corr_matrix_sql())
+def q_stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six pairwise Pearson correlations of (quantity, extendedprice,
+    discount, tax) from ONE scan of lineitem: every sufficient statistic
+    (4 sums, 4 squares, 6 cross-products, n) lands in a single map-side-
+    combinable aggregate to one row, then the 6 (col_x, col_y, corr)
+    rows unfold driver-free from that row. The feature-profiling shape:
+    a p-column correlation matrix costs one pass and p(p+1)/2 + p + 1
+    accumulators, never p² scans. Exact-decimal sums + fixed double-op
+    formulas = bit-identical engines (same contract as
+    ``stats_moments``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c).cast(_D)).alias(f"s_{_CORR_SHORT[c]}"))
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            aggs.append(
+                F.sum(F.col(a).cast(_D) * F.col(b).cast(_D)).alias(
+                    f"s_{_CORR_SHORT[a]}_{_CORR_SHORT[b]}"
+                )
+            )
+    one = li.agg(*aggs)
+    n = F.col("n").cast("double")
+    pair_rows = []
+    for a, b in _corr_pairs():
+        sa, sb = _CORR_SHORT[a], _CORR_SHORT[b]
+        x = F.col(f"s_{sa}").cast("double")
+        y = F.col(f"s_{sb}").cast("double")
+        xx = F.col(f"s_{sa}_{sa}").cast("double")
+        yy = F.col(f"s_{sb}_{sb}").cast("double")
+        xy = F.col(f"s_{sa}_{sb}").cast("double")
+        corr = (n * xy - x * y) / F.sqrt(
+            (n * xx - x * x) * (n * yy - y * y)
+        )
+        pair_rows.append(
+            F.struct(
+                F.lit(sa).alias("col_x"),
+                F.lit(sb).alias("col_y"),
+                corr.alias("corr"),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*pair_rows)).alias("p"),
+        F.col("n").cast("bigint").alias("n"),
+    ).select("p.col_x", "p.col_y", "n", "p.corr")
+
+
 _LINREG_SQL = f"""
 WITH s AS (
     SELECT l_returnflag,

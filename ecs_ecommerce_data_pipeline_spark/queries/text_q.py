@@ -612,3 +612,178 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("zipf_slope"),
         ((syd - slope * sxd) / nd / 1048576.0).alias("intercept_ln"),
     )
+
+
+# --- corpus novelty ratio (first-seen n-gram share per document) -----------
+
+_NOV_K = 8
+
+_NOV_SQL = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+sh AS (
+    SELECT doc_id, source, unnest(
+        list_distinct(CASE WHEN len(toks) < {_NOV_K}
+             THEN [list_aggr(toks, 'string_agg', ' ')]
+             ELSE list_transform(range(1, len(toks) - {_NOV_K} + 2),
+                                 i -> array_to_string(toks[i : i + {_NOV_K} - 1], ' '))
+        END)) AS gram
+    FROM t
+),
+hashed AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+    FROM sh
+),
+first_seen AS (
+    SELECT h, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM hashed GROUP BY h
+),
+per_doc AS (
+    SELECT x.doc_id, x.source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = x.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel
+    FROM hashed x JOIN first_seen f ON f.h = x.h
+    GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       CAST(SUM(n_novel) AS DOUBLE) / SUM(n_grams) AS novelty_ratio,
+       CAST(SUM(CASE WHEN n_novel = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_fully_derivative
+FROM per_doc
+GROUP BY source
+"""
+
+
+@register("text_novelty_ratio", _NOV_SQL)
+def q_text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus novelty: the share of each source's distinct
+    8-gram occurrences that are FIRST seen in that document (ingestion
+    order = doc_id) — the dataset-report metric behind "how much of
+    this crawl is new text": a source full of re-posts scores near 0
+    novelty and ``n_fully_derivative`` counts docs contributing nothing
+    first-seen.
+
+    Scale shape: one shingle explode deduped per doc, first-seen owner
+    via a map-side-combinable MIN(doc_id) agg on 60-bit md5 gram keys,
+    then one big-big join back on those 8-byte keys (the
+    ``doc_boilerplate_stats`` join discipline — never the gram text) and
+    two hash aggs down to |sources| rows."""
+    from ..operators.dedup import shingle_docs
+    from ..functions.textfn import md5_bigint
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_docs(docs, text_col="text", k=_NOV_K)
+    hashed = sh.join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", md5_bigint(F.col("shingle")).alias("h"))
+    first_seen = hashed.groupBy("h").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    per_doc = (
+        hashed.join(first_seen, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("n_grams"),
+        F.sum("n_novel").cast("bigint").alias("n_novel"),
+        (F.sum("n_novel").cast("double") / F.sum("n_grams")).alias(
+            "novelty_ratio"
+        ),
+        F.sum(F.when(F.col("n_novel") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fully_derivative"),
+    )
+
+
+# --- vocabulary coverage / OOV rate per language ----------------------------
+
+_OOV_V = 500
+
+_OOV_SQL = f"""
+WITH t AS (
+    SELECT lang, unnest({_TOKS}) AS token FROM documents
+),
+occ AS (
+    SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM t WHERE token <> '' GROUP BY lang, token
+),
+freq AS (
+    SELECT token, CAST(SUM(n) AS BIGINT) AS n FROM occ GROUP BY token
+),
+vocab AS (
+    SELECT token FROM freq ORDER BY n DESC, token LIMIT {_OOV_V}
+)
+SELECT o.lang,
+       CAST(SUM(o.n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN o.n ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN o.n ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(o.n) AS BIGINT) AS oov_rate,
+       CAST(COUNT(DISTINCT o.token) AS BIGINT) AS n_distinct_tokens,
+       CAST(COUNT(DISTINCT CASE WHEN v.token IS NULL THEN o.token END)
+           AS BIGINT) AS n_distinct_oov
+FROM occ o LEFT JOIN vocab v ON o.token = v.token
+GROUP BY o.lang
+"""
+
+
+@register("tokenizer_oov_rate", _OOV_SQL)
+def q_tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: the share of each language's token
+    OCCURRENCES (and distinct token types) falling outside the top-500
+    corpus vocabulary — the go/no-go check before freezing a tokenizer
+    vocab, and the per-language fairness lens on it (a vocab fit on the
+    majority language starves the rest; compare
+    ``tokenizer_fertility_by_lang``).
+
+    Scale shape: occurrences collapse to (lang, token) counts FIRST (one
+    combinable agg — the explode never reaches a join), corpus totals
+    collapse from those, the top-V cut is TakeOrdered (per-partition
+    heap, no global sort shuffle), and the V-row vocab broadcasts back
+    onto the (lang, token) frame. Ties at the boundary break lexically
+    ⇒ a deterministic vocabulary on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    freq = occ.groupBy("token").agg(F.sum("n").cast("bigint").alias("fn"))
+    vocab = (
+        freq.orderBy(F.desc("fn"), "token")
+        .limit(_OOV_V)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    joined = occ.join(F.broadcast(vocab), "token", "left")
+    oov_n = F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(F.lit(0))
+    return joined.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(oov_n).cast("bigint").alias("n_oov"),
+        (F.sum(oov_n).cast("double") / F.sum("n").cast("bigint")).alias(
+            "oov_rate"
+        ),
+        F.countDistinct("token").cast("bigint").alias("n_distinct_tokens"),
+        F.countDistinct(
+            F.when(F.col("in_vocab").isNull(), F.col("token"))
+        )
+        .cast("bigint")
+        .alias("n_distinct_oov"),
+    )

