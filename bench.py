@@ -268,6 +268,9 @@ _BENCH_EXTRA: set[str] = {
     "tokenizer_oov_rate",
     "revenue_gini_by_nation",
     "events_debounce",
+    "stats_cramers_v",
+    "dq_join_key_skew",
+    "geo_radius_join",
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use

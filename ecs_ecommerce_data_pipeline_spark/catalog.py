@@ -284,4 +284,7 @@ _PRIORITY = [
     "tokenizer_oov_rate",
     "revenue_gini_by_nation",
     "events_debounce",
+    "stats_cramers_v",
+    "dq_join_key_skew",
+    "geo_radius_join",
 ]

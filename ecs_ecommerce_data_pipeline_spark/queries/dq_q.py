@@ -149,3 +149,80 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("benford_expected"),
         F.abs(share - expected).alias("abs_dev"),
     )
+
+
+# --- join-key skew report ----------------------------------------------------
+
+_SKEW_KEYS = [
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("events", "user_id"),
+]
+
+
+def _skew_sql() -> str:
+    parts = []
+    for table, key in _SKEW_KEYS:
+        parts.append(f"""
+SELECT '{table}.{key}' AS keyed,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST((max(struct_pack(c := n, k := k))).c AS BIGINT) AS max_cnt,
+       CAST((max(struct_pack(c := n, k := k))).k AS BIGINT) AS heavy_key,
+       CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_cnt,
+       CAST((max(struct_pack(c := n, k := k))).c AS DOUBLE)
+           / (CAST(SUM(n) AS DOUBLE) / COUNT(*)) AS skew_ratio
+FROM (SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {table} GROUP BY 1)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("dq_join_key_skew", _skew_sql())
+def q_dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report over the four hot join/aggregation keys:
+    rows, distinct keys, the heaviest key and its count, and the
+    max/mean skew ratio — the diagnostic that decides WHICH keys need
+    salting (``join_salted_orders_customer`` / ``agg_salted_skew`` show
+    the treatment; this query is the detector). At 100 TB you run this
+    off the table-stats pipeline before picking join strategies: a
+    skew_ratio in the hundreds means one task owns the hot key's whole
+    partition.
+
+    Scale shape: per key family, one map-side-combinable count-by-key
+    followed by an all-integer fold to ONE row; the heavy key comes
+    from ``max(struct(cnt, key))`` — the same map-side struct-extremum
+    argmax as ``sim_pq_codes``, never a sort or window. Lexicographic
+    struct comparison ties identically on both engines (count, then
+    key)."""
+    from functools import reduce
+
+    frames = []
+    for table, key in _SKEW_KEYS:
+        df = load_table(spark, sf_dir, table)
+        counts = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        top = F.max(F.struct(F.col("n").alias("c"), F.col("k").alias("k")))
+        frames.append(
+            counts.agg(
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                top.getField("c").cast("bigint").alias("max_cnt"),
+                top.getField("k").cast("bigint").alias("heavy_key"),
+            ).select(
+                F.lit(f"{table}.{key}").alias("keyed"),
+                "n_rows",
+                "n_keys",
+                "max_cnt",
+                "heavy_key",
+                (F.col("n_rows").cast("double") / F.col("n_keys")).alias(
+                    "avg_cnt"
+                ),
+                (
+                    F.col("max_cnt").cast("double")
+                    / (F.col("n_rows").cast("double") / F.col("n_keys"))
+                ).alias("skew_ratio"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)

@@ -167,3 +167,113 @@ def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
         F.min("c_custkey").cast("bigint").alias("min_custkey"),
     )
+
+
+# --- grid-blocked radius join ------------------------------------------------
+
+_RADIUS = 0.05  # must stay <= 1/_GRID so a 3x3 neighborhood covers it
+_R2 = _RADIUS * _RADIUS
+
+_RADIUS_SQL = f"""
+WITH cpos AS (
+    SELECT c_custkey,
+           ('0x' || substr(md5('x' || CAST(c_custkey AS STRING)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS x,
+           ('0x' || substr(md5('y' || CAST(c_custkey AS STRING)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS y
+    FROM customer
+),
+spos AS (
+    SELECT s_suppkey,
+           ('0x' || substr(md5('sx' || CAST(s_suppkey AS STRING)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS x,
+           ('0x' || substr(md5('sy' || CAST(s_suppkey AS STRING)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS y
+    FROM supplier
+),
+c AS (
+    SELECT c_custkey, x, y,
+           CAST(FLOOR(x * {_GRID}) AS BIGINT) AS cx,
+           CAST(FLOOR(y * {_GRID}) AS BIGINT) AS cy
+    FROM cpos
+),
+s AS (
+    SELECT s_suppkey, x, y,
+           CAST(FLOOR(x * {_GRID}) AS BIGINT) + dx.o AS cx,
+           CAST(FLOOR(y * {_GRID}) AS BIGINT) + dy.o AS cy
+    FROM spos,
+         (SELECT unnest([-1, 0, 1]) AS o) dx,
+         (SELECT unnest([-1, 0, 1]) AS o) dy
+)
+SELECT c.c_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers_within,
+       MIN((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y))
+           AS min_d2
+FROM c JOIN s ON c.cx = s.cx AND c.cy = s.cy
+WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= {_R2!r}
+GROUP BY c.c_custkey
+"""
+
+
+@register("geo_radius_join", _RADIUS_SQL)
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join as an EQUI-join: suppliers within r = 0.05 of
+    each customer. The blocking trick every distributed spatial join
+    uses: replicate the smaller side into its 3×3 neighbor cells (r ≤
+    cell size guarantees coverage), hash-join on the cell key, then an
+    exact distance filter — candidate pairs are per-cell products, never
+    the |C|×|S| cross join. At 100 TB the 9× replication of the small
+    side is the whole cost, and it broadcasts.
+
+    Determinism: coordinates are exact md5-hash / 2^60 doubles; the
+    squared distance is pure IEEE multiply/add (no sqrt needed — compare
+    against r², and r² is the same folded literal on both sides);
+    counts are integers and min_d2 is an order-free extremum."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _coord(F.col("c_custkey"), "x").alias("x"),
+        _coord(F.col("c_custkey"), "y").alias("y"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _coord(F.col("s_suppkey"), "sx").alias("x"),
+        _coord(F.col("s_suppkey"), "sy").alias("y"),
+    )
+    c = c.select(
+        "c_custkey",
+        "x",
+        "y",
+        F.floor(F.col("x") * _GRID).cast("bigint").alias("cx"),
+        F.floor(F.col("y") * _GRID).cast("bigint").alias("cy"),
+    )
+    off = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+    s = (
+        s.select(
+            "s_suppkey",
+            "x",
+            "y",
+            F.floor(F.col("x") * _GRID).cast("bigint").alias("bx"),
+            F.floor(F.col("y") * _GRID).cast("bigint").alias("by"),
+        )
+        .select("*", off.alias("ox"))
+        .select("*", off.alias("oy"))
+        .select(
+            "s_suppkey",
+            F.col("x").alias("sx_"),
+            F.col("y").alias("sy_"),
+            (F.col("bx") + F.col("ox")).alias("cx"),
+            (F.col("by") + F.col("oy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("x") - F.col("sx_")) * (F.col("x") - F.col("sx_")) + (
+        F.col("y") - F.col("sy_")
+    ) * (F.col("y") - F.col("sy_"))
+    return (
+        c.join(F.broadcast(s), ["cx", "cy"])
+        .filter(d2 <= F.lit(_R2))
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers_within"),
+            F.min(d2).alias("min_d2"),
+        )
+    )

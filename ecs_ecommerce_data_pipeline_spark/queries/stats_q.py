@@ -368,3 +368,106 @@ def q_stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sy - cov / vx * sx) / n).alias("intercept"),
         ((cov * cov) / (vx * vy)).alias("r2"),
     )
+
+
+# --- categorical association (Cramér's V) ----------------------------------
+
+_CRAMER_SQL = """
+WITH cell AS (
+    SELECT o_orderstatus AS a, o_orderpriority AS b,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1, 2
+),
+marg AS (
+    SELECT a, b, n,
+           CAST(SUM(n) OVER (PARTITION BY a) AS BIGINT) AS na,
+           CAST(SUM(n) OVER (PARTITION BY b) AS BIGINT) AS nb,
+           CAST(SUM(n) OVER () AS BIGINT) AS nt
+    FROM cell
+),
+chi AS (
+    SELECT CAST(MAX(nt) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
+           SUM(
+             (CAST(n AS DOUBLE)
+                - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                  / CAST(nt AS DOUBLE))
+             * (CAST(n AS DOUBLE)
+                - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                  / CAST(nt AS DOUBLE))
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                  / CAST(nt AS DOUBLE))
+             ORDER BY a, b
+           ) AS chi2
+    FROM marg
+)
+SELECT n_rows, n_a, n_b, chi2,
+       sqrt(chi2 / (CAST(n_rows AS DOUBLE)
+            * CAST(least(n_a - 1, n_b - 1) AS DOUBLE))) AS cramers_v
+FROM chi
+"""
+
+
+@register("stats_cramers_v", _CRAMER_SQL)
+def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between order status and order priority —
+    the categorical companion to ``stats_correlation_matrix`` (Pearson
+    says nothing about nominal columns; V = sqrt(χ² / (n·min(r−1,c−1)))
+    does). The feature-screening shape: the contingency table is ONE
+    hash agg to r·c rows, marginals are windows over that tiny table,
+    and χ² folds those few rows — the scan is touched once and nothing
+    data-sized shuffles.
+
+    Determinism: cells and marginals are exact BIGINT counts; the χ²
+    fold is a sum over ≤ r·c cells of a fixed double-op term, summed in
+    a deterministic (a, b) order on both engines (DuckDB ORDER BY
+    inside SUM; Spark folds a sorted cell array), because float
+    addition does not commute across engine-dependent orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    cell = orders.groupBy(
+        F.col("o_orderstatus").alias("a"), F.col("o_orderpriority").alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from pyspark.sql import Window
+
+    marg = cell.select(
+        "a",
+        "b",
+        "n",
+        F.sum("n").over(Window.partitionBy("a")).cast("bigint").alias("na"),
+        F.sum("n").over(Window.partitionBy("b")).cast("bigint").alias("nb"),
+        F.sum("n").over(Window.partitionBy()).cast("bigint").alias("nt"),
+    )
+    # fold the χ² terms in (a, b) order via a sorted array of structs —
+    # a plain SUM would add in partition order, which need not match
+    # DuckDB's ORDER BY-qualified sum
+    term = (
+        "aggregate("
+        "  array_sort(collect_list(struct(a, b, "
+        "    (CAST(n AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+        "       / CAST(nt AS DOUBLE))"
+        "    * (CAST(n AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+        "       / CAST(nt AS DOUBLE))"
+        "    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+        "       / CAST(nt AS DOUBLE)) AS t))),"
+        "  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t)"
+    )
+    chi = marg.agg(
+        F.max("nt").cast("bigint").alias("n_rows"),
+        F.countDistinct("a").cast("bigint").alias("n_a"),
+        F.countDistinct("b").cast("bigint").alias("n_b"),
+        F.expr(term).alias("chi2"),
+    )
+    return chi.select(
+        "n_rows",
+        "n_a",
+        "n_b",
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("n_rows").cast("double")
+                * F.least(F.col("n_a") - 1, F.col("n_b") - 1).cast("double")
+            )
+        ).alias("cramers_v"),
+    )

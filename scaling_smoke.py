@@ -103,6 +103,9 @@ STAGES = {
     "revenue_gini_by_nation": "orders",
     "events_debounce": "events",
     "tokenizer_oov_rate": "documents",
+    # (geo_radius_join is NOT a stage: both its inputs are dimension
+    # tables, which build_scaled deliberately keeps at 1x — its scale
+    # posture is pinned by the equi-join plan gate instead)
 }
 
 
@@ -415,6 +418,64 @@ def _settled_decomposition(spark, src_dir: str, out_dir: str) -> dict:
     return out
 
 
+def _novelty_decomposition(spark, src_dir: str, out_dir: str) -> dict:
+    """Measured explanation for text_novelty_ratio's superlinear ratio:
+    the first-seen MIN(doc_id) aggregation is keyed by DISTINCT 8-gram
+    hashes and the join output is total gram occurrences — if distinct
+    grams grow faster than rows (new docs keep minting new shingles),
+    the agg's state and the shuffle both outgrow the row ratio."""
+    from ecs_ecommerce_data_pipeline_spark.operators.dedup import shingle_docs
+    from ecs_ecommerce_data_pipeline_spark.functions.textfn import md5_bigint
+    from pyspark.sql import functions as F
+
+    out: dict = {}
+    for label, d in (("base", src_dir), ("scaled", out_dir)):
+        docs = load_table(spark, d, "documents")
+        sh = shingle_docs(docs, text_col="text", k=8).select(
+            md5_bigint(F.col("shingle")).alias("h")
+        )
+        out[f"gram_occurrences_{label}"] = sh.count()
+        out[f"distinct_grams_{label}"] = sh.distinct().count()
+    out["occurrences_ratio"] = round(
+        out["gram_occurrences_scaled"] / max(out["gram_occurrences_base"], 1), 2
+    )
+    out["distinct_ratio"] = round(
+        out["distinct_grams_scaled"] / max(out["distinct_grams_base"], 1), 2
+    )
+    return out
+
+
+def _cms_trend_decomposition(spark, src_dir: str, out_dir: str) -> dict:
+    """Measured explanation for cms_trend_shift: the two sketches are
+    depth×width rows REGARDLESS of scale (that is the point of a CMS);
+    the growing term is the probe set — every distinct user is estimated
+    against both sketches, so probe-join work tracks users, not events."""
+    from ecs_ecommerce_data_pipeline_spark.operators.sketch import cms_sketch
+    from pyspark.sql import functions as F
+
+    out: dict = {}
+    for label, d in (("base", src_dir), ("scaled", out_dir)):
+        e = load_table(spark, d, "events")
+        day = F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        sa = cms_sketch(e.filter(day < 15), "user_id")
+        sb = cms_sketch(e.filter(day >= 15), "user_id")
+        out[f"sketch_state_rows_{label}"] = sa.count() + sb.count()
+        out[f"probe_keys_{label}"] = (
+            e.select("user_id").distinct().count()
+        )
+    out["state_ratio"] = round(
+        out["sketch_state_rows_scaled"]
+        / max(out["sketch_state_rows_base"], 1),
+        2,
+    )
+    out["probe_ratio"] = round(
+        out["probe_keys_scaled"] / max(out["probe_keys_base"], 1), 2
+    )
+    return out
+
+
 _ID_OFFSET = 10_000_000
 
 
@@ -605,6 +666,23 @@ def main() -> None:
             "rows and users both 10x, rows/user constant — linear work, "
             "ratio above 1 is shuffle amortization",
             **result["transition_decomposition"],
+        }
+        result["novelty_decomposition"] = _novelty_decomposition(
+            _SPARK, src_dir, out_dir
+        )
+        result["cms_trend_decomposition"] = _cms_trend_decomposition(
+            _SPARK, src_dir, out_dir
+        )
+        # capped_running_balance runs over the same per-customer order
+        # segments as the settle fold — identical rows/segment structure,
+        # and its three-window rewrite is linear in rows
+        result["capped_balance_decomposition"] = {
+            "note": "same per-customer segment structure as the settle "
+            "fold (see settled_decomposition, same measurement): rows "
+            "and customers both 10x, rows/segment constant — the "
+            "cumsum+runmax+lag rewrite is linear, ratio above 1 is "
+            "shuffle + per-partition setup amortization",
+            **result["settled_decomposition"],
         }
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

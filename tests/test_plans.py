@@ -875,3 +875,34 @@ def test_debounce_single_window_pass(spark):
     assert plan.count("events.parquet") == 1
     assert "SortMergeJoin" not in plan
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_cramers_v_single_scan_tiny_windows(spark):
+    """The contingency table is one hash agg from one orders scan; the
+    marginal windows run over the r*c-row cell table only (the one
+    SinglePartition exchange carries cells, not orders)."""
+    df = catalog.queries()["stats_cramers_v"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("orders.parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_skew_report_is_one_fold_per_key(spark):
+    """Each key family is a count-by-key agg folded to one row — no
+    sorts, no windows, no joins anywhere in the report."""
+    df = catalog.queries()["dq_join_key_skew"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "TakeOrdered" not in plan
+
+
+def test_radius_join_is_equi_join_on_cells(spark):
+    """The spatial join must be a hash equi-join on grid-cell keys with
+    the replicated small side broadcast — never a cross join or a
+    broadcast nested loop over raw coordinates."""
+    df = catalog.queries()["geo_radius_join"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
