@@ -271,6 +271,7 @@ _BENCH_EXTRA: set[str] = {
     "stats_cramers_v",
     "dq_join_key_skew",
     "geo_radius_join",
+    "events_survival_km",
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use

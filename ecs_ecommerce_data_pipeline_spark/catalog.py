@@ -287,4 +287,5 @@ _PRIORITY = [
     "stats_cramers_v",
     "dq_join_key_skew",
     "geo_radius_join",
+    "events_survival_km",
 ]

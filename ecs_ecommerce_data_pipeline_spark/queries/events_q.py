@@ -1768,3 +1768,147 @@ def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("debounce_rate"),
     )
+
+
+# --- Kaplan-Meier time-to-conversion -----------------------------------------
+
+_KM_HORIZON = 30
+
+_KM_SQL = f"""
+WITH RECURSIVE tv AS (
+    SELECT user_id, MIN(ts) AS t_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+tp AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purch
+    FROM events e JOIN tv ON tv.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= tv.t_view
+    GROUP BY e.user_id
+),
+u AS (
+    SELECT tv.user_id,
+           CASE WHEN tp.t_purch IS NOT NULL
+                     AND date_diff('day', CAST(tv.t_view AS DATE),
+                                   CAST(tp.t_purch AS DATE)) <= {_KM_HORIZON}
+                THEN date_diff('day', CAST(tv.t_view AS DATE),
+                               CAST(tp.t_purch AS DATE))
+                ELSE {_KM_HORIZON} END AS t,
+           CASE WHEN tp.t_purch IS NOT NULL
+                     AND date_diff('day', CAST(tv.t_view AS DATE),
+                                   CAST(tp.t_purch AS DATE)) <= {_KM_HORIZON}
+                THEN 1 ELSE 0 END AS converted
+    FROM tv LEFT JOIN tp ON tp.user_id = tv.user_id
+),
+d AS (
+    SELECT t AS day,
+           CAST(SUM(converted) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_leaving
+    FROM u GROUP BY t
+),
+r AS (
+    SELECT day, n_events,
+           CAST(SUM(n_leaving) OVER (ORDER BY day DESC) AS BIGINT) AS n_risk,
+           ROW_NUMBER() OVER (ORDER BY day) AS rn
+    FROM d
+),
+km AS (
+    SELECT rn, day, n_events, n_risk,
+           1.0 * (1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               AS survival
+    FROM r WHERE rn = 1
+    UNION ALL
+    SELECT r.rn, r.day, r.n_events, r.n_risk,
+           km.survival
+               * (1.0 - CAST(r.n_events AS DOUBLE) / CAST(r.n_risk AS DOUBLE))
+    FROM km JOIN r ON r.rn = km.rn + 1
+)
+SELECT day, n_risk, n_events, survival FROM km
+"""
+
+
+@register("events_survival_km", _KM_SQL)
+def q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for view→purchase conversion: per
+    day-since-first-view, the risk set, conversion events, and the KM
+    estimate S(k) = Π_{j≤k} (1 − e_j/n_j), censoring users with no
+    qualifying purchase at the 30-day horizon — the time-to-event lens
+    funnels can't give (a funnel says IF users convert; KM says WHEN,
+    with censoring handled correctly).
+
+    Scale shape: ONE events pass — first-view arrives as a per-user
+    window min on the same partitioning the per-user aggregate then
+    reuses (a build-tv-then-join-twice form executes the upstream scan
+    three times: no CSE across join branches), then the curve lives on
+    ≤ horizon+1 rows — the risk-set window and the KM product run on
+    that bounded table (same bounded-global-window budget as
+    ``events_top_paths``). Determinism: the product is a strict
+    day-ordered left-to-right fold — Spark folds a sorted collected
+    array, the oracle walks a recursive CTE in the same order, so
+    every intermediate double is identical (a SUM-of-logs rewrite
+    would be order-free but transcendental — last-ulp ln differences
+    across engines)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    t_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(wu)
+    u0 = e.select(
+        "user_id", "ts", "event_type", t_view.alias("t_view")
+    ).filter(F.col("t_view").isNotNull())
+    per_user = u0.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t_view")),
+                F.col("ts"),
+            )
+        ).alias("t_purch"),
+    )
+    dd = F.datediff(
+        F.col("t_purch").cast("date"), F.col("t_view").cast("date")
+    )
+    converted = F.col("t_purch").isNotNull() & (dd <= _KM_HORIZON)
+    u = per_user.select(
+        F.when(converted, dd).otherwise(F.lit(_KM_HORIZON)).alias("t"),
+        F.when(converted, 1).otherwise(0).alias("converted"),
+    )
+    d = u.groupBy(F.col("t").alias("day")).agg(
+        F.sum("converted").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_leaving"),
+    )
+    w = Window.orderBy(F.desc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = d.select(
+        "day",
+        "n_events",
+        F.sum("n_leaving").over(w).cast("bigint").alias("n_risk"),
+    )
+    # strict day-ordered KM fold: collect the bounded curve table into
+    # one sorted array and build the running product left-to-right
+    arr = r.agg(
+        F.sort_array(
+            F.collect_list(F.struct("day", "n_events", "n_risk"))
+        ).alias("a")
+    )
+    km = arr.select(
+        F.expr(
+            "aggregate(a,"
+            " CAST(array() AS ARRAY<STRUCT<day: BIGINT, n_risk: BIGINT,"
+            "   n_events: BIGINT, survival: DOUBLE>>),"
+            " (acc, x) -> array_append(acc, struct("
+            "   CAST(x.day AS BIGINT) AS day,"
+            "   x.n_risk AS n_risk,"
+            "   x.n_events AS n_events,"
+            "   coalesce(try_element_at(acc, -1).survival,"
+            "     CAST(1.0 AS DOUBLE))"
+            "     * (1.0 - CAST(x.n_events AS DOUBLE)"
+            "         / CAST(x.n_risk AS DOUBLE)) AS survival)))"
+        ).alias("curve")
+    )
+    return km.select(F.explode("curve").alias("p")).select(
+        "p.day", "p.n_risk", "p.n_events", "p.survival"
+    )

@@ -906,3 +906,17 @@ def test_radius_join_is_equi_join_on_cells(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_km_curve_windows_are_bounded(spark):
+    """The KM pipeline reads events ONCE (first-view is a window min on
+    the same user partitioning the per-user aggregate reuses — the
+    build-then-join-twice form re-executed the scan three times); the
+    risk-set window and the ordered product run over the ≤ horizon+1
+    row curve table, so at most one single-partition exchange exists
+    (the curve collect)."""
+    df = catalog.queries()["events_survival_km"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("events.parquet") == 1, "KM pipeline re-scans events"
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert plan.count("hashpartitioning(user_id") == 1
