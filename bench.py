@@ -65,6 +65,9 @@ def main() -> None:
         "dataset_build_pipeline",
         "settled_running_balance",
         "embedding_covariance",
+        # 15 wide-decimal accumulators: ~6 s of one-time codegen on a
+        # plan that runs 1.7 s warm — the single worst cold/warm skew
+        "stats_correlation_matrix",
     ]:
         if w in all_queries:
             all_queries[w](spark, sf_dir).count()
@@ -272,6 +275,10 @@ _BENCH_EXTRA: set[str] = {
     "dq_join_key_skew",
     "geo_radius_join",
     "events_survival_km",
+    "curation_filter_waterfall",
+    "model_calibration_bins",
+    "events_bot_detection",
+    "dedup_lsh_precision_gate",
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use

@@ -288,4 +288,8 @@ _PRIORITY = [
     "dq_join_key_skew",
     "geo_radius_join",
     "events_survival_km",
+    "curation_filter_waterfall",
+    "model_calibration_bins",
+    "events_bot_detection",
+    "dedup_lsh_precision_gate",
 ]

@@ -817,3 +817,110 @@ def q_entity_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_parts").alias("n_parts_b"),
         )
     )
+
+
+# --- LSH precision gate (companion to dedup_recall_lsh_pairs) ----------------
+
+_PRECISION_SQL = f"""
+WITH {_CANDIDATES_CTES},
+exh AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h FROM ex
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM exh GROUP BY doc_id),
+common AS (
+    SELECT c.doc_a, c.doc_b,
+           COUNT(eb.sh_h) AS n_common
+    FROM candidates c
+    JOIN exh ea ON ea.doc_id = c.doc_a
+    LEFT JOIN exh eb ON eb.doc_id = c.doc_b AND eb.sh_h = ea.sh_h
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT m.doc_a, m.doc_b,
+           CAST(m.n_common AS DOUBLE)
+               / (sa.n_shingles + sb.n_shingles - m.n_common) AS jaccard
+    FROM common m
+    JOIN sizes sa ON sa.doc_id = m.doc_a
+    JOIN sizes sb ON sb.doc_id = m.doc_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN jaccard >= {_JACCARD_T} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN jaccard >= {_JACCARD_T} THEN 1 ELSE 0 END)
+           AS DOUBLE) / COUNT(*) AS precision
+FROM scored
+"""
+
+
+@register("dedup_lsh_precision_gate", _PRECISION_SQL)
+def q_dedup_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision of the LSH banding stage: the share of emitted
+    candidate pairs whose exact shingle-Jaccard clears the 0.5 verify
+    threshold — the companion number to ``dedup_recall_lsh_pairs``
+    (recall says what banding MISSES; precision says how much verify
+    work it WASTES — together they price a band/row configuration).
+
+    Scale shape: the candidate pipeline executes ONCE — every candidate
+    flows through one a-side shingle join, one LEFT b-side match join
+    (so zero-overlap candidates keep a row with n_common = 0 instead of
+    silently dropping out of the denominator), and one fold to a single
+    row. Verify joins move 60-bit hashed shingle keys only."""
+    from ..functions.textfn import md5_bigint
+
+    doc = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_docs(doc, k=_SHINGLE_K)
+    sigs = dedup.minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    cands = dedup.lsh_candidate_pairs(
+        sigs,
+        num_hashes=_NUM_HASHES,
+        band_size=_BAND_SIZE,
+        max_bucket=_MAX_BUCKET,
+    )
+    exh = sh.select("doc_id", md5_bigint(F.col("shingle")).alias("sh_h"))
+    sizes = exh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    common = (
+        cands.join(
+            exh.select(F.col("doc_id").alias("doc_a"), "sh_h"), "doc_a"
+        )
+        .join(
+            exh.select(
+                F.col("doc_id").alias("_db"),
+                F.col("sh_h").alias("sh_b"),
+            ),
+            (F.col("doc_b") == F.col("_db"))
+            & (F.col("sh_h") == F.col("sh_b")),
+            "left",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("sh_b").alias("n_common"))
+    )
+    scored = (
+        common.join(
+            sizes.withColumnsRenamed(
+                {"doc_id": "doc_a", "n_shingles": "size_a"}
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnsRenamed(
+                {"doc_id": "doc_b", "n_shingles": "size_b"}
+            ),
+            "doc_b",
+        )
+        .select(
+            (
+                F.col("n_common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            ).alias("jaccard")
+        )
+    )
+    true_cnt = F.sum(
+        F.when(F.col("jaccard") >= _JACCARD_T, 1).otherwise(0)
+    ).cast("bigint")
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        true_cnt.alias("n_true"),
+        (true_cnt.cast("double") / F.count(F.lit(1))).alias("precision"),
+    )

@@ -179,3 +179,93 @@ def q_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
         )
     )
+
+
+# --- score calibration: is the LM score predictive of rule-based quality? ----
+
+_CAL_BINS = 10
+
+
+def _calibration_sql() -> str:
+    from .lm_q import _LM_SCORE_SQL
+    from .text_q import _GOPHER_SQL
+
+    return f"""
+WITH lm AS ({_LM_SCORE_SQL}),
+g AS ({_GOPHER_SQL}),
+j AS (
+    SELECT lm.doc_id, lm.sum_bits, lm.n_bigrams, lm.avg_bigram_bits AS s,
+           CAST(g.passes AS INTEGER) AS label
+    FROM lm JOIN g ON g.doc_id = lm.doc_id
+),
+edges AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM j),
+b AS (
+    SELECT least({_CAL_BINS - 1}, CAST(FLOOR(
+               (s - lo) / (hi - lo) * {_CAL_BINS}) AS BIGINT)) AS bin,
+           sum_bits, n_bigrams, label
+    FROM j, edges
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(CAST(SUM(sum_bits) AS BIGINT) AS DOUBLE)
+           / CAST(SUM(n_bigrams) AS BIGINT) AS mean_score,
+       CAST(SUM(label) AS BIGINT) AS n_pass,
+       CAST(SUM(label) AS DOUBLE) / COUNT(*) AS pass_rate
+FROM b GROUP BY bin
+"""
+
+
+@register("model_calibration_bins", _calibration_sql())
+def q_model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/reliability bins for the bigram-LM quality score
+    against the Gopher rule gate: docs bucketed into 10 equal-width
+    score bins, each bin's exact mean score and rule-pass rate — the
+    eval that says whether a cheap learned-ish score can REPLACE the
+    rule suite (monotone pass_rate across bins ⇒ a threshold works).
+    Composes two existing verified pipelines; the oracle reuses their
+    exact SQL as CTEs, so this evaluation is checked end-to-end.
+
+    Determinism: bin edges are the corpus min/max score (one broadcast
+    1-row frame); the score itself is an exact-integer division, so
+    edges and bin assignment are identical doubles on both engines;
+    per-bin mean score comes from exact BIGINT bit/bigram sums, never a
+    float sum."""
+    from ..operators.lmscore import bigram_lm_scores
+    from ..operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = bigram_lm_scores(docs).select(
+        "doc_id",
+        "sum_bits",
+        "n_bigrams",
+        F.col("avg_bigram_bits").alias("s"),
+    )
+    g = gopher_rules(docs).select(
+        "doc_id", F.col("passes").cast("int").alias("label")
+    )
+    j = lm.join(g, "doc_id")
+    edges = j.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    b = j.crossJoin(F.broadcast(edges)).select(
+        F.least(
+            F.lit(_CAL_BINS - 1),
+            F.floor(
+                (F.col("s") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * _CAL_BINS
+            ).cast("bigint"),
+        ).alias("bin"),
+        "sum_bits",
+        "n_bigrams",
+        "label",
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum("sum_bits").cast("double")
+            / F.sum("n_bigrams").cast("bigint")
+        ).alias("mean_score"),
+        F.sum("label").cast("bigint").alias("n_pass"),
+        (F.sum("label").cast("double") / F.count(F.lit(1))).alias(
+            "pass_rate"
+        ),
+    )

@@ -1912,3 +1912,116 @@ def q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km.select(F.explode("curve").alias("p")).select(
         "p.day", "p.n_risk", "p.n_events", "p.survival"
     )
+
+
+# --- bot / automation detection ----------------------------------------------
+
+_BOT_MIN_EVENTS = 20
+_BOT_RATE_PER_MIN = 2.0
+_BOT_CV_MAX = 0.3
+
+_BOT_SQL = f"""
+WITH x AS (
+    SELECT user_id, ts, event_type,
+           date_diff('second',
+                     LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id),
+                     ts) AS gap_s
+    FROM events
+),
+u AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS span_s,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_s) AS BIGINT) AS sum_gap,
+           CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_gap2,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM x GROUP BY user_id
+),
+m AS (
+    SELECT u.user_id, u.n_events, u.span_s, u.n_types,
+           CASE WHEN u.span_s > 0
+                THEN CAST(u.n_events AS DOUBLE) / u.span_s * 60.0 END
+               AS events_per_min,
+           CASE WHEN u.n_gaps > 1 AND u.sum_gap > 0
+                THEN sqrt((CAST(u.sum_gap2 AS DOUBLE)
+                           - CAST(u.sum_gap AS DOUBLE)
+                             * CAST(u.sum_gap AS DOUBLE) / u.n_gaps)
+                          / (CAST(u.n_gaps AS DOUBLE) - 1.0))
+                     / (CAST(u.sum_gap AS DOUBLE) / u.n_gaps) END AS gap_cv
+    FROM u
+)
+SELECT user_id, n_events, span_s, n_types, events_per_min, gap_cv,
+       (n_events >= {_BOT_MIN_EVENTS}
+        AND (COALESCE(events_per_min, 0.0) > {_BOT_RATE_PER_MIN}
+             OR COALESCE(gap_cv, 1e18) < {_BOT_CV_MAX})) AS bot_flag
+FROM m
+"""
+
+
+@register("events_bot_detection", _BOT_SQL)
+def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic bot/automation screen per user: event volume, active
+    span, sustained rate (events/min over the span), and the
+    coefficient of variation of inter-arrival gaps — metronome-regular
+    traffic (low CV) or inhuman sustained rates flag as bots. The
+    cleaning pass every telemetry-derived training set runs before
+    sessionization or funnel metrics trust the data.
+
+    Scale shape: ONE per-user window pass produces the gaps, and the
+    per-user aggregate reuses that partitioning (no second exchange);
+    moments of the gap distribution come from exact BIGINT Σgap/Σgap²
+    (integer seconds), so CV is a fixed double-op sequence — the same
+    sufficient-statistics discipline as ``stats_moments``."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    x = e.select("user_id", "ts", "event_type", gap.alias("gap_s"))
+    u = x.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .cast("bigint")
+        .alias("span_s"),
+        F.count("gap_s").cast("bigint").alias("n_gaps"),
+        F.sum("gap_s").cast("bigint").alias("sum_gap"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias(
+            "sum_gap2"
+        ),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    sg = F.col("sum_gap").cast("double")
+    sg2 = F.col("sum_gap2").cast("double")
+    rate = F.when(
+        F.col("span_s") > 0,
+        F.col("n_events").cast("double") / F.col("span_s") * 60.0,
+    )
+    cv = F.when(
+        (F.col("n_gaps") > 1) & (F.col("sum_gap") > 0),
+        F.sqrt((sg2 - sg * sg / F.col("n_gaps")) / (nd - 1.0))
+        / (sg / F.col("n_gaps")),
+    )
+    m = u.select(
+        "user_id",
+        "n_events",
+        "span_s",
+        "n_types",
+        rate.alias("events_per_min"),
+        cv.alias("gap_cv"),
+    )
+    flag = (F.col("n_events") >= _BOT_MIN_EVENTS) & (
+        (F.coalesce(F.col("events_per_min"), F.lit(0.0)) > _BOT_RATE_PER_MIN)
+        | (F.coalesce(F.col("gap_cv"), F.lit(1e18)) < _BOT_CV_MAX)
+    )
+    return m.select(
+        "user_id",
+        "n_events",
+        "span_s",
+        "n_types",
+        "events_per_min",
+        "gap_cv",
+        flag.alias("bot_flag"),
+    )

@@ -787,3 +787,102 @@ def q_tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_distinct_oov"),
     )
+
+
+# --- quality-filter waterfall (per-rule kill attribution) --------------------
+
+_WF_RULES = [
+    "rule_word_count",
+    "rule_mean_word_len",
+    "rule_alpha_words",
+    "rule_stopwords",
+    "rule_repetition",
+]
+
+
+def _waterfall_sql() -> str:
+    rows = []
+    for i, r in enumerate(_WF_RULES):
+        others = [o for o in _WF_RULES if o != r]
+        prior = _WF_RULES[:i]
+        only = " AND ".join([f"NOT {r}"] + others)
+        at_stage = " AND ".join([f"NOT {r}"] + prior) if prior else f"NOT {r}"
+        rows.append(
+            f"SELECT {i + 1} AS stage, '{r}' AS rule,\n"
+            f"  CAST(SUM(CASE WHEN NOT {r} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_fail,\n"
+            f"  CAST(SUM(CASE WHEN {only} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_only,\n"
+            f"  CAST(SUM(CASE WHEN {at_stage} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_killed_at_stage,\n"
+            f"  CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_survivors\n"
+            f"FROM g"
+        )
+    body = "\nUNION ALL\n".join(rows)
+    return f"WITH g AS ({_GOPHER_SQL})\n{body}"
+
+
+@register("curation_filter_waterfall", _waterfall_sql())
+def q_curation_filter_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule kill attribution for the Gopher quality gate: for each
+    rule, how many docs fail it at all (``n_fail``), how many it is the
+    SOLE reason for losing (``n_only`` — drop this rule and exactly
+    these docs come back), and how many die at its stage in the fixed
+    waterfall order (``n_killed_at_stage`` — sums to total kills). The
+    report a curation run reads before tuning thresholds: a rule with
+    big ``n_fail`` but zero ``n_only`` is redundant; one with big
+    ``n_only`` is load-bearing.
+
+    Scale shape: the per-doc rule flags are the map-only
+    ``gopher_rules`` pass; all 5×4 counters land in ONE conditional
+    aggregation (no per-rule re-scan — same discipline as
+    ``events_did_readout``'s cell pivot). Docs with zero words fall
+    outside the rule base on both engines."""
+    from ..operators.text import gopher_rules
+
+    g = gopher_rules(load_table(spark, sf_dir, "documents"))
+    aggs = []
+    for i, r in enumerate(_WF_RULES):
+        others = [o for o in _WF_RULES if o != r]
+        prior = _WF_RULES[:i]
+        fail = ~F.col(r)
+        only = fail
+        for o in others:
+            only = only & F.col(o)
+        at_stage = fail
+        for p in prior:
+            at_stage = at_stage & F.col(p)
+        aggs += [
+            F.sum(F.when(fail, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"f_{i}"),
+            F.sum(F.when(only, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"o_{i}"),
+            F.sum(F.when(at_stage, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"k_{i}"),
+        ]
+    aggs.append(
+        F.sum(F.when(F.col("passes"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_survivors")
+    )
+    one = g.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(i + 1).alias("stage"),
+            F.lit(r).alias("rule"),
+            F.col(f"f_{i}").alias("n_fail"),
+            F.col(f"o_{i}").alias("n_only"),
+            F.col(f"k_{i}").alias("n_killed_at_stage"),
+        )
+        for i, r in enumerate(_WF_RULES)
+    ]
+    return one.select(
+        F.explode(F.array(*rows)).alias("p"), "n_survivors"
+    ).select(
+        "p.stage", "p.rule", "p.n_fail", "p.n_only", "p.n_killed_at_stage",
+        "n_survivors",
+    )

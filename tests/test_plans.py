@@ -920,3 +920,41 @@ def test_km_curve_windows_are_bounded(spark):
     assert plan.count("events.parquet") == 1, "KM pipeline re-scans events"
     assert plan.count("Exchange SinglePartition") <= 1
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_waterfall_is_one_conditional_agg(spark):
+    """All 16 waterfall counters come from ONE documents scan and one
+    aggregate — no per-rule re-scan, no joins, no shuffles beyond the
+    1-row agg exchange."""
+    df = catalog.queries()["curation_filter_waterfall"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_bot_detection_single_window_pass(spark):
+    """Gaps come from one per-user window; the per-user aggregate reuses
+    that partitioning (exactly one user_id exchange, one scan)."""
+    df = catalog.queries()["events_bot_detection"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("events.parquet") == 1
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_precision_gate_candidates_execute_once(spark):
+    """The LSH candidate pipeline must appear once in the plan: the
+    zero-overlap candidates survive via the LEFT match join, not a
+    second candidates branch (one bands generation = one minhash
+    aggregate over the shingle explode)."""
+    df = catalog.queries()["dedup_lsh_precision_gate"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("band_idx") > 0
+    # the banding explode (posexplode over band keys) appears in exactly
+    # one Generate chain
+    import re
+
+    gens = [
+        m.group(0)
+        for m in re.finditer(r"Generate (pos)?explode[^\n]*band[^\n]*", plan)
+    ]
+    assert len(gens) <= 1, f"candidate pipeline duplicated: {gens}"
