@@ -292,4 +292,6 @@ _PRIORITY = [
     "model_calibration_bins",
     "events_bot_detection",
     "dedup_lsh_precision_gate",
+    "text_distinctive_terms",
+    "events_cohort_ltv",
 ]

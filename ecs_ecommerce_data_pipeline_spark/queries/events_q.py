@@ -2025,3 +2025,109 @@ def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_cv",
         flag.alias("bot_flag"),
     )
+
+
+# --- cohort LTV curves --------------------------------------------------------
+
+_LTV_EPOCH = "2024-01-01"
+
+_LTV_SQL = f"""
+WITH w AS (
+    SELECT user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           date_diff('day', DATE '{_LTV_EPOCH}', CAST(ts AS DATE)) // 7
+               AS week,
+           MIN(date_diff('day', DATE '{_LTV_EPOCH}', CAST(ts AS DATE)) // 7)
+               OVER (PARTITION BY user_id) AS cohort_week
+    FROM events
+),
+uw AS (
+    SELECT cohort_week, week - cohort_week AS week_offset,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents
+                         ELSE 0 END) AS BIGINT) AS cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+    FROM w GROUP BY 1, 2
+),
+cum AS (
+    SELECT cohort_week, week_offset, n_active_users, cents,
+           CAST(SUM(cents) OVER (PARTITION BY cohort_week
+                ORDER BY week_offset) AS BIGINT) AS cum_cents,
+           CAST(FIRST_VALUE(n_active_users) OVER (PARTITION BY cohort_week
+                ORDER BY week_offset) AS BIGINT) AS n_cohort
+    FROM uw
+)
+SELECT cohort_week, week_offset, n_cohort, n_active_users,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(cum_cents AS DOUBLE) / n_cohort / 100.0 AS cum_ltv_per_user
+FROM cum
+"""
+
+
+@register("events_cohort_ltv", _LTV_SQL)
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users cohorted by first-activity week, and per
+    (cohort, weeks-since-acquisition) the active users, purchase
+    revenue, and CUMULATIVE lifetime value per cohort user — the curve
+    family behind every payback-period decision, and the monetized
+    extension of ``events_retention_cohorts`` (retention counts who
+    comes back; LTV weighs what they're worth).
+
+    Scale shape: the cohort label is a per-user window min on the raw
+    scan (same single-pass discipline as ``events_survival_km``), the
+    matrix collapses to ≤ weeks² rows in one agg, and BOTH the running
+    revenue and the cohort size (= active users at offset 0 — every
+    user is active in their own first week) come from windows over that
+    tiny matrix, so the scan is read exactly once; money is exact
+    BIGINT cents until the final division."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit(_LTV_EPOCH).cast("date")
+        )
+        / 7
+    ).cast("bigint")
+    wu = Window.partitionBy("user_id")
+    w = e.select(
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        week.alias("week"),
+        F.min(week).over(wu).alias("cohort_week"),
+    )
+    uw = w.groupBy(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("cents"),
+        F.countDistinct("user_id").cast("bigint").alias("n_active_users"),
+    )
+    wc = Window.partitionBy("cohort_week").orderBy("week_offset")
+    # cohort size == active users at offset 0: every user is active in
+    # their own first week, so no second pass over the scan is needed
+    cum = uw.select(
+        "cohort_week",
+        "week_offset",
+        F.first("n_active_users").over(wc).cast("bigint").alias("n_cohort"),
+        "n_active_users",
+        "cents",
+        F.sum("cents").over(wc).cast("bigint").alias("cum_cents"),
+    )
+    return cum.select(
+        "cohort_week",
+        "week_offset",
+        "n_cohort",
+        "n_active_users",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (
+            F.col("cum_cents").cast("double") / F.col("n_cohort") / 100.0
+        ).alias("cum_ltv_per_user"),
+    )

@@ -886,3 +886,111 @@ def q_curation_filter_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p.stage", "p.rule", "p.n_fail", "p.n_only", "p.n_killed_at_stage",
         "n_survivors",
     )
+
+
+# --- distinctive terms per source (keyword extraction) -----------------------
+
+_DT_MIN_TF = 5
+_DT_TOP = 5
+
+_DT_SQL = f"""
+WITH t AS (
+    SELECT source, unnest({_TOKS}) AS token FROM documents
+),
+st AS (
+    SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM t WHERE token <> '' GROUP BY source, token
+),
+m AS (
+    SELECT source, token, tf,
+           CAST(SUM(tf) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+           CAST(SUM(tf) OVER (PARTITION BY token) AS BIGINT) AS tf_corpus,
+           CAST(SUM(tf) OVER () AS BIGINT) AS n_corpus
+    FROM st
+),
+lift AS (
+    SELECT source, token, tf,
+           (CAST(tf AS DOUBLE) / n_src)
+               / (CAST(tf_corpus AS DOUBLE) / n_corpus) AS lift
+    FROM m
+    WHERE tf >= {_DT_MIN_TF}
+),
+rk AS (
+    SELECT source, token, tf, lift,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY lift DESC, token) AS rank
+    FROM lift
+)
+SELECT source, CAST(rank AS BIGINT) AS rank, token, tf, lift
+FROM rk WHERE rank <= {_DT_TOP}
+"""
+
+
+@register("text_distinctive_terms", _DT_SQL)
+def q_text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction per source: the top-5 terms by LIFT — the
+    term's in-source occurrence share over its corpus-wide share (the
+    odds-ratio flavor of TF-IDF that needs NO logarithm, so there is no
+    transcendental to diverge cross-engine: both shares are exact
+    integer divisions and their ratio is one more correctly-rounded
+    double op). The dataset-card staple: what vocabulary makes each
+    source different.
+
+    Scale shape: the explode collapses immediately to (source, token)
+    counts (one combinable agg); source, token, and corpus totals are
+    WINDOW sums over that vocab-sized table — a join-back form consumed
+    the count table four times and re-executed the text scan per branch
+    (no CSE across join branches); windows read it once. The per-source
+    top-5 window runs over only the tf ≥ 5 candidates. Ties break
+    lexically."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    m = st.select(
+        "source",
+        "token",
+        "tf",
+        F.sum("tf")
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("n_src"),
+        F.sum("tf")
+        .over(Window.partitionBy("token"))
+        .cast("bigint")
+        .alias("tf_corpus"),
+        F.sum("tf").over(Window.partitionBy()).cast("bigint").alias(
+            "n_corpus"
+        ),
+    )
+    lift = m.filter(F.col("tf") >= _DT_MIN_TF).select(
+        "source",
+        "token",
+        "tf",
+        (
+            (F.col("tf").cast("double") / F.col("n_src"))
+            / (F.col("tf_corpus").cast("double") / F.col("n_corpus"))
+        ).alias("lift"),
+    )
+
+    w = Window.partitionBy("source").orderBy(F.desc("lift"), "token")
+    return (
+        lift.select(
+            "source",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "token",
+            "tf",
+            "lift",
+        )
+        .filter(F.col("rank") <= _DT_TOP)
+    )

@@ -958,3 +958,24 @@ def test_precision_gate_candidates_execute_once(spark):
         for m in re.finditer(r"Generate (pos)?explode[^\n]*band[^\n]*", plan)
     ]
     assert len(gens) <= 1, f"candidate pipeline duplicated: {gens}"
+
+
+def test_distinctive_terms_aggregates_before_joins(spark):
+    """Text is exploded and counted ONCE; all three marginals are
+    windows over the vocab-sized count table (the join-back form
+    re-executed the scan four times), so documents appears once and no
+    join exists at all."""
+    df = catalog.queries()["text_distinctive_terms"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_cohort_ltv_single_scan(spark):
+    """Cohort label via per-user window min + matrix windows for both
+    cumsum and cohort size: the events scan appears exactly once (the
+    size-by-second-pass form would read it twice)."""
+    df = catalog.queries()["events_cohort_ltv"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("events.parquet") == 1
+    assert plan.count("hashpartitioning(user_id") == 1
