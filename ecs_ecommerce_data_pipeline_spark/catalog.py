@@ -294,4 +294,5 @@ _PRIORITY = [
     "dedup_lsh_precision_gate",
     "text_distinctive_terms",
     "events_cohort_ltv",
+    "dedup_prefix_filter_join",
 ]

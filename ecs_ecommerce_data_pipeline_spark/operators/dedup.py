@@ -625,3 +625,116 @@ def exact_substring_spans(
         F.max("span").alias("max_span_chars"),
         F.count(F.lit(1)).cast("bigint").alias("n_runs"),
     )
+
+
+def prefix_filter_join(
+    shingles: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin family, Bayardo et al. WWW'07): every pair of documents with
+    shingle-Jaccard ≥ ``threshold`` — no false negatives, unlike the
+    MinHash/LSH candidate path (``lsh_candidate_pairs``), which trades
+    recall for bucket-bounded cost and needs a recall gate.
+
+    The filter: order every doc's shingle hashes by a GLOBAL canonical
+    order (corpus document-frequency ascending, hash ascending — rare
+    tokens first), keep only each doc's first ``s − ⌈t·s⌉ + 1`` tokens
+    (its prefix). Any pair with J ≥ t must share a prefix token, so the
+    join on prefix tokens generates a candidate superset; a size filter
+    (``t·|a| ≤ |b|``) and the exact Jaccard verify finish the job.
+    Rare-first ordering is what keeps prefix buckets small — the
+    quadratic term concentrates in the rarest tokens.
+
+    Scale shape: the hashed-shingle frame is built ONCE and
+    persist-pinned (the ``graph.py`` edge-list discipline — five
+    consumers would otherwise re-run the tokenize+shingle scan five
+    times: df count, rarity rank, verify a-side, verify b-side, sizes),
+    then one df aggregation (vocab-sized), one per-doc sort of its own
+    hash array (array_sort on (df, hash) structs — row-local), one
+    explode of ~(1−t)·corpus prefix tokens, a self-join on 8-byte
+    hashed tokens, and the hashed-key verify. Everything shuffles
+    hashes, never shingle text.
+    """
+    from ..functions.textfn import md5_bigint
+
+    sh = shingles.select(
+        "doc_id", md5_bigint(F.col("shingle")).alias("sh_h")
+    ).persist()
+    df_counts = sh.groupBy("sh_h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    ranked = sh.join(df_counts, "sh_h")
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("df"), F.col("sh_h")))
+        ).alias("ordered"),
+        F.count(F.lit(1)).cast("bigint").alias("set_size"),
+    )
+    prefix_len = (
+        F.col("set_size")
+        - F.ceil(F.lit(threshold) * F.col("set_size"))
+        + 1
+    ).cast("int")
+    prefixes = per_doc.select(
+        "doc_id",
+        "set_size",
+        F.explode(
+            F.transform(
+                F.slice(F.col("ordered"), F.lit(1), prefix_len),
+                lambda x: x["sh_h"],
+            )
+        ).alias("tok"),
+    )
+    a = prefixes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("set_size").alias("size_a"),
+        "tok",
+    )
+    b = prefixes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("set_size").alias("size_b"),
+        "tok",
+    )
+    cands = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.col("size_b") * F.lit(1.0) >= F.lit(threshold) * F.col("size_a")
+        )
+        .filter(
+            F.col("size_a") * F.lit(1.0) >= F.lit(threshold) * F.col("size_b")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # hashed-key verify against the SAME persisted frame (calling
+    # jaccard_pairs would re-hash from the raw shingles — three more
+    # executions of the tokenize+shingle scan)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    av = sh.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    bv = sh.select(F.col("doc_id").alias("doc_b"), "sh_h")
+    inter = (
+        cands.join(av, "doc_a")
+        .join(bv, ["doc_b", "sh_h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sized = inter.join(
+        sizes.withColumnsRenamed(
+            {"doc_id": "doc_a", "n_shingles": "size_a"}
+        ),
+        "doc_a",
+    ).join(
+        sizes.withColumnsRenamed(
+            {"doc_id": "doc_b", "n_shingles": "size_b"}
+        ),
+        "doc_b",
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return sized.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )

@@ -924,3 +924,75 @@ def q_dedup_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         true_cnt.alias("n_true"),
         (true_cnt.cast("double") / F.count(F.lit(1))).alias("precision"),
     )
+
+
+# --- exact set-similarity join via prefix filtering --------------------------
+
+_PPJOIN_SQL = f"""
+WITH {_SHINGLE_CTES},
+exh AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h FROM ex
+),
+dfc AS (SELECT sh_h, CAST(COUNT(*) AS BIGINT) AS df FROM exh GROUP BY sh_h),
+per_doc AS (
+    SELECT e.doc_id,
+           list(struct_pack(df := d.df, h := e.sh_h) ORDER BY d.df, e.sh_h)
+               AS ordered,
+           CAST(COUNT(*) AS BIGINT) AS set_size
+    FROM exh e JOIN dfc d ON d.sh_h = e.sh_h
+    GROUP BY e.doc_id
+),
+pfx AS (
+    SELECT doc_id, set_size,
+           unnest(list_transform(
+               ordered[1 : CAST(set_size - ceil({_JACCARD_T} * set_size) + 1
+                                AS BIGINT)],
+               x -> x.h)) AS tok
+    FROM per_doc
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    WHERE a.set_size * 1.0 >= {_JACCARD_T} * b.set_size
+      AND b.set_size * 1.0 >= {_JACCARD_T} * a.set_size
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM exh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+    FROM cands c
+    JOIN exh ea ON ea.doc_id = c.doc_a
+    JOIN exh eb ON eb.doc_id = c.doc_b AND eb.sh_h = ea.sh_h
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common)
+           AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common)
+      >= {_JACCARD_T}
+"""
+
+
+@register("dedup_prefix_filter_join", _PPJOIN_SQL)
+def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs (shingle-Jaccard ≥ 0.5) via prefix filtering
+    — the AllPairs/PPJoin algorithm: order each doc's shingle hashes by
+    corpus rarity, keep only the first s − ⌈t·s⌉ + 1 as its prefix; any
+    qualifying pair must collide on a prefix token, so the prefix
+    self-join is a NO-FALSE-NEGATIVE candidate generator (unlike the
+    MinHash/LSH path, which misses pairs and needs
+    ``dedup_recall_lsh_pairs`` to price the miss). Size filters prune
+    pairs whose cardinalities alone cap Jaccard below t; the exact
+    hashed-key verify finishes.
+
+    This completes the dedup family's design space: LSH (probabilistic,
+    bucket-bounded) for web scale, prefix filtering (exact,
+    rarity-bounded) when the duplicate report must be complete —
+    pairs here ⊇ the LSH-verified pairs by construction
+    (tests/test_round5_invariants.py pins both that superset and
+    brute-force equality on a slice)."""
+    doc = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_docs(doc, k=_SHINGLE_K)
+    return dedup.prefix_filter_join(sh, threshold=_JACCARD_T)

@@ -979,3 +979,24 @@ def test_cohort_ltv_single_scan(spark):
     plan = _plan(df)
     assert plan.count("events.parquet") == 1
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_prefix_filter_join_shuffles_hashes_only(spark):
+    """The exact similarity join must carry 60-bit shingle hashes, never
+    shingle text, through every join; the hashed-shingle frame is
+    persist-pinned, so every one of its consumers reads the cache
+    (InMemoryTableScan) and the tokenize+shingle scan runs once."""
+    df = catalog.queries()["dedup_prefix_filter_join"](spark, SF_SMOKE)
+    plan = _plan(df)
+    import re
+
+    for m in re.finditer(
+        r"(SortMergeJoin|BroadcastHashJoin) \[([^\]]*)\]", plan
+    ):
+        assert "shingle" not in m.group(2), "raw shingle text in join key"
+    # every textual appearance of the source is inside a cached-relation
+    # reference — no consumer re-plans the raw scan
+    assert plan.count("InMemoryTableScan") >= plan.count(
+        "documents.parquet"
+    )
+    assert "InMemoryTableScan" in plan

@@ -215,3 +215,54 @@ def test_correlation_matrix_is_bounded_and_complete(spark):
     for r in rows:
         assert -1.0 - 1e-12 <= r["corr"] <= 1.0 + 1e-12
         assert r["col_x"] != r["col_y"]
+
+
+def test_prefix_filter_join_is_exact(spark):
+    """The prefix-filter join must equal the BRUTE-FORCE all-pairs
+    Jaccard ≥ t set (no false negatives — the property LSH gives up),
+    and therefore be a superset of the LSH-verified pairs."""
+    from ecs_ecommerce_data_pipeline_spark.operators import dedup
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in _q("dedup_prefix_filter_join", spark).collect()
+    }
+    # brute force: all pairs of docs sharing >= 1 shingle, exact Jaccard
+    doc = load_table(spark, SF_SMOKE, "documents")
+    sh = dedup.shingle_docs(doc, k=3)
+    from ecs_ecommerce_data_pipeline_spark.functions.textfn import md5_bigint
+
+    shh = sh.select("doc_id", md5_bigint(F.col("shingle")).alias("h"))
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    inter = (
+        shh.alias("a")
+        .join(
+            shh.select(
+                F.col("doc_id").alias("doc_b"), F.col("h").alias("h2")
+            ),
+            (F.col("h") == F.col("h2")) & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .collect()
+    )
+    brute = {}
+    for r in inter:
+        j = r["n_common"] / (
+            sizes[r["doc_a"]] + sizes[r["doc_b"]] - r["n_common"]
+        )
+        if j >= 0.5:
+            brute[(r["doc_a"], r["doc_b"])] = j
+    assert set(got) == set(brute), (
+        f"missing={set(brute) - set(got)} extra={set(got) - set(brute)}"
+    )
+    for k, v in brute.items():
+        assert got[k] == v
+    lsh_verified = {
+        (r["doc_a"], r["doc_b"])
+        for r in _q("dedup_ngram_jaccard", spark).collect()
+    }
+    assert lsh_verified <= set(got), "exact join must cover LSH-verified"
