@@ -282,6 +282,7 @@ _BENCH_EXTRA: set[str] = {
     "text_distinctive_terms",
     "events_cohort_ltv",
     "dedup_prefix_filter_join",
+    "retrieval_rank_metrics",
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use

@@ -295,4 +295,5 @@ _PRIORITY = [
     "text_distinctive_terms",
     "events_cohort_ltv",
     "dedup_prefix_filter_join",
+    "retrieval_rank_metrics",
 ]

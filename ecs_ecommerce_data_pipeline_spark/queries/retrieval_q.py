@@ -205,3 +205,209 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("o_totalprice").alias("total_price"),
         )
     )
+
+
+# --- retrieval evaluation: MRR / precision@k / NDCG@k -------------------------
+
+# 1/log2(i+1) for ranks 1..10 as identical decimal literals on both
+# sides (a runtime log2 would differ in the last ulp across engines).
+_DCG_W = {
+    1: "1.0",
+    2: "0.6309297535714575",
+    3: "0.5",
+    4: "0.43067655807339306",
+    5: "0.38685280723454163",
+    6: "0.3562071871080222",
+    7: "0.3333333333333333",
+    8: "0.31546487678572877",
+    9: "0.3010299956639812",
+    10: "0.2890648263178879",
+}
+
+_RM_K = 10
+_RM_REL_MIN = 2  # graded relevance >= 2 counts as "relevant" for MRR/P@k
+
+_rm_w_case = "CASE {col} " + " ".join(
+    f"WHEN {i} THEN {w}" for i, w in _DCG_W.items()
+) + " ELSE 0.0 END"
+
+
+def _rank_metrics_sql() -> str:
+    w_rank = _rm_w_case.format(col="rnk")
+    w_pos = _rm_w_case.format(col="pos")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ex AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+       FROM t),
+hits AS (SELECT doc_id, dl, term FROM ex WHERE term IN ({_terms_sql})),
+tf AS (SELECT term, doc_id, MIN(dl) AS dl, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM hits GROUP BY 1, 2),
+tfd AS (
+    SELECT term, doc_id, dl, tf,
+           CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+    FROM tf
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM t
+),
+scored AS (
+    SELECT tfd.term, tfd.doc_id,
+           least(tfd.tf, 3) AS rel,
+           ((n_docs - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           * ((CAST(tfd.tf AS DOUBLE) * 2.2)
+              / (CAST(tfd.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * (CAST(tfd.dl AS DOUBLE) / avgdl))))
+               AS score
+    FROM tfd CROSS JOIN stats
+),
+topk AS (
+    SELECT term, doc_id, rel, score,
+           ROW_NUMBER() OVER (PARTITION BY term
+                              ORDER BY score DESC, doc_id) AS rnk
+    FROM scored QUALIFY rnk <= {_RM_K}
+),
+ideal AS (
+    SELECT term, rel,
+           ROW_NUMBER() OVER (PARTITION BY term
+                              ORDER BY rel DESC, rnk) AS pos
+    FROM topk
+),
+idcg AS (
+    SELECT term, SUM(CAST(rel AS DOUBLE) * ({w_pos}) ORDER BY pos) AS idcg
+    FROM ideal GROUP BY term
+),
+met AS (
+    SELECT term AS query_term,
+           CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+           CAST(SUM(CASE WHEN rel >= {_RM_REL_MIN} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_relevant,
+           COALESCE(1.0 / MIN(CASE WHEN rel >= {_RM_REL_MIN}
+                                   THEN rnk END), 0.0) AS mrr,
+           CAST(SUM(CASE WHEN rel >= {_RM_REL_MIN} THEN 1 ELSE 0 END)
+               AS DOUBLE) / {_RM_K} AS precision_at_k,
+           SUM(CAST(rel AS DOUBLE) * ({w_rank}) ORDER BY rnk) AS dcg
+    FROM topk
+    GROUP BY term
+)
+SELECT m.query_term, m.n_retrieved, m.n_relevant, m.mrr,
+       m.precision_at_k, m.dcg, m.dcg / i.idcg AS ndcg
+FROM met m JOIN idcg i ON i.term = m.query_term
+"""
+
+
+@register("retrieval_rank_metrics", _rank_metrics_sql())
+def q_retrieval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval evaluation: MRR, precision@10, DCG and NDCG@10
+    for the three standing query terms, each scored by the same
+    rational-idf BM25 as ``bm25_retrieval`` and judged against a
+    synthetic graded relevance (term frequency capped at 3 — the labels
+    exist to exercise the METRIC implementations; swap in human labels
+    and nothing else changes). The eval every retrieval change gates on
+    before shipping.
+
+    Determinism: the log2 rank discounts are shared decimal literals
+    (runtime log2 differs in the last ulp across engines); DCG and
+    IDCG fold their ≤10 terms in explicit rank order on BOTH engines
+    (DuckDB ordered-aggregate SUM, Spark a sorted-array fold) because
+    float addition does not commute; MRR is an exact rational. One
+    token explode filtered to the query terms before any shuffle, a
+    per-term top-10 window, then all metrics from those ≤30 rows."""
+    from pyspark.sql import Window
+
+    doc = load_table(spark, sf_dir, "documents")
+    t = doc.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
+    )
+    ex = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    hits = ex.filter(F.col("term").isin(_QUERY_TERMS))
+    tf = hits.groupBy("term", "doc_id").agg(
+        F.min("dl").alias("dl"), F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    tfd = tf.select(
+        "term",
+        "doc_id",
+        "dl",
+        "tf",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("term"))
+        .cast("bigint")
+        .alias("df"),
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum(F.size("toks")).cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    score = (
+        (F.col("n_docs") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    ) * (
+        (F.col("tf").cast("double") * 2.2)
+        / (
+            F.col("tf").cast("double")
+            + 1.2 * (0.25 + 0.75 * (F.col("dl").cast("double") / F.col("avgdl")))
+        )
+    )
+    scored = (
+        tfd.crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            F.least(F.col("tf"), F.lit(3)).alias("rel"),
+            score.alias("score"),
+        )
+    )
+    wr = Window.partitionBy("term").orderBy(F.desc("score"), "doc_id")
+    topk = scored.select(
+        "term", "doc_id", "rel", "score", F.row_number().over(wr).alias("rnk")
+    ).filter(F.col("rnk") <= _RM_K)
+    wi = Window.partitionBy("term").orderBy(F.desc("rel"), "rnk")
+    ranked = topk.select(
+        "term", "rel", "rnk", F.row_number().over(wi).alias("pos")
+    )
+    w_expr = " ".join(f"WHEN {i} THEN {w}D" for i, w in _DCG_W.items())
+    dcg_fold = (
+        "aggregate(array_sort(collect_list(struct(rnk, "
+        f"CAST(rel AS DOUBLE) * (CASE rnk {w_expr} ELSE 0.0D END) AS t))), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t)"
+    )
+    idcg_fold = (
+        "aggregate(array_sort(collect_list(struct(pos, "
+        f"CAST(rel AS DOUBLE) * (CASE pos {w_expr} ELSE 0.0D END) AS t))), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t)"
+    )
+    per_term = ranked.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_retrieved"),
+        F.sum(F.when(F.col("rel") >= _RM_REL_MIN, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_relevant"),
+        F.coalesce(
+            F.lit(1.0)
+            / F.min(F.when(F.col("rel") >= _RM_REL_MIN, F.col("rnk"))),
+            F.lit(0.0),
+        ).alias("mrr"),
+        (
+            F.sum(F.when(F.col("rel") >= _RM_REL_MIN, 1).otherwise(0)).cast(
+                "double"
+            )
+            / _RM_K
+        ).alias("precision_at_k"),
+        F.expr(dcg_fold).alias("dcg"),
+        F.expr(idcg_fold).alias("idcg"),
+    )
+    return per_term.select(
+        F.col("term").alias("query_term"),
+        "n_retrieved",
+        "n_relevant",
+        "mrr",
+        "precision_at_k",
+        "dcg",
+        (F.col("dcg") / F.col("idcg")).alias("ndcg"),
+    )

@@ -1000,3 +1000,13 @@ def test_prefix_filter_join_shuffles_hashes_only(spark):
         "documents.parquet"
     )
     assert "InMemoryTableScan" in plan
+
+
+def test_rank_metrics_filter_before_shuffle(spark):
+    """The query-term filter must run on the exploded scan BEFORE any
+    exchange (the hot path is a filtered explode, not a full-corpus
+    shuffle), and the metric folds run over the tiny top-k table."""
+    df = catalog.queries()["retrieval_rank_metrics"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("documents.parquet") <= 2, "tf pipeline duplicated"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
