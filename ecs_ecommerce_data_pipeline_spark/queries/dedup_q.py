@@ -992,7 +992,16 @@ def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rarity-bounded) when the duplicate report must be complete —
     pairs here ⊇ the LSH-verified pairs by construction
     (tests/test_round5_invariants.py pins both that superset and
-    brute-force equality on a slice)."""
+    brute-force equality on a slice).
+
+    Measured exactness price (SCALING.json ppjoin_decomposition): on
+    the 10× replica corpus — where every replica is a near-dup of its
+    original, so duplication density itself scales — the exact
+    candidate set grows 99.7× (310k → 31M pairs) and wall time 47×;
+    per-candidate work is SUBLINEAR (0.47×), so the growth is corpus
+    duplication, not plan shape. Bounded-duplication corpora stay
+    near-linear; duplicate-dense web corpora should take the LSH path
+    and pay with the recall gate instead."""
     doc = load_table(spark, sf_dir, "documents")
     sh = dedup.shingle_docs(doc, k=_SHINGLE_K)
     return dedup.prefix_filter_join(sh, threshold=_JACCARD_T)

@@ -106,6 +106,15 @@ STAGES = {
     # (geo_radius_join is NOT a stage: both its inputs are dimension
     # tables, which build_scaled deliberately keeps at 1x — its scale
     # posture is pinned by the equi-join plan gate instead)
+    # round-5 final batch: the exact similarity join (df count + per-doc
+    # sort + prefix self-join + verify), the KM/LTV window pipelines,
+    # the two composed-evaluation queries, and retrieval metrics
+    "dedup_prefix_filter_join": "documents",
+    "events_survival_km": "events",
+    "events_cohort_ltv": "events",
+    "model_calibration_bins": "documents",
+    "dedup_lsh_precision_gate": "documents",
+    "retrieval_rank_metrics": "documents",
 }
 
 
@@ -476,6 +485,79 @@ def _cms_trend_decomposition(spark, src_dir: str, out_dir: str) -> dict:
     return out
 
 
+def _ppjoin_decomposition(spark, src_dir: str, out_dir: str) -> dict:
+    """Measured explanation for the exact prefix-filter join: its cost
+    drivers are the distinct-shingle vocabulary (the df aggregation and
+    per-doc sorts) and the prefix-collision candidate pairs (the
+    quadratic term the rare-first ordering bounds). Near-dup replicas
+    multiply collisions far beyond the row ratio — the same growth the
+    LSH path's candidates show (ngram_jaccard_decomposition), which is
+    corpus structure, not plan shape."""
+    from ecs_ecommerce_data_pipeline_spark.operators import dedup
+    from ecs_ecommerce_data_pipeline_spark.functions.textfn import md5_bigint
+    from pyspark.sql import functions as F
+
+    out: dict = {}
+    for label, d in (("base", src_dir), ("scaled", out_dir)):
+        doc = load_table(spark, d, "documents")
+        sh = dedup.shingle_docs(doc, k=3).select(
+            "doc_id", md5_bigint(F.col("shingle")).alias("sh_h")
+        )
+        out[f"distinct_shingles_{label}"] = (
+            sh.select("sh_h").distinct().count()
+        )
+        dfc = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+        per_doc = (
+            sh.join(dfc, "sh_h")
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("df", "sh_h"))
+                ).alias("ordered"),
+                F.count(F.lit(1)).cast("bigint").alias("set_size"),
+            )
+        )
+        plen = (
+            F.col("set_size") - F.ceil(F.lit(0.5) * F.col("set_size")) + 1
+        ).cast("int")
+        pfx = per_doc.select(
+            "doc_id",
+            "set_size",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ordered"), F.lit(1), plen),
+                    lambda x: x["sh_h"],
+                )
+            ).alias("tok"),
+        )
+        a = pfx.select(
+            F.col("doc_id").alias("da"), F.col("set_size").alias("sa"), "tok"
+        )
+        b = pfx.select(
+            F.col("doc_id").alias("db"), F.col("set_size").alias("sb"), "tok"
+        )
+        out[f"prefix_candidates_{label}"] = (
+            a.join(b, "tok")
+            .filter(F.col("da") < F.col("db"))
+            .filter(F.col("sb") * 1.0 >= 0.5 * F.col("sa"))
+            .filter(F.col("sa") * 1.0 >= 0.5 * F.col("sb"))
+            .select("da", "db")
+            .distinct()
+            .count()
+        )
+    out["vocab_ratio"] = round(
+        out["distinct_shingles_scaled"]
+        / max(out["distinct_shingles_base"], 1),
+        2,
+    )
+    out["candidates_ratio"] = round(
+        out["prefix_candidates_scaled"]
+        / max(out["prefix_candidates_base"], 1),
+        2,
+    )
+    return out
+
+
 _ID_OFFSET = 10_000_000
 
 
@@ -676,6 +758,38 @@ def main() -> None:
         # capped_running_balance runs over the same per-customer order
         # segments as the settle fold — identical rows/segment structure,
         # and its three-window rewrite is linear in rows
+        result["ppjoin_decomposition"] = _ppjoin_decomposition(
+            _SPARK, src_dir, out_dir
+        )
+        # the LSH precision gate's work is the SAME candidate pipeline +
+        # verify as the jaccard stage — its growth drivers are the
+        # measured candidate pairs, by name
+        result["precision_gate_decomposition"] = {
+            "note": "same LSH candidate + hashed-key verify pipeline as "
+            "dedup_ngram_jaccard (see ngram_jaccard_decomposition, same "
+            "measurement): candidate pairs are the superlinear driver",
+            **result["ngram_jaccard_decomposition"],
+        }
+        # calibration composes the LM-score and Gopher pipelines: its
+        # joined-side state is the distinct-bigram vocabulary
+        result["calibration_decomposition"] = {
+            "note": "composes text_lm_score + text_gopher_rules; the "
+            "join-state driver is the distinct-bigram vocabulary (see "
+            "lm_score_decomposition, same measurement) — the Gopher side "
+            "is map-only",
+            **result["lm_score_decomposition"],
+        }
+        # KM and LTV are one per-user window pass + tiny-matrix windows —
+        # the same cost drivers as sessionize/transition (rows and users
+        # both 10x, rows/user constant)
+        result["survival_ltv_decomposition"] = {
+            "note": "events_survival_km and events_cohort_ltv are one "
+            "per-user window pass each, then windows over a <=31-row "
+            "curve / weeks-squared matrix (see transition_decomposition, "
+            "same measurement): rows and users both 10x, rows/user "
+            "constant — linear work",
+            **result["transition_decomposition"],
+        }
         result["capped_balance_decomposition"] = {
             "note": "same per-customer segment structure as the settle "
             "fold (see settled_decomposition, same measurement): rows "
