@@ -266,3 +266,51 @@ def test_prefix_filter_join_is_exact(spark):
         for r in _q("dedup_ngram_jaccard", spark).collect()
     }
     assert lsh_verified <= set(got), "exact join must cover LSH-verified"
+
+
+def test_rank_metrics_laws(spark):
+    """NDCG ∈ (0, 1] with DCG ≤ IDCG by construction; MRR is 0 or a
+    unit fraction 1/r with r ≤ k; precision@k consistent with
+    n_relevant."""
+    rows = _q("retrieval_rank_metrics", spark).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["ndcg"] <= 1.0 + 1e-12, r
+        assert r["dcg"] > 0.0
+        if r["mrr"] > 0:
+            inv = 1.0 / r["mrr"]
+            assert abs(inv - round(inv)) < 1e-9 and 1 <= round(inv) <= 10
+        assert r["precision_at_k"] * 10 == r["n_relevant"]
+        assert r["n_retrieved"] <= 10
+
+
+def test_cohort_ltv_laws(spark):
+    """Cohort size equals offset-0 active users; active users never
+    exceed the cohort; cumulative LTV is non-decreasing within a
+    cohort."""
+    rows = _q("events_cohort_ltv", spark).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for cw, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["week_offset"])
+        assert rs[0]["week_offset"] == 0, "every cohort is active at 0"
+        assert rs[0]["n_active_users"] == rs[0]["n_cohort"]
+        prev = -1.0
+        for r in rs:
+            assert r["n_active_users"] <= r["n_cohort"]
+            assert r["cum_ltv_per_user"] >= prev - 1e-12
+            prev = r["cum_ltv_per_user"]
+
+
+def test_distinctive_terms_lift_law(spark):
+    """Lift is positive, per-source ranks are 1..5 without gaps, and a
+    term's in-source tf never exceeds its corpus tf (sanity of the
+    window marginals)."""
+    rows = _q("text_distinctive_terms", spark).collect()
+    by_src = {}
+    for r in rows:
+        assert r["lift"] > 0.0
+        by_src.setdefault(r["source"], []).append(r["rank"])
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
