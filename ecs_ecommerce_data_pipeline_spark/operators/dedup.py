@@ -481,6 +481,11 @@ def connected_components(
         .localCheckpoint()
     )
 
+    # the carried-old column mirrors the component column's OWN type: a
+    # hard "long" cast would NULL out non-numeric node ids (string doc
+    # keys), making component != old never true and silently breaking
+    # after one iteration on any graph with diameter > 2
+    comp_type = labels.schema["component"].dataType
     for _ in range(max_iter):
         # Carry each node's OLD label through the same union+agg (the
         # self row is the only one with old non-null, max() recovers it)
@@ -489,11 +494,11 @@ def connected_components(
         offered = und.join(labels, und.u == labels.node).select(
             F.col("v").alias("node"),
             "component",
-            F.lit(None).cast("long").alias("old"),
+            F.lit(None).cast(comp_type).alias("old"),
         )
         new_full = (
             labels.select(
-                "node", "component", F.col("component").cast("long").alias("old")
+                "node", "component", F.col("component").alias("old")
             )
             .unionByName(offered)
             .groupBy("node")

@@ -251,9 +251,13 @@ def pack_token_budget(
                 }
             )
 
+    # cast the pass-through columns to the DECLARED kernel schema: the
+    # mapInPandas output schema below is fixed (string part, bigint id),
+    # so an int/date part or string id would otherwise hit an Arrow
+    # schema mismatch at runtime despite the generic signature
     prepared = df.select(
-        F.col(part_col).alias("_part"),
-        F.col(id_col).alias("_id"),
+        F.col(part_col).cast("string").alias("_part"),
+        F.col(id_col).cast("bigint").alias("_id"),
         F.col(token_col).cast("bigint").alias("_tok"),
     )
     out_schema = (

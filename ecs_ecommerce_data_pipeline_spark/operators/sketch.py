@@ -264,8 +264,17 @@ def bloom_probe(
         key_col,
         _bloom_pos(F.col("i"), F.col(key_col), m).alias("pos"),
     )
+    # member iff NO probed position missed — counting hits == k would
+    # false-negative a key that appears more than once in the probe
+    # frame (2k hit rows), violating the never-false-negative guarantee.
+    # NULL probe keys still report false (no membership identity — their
+    # positions are NULL, the join misses, and the miss count is k).
     return (
         ppos.join(F.broadcast(marked), "pos", "left")
         .groupBy(key_col)
-        .agg((F.count("_hit") == k).alias("bloom_member"))
+        .agg(
+            (F.count(F.when(F.col("_hit").isNull(), 1)) == 0).alias(
+                "bloom_member"
+            )
+        )
     )

@@ -149,10 +149,11 @@ def settled_balances(
 
     Partition-fold shape (not per-group applyInPandas): customers are
     co-located via repartition + sorted within partitions; ~150k tiny
-    groups through per-group pandas would pay a Python call each (the
-    measured 35x penalty — see .claude/skills/verify notes). A customer
-    can straddle consecutive Arrow batches, so (bal, settles, n) carries
-    across the batch iterator for the boundary customer only.
+    groups through per-group pandas would pay a Python invocation each —
+    measured ~35x slower than one fold over the whole Arrow batch at
+    sf0.1. A customer can straddle consecutive Arrow batches, so
+    (bal, settles, n) carries across the batch iterator for the
+    boundary customer only.
 
     Returns (o_custkey, n_orders, n_settlements, final_balance).
     """

@@ -65,18 +65,51 @@ def vector_index_stream(
         cpath = f"{index_path}/centroids"
         try:
             centroids = spark.read.parquet(cpath)
+            n_cents = centroids.count()
         except AnalysisException:
-            # first batch trains the frozen quantizer (deterministic
-            # smallest-id rule, same as build_ivf_index) and persists it
+            centroids = None
+            n_cents = 0
+        if n_cents < n_centroids:
+            # Quantizer not yet full: (re)train it as the n_centroids
+            # smallest-id vectors seen SO FAR (existing centroids ∪ this
+            # batch). A first batch smaller than n_centroids therefore
+            # under-provisions only TEMPORARILY — later batches keep
+            # topping the table up until it is full, at which point it
+            # freezes (the production trade: train once, assign forever;
+            # re-training is an offline rebuild).  Replay-idempotent:
+            # re-processing a batch re-derives the same union ∪ limit.
+            #
+            # Caveat (documented contract): the frozen quantizer matches
+            # a batch ``build_ivf_index`` over the same corpus only when
+            # the stream's EARLY batches contain the corpus'
+            # n_centroids smallest ids — otherwise recall characteristics
+            # diverge from the batch-built index (cells are still valid
+            # buckets; queries remain correct, recall differs).
             v = as_double_array(vec_col)
-            (
-                batch_df.select(F.col(id_col).alias("cell"), v.alias("cvec"))
+            cand = (
+                batch_df.select(
+                    F.col(id_col).cast("bigint").alias("cell"), v.alias("cvec")
+                )
                 .withColumn("cnrm", norm(F.col("cvec")))
                 .orderBy("cell")
-                .limit(n_centroids)
-                .write.mode("overwrite")
-                .parquet(cpath)
+                .limit(2 * n_centroids)  # bounded: dedup headroom below
             )
+            rows = cand.collect()
+            if centroids is not None:
+                rows = centroids.collect() + rows
+            # existing-centroid rows first → a re-embedded id cannot
+            # perturb an already-frozen centroid vector (determinism)
+            by_cell: dict = {}
+            for r in rows:
+                by_cell.setdefault(r["cell"], r)
+            kept = sorted(by_cell.values(), key=lambda r: r["cell"])[:n_centroids]
+            new_c = spark.createDataFrame(
+                [(r["cell"], list(r["cvec"]), r["cnrm"]) for r in kept],
+                "cell bigint, cvec array<double>, cnrm double",
+            )
+            # write via a materialized driver-side frame — never
+            # overwrite a parquet path from a plan that reads it
+            new_c.write.mode("overwrite").parquet(cpath)
             centroids = spark.read.parquet(cpath)
         assigned = ivf_index_add_batch(
             centroids, batch_df, id_col=id_col, vec_col=vec_col

@@ -1,0 +1,138 @@
+"""Round-6 regression tests for the round-5 advisory findings:
+
+* ``connected_components`` must converge for NON-numeric node id types
+  (the old convergence probe hard-cast the carried label to long, so a
+  string-id graph with diameter > 2 silently stopped after one round);
+* ``bloom_probe`` must never false-negative a key that appears more
+  than once in the probe frame (hit-count == k broke on duplicates);
+* ``pack_token_budget`` must accept non-string part columns and
+  non-bigint id columns (the kernel output schema is fixed, so the
+  inputs are now cast to it);
+* ``vector_index_stream`` must keep training the coarse quantizer
+  across batches until it holds ``n_centroids`` rows (a small first
+  micro-batch used to freeze an under-provisioned quantizer forever).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_connected_components_string_ids(spark):
+    """Chain a-b-c-d-e (diameter 4, forces >1 propagation round) with
+    STRING node ids: every node must reach the lexicographic min."""
+    from ecs_ecommerce_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "x": "x", "y": "x",
+    }
+
+
+def test_bloom_probe_duplicate_keys_not_false_negative(spark):
+    """A key probed twice must still report member=true — membership is
+    'no probed position missed', not an exact hit count."""
+    from ecs_ecommerce_data_pipeline_spark.operators.sketch import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    keys = spark.createDataFrame([(i,) for i in range(50)], "key long")
+    bits = bloom_bits(keys, "key", k=4, m=512)
+    probes = spark.createDataFrame(
+        [(7,), (7,), (7,), (11,), (11,)], "key long"
+    )
+    got = {r["key"]: r["bloom_member"] for r in bloom_probe(
+        bits, probes, "key", k=4, m=512
+    ).collect()}
+    assert got == {7: True, 11: True}
+
+
+def test_bloom_probe_null_key_reports_false(spark):
+    """NULL probe keys have no membership identity — reported false,
+    never an error."""
+    from ecs_ecommerce_data_pipeline_spark.operators.sketch import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    keys = spark.createDataFrame([(i,) for i in range(20)], "key long")
+    bits = bloom_bits(keys, "key", k=4, m=512)
+    probes = spark.createDataFrame([(None,), (3,)], "key long")
+    got = {
+        r["key"]: r["bloom_member"]
+        for r in bloom_probe(bits, probes, "key", k=4, m=512).collect()
+    }
+    assert got[3] is True
+    assert got[None] is False
+
+
+def test_pack_token_budget_generic_column_types(spark):
+    """An INT part column and an INT id column must pack identically to
+    their string/bigint twins — the declared Arrow schema is satisfied
+    by casting, not by crashing."""
+    from ecs_ecommerce_data_pipeline_spark.operators.sampling import (
+        pack_token_budget,
+    )
+
+    rows = [(1, 10, 60), (1, 11, 50), (1, 12, 40), (2, 20, 90), (2, 21, 30)]
+    ints = spark.createDataFrame(rows, "grp int, doc int, toks int")
+    strs = ints.select(
+        F.col("grp").cast("string").alias("grp"),
+        F.col("doc").cast("bigint").alias("doc"),
+        F.col("toks").alias("toks"),
+    )
+    got_i = {
+        (r["grp"], r["doc"]): r["bin_id"]
+        for r in pack_token_budget(ints, "grp", "toks", "doc", 100).collect()
+    }
+    got_s = {
+        (r["grp"], r["doc"]): r["bin_id"]
+        for r in pack_token_budget(strs, "grp", "toks", "doc", 100).collect()
+    }
+    # int-typed inputs come back as the kernel's declared types
+    assert {(str(g), int(d)): b for (g, d), b in got_i.items()} == {
+        (g, d): b for (g, d), b in got_s.items()
+    }
+    assert len(got_i) == 5
+
+
+def test_vector_index_stream_small_first_batch_tops_up(spark, tmp_path):
+    """First micro-batch carries FEWER rows than n_centroids: the
+    quantizer must keep absorbing later batches until full (16 cells),
+    instead of freezing at the first batch's size forever."""
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        load_stream_index,
+        vector_index_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    drop_dir = str(tmp_path / "drop")
+    # file 0: 4 rows (< 16 centroids); file 1: the rest
+    emb.filter(F.col("vec_id") < 4).coalesce(1).write.parquet(drop_dir)
+    emb.filter(F.col("vec_id") >= 4).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    q = vector_index_stream(
+        stream, str(tmp_path / "idx"), str(tmp_path / "ckpt"), n_centroids=16
+    )
+    q.awaitTermination(240)
+    centroids, assignments = load_stream_index(spark, str(tmp_path / "idx"))
+    assert centroids.count() == 16
+    assert assignments.count() == emb.count()
