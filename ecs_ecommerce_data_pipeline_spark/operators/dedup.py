@@ -650,6 +650,23 @@ def prefix_filter_join(
     Rare-first ordering is what keeps prefix buckets small — the
     quadratic term concentrates in the rarest tokens.
 
+    The POSITIONAL filter (the "P" in PPJoin, Xiao et al. WWW'08)
+    prunes candidates before the verify join at identical exactness.
+    Both prefixes are sorted by the same total order, so the shared
+    tokens of any pair appear in the same relative order on both sides;
+    every shared token that is NOT a prefix-join match must then sit
+    strictly AFTER the last match in BOTH arrays (were it earlier, it
+    would lie inside both prefixes and be a match itself). Hence, with
+    ``c`` matches and last-match positions (i, j):
+
+        overlap(a,b) ≤ c + min(|a| − i, |b| − j)
+
+    and J ≥ t requires overlap ≥ t·(|a|+|b|)/(1+t); pairs whose upper
+    bound cannot reach it are dropped without touching their full sets.
+    The comparison keeps an epsilon of slack so float rounding can only
+    UNDER-prune — exactness (no false negatives) is preserved by
+    construction and pinned by the brute-force-equality invariant test.
+
     Scale shape: the hashed-shingle frame is built ONCE and
     persist-pinned (the ``graph.py`` edge-list discipline — five
     consumers would otherwise re-run the tokenize+shingle scan five
@@ -658,7 +675,9 @@ def prefix_filter_join(
     hash array (array_sort on (df, hash) structs — row-local), one
     explode of ~(1−t)·corpus prefix tokens, a self-join on 8-byte
     hashed tokens, and the hashed-key verify. Everything shuffles
-    hashes, never shingle text.
+    hashes, never shingle text. The result is materialized before
+    returning and the pinned frame is UNPERSISTED — repeated catalog /
+    bench invocations must not accumulate cached blocks.
     """
     from ..functions.textfn import md5_bigint
 
@@ -680,27 +699,33 @@ def prefix_filter_join(
         - F.ceil(F.lit(threshold) * F.col("set_size"))
         + 1
     ).cast("int")
+    # posexplode: 1-based in-prefix position rides along for the
+    # positional filter (the canonical order is the array order)
     prefixes = per_doc.select(
         "doc_id",
         "set_size",
-        F.explode(
+        F.posexplode(
             F.transform(
                 F.slice(F.col("ordered"), F.lit(1), prefix_len),
                 lambda x: x["sh_h"],
             )
-        ).alias("tok"),
+        ).alias("pos0", "tok"),
+    ).select(
+        "doc_id", "set_size", (F.col("pos0") + 1).alias("pos"), "tok"
     )
     a = prefixes.select(
         F.col("doc_id").alias("doc_a"),
         F.col("set_size").alias("size_a"),
+        F.col("pos").alias("pos_a"),
         "tok",
     )
     b = prefixes.select(
         F.col("doc_id").alias("doc_b"),
         F.col("set_size").alias("size_b"),
+        F.col("pos").alias("pos_b"),
         "tok",
     )
-    cands = (
+    matched = (
         a.join(b, "tok")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
@@ -709,8 +734,25 @@ def prefix_filter_join(
         .filter(
             F.col("size_a") * F.lit(1.0) >= F.lit(threshold) * F.col("size_b")
         )
+    )
+    # one agg replaces the old .distinct(): same shuffle keys, and the
+    # aggregated (c, last-match positions) feed the positional bound
+    ubound = F.col("c") + F.least(
+        F.col("size_a") - F.col("ia"), F.col("size_b") - F.col("jb")
+    )
+    cands = (
+        matched.groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.max("pos_a").alias("ia"),
+            F.max("pos_b").alias("jb"),
+        )
+        .filter(
+            ubound * F.lit(1.0 + threshold)
+            >= F.lit(threshold) * (F.col("size_a") + F.col("size_b"))
+            - F.lit(1e-9)
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     # hashed-key verify against the SAME persisted frame (calling
     # jaccard_pairs would re-hash from the raw shingles — three more
@@ -740,6 +782,15 @@ def prefix_filter_join(
     jac = F.col("n_common").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("n_common")
     )
-    return sized.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
+    result = (
+        sized.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        # materialize (pair-sized, tiny relative to the input), then
+        # release the pinned shingle cache: without this the cached
+        # blocks outlive the call and accumulate across catalog / bench
+        # invocations in a long-lived session (same discipline as
+        # graph.py's edge list and connected_components' und frame)
+        .localCheckpoint()
     )
+    sh.unpersist()
+    return result

@@ -136,3 +136,23 @@ def test_vector_index_stream_small_first_batch_tops_up(spark, tmp_path):
     centroids, assignments = load_stream_index(spark, str(tmp_path / "idx"))
     assert centroids.count() == 16
     assert assignments.count() == emb.count()
+
+
+def test_prefix_filter_join_releases_its_cache(spark):
+    """prefix_filter_join pins the hashed-shingle frame during its five
+    internal consumers but must UNPERSIST it before returning — only the
+    (pair-sized) checkpointed result may remain in block storage, never
+    the corpus-sized shingle cache."""
+    from ecs_ecommerce_data_pipeline_spark.operators.dedup import (
+        prefix_filter_join,
+        shingle_docs,
+    )
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(80)
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    res = prefix_filter_join(shingle_docs(docs), threshold=0.5)
+    res.count()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    # at most the localCheckpointed result itself — the shingle pin is gone
+    assert after - before <= 1
