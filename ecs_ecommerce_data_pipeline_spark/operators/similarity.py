@@ -551,6 +551,209 @@ def ivf_index_add_batch(
 _PQ_SCALE = float(1 << 20)
 
 
+def _pq_codebook(base: DataFrame, m: int, k: int, sub: int) -> DataFrame:
+    """(cw, s, cv): the deterministic training-free PQ codebook — the
+    subvectors of the ``k`` smallest-id vectors, codeword index = dense
+    id rank (a production build would k-means per subspace; the
+    assignment/ADC plumbing is identical).  ``base`` is (vid, vec);
+    output is m·k tiny rows, always broadcast by consumers."""
+    cb_vecs = base.orderBy("vid").limit(k)
+    cw = W.orderBy("vid")  # k rows only — the single-partition window is fine
+    subspaces = F.sequence(F.lit(0), F.lit(m - 1))
+    return (
+        cb_vecs.withColumn("cw", F.row_number().over(cw) - 1)
+        .select("cw", F.explode(subspaces).alias("s"), "vec")
+        .select(
+            "cw",
+            "s",
+            F.slice(F.col("vec"), F.col("s") * sub + 1, sub).alias("cv"),
+        )
+    )
+
+
+def _pq_assign(base: DataFrame, codebook: DataFrame, m: int, sub: int) -> DataFrame:
+    """(vid, s, code, dist2): nearest codeword per (vector, subspace).
+
+    Scale shape: explode to |base|·m subvector rows joined against the
+    broadcast codebook — O(n·m·k) subspace distances; the argmin is
+    min(struct(dist2, cw)) so the scored rows hash-aggregate map-side
+    and never shuffle (a window row_number would sort-shuffle all of
+    them).  Distances are the same sequential fold on both engines, so
+    every argmin decision is bit-reproducible."""
+    subspaces = F.sequence(F.lit(0), F.lit(m - 1))
+    corpus = base.select("vid", F.explode(subspaces).alias("s"), "vec").select(
+        "vid",
+        "s",
+        F.slice(F.col("vec"), F.col("s") * sub + 1, sub).alias("vs"),
+    )
+    diff = F.zip_with(F.col("vs"), F.col("cv"), lambda x, y: x - y)
+    scored = corpus.join(F.broadcast(codebook), "s").select(
+        "vid", "s", "cw", dot(diff, diff).alias("dist2")
+    )
+    return (
+        scored.groupBy("vid", "s")
+        .agg(F.min(F.struct("dist2", "cw")).alias("m"))
+        .select(
+            "vid",
+            "s",
+            F.col("m.cw").alias("code"),
+            F.col("m.dist2").alias("dist2"),
+        )
+    )
+
+
+def _pq_query_lut(
+    queries: DataFrame, codebook: DataFrame, m: int, sub: int
+) -> DataFrame:
+    """(query_id, s, code, dq): each query's ADC lookup table — the
+    quantized squared distance from its subvectors to EVERY codeword.
+    |Q|·m·k rows; consumers broadcast it.  ``queries`` is (vid, vec)."""
+    subspaces = F.sequence(F.lit(0), F.lit(m - 1))
+    qsub = queries.select(
+        F.col("vid").alias("query_id"), F.explode(subspaces).alias("s"), "vec"
+    ).select(
+        "query_id",
+        "s",
+        F.slice(F.col("vec"), F.col("s") * sub + 1, sub).alias("qs"),
+    )
+    qdiff = F.zip_with(F.col("qs"), F.col("cv"), lambda x, y: x - y)
+    return qsub.join(F.broadcast(codebook), "s").select(
+        "query_id",
+        "s",
+        F.col("cw").alias("code"),
+        F.floor(dot(qdiff, qdiff) * F.lit(_PQ_SCALE)).cast("bigint").alias("dq"),
+    )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    pq_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    path: str | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Build a COMPOSED IVF-PQ index: the coarse quantizer routes a
+    query to a few cells, PQ codes stand in for the raw vectors inside
+    them — the billion-vector serving layout (Jégou et al.): probe
+    top-P inverted lists, then ADC over 8-byte codes instead of
+    512-byte floats.
+
+    Four parts, all reloaded from the written files when ``path`` is
+    given (downstream plans scan the index, not the build lineage):
+
+    * ``centroids`` (cell, cvec, cnrm) — as :func:`build_ivf_index`;
+    * ``assignments`` (vid, vec, nrm, cell), ``partitionBy(cell)`` —
+      raw vectors kept for exact re-ranking and as the query-vector
+      lookup;
+    * ``pq_codebook`` (cw, s, cv) — m·k tiny rows;
+    * ``pq_codes`` (vid, s, code, cell), ``partitionBy(cell)`` — the
+      compressed inverted lists ADC search scans; a query probing P
+      cells READS only P code partitions (parquet partition pruning).
+
+    The PQ codebook derives from the same corpus (``pq_k`` smallest-id
+    vectors), so a full-corpus build is bit-identical to the standalone
+    ``pq_codes`` path.
+    """
+    dims = _vector_dims(embeddings, vec_col)
+    if dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    sub = dims // m
+    centroids, assignments = build_ivf_index(
+        embeddings, n_centroids, id_col, vec_col, path=path
+    )
+    v = as_double_array(vec_col)
+    base = embeddings.select(F.col(id_col).alias("vid"), v.alias("vec"))
+    codebook = _pq_codebook(base, m, pq_k, sub)
+    # cells come from the (already materialized, when path is set)
+    # assignments — the code build never re-derives the coarse ranking
+    codes = _pq_assign(base, codebook, m, sub).select("vid", "s", "code").join(
+        assignments.select("vid", "cell"), "vid"
+    )
+    if path is None:
+        return centroids, assignments, codebook, codes
+    codebook.write.mode("overwrite").parquet(f"{path}/pq_codebook")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/pq_codes")
+    return load_ivfpq_index(embeddings.sparkSession, path)
+
+
+def load_ivfpq_index(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Load a persisted IVF-PQ index: (centroids, assignments,
+    pq_codebook, pq_codes)."""
+    centroids, assignments = load_ivf_index(spark, path)
+    codebook = spark.read.parquet(f"{path}/pq_codebook")
+    codes = spark.read.parquet(f"{path}/pq_codes").select(
+        "vid", "s", "code", F.col("cell").cast("long").alias("cell")
+    )
+    return centroids, assignments, codebook, codes
+
+
+def ivfpq_topk(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = 8,
+) -> DataFrame:
+    """Composed IVF-PQ search: rank the query vectors against the
+    broadcast centroids, probe the top-``nprobe`` cells, ADC-score ONLY
+    those cells' PQ codes against the query's broadcast lookup table —
+    never a full-corpus code scan (``pq_adc_topk``'s weakness) and
+    never a raw-vector scan inside the probed cells
+    (``ivf_index_topk``'s).
+
+    Scale shape: query vectors are fetched by a bounded vid IN-filter
+    on the assignments store; the probed cell ids are a driver-side
+    |queries|·nprobe list pushed into the codes scan as an IN-filter
+    (static partition pruning on the partitionBy(cell) layout); scoring
+    is Σ(probed-cell code rows)·1 lookup joins against a |Q|·m·k
+    broadcast LUT plus one hash aggregation.  All-integer after
+    quantization — ranks are bit-reproducible cross-engine.
+    """
+    sub_row = codebook.select(F.size("cv").alias("s")).first()
+    sub = int(sub_row["s"]) if sub_row is not None else 0
+    queries = assignments.filter(F.col("vid").isin(query_ids)).select(
+        "vid", "vec", "nrm"
+    )
+    lut = _pq_query_lut(queries.select("vid", "vec"), codebook, m, sub)
+    scored_q = queries.crossJoin(F.broadcast(centroids)).select(
+        F.col("vid").alias("query_id"),
+        F.col("cell"),
+        (
+            dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+        ).alias("cos"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell"))
+    probes = (
+        scored_q.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    # bounded driver collect: |queries| × nprobe cell ids → static
+    # partition pruning on the on-disk compressed inverted lists
+    probe_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    cand = (
+        codes.filter(F.col("cell").isin(probe_cells))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", F.col("vid").alias("corpus_id"))
+        .agg(F.sum("dq").cast("bigint").alias("adc_q"))
+    )
+    wt = W.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("corpus_id"))
+    return scored.withColumn("rnk", F.row_number().over(wt).cast("bigint")).filter(
+        F.col("rnk") <= k
+    )
+
+
 def pq_subspace_assignments(
     embeddings: DataFrame,
     m: int = 8,
@@ -581,45 +784,13 @@ def pq_subspace_assignments(
     sub = dims // m
     v = as_double_array(vec_col)
     base = embeddings.select(F.col(id_col).alias("vid"), v.alias("vec"))
-    cb_vecs = base.orderBy("vid").limit(k)
-    cw = W.orderBy("vid")  # k rows only — the single-partition window is fine
-    subspaces = F.sequence(F.lit(0), F.lit(m - 1))
-    codebook = (
-        cb_vecs.withColumn("cw", F.row_number().over(cw) - 1)
-        .select("cw", F.explode(subspaces).alias("s"), "vec")
-        .select(
-            "cw",
-            "s",
-            F.slice(F.col("vec"), F.col("s") * sub + 1, sub).alias("cv"),
-        )
-    )
-    corpus = base.select(
-        "vid", F.explode(subspaces).alias("s"), "vec"
-    ).select(
+    codebook = _pq_codebook(base, m, k, sub)
+    return _pq_assign(base, codebook, m, sub).select(
         "vid",
         "s",
-        F.slice(F.col("vec"), F.col("s") * sub + 1, sub).alias("vs"),
-    )
-    diff = F.zip_with(F.col("vs"), F.col("cv"), lambda x, y: x - y)
-    scored = corpus.join(F.broadcast(codebook), "s").select(
-        "vid", "s", "cw", dot(diff, diff).alias("dist2")
-    )
-    # argmin as min(struct(dist2, cw)) — lexicographic struct order IS
-    # the (distance, tie-to-smallest-codeword) rule, and a hash
-    # aggregate combines map-side: the n·m·k scored rows never shuffle
-    # (a window row_number would sort-shuffle all of them)
-    return (
-        scored.groupBy("vid", "s")
-        .agg(F.min(F.struct("dist2", "cw")).alias("m"))
-        .select(
-            "vid",
-            "s",
-            F.col("m.cw").alias("code"),
-            F.col("m.dist2").alias("dist2"),
-            F.floor(F.col("m.dist2") * F.lit(_PQ_SCALE))
-            .cast("bigint")
-            .alias("dq"),
-        )
+        "code",
+        "dist2",
+        F.floor(F.col("dist2") * F.lit(_PQ_SCALE)).cast("bigint").alias("dq"),
     )
 
 
@@ -676,35 +847,9 @@ def pq_adc_topk(
     sub = dims // m
     v = as_double_array(vec_col)
     base = embeddings.select(F.col(id_col).alias("vid"), v.alias("vec"))
-    cb_vecs = base.orderBy("vid").limit(k)
-    cw = W.orderBy("vid")
-    subspaces = F.sequence(F.lit(0), F.lit(m - 1))
-    codebook = (
-        cb_vecs.withColumn("cw", F.row_number().over(cw) - 1)
-        .select("cw", F.explode(subspaces).alias("s"), "vec")
-        .select(
-            "cw",
-            "s",
-            F.slice(F.col("vec"), F.col("s") * sub + 1, sub).alias("cv"),
-        )
-    )
-    qsub = (
-        base.filter(F.col("vid").isin(query_ids))
-        .select(
-            F.col("vid").alias("query_id"), F.explode(subspaces).alias("s"), "vec"
-        )
-        .select(
-            "query_id",
-            "s",
-            F.slice(F.col("vec"), F.col("s") * sub + 1, sub).alias("qs"),
-        )
-    )
-    qdiff = F.zip_with(F.col("qs"), F.col("cv"), lambda x, y: x - y)
-    lut = qsub.join(F.broadcast(codebook), "s").select(
-        "query_id",
-        "s",
-        F.col("cw").alias("code"),
-        F.floor(dot(qdiff, qdiff) * F.lit(_PQ_SCALE)).cast("bigint").alias("dq"),
+    codebook = _pq_codebook(base, m, k, sub)
+    lut = _pq_query_lut(
+        base.filter(F.col("vid").isin(query_ids)), codebook, m, sub
     )
     scored = (
         codes.join(F.broadcast(lut), ["s", "code"])

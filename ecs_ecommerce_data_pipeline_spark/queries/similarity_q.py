@@ -334,11 +334,10 @@ _PQ_K = 16
 _PQ_SUB = _DIMS // _PQ_M
 _PQ_SCALE = "1048576.0"  # 2^20 — see operators.similarity._PQ_SCALE
 
-# shared PQ CTE prefix: corpus, dense-ranked smallest-id codebook,
-# per-(vector, subspace) squared distances, and the argmin code rows
-_PQ_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-base AS (SELECT vec_id AS vid, v FROM e),
-cbv AS (
+# shared PQ CTE tail (codebook → codes), referencing a ``base(vid, v)``
+# CTE the caller provides — composable with the IVF prefix (whose base
+# carries an extra nrm column) for the IVF-PQ oracle
+_PQ_TAIL = f"""cbv AS (
     SELECT vid, v, CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT) AS cw
     FROM base ORDER BY vid LIMIT {_PQ_K}
 ),
@@ -368,6 +367,11 @@ codes AS (
         FROM dists
     ) WHERE rn = 1
 )"""
+
+# standalone PQ prefix: own corpus + base, then the shared tail
+_PQ_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (SELECT vec_id AS vid, v FROM e),
+{_PQ_TAIL}"""
 
 _PQ_CODES_SQL = f"""
 WITH {_PQ_CTES}
@@ -438,6 +442,139 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk=_K,
         m=_PQ_M,
         k=_PQ_K,
+    )
+
+
+# IVF-PQ composed CTEs: IVF prefix (e/base with nrm, centroids, ranked,
+# cells) + PQ tail (cbv..codes share ITS base — the extra nrm column is
+# inert), then probes / lut / per-probed-cell ADC scoring
+_IVFPQ_SCORED = f"""{_IVF_CTES},
+{_PQ_TAIL},
+probes AS (
+    SELECT vid AS query_id, cid AS cell
+    FROM ranked WHERE vid IN ({_qids}) AND rn <= {_NPROBE}
+),
+qsub AS (
+    SELECT vid AS query_id, s,
+           v[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS qs
+    FROM base CROSS JOIN subs
+    WHERE vid IN ({_qids})
+),
+lut AS (
+    SELECT query_id, s, cw AS code,
+           CAST(FLOOR(list_dot_product(
+               list_transform(generate_series(1, {_PQ_SUB}), i -> qs[i] - cv[i]),
+               list_transform(generate_series(1, {_PQ_SUB}), i -> qs[i] - cv[i])
+           ) * {_PQ_SCALE}) AS BIGINT) AS dq
+    FROM qsub JOIN cb USING (s)
+),
+cand AS (
+    SELECT p.query_id, cl.corpus_id
+    FROM cells cl JOIN probes p
+      ON cl.cell = p.cell AND cl.corpus_id <> p.query_id
+),
+scored AS (
+    SELECT cand.query_id, cand.corpus_id, CAST(SUM(l.dq) AS BIGINT) AS adc_q
+    FROM cand
+    JOIN codes co ON co.vid = cand.corpus_id
+    JOIN lut l ON l.query_id = cand.query_id
+              AND l.s = co.s AND l.code = co.code
+    GROUP BY 1, 2
+)"""
+
+_IVFPQ_TOPK_SQL = f"""
+WITH {_IVFPQ_SCORED}
+SELECT query_id, corpus_id, adc_q, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_q ASC, corpus_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= {_K}
+"""
+
+
+@register("sim_ivfpq_topk", _IVFPQ_TOPK_SQL)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ search served from a PERSISTED index — the
+    billion-vector layout: probe the top-nprobe cells (plan-gated
+    parquet partition pruning on the codes store), then ADC-score ONLY
+    those cells' 8-byte PQ codes against the query's broadcast LUT.
+    Closes the round-5 gap: ``pq_adc_topk`` scanned every corpus code,
+    ``ivf_index_topk`` scanned raw vectors inside probed cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigns, cb, codes = similarity.build_ivfpq_index(
+        emb,
+        n_centroids=_N_CENTROIDS,
+        m=_PQ_M,
+        pq_k=_PQ_K,
+        path=_ivf_index_path(sf_dir),
+    )
+    return similarity.ivfpq_topk(
+        cents, assigns, cb, codes, _QUERY_IDS, k=_K, nprobe=_NPROBE, m=_PQ_M
+    )
+
+
+_IVFPQ_RECALL_SQL = f"""
+WITH {_IVFPQ_SCORED},
+pqk AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_q ASC, corpus_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_K}
+),
+bf AS (
+    SELECT q.vid AS query_id, b.vid AS corpus_id,
+           list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cosine_sim
+    FROM base q JOIN base b ON b.vid <> q.vid
+    WHERE q.vid IN ({_qids})
+),
+bfk AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rnk
+        FROM bf
+    ) WHERE rnk <= {_K}
+)
+SELECT bfk.query_id,
+       CAST(COUNT(pqk.corpus_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(pqk.corpus_id) AS DOUBLE) / {_K} AS recall
+FROM bfk LEFT JOIN pqk
+  ON pqk.query_id = bfk.query_id AND pqk.corpus_id = bfk.corpus_id
+GROUP BY bfk.query_id
+"""
+
+
+@register("sim_ivfpq_recall", _IVFPQ_RECALL_SQL)
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k gate for the composed IVF-PQ path vs the exact
+    brute-force baseline: per query, how many of the true top-k the
+    compressed probed search recovers.  The oracle composes BOTH
+    verified pipelines as CTEs — it recomputes the approximate AND the
+    exact ranking independently, so a recall mismatch localizes to the
+    composition, not the parts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigns, cb, codes = similarity.build_ivfpq_index(
+        emb,
+        n_centroids=_N_CENTROIDS,
+        m=_PQ_M,
+        pq_k=_PQ_K,
+        path=_ivf_index_path(sf_dir),
+    )
+    pqk = similarity.ivfpq_topk(
+        cents, assigns, cb, codes, _QUERY_IDS, k=_K, nprobe=_NPROBE, m=_PQ_M
+    ).select("query_id", "corpus_id")
+    bfk = similarity.brute_force_topk(emb, _QUERY_IDS, k=_K).select(
+        F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc")
+    )
+    hits = bfk.join(
+        pqk,
+        (F.col("bq") == F.col("query_id")) & (F.col("bc") == F.col("corpus_id")),
+        "left",
+    )
+    return hits.groupBy(F.col("bq").alias("query_id")).agg(
+        F.count("corpus_id").cast("bigint").alias("n_hits"),
+        (F.count("corpus_id").cast("double") / F.lit(float(_K))).alias("recall"),
     )
 
 

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
+    _pq_assign,
+    _pq_codebook,
     as_double_array,
     ivf_index_add_batch,
     norm,
@@ -45,13 +47,27 @@ def vector_index_stream(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_m: int | None = None,
+    pq_k: int = 16,
 ):
     """Maintain a persisted IVF index from a stream of embedding rows.
 
     Exactly-once: the checkpoint dedups source offers; the ledger
     guards the crash window; batch-stamped dynamic overwrites make
     replays idempotent (see module docstring).
+
+    With ``pq_m`` set, the stream ALSO maintains the composed IVF-PQ
+    layout (``pq_codebook`` + per-batch ``pq_codes`` partitions): the
+    PQ codebook freezes from the coarse quantizer's vectors the moment
+    the quantizer fills (so ``pq_k`` must be ≤ ``n_centroids``), all
+    rows assigned before that moment are back-filled once, and every
+    later batch codes only its own vectors — O(|batch| · m · k)
+    per trigger.  ``load_stream_ivfpq`` serves the result to
+    ``ivfpq_topk``.
     """
+    if pq_m is not None and pq_k > n_centroids:
+        raise ValueError("pq_k must be <= n_centroids (codebook derives "
+                         "from the frozen quantizer's vectors)")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         bid = f"vecidx-microbatch-{batch_id}"
@@ -121,6 +137,10 @@ def vector_index_stream(
             .partitionBy("_batch_id", "cell")
             .parquet(f"{index_path}/assignments")
         )
+        if pq_m is not None:
+            _maintain_pq_codes(
+                spark, index_path, centroids, batch_id, pq_m, pq_k, n_centroids
+            )
         if ledger is not None:
             ledger.mark_done(bid)
 
@@ -130,6 +150,94 @@ def vector_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _maintain_pq_codes(
+    spark: SparkSession,
+    index_path: str,
+    centroids: DataFrame,
+    batch_id: int,
+    m: int,
+    k: int,
+    n_centroids: int,
+) -> None:
+    """Per-batch PQ-code maintenance for the stream-built IVF-PQ index.
+
+    Freeze-then-backfill: no codes exist until the coarse quantizer is
+    full; at that moment the codebook is derived from the quantizer's
+    own vectors (the ``k`` smallest-id vectors seen — identical to the
+    batch build when the early batches carry the corpus' smallest ids,
+    the same documented caveat as the quantizer itself) and every row
+    assigned so far is coded once.  Afterwards each batch codes only
+    its own rows, read back from the partition it just wrote (static
+    ``_batch_id`` pruning — never a store rescan).  Codes are written
+    as ``(_batch_id, cell)`` dynamic overwrites: an at-least-once
+    replay rewrites exactly its own partitions, idempotent by
+    construction."""
+    from pyspark.sql import Window as W
+
+    cbpath = f"{index_path}/pq_codebook"
+    try:
+        codebook = spark.read.parquet(cbpath)
+        backfill = False
+    except AnalysisException:
+        if centroids.count() < n_centroids:
+            return  # quantizer still filling: codes start at freeze time
+        crow = centroids.orderBy("cell").first()
+        sub = len(crow["cvec"]) // m
+        base_c = centroids.select(
+            F.col("cell").alias("vid"), F.col("cvec").alias("vec")
+        )
+        _pq_codebook(base_c, m, k, sub).write.mode("overwrite").parquet(cbpath)
+        codebook = spark.read.parquet(cbpath)
+        backfill = True
+    sub_row = codebook.select(F.size("cv").alias("s")).first()
+    sub = int(sub_row["s"])
+    store = spark.read.parquet(f"{index_path}/assignments")
+    if backfill:
+        # one-time: code the latest row per vid across everything
+        # written so far (bounded by pre-freeze volume, runs once)
+        w = W.partitionBy("vid").orderBy(F.desc("_batch_id"))
+        rows = (
+            store.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vid", "vec", "cell", "_batch_id")
+        )
+    else:
+        rows = store.filter(F.col("_batch_id") == batch_id).select(
+            "vid", "vec", "cell", "_batch_id"
+        )
+    coded = _pq_assign(rows.select("vid", "vec"), codebook, m, sub).select(
+        "vid", "s", "code"
+    )
+    (
+        coded.join(rows.select("vid", "cell", "_batch_id"), "vid")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id", "cell")
+        .parquet(f"{index_path}/pq_codes")
+    )
+
+
+def load_stream_ivfpq(
+    spark: SparkSession, index_path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Load the stream-maintained IVF-PQ index as the (centroids,
+    assignments, pq_codebook, pq_codes) tuple ``ivfpq_topk`` consumes —
+    latest-batch-wins per vector id on both the raw assignments and the
+    code rows (a re-embedded id's newest codes supersede older ones)."""
+    from pyspark.sql import Window as W
+
+    centroids, assignments = load_stream_index(spark, index_path)
+    codebook = spark.read.parquet(f"{index_path}/pq_codebook")
+    raw = spark.read.parquet(f"{index_path}/pq_codes")
+    w = W.partitionBy("vid", "s").orderBy(F.desc("_batch_id"))
+    codes = (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vid", "s", "code", F.col("cell").cast("long").alias("cell"))
+    )
+    return centroids, assignments, codebook, codes
 
 
 def load_stream_index(

@@ -97,3 +97,79 @@ def test_index_layout_is_partitioned_by_cell(spark, index):
         if d.startswith("cell=")
     ]
     assert len(cells) > 1
+
+
+# --- IVF-PQ composed index ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfpq"))
+    emb = load_table(spark, SF, "embeddings")
+    cents, assigns, cb, codes = similarity.build_ivfpq_index(
+        emb, n_centroids=16, m=8, pq_k=16, path=path
+    )
+    return path, cents, assigns, cb, codes
+
+
+def test_ivfpq_full_probe_equals_full_adc_scan(spark, ivfpq):
+    """With nprobe = n_centroids the composed search visits every cell,
+    so it must equal the standalone full-corpus ADC scan bit-for-bit —
+    the composition changes WHERE codes are read, never the scoring."""
+    _, cents, assigns, cb, codes = ivfpq
+    emb = load_table(spark, SF, "embeddings")
+    full = similarity.ivfpq_topk(
+        cents, assigns, cb, codes, _QIDS, k=10, nprobe=16, m=8
+    )
+    adc = similarity.pq_adc_topk(emb, _QIDS, topk=10, m=8, k=16)
+    cols = ["query_id", "corpus_id", "adc_q", "rnk"]
+    assert sorted(map(tuple, full.select(cols).collect())) == sorted(
+        map(tuple, adc.select(cols).collect())
+    )
+
+
+def test_ivfpq_reads_pruned_codes_never_raw_corpus(spark, ivfpq):
+    """The probed search must scan the PQ codes store with a cell
+    partition filter (pruned inverted lists) and never the embeddings
+    table; raw vectors are fetched only for the bounded query set."""
+    path, cents, assigns, cb, codes = ivfpq
+    plan = similarity.ivfpq_topk(
+        cents, assigns, cb, codes, _QIDS, k=10, nprobe=4, m=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert f"{path}/pq_codes" in plan
+    assert "embeddings.parquet" not in plan
+    seg = plan[plan.find("pq_codes"):]
+    assert "PartitionFilters:" in seg
+    assert "cell" in seg.split("PartitionFilters:", 1)[1][:200]
+
+
+def test_ivfpq_candidates_only_from_probed_cells(spark, ivfpq):
+    """Every returned neighbor must live in one of its query's probed
+    cells — the result set proves the pruning is per-query, not just a
+    union-of-cells coarse filter."""
+    from pyspark.sql import Window as W
+
+    _, cents, assigns, cb, codes = ivfpq
+    res = similarity.ivfpq_topk(
+        cents, assigns, cb, codes, _QIDS, k=10, nprobe=4, m=8
+    )
+    # recompute each query's probed cells directly
+    q = assigns.filter(F.col("vid").isin(_QIDS)).select("vid", "vec", "nrm")
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        F.col("vid").alias("query_id"),
+        "cell",
+        (
+            similarity.dot(F.col("vec"), F.col("cvec"))
+            / (F.col("nrm") * F.col("cnrm"))
+        ).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell"))
+    probed = {
+        (r["query_id"], r["cell"])
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .collect()
+    }
+    member_cell = {r["vid"]: r["cell"] for r in assigns.collect()}
+    for r in res.collect():
+        assert (r["query_id"], member_cell[r["corpus_id"]]) in probed

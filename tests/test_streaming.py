@@ -1003,3 +1003,80 @@ def test_vector_index_stream_equals_batch_assignment(spark, tmp_path):
     )
     per_q = {r["query_id"] for r in topk.collect()}
     assert per_q == {0, 1, 2}
+
+
+def test_vector_index_stream_maintains_pq_codes(spark, tmp_path):
+    """IVF-PQ streaming face: the PQ codebook freezes when the coarse
+    quantizer fills, earlier rows are back-filled once, later batches
+    code only themselves — and the accumulated codes hash-equal a batch
+    _pq_assign of the whole corpus against the stream's own codebook.
+    A replayed crash window changes nothing, and the loaded index
+    serves ivfpq_topk."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.operators import similarity
+    from ecs_ecommerce_data_pipeline_spark.operators.similarity import (
+        _pq_assign,
+        as_double_array,
+    )
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import BatchLedger
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        load_stream_ivfpq,
+        vector_index_stream,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    drop_dir = str(tmp_path / "drop")
+    # batch 0 smaller than the quantizer -> codes must back-fill at freeze
+    emb.filter(F.col("vec_id") < 8).coalesce(1).write.parquet(drop_dir)
+    emb.filter(F.col("vec_id").between(8, 99)).coalesce(1).write.mode(
+        "append"
+    ).parquet(drop_dir)
+    emb.filter(F.col("vec_id") >= 100).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    index_path = str(tmp_path / "idx")
+    lpath = str(tmp_path / "ledger.json")
+
+    def start(ckpt):
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop_dir)
+        )
+        return vector_index_stream(
+            stream, index_path, ckpt, BatchLedger(lpath),
+            n_centroids=16, pq_m=8, pq_k=16,
+        )
+
+    start(str(tmp_path / "ckpt")).awaitTermination(240)
+
+    cents, assigns, cb, codes = load_stream_ivfpq(spark, index_path)
+    base = emb.select(
+        F.col("vec_id").alias("vid"), as_double_array("embedding").alias("vec")
+    )
+    sub = len(cb.select("cv").first()["cv"])
+    expect = {
+        (r["vid"], r["s"], r["code"])
+        for r in _pq_assign(base, cb, 8, sub).collect()
+    }
+    got = {(r["vid"], r["s"], r["code"]) for r in codes.collect()}
+    assert got == expect and len(got) == emb.count() * 8
+
+    # crash-window replay: unchanged
+    state = _json.load(open(lpath))
+    victim = sorted(k for k in state if k.startswith("vecidx-microbatch-"))[-1]
+    state[victim] = "running"
+    _json.dump(state, open(lpath, "w"))
+    start(str(tmp_path / "ckpt2")).awaitTermination(240)
+    # reload: the replay dynamic-overwrote its partitions, so pre-replay
+    # DataFrames hold stale file listings by design
+    cents2, assigns2, cb2, codes2 = load_stream_ivfpq(spark, index_path)
+    assert {(r["vid"], r["s"], r["code"]) for r in codes2.collect()} == expect
+
+    # serves the composed query path
+    topk = similarity.ivfpq_topk(cents2, assigns2, cb2, codes2, [0, 1, 2], k=5)
+    assert {r["query_id"] for r in topk.collect()} == {0, 1, 2}
