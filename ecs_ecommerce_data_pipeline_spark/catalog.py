@@ -253,6 +253,8 @@ def _load_all() -> None:
 _PRIORITY = [
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",
+    "multimodal_image_dhash",
+    "multimodal_image_neardup",
     "quantize_embeddings",
     "sim_ivf_index_build",
     "sim_ivf_index_query",

@@ -303,3 +303,214 @@ def audio_windows(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_windows, schema=AUDIO_WINDOW_SCHEMA)
+
+
+# --- image near-duplicate detection (perceptual dHash) ----------------------
+#
+# The multimodal member of the dedup family: decode image payloads,
+# compute a 64-bit perceptual difference hash (dHash: each bit compares
+# horizontally adjacent pixels of a fixed 9x8 grayscale thumbnail), block
+# candidate pairs on 8-bit hash bands (the SimHash banding trick from
+# operators.dedup applied to image fingerprints), verify by exact
+# Hamming distance. Near-identical images differ in few pixels, so few
+# dHash bits flip and replicas land at small Hamming distance.
+
+DHASH_ROWS = 8          # thumbnail height = band count
+DHASH_COLS = 9          # thumbnail width: 8 comparisons per row
+IMAGE_BANDS_SCHEMA = "doc_id bigint, band_idx int, band_val bigint"
+
+
+def synth_png_images(
+    doc: DataFrame, base_mod: int = 100, noise_cut: int = 8
+) -> DataFrame:
+    """(doc_id, payload): a REAL deterministic 9x8 grayscale PNG per
+    document — zlib-deflated filter-0 scanlines with correct CRCs, the
+    hermetic stand-in for an image column (the testdata tables carry no
+    binary media; a real pipeline reads payloads from storage).
+
+    Pixels are md5-derived so the DuckDB oracle reproduces them
+    analytically WITHOUT decoding PNGs: documents sharing
+    ``doc_id % base_mod`` are replicas of one base image, and each doc
+    independently perturbs the ~``noise_cut``/256 fraction of its pixels
+    where md5('noise:{doc_id}:{r}:{c}') falls under the cut — the
+    controlled near-duplicate structure the dedup operator must recover.
+    """
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        ROWS, COLS = 8, 9
+
+        def _byte(s: str) -> int:
+            return int(_hl.md5(s.encode()).hexdigest()[:2], 16)
+
+        def _png(doc_id: int) -> bytes:
+            base = doc_id % base_mod
+            raw = bytearray()
+            for r in range(ROWS):
+                raw.append(0)  # filter type 0 per scanline
+                for c in range(COLS):
+                    if _byte(f"noise:{doc_id}:{r}:{c}") < noise_cut:
+                        raw.append(_byte(f"pert:{doc_id}:{r}:{c}"))
+                    else:
+                        raw.append(_byte(f"img:{base}:{r}:{c}"))
+
+            def chunk(ctype: bytes, data: bytes) -> bytes:
+                body = ctype + data
+                return (
+                    _struct.pack(">I", len(data))
+                    + body
+                    + _struct.pack(">I", _zlib.crc32(body) & 0xFFFFFFFF)
+                )
+
+            ihdr = _struct.pack(">IIBBBBB", COLS, ROWS, 8, 0, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield _pd.DataFrame(
+                {"doc_id": ids, "payload": [_png(int(i)) for i in ids]}
+            )
+
+    return doc.select(F.col("doc_id").cast("bigint").alias("doc_id")).mapInPandas(
+        _encode, "doc_id bigint, payload binary"
+    )
+
+
+def image_dhash_bands(payloads: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_val): perceptual dHash of each PNG
+    payload, one 8-bit band per thumbnail row.
+
+    The kernel REALLY decodes: PNG signature check, IHDR parse (8-bit
+    grayscale required), full IDAT inflate, geometry cross-check, and a
+    loud failure on any non-zero scanline filter — corrupt bytes raise
+    instead of yielding fake fingerprints (the decode_features
+    philosophy). bit(r, c) = pixel[r][c] > pixel[r][c+1]; band r packs
+    its 8 bits little-endian. Map-only Arrow stage — no shuffle; band
+    rows are 3 small integers regardless of image size.
+    """
+
+    def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def _gray_pixels(payload: bytes) -> list[list[int]]:
+            if payload[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG: bad signature")
+            pos, width, height = 8, None, None
+            idat = bytearray()
+            while pos + 8 <= len(payload):
+                (length,) = _struct.unpack(">I", payload[pos : pos + 4])
+                ctype = payload[pos + 4 : pos + 8]
+                data = payload[pos + 8 : pos + 8 + length]
+                if ctype == b"IHDR":
+                    width, height, bitdepth, color = _struct.unpack(
+                        ">IIBB", data[:10]
+                    )
+                    if bitdepth != 8 or color != 0:
+                        raise ValueError(
+                            f"dhash kernel requires 8-bit grayscale, got "
+                            f"depth={bitdepth} color={color}"
+                        )
+                elif ctype == b"IDAT":
+                    idat.extend(data)
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + length
+            if width is None or not idat:
+                raise ValueError("not a PNG: missing IHDR/IDAT")
+            raw = _zlib.decompress(bytes(idat))
+            scanline = 1 + width
+            if len(raw) != height * scanline:
+                raise ValueError(
+                    f"PNG geometry mismatch: {len(raw)} bytes for "
+                    f"{width}x{height}"
+                )
+            rows = []
+            for r in range(height):
+                line = raw[r * scanline : (r + 1) * scanline]
+                if line[0] != 0:
+                    raise ValueError(
+                        f"unsupported scanline filter {line[0]} at row {r}"
+                    )
+                rows.append(list(line[1:]))
+            return rows
+
+        for pdf in batches:
+            out_id, out_b, out_v = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = _gray_pixels(bytes(payload))
+                for r, line in enumerate(px):
+                    val = 0
+                    for c in range(len(line) - 1):
+                        if line[c] > line[c + 1]:
+                            val |= 1 << c
+                    out_id.append(int(doc_id))
+                    out_b.append(r)
+                    out_v.append(val)
+            yield _pd.DataFrame(
+                {"doc_id": out_id, "band_idx": out_b, "band_val": out_v}
+            )
+
+    return payloads.mapInPandas(_dhash, IMAGE_BANDS_SCHEMA)
+
+
+def image_neardup_pairs(
+    bands: DataFrame, max_hamming: int = 10
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): image pairs whose dHash Hamming distance
+    is ≤ ``max_hamming``, candidates blocked on shared (band_idx,
+    band_val) — pigeonhole guarantees every pair with distance ≤
+    bands − 1 (7 here) shares an intact band, so the block is EXACT up
+    to that radius and LSH-style recall above it (the same trade as
+    SimHash banding; widen bands to cut the n²/2^bits random-collision
+    rate on larger corpora).
+
+    Shape: one self-equi-join on (band_idx, band_val) → distinct pairs →
+    re-join the 8 band rows per side → per-band bit_count(XOR) summed by
+    one hash aggregate. Everything shuffles 3-integer rows; no image
+    bytes move after the map-only hash stage.
+    """
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        "band_idx",
+        F.col("band_val").alias("val_a"),
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        "band_idx",
+        F.col("band_val").alias("val_b"),
+    )
+    per_band = cand.join(ba, "doc_a").join(bb, ["doc_b", "band_idx"])
+    return (
+        per_band.groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.bit_count(F.col("val_a").bitwiseXOR(F.col("val_b"))))
+            .cast("bigint")
+            .alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -214,6 +214,96 @@ def q_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(with_binary_payload(doc))
 
 
+# Image near-dup: the Spark side round-trips REAL PNG bytes (encode →
+# stdlib decode → dHash), the oracle recomputes the same md5-derived
+# pixels ANALYTICALLY — a hash match therefore proves the PNG encode /
+# decode / fingerprint chain is lossless end-to-end, not just that two
+# engines ran the same SQL.
+_IMG_BASE_MOD = 100
+_IMG_NOISE_CUT = 8
+_IMG_MAX_HAMMING = 10
+
+_IMG_PX = f"""px AS (
+    SELECT doc_id, r, c,
+           CASE WHEN ('0x' || substr(md5('noise:' || doc_id || ':' || r || ':' || c), 1, 2))::BIGINT < {_IMG_NOISE_CUT}
+                THEN ('0x' || substr(md5('pert:' || doc_id || ':' || r || ':' || c), 1, 2))::BIGINT
+                ELSE ('0x' || substr(md5('img:' || (doc_id % {_IMG_BASE_MOD}) || ':' || r || ':' || c), 1, 2))::BIGINT
+           END AS p
+    FROM documents, range(0, 8) t1(r), range(0, 9) t2(c)
+),
+bits AS (
+    SELECT a.doc_id, a.r, a.c,
+           CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit
+    FROM px a JOIN px b
+      ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+    WHERE a.c < 8
+),
+bands AS (
+    SELECT doc_id, CAST(r AS INT) AS band_idx,
+           CAST(SUM(bit * (1 << c)) AS BIGINT) AS band_val
+    FROM bits GROUP BY 1, 2
+)"""
+
+_IMG_DHASH_SQL = f"""
+WITH {_IMG_PX}
+SELECT doc_id, band_idx, band_val FROM bands
+"""
+
+
+@register("multimodal_image_dhash", _IMG_DHASH_SQL)
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash fingerprints of synthesized PNG payloads: real
+    zlib/CRC PNG encode, real stdlib decode (loud on corrupt bytes),
+    9x8 grayscale adjacent-pixel comparison, one 8-bit band per row.
+    Map-only Arrow stage — the fingerprint rows are 3 integers however
+    large the image."""
+    from ..operators.multimodal import image_dhash_bands, synth_png_images
+
+    doc = load_table(spark, sf_dir, "documents")
+    return image_dhash_bands(
+        synth_png_images(doc, _IMG_BASE_MOD, _IMG_NOISE_CUT)
+    )
+
+
+_IMG_NEARDUP_SQL = f"""
+WITH {_IMG_PX},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(SUM(bit_count(xor(ba.band_val, bb.band_val))) AS BIGINT) AS hamming
+FROM cand c
+JOIN bands ba ON ba.doc_id = c.doc_a
+JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band_idx = ba.band_idx
+GROUP BY 1, 2
+HAVING CAST(SUM(bit_count(xor(ba.band_val, bb.band_val))) AS BIGINT) <= {_IMG_MAX_HAMMING}
+"""
+
+
+@register("multimodal_image_neardup", _IMG_NEARDUP_SQL)
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs (the multimodal member of the dedup
+    family): dHash fingerprints blocked on shared 8-bit hash bands (the
+    SimHash banding trick — exact up to Hamming 7 by pigeonhole,
+    LSH-recall above), verified by exact Hamming distance.  Replica
+    images (same base, independent pixel noise) cluster; distinct bases
+    don't — pinned by the invariant test."""
+    from ..operators.multimodal import (
+        image_dhash_bands,
+        image_neardup_pairs,
+        synth_png_images,
+    )
+
+    doc = load_table(spark, sf_dir, "documents")
+    bands = image_dhash_bands(
+        synth_png_images(doc, _IMG_BASE_MOD, _IMG_NOISE_CUT)
+    )
+    return image_neardup_pairs(bands, _IMG_MAX_HAMMING)
+
+
 _MAX_DIM = 256
 
 _RESIZE_SQL = f"""

@@ -239,3 +239,91 @@ def test_decode_png_uses_pil_kernel_when_installed(spark):
     r = decode_features(df).collect()[0]
     assert r["kernel"] == "pil"
     assert (r["width"], r["height"], r["n_channels"]) == (6, 4, 3)
+
+
+# --- image near-dup (dHash) --------------------------------------------------
+
+
+def test_image_neardup_clusters_replicas_not_strangers(spark):
+    """Replica images (same base, independent few-pixel noise) must pair
+    at small Hamming distance; images of DIFFERENT bases are ~random
+    64-bit hashes apart and must never pair. Recall over replica pairs
+    stays high (banding is exact to Hamming 7, LSH-recall above)."""
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.operators.multimodal import (
+        image_dhash_bands,
+        image_neardup_pairs,
+        synth_png_images,
+    )
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    doc = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id"
+    )
+    n_docs = doc.count()
+    base_mod = 10  # 5 replicas per base over the 50-doc slice
+    bands = image_dhash_bands(synth_png_images(doc, base_mod=base_mod))
+    pairs = image_neardup_pairs(bands, max_hamming=10).collect()
+    assert pairs, "replica corpus must produce near-dup pairs"
+    for r in pairs:
+        assert r["doc_a"] % base_mod == r["doc_b"] % base_mod, (
+            f"cross-base pair {r['doc_a']}–{r['doc_b']} at "
+            f"hamming {r['hamming']}"
+        )
+    # recall over the true replica pairs
+    per_base = n_docs // base_mod
+    true_pairs = base_mod * per_base * (per_base - 1) // 2
+    assert len(pairs) >= 0.8 * true_pairs
+
+
+def test_image_dhash_loud_on_corrupt_bytes(spark):
+    """Garbage payloads must raise in the decode kernel, never emit a
+    fingerprint."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.operators.multimodal import (
+        image_dhash_bands,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not a png at all"))], "doc_id bigint, payload binary"
+    )
+    with pytest.raises(Exception, match="bad signature|PythonException"):
+        image_dhash_bands(bad).collect()
+
+
+def test_image_dhash_bit_semantics(spark):
+    """One hand-computed fingerprint: decode the synthesized PNG for a
+    single doc and check band bits against the md5 pixel formula
+    directly (kernel-independent recomputation)."""
+    import hashlib
+
+    from ecs_ecommerce_data_pipeline_spark.operators.multimodal import (
+        image_dhash_bands,
+        synth_png_images,
+    )
+
+    doc = spark.createDataFrame([(7,)], "doc_id bigint")
+    got = {
+        (r["band_idx"], r["band_val"])
+        for r in image_dhash_bands(synth_png_images(doc, base_mod=100)).collect()
+    }
+
+    def byte(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:2], 16)
+
+    def px(r, c):
+        if byte(f"noise:7:{r}:{c}") < 8:
+            return byte(f"pert:7:{r}:{c}")
+        return byte(f"img:7:{r}:{c}")
+
+    expect = set()
+    for r in range(8):
+        val = 0
+        for c in range(8):
+            if px(r, c) > px(r, c + 1):
+                val |= 1 << c
+        expect.add((r, val))
+    assert got == expect
