@@ -255,6 +255,8 @@ _PRIORITY = [
     "sim_ivfpq_recall",
     "multimodal_image_dhash",
     "multimodal_image_neardup",
+    "decontamination_semantic",
+    "decontamination_report",
     "quantize_embeddings",
     "sim_ivf_index_build",
     "sim_ivf_index_query",

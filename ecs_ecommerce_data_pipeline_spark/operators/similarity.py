@@ -285,6 +285,83 @@ def cosine_near_dup_pairs(
     ).filter(F.col("cosine_sim") >= threshold)
 
 
+def semantic_decontamination(
+    embeddings: DataFrame,
+    eval_pred,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-based eval-set decontamination: for every held-out
+    eval vector, the maximum cosine similarity any TRAIN vector reaches
+    against it — the semantic sibling of the shingle
+    ``contamination_pairs`` check (paraphrased eval leakage shares no
+    n-grams but still embeds nearby).
+
+    Candidates are LSH-bucket-blocked (eval × train within a shared
+    hyperplane bucket — never an eval × corpus dense product), and the
+    eval side is broadcast: benchmark sets are orders of magnitude
+    smaller than the corpus, so the train scan joins map-side.  Eval
+    vectors whose bucket contains no train vector report 0 candidates
+    and contaminated = false (a recall miss is possible exactly as in
+    every LSH path; lower ``n_planes`` to widen buckets).
+
+    Returns one row per eval vector: (eval_id, n_candidates,
+    max_cosine, nearest_train_id, contaminated) — max_cosine/nearest
+    are NULL when no candidate shared a bucket.
+    """
+    v = as_double_array(vec_col)
+    side = (
+        _with_buckets(embeddings, n_planes, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("vid"),
+            v.alias("vec"),
+            "bucket",
+            eval_pred.alias("_ev"),
+        )
+        .withColumn("nrm", norm(F.col("vec")))
+    )
+    ev = side.filter(F.col("_ev")).select(
+        F.col("vid").alias("eval_id"),
+        F.col("vec").alias("evec"),
+        F.col("nrm").alias("enrm"),
+        "bucket",
+    )
+    tr = side.filter(~F.col("_ev")).select(
+        F.col("vid").alias("train_id"),
+        F.col("vec").alias("tvec"),
+        F.col("nrm").alias("tnrm"),
+        "bucket",
+    )
+    scored = tr.join(F.broadcast(ev), "bucket").select(
+        "eval_id",
+        "train_id",
+        (
+            dot(F.col("evec"), F.col("tvec")) / (F.col("enrm") * F.col("tnrm"))
+        ).alias("cos"),
+    )
+    # argmax as max(struct(cos, -train_id)): lexicographic struct order
+    # IS the (similarity, tie-to-smallest-train-id) rule, map-side
+    # combinable — and DuckDB's struct max is lexicographic too
+    agg = scored.groupBy("eval_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.max("cos").alias("max_cosine"),
+        (-F.max(F.struct(F.col("cos"), (-F.col("train_id")).alias("nid")))
+         .getField("nid")).cast("bigint").alias("nearest_train_id"),
+    )
+    evl = side.filter(F.col("_ev")).select(F.col("vid").alias("eval_id"))
+    return evl.join(agg, "eval_id", "left").select(
+        "eval_id",
+        F.coalesce("n_candidates", F.lit(0).cast("bigint")).alias("n_candidates"),
+        "max_cosine",
+        "nearest_train_id",
+        F.coalesce(
+            F.col("max_cosine") >= F.lit(threshold), F.lit(False)
+        ).alias("contaminated"),
+    )
+
+
 def ivf_centroid_scores(
     embeddings: DataFrame,
     n_centroids: int = 16,

@@ -924,3 +924,151 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.sum("node").cast("bigint").alias("sum_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-based eval-set decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_MOD = 97      # same held-out rule as the shingle contamination_check
+_DECON_THRESH = 0.3  # semantic-overlap alert level (same scale as _COS_THRESH)
+
+# semantic CTE block: LSH buckets -> eval x train within-bucket cosine ->
+# per-eval argmax (struct max = lexicographic on both engines)
+_DECON_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (
+    SELECT vec_id, v,
+       {_proj_terms}
+    FROM e
+),
+bucketed AS (
+    SELECT vec_id, v, CAST({_bucket_expr} AS BIGINT) AS bucket
+    FROM proj
+),
+sides AS (
+    SELECT vec_id, v, bucket, vec_id % {_DECON_MOD} = 0 AS ev,
+           sqrt(list_dot_product(v, v)) AS nrm
+    FROM bucketed
+),
+scand AS (
+    SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+           list_dot_product(ev.v, tr.v) / (ev.nrm * tr.nrm) AS cos
+    FROM sides tr JOIN sides ev
+      ON tr.bucket = ev.bucket AND ev.ev AND NOT tr.ev
+),
+sagg AS (
+    SELECT eval_id,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           MAX(cos) AS max_cosine,
+           CAST(-((MAX(struct_pack(c := cos, nid := -train_id))).nid) AS BIGINT)
+               AS nearest_train_id
+    FROM scand GROUP BY 1
+)"""
+
+_DECON_SEM_SQL = f"""
+WITH {_DECON_CTES}
+SELECT s.vec_id AS eval_id,
+       COALESCE(a.n_candidates, 0) AS n_candidates,
+       a.max_cosine,
+       a.nearest_train_id,
+       COALESCE(a.max_cosine >= {_DECON_THRESH}, FALSE) AS contaminated
+FROM sides s LEFT JOIN sagg a ON a.eval_id = s.vec_id
+WHERE s.ev
+"""
+
+
+@register("decontamination_semantic", _DECON_SEM_SQL)
+def q_decontamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based eval-set decontamination: per held-out vector,
+    the max cosine any TRAIN vector reaches — catches paraphrased
+    leakage that shares no n-grams with the eval text. Candidates are
+    LSH-bucket-blocked and the eval side is broadcast: never an
+    eval x corpus dense product."""
+    return similarity.semantic_decontamination(
+        load_table(spark, sf_dir, "embeddings"),
+        eval_pred=(F.col("vec_id") % _DECON_MOD == 0),
+        threshold=_DECON_THRESH,
+        n_planes=_N_PLANES,
+    )
+
+
+def _decon_report_sql() -> str:
+    """Composed decontamination report oracle: the semantic CTEs above
+    plus the shingle-overlap CTEs from retrieval_q, one row per held-out
+    doc (the id spaces align by construction of the testdata)."""
+    from .retrieval_q import _SHINGLES
+
+    return f"""
+WITH {_DECON_CTES},
+{_SHINGLES},
+evs AS (SELECT doc_id AS eval_doc_id, shingle FROM sh WHERE ev),
+corpus AS (SELECT doc_id AS corpus_doc_id, shingle FROM sh WHERE NOT ev),
+sizes AS (SELECT eval_doc_id, COUNT(*) AS n_eval FROM evs GROUP BY 1),
+shared AS (
+    SELECT c.corpus_doc_id, e2.eval_doc_id, COUNT(*) AS n_shared
+    FROM corpus c JOIN evs e2 USING (shingle)
+    GROUP BY 1, 2
+),
+lex AS (
+    SELECT s.eval_doc_id,
+           MAX(CAST(s.n_shared AS DOUBLE) / CAST(z.n_eval AS DOUBLE))
+               AS max_overlap
+    FROM shared s JOIN sizes z USING (eval_doc_id)
+    GROUP BY 1
+)
+SELECT s.vec_id AS eval_id,
+       a.max_cosine,
+       l.max_overlap,
+       COALESCE(a.max_cosine >= {_DECON_THRESH}, FALSE) AS semantic_hit,
+       COALESCE(l.max_overlap >= 0.8, FALSE) AS lexical_hit,
+       (COALESCE(a.max_cosine >= {_DECON_THRESH}, FALSE)
+        OR COALESCE(l.max_overlap >= 0.8, FALSE)) AS contaminated
+FROM sides s
+LEFT JOIN sagg a ON a.eval_id = s.vec_id
+LEFT JOIN lex l ON l.eval_doc_id = s.vec_id
+WHERE s.ev
+"""
+
+
+@register("decontamination_report", _decon_report_sql())
+def q_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One decontamination verdict per held-out doc, composing BOTH
+    verified channels: semantic (max train cosine over LSH-blocked
+    candidates) and lexical (max 3-shingle coverage ratio from the
+    contamination_pairs machinery). A doc is contaminated if either
+    channel alerts — the standard production gate (exact-overlap OR
+    paraphrase-level similarity)."""
+    from ..operators.retrieval import contamination_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    sem = similarity.semantic_decontamination(
+        emb,
+        eval_pred=(F.col("vec_id") % _DECON_MOD == 0),
+        threshold=_DECON_THRESH,
+        n_planes=_N_PLANES,
+    ).select(
+        "eval_id",
+        "max_cosine",
+        F.col("contaminated").alias("semantic_hit"),
+    )
+    lex = (
+        contamination_pairs(
+            docs,
+            eval_pred=(F.col("doc_id") % _DECON_MOD == 0),
+            k=3,
+            min_overlap=0.0,
+        )
+        .groupBy(F.col("eval_doc_id").alias("eval_id"))
+        .agg(F.max("overlap_ratio").alias("max_overlap"))
+    )
+    joined = sem.join(lex, "eval_id", "left")
+    lexical_hit = F.coalesce(F.col("max_overlap") >= 0.8, F.lit(False))
+    return joined.select(
+        "eval_id",
+        "max_cosine",
+        "max_overlap",
+        "semantic_hit",
+        lexical_hit.alias("lexical_hit"),
+        (F.col("semantic_hit") | lexical_hit).alias("contaminated"),
+    )

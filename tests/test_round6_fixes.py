@@ -156,3 +156,34 @@ def test_prefix_filter_join_releases_its_cache(spark):
     after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     # at most the localCheckpointed result itself — the shingle pin is gone
     assert after - before <= 1
+
+
+def test_semantic_decontamination_flags_injected_leak(spark):
+    """A planted eval vector that is a near-copy of a train vector MUST
+    be flagged (identical directions share every LSH bucket, so blocking
+    cannot miss it); an orthogonal eval vector must not be."""
+    from ecs_ecommerce_data_pipeline_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    dims = 8
+    train = [1.0, 2.0, -1.0, 0.5, 3.0, -2.0, 1.5, 0.25]
+    leaked = [x * 1.01 for x in train]          # eval id 100: same direction
+    ortho = [0.0] * dims                         # eval id 200: orthogonal
+    ortho[1] = 1e-6                              # not zero-norm
+    ortho_t = [-2.0, 0.001, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    rows = [
+        (1, train), (2, ortho_t), (100, leaked), (200, ortho),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        r["eval_id"]: r
+        for r in semantic_decontamination(
+            emb, eval_pred=(F.col("vec_id") >= 100), threshold=0.9
+        ).collect()
+    }
+    assert set(got) == {100, 200}
+    assert got[100]["contaminated"] is True
+    assert got[100]["nearest_train_id"] == 1
+    assert got[100]["max_cosine"] > 0.999
+    assert got[200]["contaminated"] is False
