@@ -257,6 +257,8 @@ _PRIORITY = [
     "multimodal_image_neardup",
     "decontamination_semantic",
     "decontamination_report",
+    "sim_ivfpq_rerank",
+    "multimodal_image_dedup_clusters",
     "quantize_embeddings",
     "sim_ivf_index_build",
     "sim_ivf_index_query",

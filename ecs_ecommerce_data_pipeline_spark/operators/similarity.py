@@ -793,6 +793,26 @@ def ivfpq_topk(
     broadcast LUT plus one hash aggregation.  All-integer after
     quantization — ranks are bit-reproducible cross-engine.
     """
+    scored = _ivfpq_adc_scored(
+        centroids, assignments, codebook, codes, query_ids, nprobe, m
+    )[0]
+    wt = W.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("corpus_id"))
+    return scored.withColumn("rnk", F.row_number().over(wt).cast("bigint")).filter(
+        F.col("rnk") <= k
+    )
+
+
+def _ivfpq_adc_scored(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    query_ids: list[int],
+    nprobe: int,
+    m: int,
+) -> tuple[DataFrame, list]:
+    """Shared IVF-PQ scoring core: ((query_id, corpus_id, adc_q),
+    probed cell list) — see :func:`ivfpq_topk` for the plan shape."""
     sub_row = codebook.select(F.size("cv").alias("s")).first()
     sub = int(sub_row["s"]) if sub_row is not None else 0
     queries = assignments.filter(F.col("vid").isin(query_ids)).select(
@@ -825,8 +845,66 @@ def ivfpq_topk(
         .groupBy("query_id", F.col("vid").alias("corpus_id"))
         .agg(F.sum("dq").cast("bigint").alias("adc_q"))
     )
-    wt = W.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("corpus_id"))
-    return scored.withColumn("rnk", F.row_number().over(wt).cast("bigint")).filter(
+    return scored, probe_cells
+
+
+def ivfpq_rerank_topk(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = 50,
+    nprobe: int = 4,
+    m: int = 8,
+) -> DataFrame:
+    """Search-then-refine, the final ANN-ladder rung: the compressed
+    IVF-PQ path shortlists ``shortlist`` candidates per query by ADC,
+    then EXACT cosine over the shortlist's raw vectors re-ranks to the
+    final top-``k`` — recovering most of the quantization-lost recall
+    while touching raw floats for only |Q|·shortlist rows.
+
+    Plan shape: the ADC stage is :func:`ivfpq_topk`'s (pruned code
+    partitions, broadcast LUT); the refine stage fetches raw vectors
+    from the SAME probed cells of the assignments store (cell IN-filter
+    → partition pruning again — shortlist members live in probed cells
+    by construction) via one broadcast semi-join of the |Q|·shortlist
+    id pairs.  No corpus-sized raw-vector scan anywhere.
+    """
+    scored, probe_cells = _ivfpq_adc_scored(
+        centroids, assignments, codebook, codes, query_ids, nprobe, m
+    )
+    ws = W.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("corpus_id"))
+    short = (
+        scored.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "corpus_id")
+    )
+    cells = assignments.filter(F.col("cell").isin(probe_cells)).select(
+        F.col("vid").alias("corpus_id"),
+        F.col("vec").alias("cvec_raw"),
+        F.col("nrm").alias("cnrm_raw"),
+    )
+    qvecs = assignments.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    rr = (
+        cells.join(F.broadcast(short), "corpus_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            (
+                dot(F.col("qvec"), F.col("cvec_raw"))
+                / (F.col("qnrm") * F.col("cnrm_raw"))
+            ).alias("cosine_sim"),
+        )
+    )
+    wt = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
+    return rr.withColumn("rnk", F.row_number().over(wt).cast("bigint")).filter(
         F.col("rnk") <= k
     )
 

@@ -304,6 +304,68 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_neardup_pairs(bands, _IMG_MAX_HAMMING)
 
 
+_IMG_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_IMG_PX},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN bands ba ON ba.doc_id = c.doc_a
+    JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band_idx = ba.band_idx
+    GROUP BY 1, 2
+    HAVING SUM(bit_count(xor(ba.band_val, bb.band_val))) <= {_IMG_MAX_HAMMING}
+),
+und AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+cc_nodes AS (SELECT DISTINCT u AS node FROM und),
+reach(node, r) AS (
+    SELECT node, node FROM cc_nodes
+    UNION
+    SELECT ed.v, r.r FROM reach r JOIN und ed ON ed.u = r.node
+),
+labeled AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(node) AS BIGINT) AS sum_members
+FROM labeled
+GROUP BY component
+"""
+
+
+@register("multimodal_image_dedup_clusters", _IMG_CLUSTERS_SQL)
+def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup SURVIVOR selection: near-dup pairs fed through
+    min-label connected components — component id = min doc_id, the
+    canonical keep-one image per replica cluster (the multimodal twin
+    of dedup_semantic_clusters).  The oracle states the same fixpoint
+    as a recursive-CTE transitive closure over the verified pairs."""
+    from ..operators.dedup import connected_components
+    from ..operators.multimodal import (
+        image_dhash_bands,
+        image_neardup_pairs,
+        synth_png_images,
+    )
+
+    doc = load_table(spark, sf_dir, "documents")
+    bands = image_dhash_bands(
+        synth_png_images(doc, _IMG_BASE_MOD, _IMG_NOISE_CUT)
+    )
+    pairs = image_neardup_pairs(bands, _IMG_MAX_HAMMING)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    return labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("node").cast("bigint").alias("sum_members"),
+    )
+
+
 _MAX_DIM = 256
 
 _RESIZE_SQL = f"""

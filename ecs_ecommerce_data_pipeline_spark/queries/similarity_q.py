@@ -926,6 +926,54 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RERANK_SHORTLIST = 50
+
+_IVFPQ_RERANK_SQL = f"""
+WITH {_IVFPQ_SCORED},
+short AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_q ASC, corpus_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= {_RERANK_SHORTLIST}
+),
+rr AS (
+    SELECT s.query_id, s.corpus_id,
+           list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cosine_sim
+    FROM short s
+    JOIN base q ON q.vid = s.query_id
+    JOIN base b ON b.vid = s.corpus_id
+)
+SELECT query_id, corpus_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rnk
+    FROM rr
+) WHERE rnk <= {_K}
+"""
+
+
+@register("sim_ivfpq_rerank", _IVFPQ_RERANK_SQL)
+def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-then-refine over the persisted IVF-PQ index: ADC
+    shortlists 50 candidates per query from the probed compressed
+    lists, exact cosine re-ranks them to the final top-k — raw floats
+    touched for |Q|·shortlist rows only, both stages partition-pruned
+    to the probed cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigns, cb, codes = similarity.build_ivfpq_index(
+        emb,
+        n_centroids=_N_CENTROIDS,
+        m=_PQ_M,
+        pq_k=_PQ_K,
+        path=_ivf_index_path(sf_dir),
+    )
+    return similarity.ivfpq_rerank_topk(
+        cents, assigns, cb, codes, _QUERY_IDS,
+        k=_K, shortlist=_RERANK_SHORTLIST, nprobe=_NPROBE, m=_PQ_M,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-based eval-set decontamination
 # ---------------------------------------------------------------------------

@@ -173,3 +173,31 @@ def test_ivfpq_candidates_only_from_probed_cells(spark, ivfpq):
     member_cell = {r["vid"]: r["cell"] for r in assigns.collect()}
     for r in res.collect():
         assert (r["query_id"], member_cell[r["corpus_id"]]) in probed
+
+
+def test_ivfpq_rerank_recall_dominates_adc(spark, ivfpq):
+    """Exact re-ranking of the ADC shortlist must recover at least as
+    many true (brute-force) top-k neighbors as the raw ADC ranking —
+    in aggregate over the query set."""
+    _, cents, assigns, cb, codes = ivfpq
+    emb = load_table(spark, SF, "embeddings")
+    truth = {
+        (r["query_id"], r["corpus_id"])
+        for r in similarity.brute_force_topk(emb, _QIDS, k=10).collect()
+    }
+    adc = {
+        (r["query_id"], r["corpus_id"])
+        for r in similarity.ivfpq_topk(
+            cents, assigns, cb, codes, _QIDS, k=10, nprobe=4, m=8
+        ).collect()
+    }
+    rr = {
+        (r["query_id"], r["corpus_id"])
+        for r in similarity.ivfpq_rerank_topk(
+            cents, assigns, cb, codes, _QIDS, k=10, shortlist=50, nprobe=4, m=8
+        ).collect()
+    }
+    assert len(rr & truth) >= len(adc & truth)
+    # and the refine stage outputs exact cosines: every returned pair's
+    # rank order is consistent with a real cosine (spot: k rows/query)
+    assert len(rr) == len(_QIDS) * 10
