@@ -68,6 +68,10 @@ def main() -> None:
         # 15 wide-decimal accumulators: ~6 s of one-time codegen on a
         # plan that runs 1.7 s warm — the single worst cold/warm skew
         "stats_correlation_matrix",
+        # builds the session-cached IVF-PQ index ONCE so the four
+        # index-serving queries measure query cost, not the build
+        # (the build path itself is measured by sim_ivf_index_build)
+        "sim_ivfpq_topk",
     ]:
         if w in all_queries:
             all_queries[w](spark, sf_dir).count()
@@ -283,6 +287,18 @@ _BENCH_EXTRA: set[str] = {
     "events_cohort_ltv",
     "dedup_prefix_filter_join",
     "retrieval_rank_metrics",
+    # round-6 additions: the composed IVF-PQ ladder (probed ADC search,
+    # recall gate, exact re-rank), image near-dup dedup (real PNG
+    # encode/decode + banded Hamming), semantic decontamination and the
+    # composed report, image survivor clusters
+    "sim_ivfpq_topk",
+    "sim_ivfpq_recall",
+    "sim_ivfpq_rerank",
+    "multimodal_image_dhash",
+    "multimodal_image_neardup",
+    "multimodal_image_dedup_clusters",
+    "decontamination_semantic",
+    "decontamination_report",
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use

@@ -633,7 +633,7 @@ def exact_substring_spans(
 
 
 def prefix_filter_join(
-    shingles: DataFrame, threshold: float = 0.5
+    shingles: DataFrame, threshold: float = 0.5, materialize: bool = True
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (AllPairs /
     PPJoin family, Bayardo et al. WWW'07): every pair of documents with
@@ -782,15 +782,19 @@ def prefix_filter_join(
     jac = F.col("n_common").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("n_common")
     )
-    result = (
-        sized.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        # materialize (pair-sized, tiny relative to the input), then
-        # release the pinned shingle cache: without this the cached
-        # blocks outlive the call and accumulate across catalog / bench
-        # invocations in a long-lived session (same discipline as
-        # graph.py's edge list and connected_components' und frame)
-        .localCheckpoint()
+    result = sized.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
+    if not materialize:
+        # plan-inspection escape hatch: the caller sees the full lazy
+        # pipeline (and must release the shingle pin itself, e.g. via
+        # spark.catalog.clearCache())
+        return result
+    # materialize (pair-sized, tiny relative to the input), then release
+    # the pinned shingle cache: without this the cached blocks outlive
+    # the call and accumulate across catalog / bench invocations in a
+    # long-lived session (same discipline as graph.py's edge list and
+    # connected_components' und frame)
+    result = result.localCheckpoint()
     sh.unpersist()
     return result

@@ -219,17 +219,32 @@ def q_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pixels ANALYTICALLY — a hash match therefore proves the PNG encode /
 # decode / fingerprint chain is lossless end-to-end, not just that two
 # engines ran the same SQL.
-_IMG_BASE_MOD = 100
+#
+# The synthetic replica structure keeps the duplication RATE constant
+# across scales (~_IMG_REPLICAS images per base family at every sf) —
+# a real corpus's duplicate-cluster size doesn't grow with corpus size.
+# A fixed base count would make cluster size scale with the corpus and
+# pair volume scale quadratically (measured 122k pairs at sf0.1 with
+# 100 fixed bases vs ~10k with rate-constant families).
+_IMG_REPLICAS = 5
 _IMG_NOISE_CUT = 8
 _IMG_MAX_HAMMING = 10
 
-_IMG_PX = f"""px AS (
+
+def _img_base_mod(n_docs: int) -> int:
+    return max(1, n_docs // _IMG_REPLICAS)
+
+
+_IMG_PX = f"""bm AS (
+    SELECT GREATEST(COUNT(*) // {_IMG_REPLICAS}, 1) AS m FROM documents
+),
+px AS (
     SELECT doc_id, r, c,
            CASE WHEN ('0x' || substr(md5('noise:' || doc_id || ':' || r || ':' || c), 1, 2))::BIGINT < {_IMG_NOISE_CUT}
                 THEN ('0x' || substr(md5('pert:' || doc_id || ':' || r || ':' || c), 1, 2))::BIGINT
-                ELSE ('0x' || substr(md5('img:' || (doc_id % {_IMG_BASE_MOD}) || ':' || r || ':' || c), 1, 2))::BIGINT
+                ELSE ('0x' || substr(md5('img:' || (doc_id % bm.m) || ':' || r || ':' || c), 1, 2))::BIGINT
            END AS p
-    FROM documents, range(0, 8) t1(r), range(0, 9) t2(c)
+    FROM documents, bm, range(0, 8) t1(r), range(0, 9) t2(c)
 ),
 bits AS (
     SELECT a.doc_id, a.r, a.c,
@@ -261,7 +276,7 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load_table(spark, sf_dir, "documents")
     return image_dhash_bands(
-        synth_png_images(doc, _IMG_BASE_MOD, _IMG_NOISE_CUT)
+        synth_png_images(doc, _img_base_mod(doc.count()), _IMG_NOISE_CUT)
     )
 
 
@@ -299,7 +314,7 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load_table(spark, sf_dir, "documents")
     bands = image_dhash_bands(
-        synth_png_images(doc, _IMG_BASE_MOD, _IMG_NOISE_CUT)
+        synth_png_images(doc, _img_base_mod(doc.count()), _IMG_NOISE_CUT)
     )
     return image_neardup_pairs(bands, _IMG_MAX_HAMMING)
 
@@ -356,7 +371,7 @@ def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load_table(spark, sf_dir, "documents")
     bands = image_dhash_bands(
-        synth_png_images(doc, _IMG_BASE_MOD, _IMG_NOISE_CUT)
+        synth_png_images(doc, _img_base_mod(doc.count()), _IMG_NOISE_CUT)
     )
     pairs = image_neardup_pairs(bands, _IMG_MAX_HAMMING)
     labels = connected_components(pairs, src="doc_a", dst="doc_b")

@@ -205,6 +205,37 @@ def _ivf_index_path(sf_dir: str) -> str:
     return tempfile.mkdtemp(prefix="spark_graft_ivf_")
 
 
+# Build-once / query-many for the QUERY-side catalog entries: the four
+# searches (sim_ivf_index_query, sim_ivfpq_topk/_rerank/_recall) share
+# one persisted IVF-PQ build per (session, sf_dir) — their bench numbers
+# then measure QUERY cost, as a production serving path would, instead
+# of charging a fresh index build to every call (round-5 advisory note
+# on sim_ivf_index_query).  Keyed by applicationId so a stale session's
+# DataFrames are never reused; tempdir-per-process keeps cross-process
+# runs isolated.  The BUILD and APPEND catalog entries
+# (sim_ivf_index_build / _incremental) stay hermetic per call — building
+# is the thing they verify.
+_IVFPQ_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _ivfpq_index_cached(spark: SparkSession, sf_dir: str):
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _IVFPQ_CACHE.get(key)
+    if hit is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        hit = similarity.build_ivfpq_index(
+            emb,
+            n_centroids=_N_CENTROIDS,
+            m=_PQ_M,
+            pq_k=_PQ_K,
+            path=_ivf_index_path(sf_dir),
+        )
+        _IVFPQ_CACHE[key] = hit
+    return hit
+
+
 _IVF_BUILD_SQL = f"""
 WITH {_IVF_CTES}
 SELECT CAST(cell AS BIGINT) AS cell,
@@ -254,11 +285,10 @@ def q_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the assignments scan as an IN-filter, so the partitionBy(cell)
     layout prunes to exactly the probed inverted lists.  Same oracle as
     ``sim_ivf_topk``: the index changes where the plan reads, not what
-    it computes."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids, assignments = similarity.build_ivf_index(
-        emb, n_centroids=_N_CENTROIDS, path=_ivf_index_path(sf_dir)
-    )
+    it computes.  Served from the session-cached build (the IVF half of
+    the shared IVF-PQ index) so the measured cost is the QUERY, as in
+    production serving."""
+    centroids, assignments, _, _ = _ivfpq_index_cached(spark, sf_dir)
     return similarity.ivf_index_topk(
         centroids, assignments, _QUERY_IDS, k=_K, nprobe=_NPROBE
     )
@@ -501,14 +531,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     those cells' 8-byte PQ codes against the query's broadcast LUT.
     Closes the round-5 gap: ``pq_adc_topk`` scanned every corpus code,
     ``ivf_index_topk`` scanned raw vectors inside probed cells."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents, assigns, cb, codes = similarity.build_ivfpq_index(
-        emb,
-        n_centroids=_N_CENTROIDS,
-        m=_PQ_M,
-        pq_k=_PQ_K,
-        path=_ivf_index_path(sf_dir),
-    )
+    cents, assigns, cb, codes = _ivfpq_index_cached(spark, sf_dir)
     return similarity.ivfpq_topk(
         cents, assigns, cb, codes, _QUERY_IDS, k=_K, nprobe=_NPROBE, m=_PQ_M
     )
@@ -554,13 +577,7 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ranking independently, so a recall mismatch localizes to the
     composition, not the parts."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, assigns, cb, codes = similarity.build_ivfpq_index(
-        emb,
-        n_centroids=_N_CENTROIDS,
-        m=_PQ_M,
-        pq_k=_PQ_K,
-        path=_ivf_index_path(sf_dir),
-    )
+    cents, assigns, cb, codes = _ivfpq_index_cached(spark, sf_dir)
     pqk = similarity.ivfpq_topk(
         cents, assigns, cb, codes, _QUERY_IDS, k=_K, nprobe=_NPROBE, m=_PQ_M
     ).select("query_id", "corpus_id")
@@ -960,14 +977,7 @@ def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists, exact cosine re-ranks them to the final top-k — raw floats
     touched for |Q|·shortlist rows only, both stages partition-pruned
     to the probed cells."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents, assigns, cb, codes = similarity.build_ivfpq_index(
-        emb,
-        n_centroids=_N_CENTROIDS,
-        m=_PQ_M,
-        pq_k=_PQ_K,
-        path=_ivf_index_path(sf_dir),
-    )
+    cents, assigns, cb, codes = _ivfpq_index_cached(spark, sf_dir)
     return similarity.ivfpq_rerank_topk(
         cents, assigns, cb, codes, _QUERY_IDS,
         k=_K, shortlist=_RERANK_SHORTLIST, nprobe=_NPROBE, m=_PQ_M,

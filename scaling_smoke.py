@@ -115,6 +115,17 @@ STAGES = {
     "model_calibration_bins": "documents",
     "dedup_lsh_precision_gate": "documents",
     "retrieval_rank_metrics": "documents",
+    # round-6 additions: the composed IVF-PQ search (index build + probed
+    # ADC), its exact re-rank refine stage, eval-vs-train semantic
+    # decontamination (bucket-blocked), and the map-only image
+    # fingerprint stage.  multimodal_image_neardup is NOT timed directly:
+    # replica-scaled corpora multiply same-base images, so its verified
+    # pairs grow ~quadratically by DUPLICATION DENSITY (the ppjoin
+    # effect) — image_neardup_decomposition quantifies that instead.
+    "sim_ivfpq_topk": "embeddings",
+    "sim_ivfpq_rerank": "embeddings",
+    "decontamination_semantic": "embeddings",
+    "multimodal_image_dhash": "documents",
 }
 
 
@@ -523,28 +534,39 @@ def _ppjoin_decomposition(spark, src_dir: str, out_dir: str) -> dict:
         pfx = per_doc.select(
             "doc_id",
             "set_size",
-            F.explode(
+            F.posexplode(
                 F.transform(
                     F.slice(F.col("ordered"), F.lit(1), plen),
                     lambda x: x["sh_h"],
                 )
-            ).alias("tok"),
-        )
+            ).alias("pos0", "tok"),
+        ).select("doc_id", "set_size", (F.col("pos0") + 1).alias("pos"), "tok")
         a = pfx.select(
-            F.col("doc_id").alias("da"), F.col("set_size").alias("sa"), "tok"
+            F.col("doc_id").alias("da"), F.col("set_size").alias("sa"),
+            F.col("pos").alias("pa"), "tok",
         )
         b = pfx.select(
-            F.col("doc_id").alias("db"), F.col("set_size").alias("sb"), "tok"
+            F.col("doc_id").alias("db"), F.col("set_size").alias("sb"),
+            F.col("pos").alias("pb"), "tok",
         )
-        out[f"prefix_candidates_{label}"] = (
+        matched = (
             a.join(b, "tok")
             .filter(F.col("da") < F.col("db"))
             .filter(F.col("sb") * 1.0 >= 0.5 * F.col("sa"))
             .filter(F.col("sa") * 1.0 >= 0.5 * F.col("sb"))
-            .select("da", "db")
-            .distinct()
-            .count()
         )
+        agg = matched.groupBy("da", "db", "sa", "sb").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("pa").alias("ia"),
+            F.max("pb").alias("jb"),
+        )
+        out[f"prefix_candidates_{label}"] = agg.count()
+        ub = F.col("c") + F.least(
+            F.col("sa") - F.col("ia"), F.col("sb") - F.col("jb")
+        )
+        out[f"pos_filtered_candidates_{label}"] = agg.filter(
+            ub * 1.5 >= 0.5 * (F.col("sa") + F.col("sb")) - 1e-9
+        ).count()
     out["vocab_ratio"] = round(
         out["distinct_shingles_scaled"]
         / max(out["distinct_shingles_base"], 1),
@@ -554,6 +576,73 @@ def _ppjoin_decomposition(spark, src_dir: str, out_dir: str) -> dict:
         out["prefix_candidates_scaled"]
         / max(out["prefix_candidates_base"], 1),
         2,
+    )
+    out["pos_filtered_ratio"] = round(
+        out["pos_filtered_candidates_scaled"]
+        / max(out["pos_filtered_candidates_base"], 1),
+        2,
+    )
+    out["note"] = (
+        "prefix_candidates = the round-5 verify-join input; since round 6 "
+        "the PPJoin positional filter drops candidates whose overlap upper "
+        "bound c + min(|a|-i, |b|-j) cannot reach t/(1+t)*(|a|+|b|) BEFORE "
+        "any verify work — pos_filtered_candidates is what the verify join "
+        "now processes, at identical exactness"
+    )
+    return out
+
+
+def _image_neardup_decomposition(spark, src_dir: str, out_dir: str) -> dict:
+    """Measured explanation for the image near-dup path (which is NOT a
+    timed stage): replica-scaled corpora put every replica's image in
+    the same base family (doc_id % base_mod collides across the
+    id-offset replicas), so same-base candidate pairs grow ~replica²
+    per family — duplication density, the exact analogue of the ppjoin
+    candidate growth.  The map-only fingerprint stage
+    (multimodal_image_dhash) IS timed and stays linear; this records
+    how the band-blocked candidate set grows on top of it."""
+    from ecs_ecommerce_data_pipeline_spark.operators.multimodal import (
+        image_dhash_bands,
+        image_neardup_pairs,
+        synth_png_images,
+    )
+
+    out: dict = {}
+    for label, d in (("base", src_dir), ("scaled", out_dir)):
+        doc = load_table(spark, d, "documents").select("doc_id")
+        # same rate-constant family rule as the catalog query: base
+        # count scales with the corpus, ~5 replicas per family
+        bands = image_dhash_bands(
+            synth_png_images(doc, base_mod=max(1, doc.count() // 5))
+        )
+        a = bands.select(
+            F.col("doc_id").alias("da"), "band_idx", "band_val"
+        )
+        b = bands.select(
+            F.col("doc_id").alias("db"), "band_idx", "band_val"
+        )
+        out[f"band_candidates_{label}"] = (
+            a.join(b, ["band_idx", "band_val"])
+            .filter(F.col("da") < F.col("db"))
+            .select("da", "db")
+            .distinct()
+            .count()
+        )
+        out[f"verified_pairs_{label}"] = image_neardup_pairs(bands).count()
+    out["candidates_ratio"] = round(
+        out["band_candidates_scaled"] / max(out["band_candidates_base"], 1), 2
+    )
+    out["pairs_ratio"] = round(
+        out["verified_pairs_scaled"] / max(out["verified_pairs_base"], 1), 2
+    )
+    out["note"] = (
+        "the catalog query keeps the duplication RATE constant (~5 "
+        "images per base family at any sf), but the scaling harness's "
+        "id-offset replicas align mod base_mod, so every scaled family "
+        "doubles up across replicas: family size 10 instead of 5 — "
+        "pairs grow ~family² × families = superlinear by duplication "
+        "density, not plan shape (the band join shuffles 3-integer rows "
+        "and the per-pair verify is 8 lookups)"
     )
     return out
 
@@ -759,6 +848,9 @@ def main() -> None:
         # segments as the settle fold — identical rows/segment structure,
         # and its three-window rewrite is linear in rows
         result["ppjoin_decomposition"] = _ppjoin_decomposition(
+            _SPARK, src_dir, out_dir
+        )
+        result["image_neardup_decomposition"] = _image_neardup_decomposition(
             _SPARK, src_dir, out_dir
         )
         # the LSH precision gate's work is the SAME candidate pipeline +

@@ -327,3 +327,33 @@ def test_image_dhash_bit_semantics(spark):
                 val |= 1 << c
         expect.add((r, val))
     assert got == expect
+
+
+def test_image_neardup_wide_bands_subset_and_recall(spark):
+    """16-bit blocking candidates are a subset of 8-bit blocking
+    candidates (an intact 16-bit band implies both its 8-bit halves are
+    intact), verified pairs carry identical Hamming values, and replica
+    recall stays usable at the default noise level."""
+    from ecs_ecommerce_data_pipeline_spark.operators.multimodal import (
+        image_dhash_bands,
+        image_neardup_pairs,
+        synth_png_images,
+    )
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    doc = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id"
+    )
+    bands = image_dhash_bands(synth_png_images(doc, base_mod=10))
+    narrow = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_neardup_pairs(bands, 10, band_bits=8).collect()
+    }
+    wide = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_neardup_pairs(bands, 10, band_bits=16).collect()
+    }
+    assert set(wide) <= set(narrow)
+    for k, v in wide.items():
+        assert narrow[k] == v
+    assert len(wide) >= 0.6 * len(narrow)  # usable recall on replicas

@@ -985,9 +985,21 @@ def test_prefix_filter_join_shuffles_hashes_only(spark):
     """The exact similarity join must carry 60-bit shingle hashes, never
     shingle text, through every join; the hashed-shingle frame is
     persist-pinned, so every one of its consumers reads the cache
-    (InMemoryTableScan) and the tokenize+shingle scan runs once."""
-    df = catalog.queries()["dedup_prefix_filter_join"](spark, SF_SMOKE)
+    (InMemoryTableScan) and the tokenize+shingle scan runs once.
+
+    The catalog query materializes (localCheckpoint) and releases the
+    pin, hiding the pipeline — inspect the lazy operator form instead
+    and release the pin here."""
+    from ecs_ecommerce_data_pipeline_spark.operators.dedup import (
+        prefix_filter_join,
+        shingle_docs,
+    )
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    doc = load_table(spark, SF_SMOKE, "documents")
+    df = prefix_filter_join(shingle_docs(doc), threshold=0.5, materialize=False)
     plan = _plan(df)
+    spark.catalog.clearCache()
     import re
 
     for m in re.finditer(
