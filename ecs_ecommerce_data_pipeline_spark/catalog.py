@@ -259,6 +259,9 @@ _PRIORITY = [
     "decontamination_report",
     "sim_ivfpq_rerank",
     "multimodal_image_dedup_clusters",
+    "events_attribution_first_last",
+    "dedup_aware_split",
+    "tokenizer_coverage_curve",
     "quantize_embeddings",
     "sim_ivf_index_build",
     "sim_ivf_index_query",

@@ -8,7 +8,8 @@ merge on ``chr(1)``-separated symbol strings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..operators.bpe import bpe_encode_tokens, bpe_merge_rounds
@@ -108,3 +109,85 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides a TakeOrdered, never a global sort."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe_encode_tokens(docs, rounds=_ROUNDS, top_n=_ENCODE_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: corpus coverage vs vocab size
+# ---------------------------------------------------------------------------
+
+_COVERAGE_SIZES = [8, 16, 32, 64, 128]
+
+_COVERAGE_SQL = f"""
+WITH t AS (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+),
+wc AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM t WHERE word <> '' GROUP BY word
+),
+ranked AS (
+    SELECT word, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk
+    FROM wc
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM wc)
+SELECT v.vocab_size,
+       CAST(SUM(CASE WHEN r.rnk <= v.vocab_size THEN r.cnt ELSE 0 END)
+            AS BIGINT) AS covered_occurrences,
+       MIN(tot.total) AS total_occurrences,
+       CAST(SUM(CASE WHEN r.rnk <= v.vocab_size THEN r.cnt ELSE 0 END)
+            AS DOUBLE) / MIN(tot.total) AS coverage
+FROM ranked r
+CROSS JOIN (VALUES {", ".join(f"({v})" for v in _COVERAGE_SIZES)}) v(vocab_size)
+CROSS JOIN tot
+GROUP BY v.vocab_size
+"""
+
+
+@register("tokenizer_coverage_curve", _COVERAGE_SQL)
+def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus coverage as a function of vocabulary size: for each
+    candidate vocab size V, the share of word OCCURRENCES covered by
+    the V most frequent distinct words (count desc, word asc — the
+    deterministic rank both engines share).  The curve that sizes a
+    tokenizer's vocab / decides the OOV budget.
+
+    Shape: one corpus-scan word count (hash agg), then one rank window
+    and one conditional aggregation over the VOCAB-sized table — the
+    data-sized explode never shuffles twice, and the window sorts
+    distinct words, not occurrences."""
+    from ..functions.textfn import tokens
+
+    doc = load_table(spark, sf_dir, "documents")
+    wc = (
+        doc.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = wc.withColumn("rnk", F.row_number().over(w))
+    aggs = []
+    for v in _COVERAGE_SIZES:
+        aggs.append(
+            F.sum(F.when(F.col("rnk") <= v, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{v}")
+        )
+    aggs.append(F.sum("cnt").cast("bigint").alias("total"))
+    one = ranked.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("vocab_size"), F.col(f"c{v}").alias("covered")
+            )
+            for v in _COVERAGE_SIZES
+        ]
+    )
+    return one.select(F.explode(pairs).alias("p"), "total").select(
+        F.col("p.vocab_size").cast("int").alias("vocab_size"),
+        F.col("p.covered").alias("covered_occurrences"),
+        F.col("total").alias("total_occurrences"),
+        (F.col("p.covered").cast("double") / F.col("total")).alias("coverage"),
+    )

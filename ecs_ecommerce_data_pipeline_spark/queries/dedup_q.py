@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..operators import dedup
+from ..operators.sampling import assign_split
 from ..sources.testdata import load_table
 
 _NUM_HASHES = 8
@@ -1005,3 +1006,75 @@ def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     sh = dedup.shingle_docs(doc, k=_SHINGLE_K)
     return dedup.prefix_filter_join(sh, threshold=_JACCARD_T)
+
+
+# ---------------------------------------------------------------------------
+# Dedup-aware train/val/test split: clusters never straddle splits
+# ---------------------------------------------------------------------------
+
+_DEDUP_SPLIT_SQL = f"""
+WITH RECURSIVE {_CANDIDATES_CTES},
+und AS (
+    SELECT doc_a AS u, doc_b AS v FROM candidates
+    UNION ALL
+    SELECT doc_b, doc_a FROM candidates
+),
+cc_nodes AS (SELECT DISTINCT u AS node FROM und),
+reach(node, r) AS (
+    SELECT node, node FROM cc_nodes
+    UNION
+    SELECT e.v, r.r FROM reach r JOIN und e ON e.u = r.node
+),
+labeled AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+comp AS (
+    SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN labeled l ON l.node = d.doc_id
+),
+b AS (
+    SELECT doc_id, component,
+           ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS bucket
+    FROM comp
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM b
+GROUP BY 1
+"""
+
+
+@register("dedup_aware_split", _DEDUP_SPLIT_SQL)
+def q_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: membership is a pure
+    function of the document's NEAR-DUP CLUSTER id (LSH candidate graph
+    → connected components; singletons are their own cluster), so two
+    near-duplicate documents can never straddle train and eval — the
+    split-level twin of eval decontamination.  Hashing the component id
+    through the same md5-bucket rule as ``split_train_val_test`` keeps
+    every stability property (rerun-, layout-, growth-stable) while
+    adding the cluster-atomicity guarantee, pinned by an invariant
+    test.  Reports per split: docs, clusters, membership checksum."""
+    doc = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        dedup.shingle_docs(doc, k=_SHINGLE_K), num_hashes=_NUM_HASHES
+    )
+    cands = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE, max_bucket=_MAX_BUCKET
+    )
+    labels = dedup.connected_components(cands)
+    comp = doc.select("doc_id").join(
+        labels, doc["doc_id"] == labels["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+    )
+    split = assign_split(comp, key="component")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("component").cast("bigint").alias("n_clusters"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+    )

@@ -2298,3 +2298,98 @@ def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_cents").cast("double") / F.col("n_cohort") / 100.0
         ).alias("cum_ltv_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution: first-touch vs last-touch revenue credit
+# ---------------------------------------------------------------------------
+
+_ATTR_SQL = """
+WITH e AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           CASE WHEN event_type IN ('view', 'click', 'signup')
+                THEN event_type END AS touch
+    FROM events
+),
+w AS (
+    SELECT event_type, value,
+           FIRST_VALUE(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS first_touch,
+           LAST_VALUE(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS last_touch
+    FROM e
+),
+p AS (
+    SELECT COALESCE(first_touch, 'direct') AS ft,
+           COALESCE(last_touch, 'direct') AS lt,
+           value
+    FROM w WHERE event_type = 'purchase'
+)
+SELECT 'first_touch' AS model, ft AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_revenue
+FROM p GROUP BY 2
+UNION ALL
+SELECT 'last_touch', lt,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+FROM p GROUP BY 2
+"""
+
+
+@register("events_attribution_first_last", _ATTR_SQL)
+def q_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue attribution: every purchase credits its value to the
+    user's FIRST and LAST touch channel (view/click/signup) strictly
+    before it; touchless purchases credit 'direct'.  One window pass
+    (running first/last ignorenulls over the per-user event order), and
+    the two models come from ONE purchase frame via an in-row explode —
+    not a second branch, which would re-run the window pipeline (no CSE
+    across union branches).  Money through DECIMAL(18,2) as everywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("view", "click", "signup"),
+        F.col("event_type"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    enriched = (
+        ev.select("user_id", "ts", "event_id", "event_type", "value")
+        .withColumn("touch", touch)
+        .withColumn("first_touch", F.first("touch", ignorenulls=True).over(w))
+        .withColumn("last_touch", F.last("touch", ignorenulls=True).over(w))
+    )
+    p = enriched.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("first_touch", F.lit("direct")).alias("ft"),
+        F.coalesce("last_touch", F.lit("direct")).alias("lt"),
+        "value",
+    )
+    melted = p.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("ft").alias("channel"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("lt").alias("channel"),
+                ),
+            )
+        ).alias("m"),
+        "value",
+    )
+    return melted.groupBy(
+        F.col("m.model").alias("model"), F.col("m.channel").alias("channel")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        money_sum("value").alias("attributed_revenue"),
+    )

@@ -187,3 +187,38 @@ def test_semantic_decontamination_flags_injected_leak(spark):
     assert got[100]["nearest_train_id"] == 1
     assert got[100]["max_cosine"] > 0.999
     assert got[200]["contaminated"] is False
+
+
+def test_dedup_aware_split_never_straddles_clusters(spark):
+    """The leakage-safety law: every near-dup cluster lands in exactly
+    one split (membership is a pure function of the cluster id), and
+    every document is assigned exactly once."""
+    from ecs_ecommerce_data_pipeline_spark.operators import dedup
+    from ecs_ecommerce_data_pipeline_spark.operators.sampling import (
+        assign_split,
+    )
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    doc = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sigs = dedup.minhash_signatures(dedup.shingle_docs(doc, k=3))
+    cands = dedup.lsh_candidate_pairs(sigs)
+    labels = dedup.connected_components(cands)
+    comp = (
+        doc.select("doc_id")
+        .join(labels, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+    )
+    split = assign_split(comp, key="component")
+    rows = split.collect()
+    assert len(rows) == doc.count()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values())
+    # and a multi-member cluster exists, so the law is non-vacuous
+    from collections import Counter
+
+    comp_sizes = Counter(r["component"] for r in rows)
+    assert max(comp_sizes.values()) >= 2
