@@ -262,6 +262,9 @@ _PRIORITY = [
     "events_attribution_first_last",
     "dedup_aware_split",
     "tokenizer_coverage_curve",
+    "text_chunk_windows",
+    "pack_length_buckets",
+    "dedup_degree_histogram",
     "quantize_embeddings",
     "sim_ivf_index_build",
     "sim_ivf_index_query",

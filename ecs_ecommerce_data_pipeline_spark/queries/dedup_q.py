@@ -1078,3 +1078,52 @@ def q_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("component").cast("bigint").alias("n_clusters"),
         F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
     )
+
+
+_DEGREE_SQL = f"""
+WITH {_CANDIDATES_CTES},
+und AS (
+    SELECT doc_a AS node FROM candidates
+    UNION ALL
+    SELECT doc_b FROM candidates
+),
+deg AS (
+    SELECT d.doc_id, CAST(COUNT(u.node) AS BIGINT) AS degree
+    FROM documents d LEFT JOIN und u ON u.node = d.doc_id
+    GROUP BY d.doc_id
+)
+SELECT degree,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM deg
+GROUP BY degree
+"""
+
+
+@register("dedup_degree_histogram", _DEGREE_SQL)
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup candidate graph — the
+    diagnostic that distinguishes boilerplate hubs (fat tail → bucket
+    caps and salting matter) from pairwise-duplicate corpora (mass at
+    degree 1-2), and the measured basis for the CC star-contraction
+    choice.  Docs in no candidate pair report degree 0.  Two hash
+    aggregations over 8-byte ids; the pair explode is the same
+    candidate pipeline every dedup query shares."""
+    doc = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        dedup.shingle_docs(doc, k=_SHINGLE_K), num_hashes=_NUM_HASHES
+    )
+    cands = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE, max_bucket=_MAX_BUCKET
+    )
+    und = cands.select(F.col("doc_a").alias("node")).unionByName(
+        cands.select(F.col("doc_b").alias("node"))
+    )
+    deg = (
+        doc.select("doc_id")
+        .join(und, F.col("doc_id") == F.col("node"), "left")
+        .groupBy("doc_id")
+        .agg(F.count("node").cast("bigint").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )

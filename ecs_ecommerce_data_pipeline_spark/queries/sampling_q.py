@@ -249,3 +249,62 @@ def q_weighted_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_exact_k(
         doc, key="doc_id", weight_col="n_chars", k=20, stratum="lang"
     ).select("lang", "rnk", "doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: padding-waste accounting
+# ---------------------------------------------------------------------------
+
+_LEN_BUCKETS = [16, 32, 64, 128]
+
+_BUCKET_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN n <= {b} THEN {b}" for b in _LEN_BUCKETS
+    )
+    + f" ELSE {2 * _LEN_BUCKETS[-1]} END"
+)
+
+_LEN_BUCKET_SQL = f"""
+WITH t AS (
+    SELECT doc_id,
+           len(string_split_regex(lower(trim(text)), '\\s+')) AS n
+    FROM documents
+),
+b AS (SELECT doc_id, n, {_BUCKET_CASE} AS bucket FROM t)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       CAST(SUM(bucket - n) AS BIGINT) AS padding_waste,
+       CAST(SUM(bucket - n) AS DOUBLE) / SUM(bucket) AS waste_ratio
+FROM b
+GROUP BY bucket
+"""
+
+
+@register("pack_length_buckets", _LEN_BUCKET_SQL)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching accounting: each document rounds up to
+    the smallest power-of-two token bucket (the padding-free batching
+    trick — batches mix only same-bucket sequences), reporting per
+    bucket the docs, real tokens, padded-token waste, and waste share.
+    The bucket rule is an integer CASE ladder — no float log2, whose
+    libm boundary behavior differs across engines.  One scan, one hash
+    aggregation."""
+    from ..functions.textfn import tokens
+
+    doc = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens("text"))
+    bucket = F.lit(2 * _LEN_BUCKETS[-1])
+    for b in reversed(_LEN_BUCKETS):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    t = doc.select(n.alias("n"), bucket.alias("bucket"))
+    return t.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("sum_tokens"),
+        F.sum(F.col("bucket") - F.col("n")).cast("bigint").alias("padding_waste"),
+        (
+            F.sum(F.col("bucket") - F.col("n")).cast("double")
+            / F.sum("bucket")
+        ).alias("waste_ratio"),
+    )

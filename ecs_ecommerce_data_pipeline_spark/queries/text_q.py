@@ -994,3 +994,60 @@ def q_text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _DT_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding chunk windows (RAG / context-window training prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_C = 32   # chunk size (tokens)
+_CHUNK_S = 24   # stride (tokens) -> 8-token overlap
+
+_CHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {_CHUNK_S} AS BIGINT) AS start_tok,
+       CAST(LEAST({_CHUNK_C}, n - i * {_CHUNK_S}) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(
+           toks[i * {_CHUNK_S} + 1 :
+                i * {_CHUNK_S} + LEAST({_CHUNK_C}, n - i * {_CHUNK_S})],
+           ' ')) AS chunk_md5
+FROM c, unnest(range(0, (n - 1) // {_CHUNK_S} + 1)) u(i)
+"""
+
+
+@register("text_chunk_windows", _CHUNK_SQL)
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding chunk windows over each document's token stream (chunk
+    32 tokens, stride 24 — the RAG / context-window packing prep): one
+    row per (doc, chunk) with its position, length, and an md5 of the
+    actual chunk TEXT — the hash proves the slicing is identical, not
+    just the arithmetic.  Map-only: a per-row sequence explode, no
+    shuffle, chunk rows are 4 scalars however long the document."""
+    from ..functions.textfn import tokens
+
+    doc = load_table(spark, sf_dir, "documents")
+    t = doc.select("doc_id", tokens("text").alias("toks")).withColumn(
+        "n", F.size("toks")
+    ).filter(F.col("n") > 0)
+    s, c = _CHUNK_S, _CHUNK_C
+    chunks = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("n") - 1) / s).cast("int"))
+        ).alias("i"),
+    )
+    clen = F.least(F.lit(c), F.col("n") - F.col("i") * s)
+    return chunks.select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_idx"),
+        (F.col("i") * s).cast("bigint").alias("start_tok"),
+        clen.cast("bigint").alias("chunk_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("i") * s + 1, clen))
+        ).alias("chunk_md5"),
+    )
