@@ -299,6 +299,12 @@ _BENCH_EXTRA: set[str] = {
     "multimodal_image_dedup_clusters",
     "decontamination_semantic",
     "decontamination_report",
+    "events_attribution_first_last",
+    "dedup_aware_split",
+    "tokenizer_coverage_curve",
+    "text_chunk_windows",
+    "pack_length_buckets",
+    "dedup_degree_histogram",
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use

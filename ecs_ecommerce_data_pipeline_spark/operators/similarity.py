@@ -351,7 +351,9 @@ def semantic_decontamination(
          .getField("nid")).cast("bigint").alias("nearest_train_id"),
     )
     evl = side.filter(F.col("_ev")).select(F.col("vid").alias("eval_id"))
-    return evl.join(agg, "eval_id", "left").select(
+    # agg is eval-bounded (≤ one row per eval vector) — broadcast it so
+    # the report join never sort-merges two benchmark-sized frames
+    return evl.join(F.broadcast(agg), "eval_id", "left").select(
         "eval_id",
         F.coalesce("n_candidates", F.lit(0).cast("bigint")).alias("n_candidates"),
         "max_cosine",

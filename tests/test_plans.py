@@ -1022,3 +1022,67 @@ def test_rank_metrics_filter_before_shuffle(spark):
     plan = _plan(df)
     assert plan.count("documents.parquet") <= 2, "tf pipeline duplicated"
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# --- round-6 plan gates -------------------------------------------------------
+
+
+def test_attribution_single_events_scan(spark):
+    """Both attribution models come from ONE purchase frame (in-row
+    melt), so the events table is scanned once and the per-user window
+    runs once — a two-branch union would re-run the whole pipeline."""
+    df = catalog.queries()["events_attribution_first_last"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("events.parquet") == 1
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_chunk_windows_map_only(spark):
+    """Chunking is a per-row sequence explode: zero exchanges — at
+    100 TB this stage pipelines straight into whatever consumes it."""
+    df = catalog.queries()["text_chunk_windows"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert plan.count("documents.parquet") == 1
+
+
+def test_length_buckets_one_scan_one_agg(spark):
+    """One documents scan, one hash aggregation — the bucket rule is a
+    row-local CASE ladder, never a join or window."""
+    df = catalog.queries()["pack_length_buckets"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_coverage_curve_window_on_vocab_only(spark):
+    """The rank window sorts the VOCAB-sized word-count table (post-
+    aggregation), never the exploded occurrences: the explode feeds a
+    hash aggregate first."""
+    df = catalog.queries()["tokenizer_coverage_curve"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("documents.parquet") == 1
+    # the single-partition rank window must sit ABOVE the word-count
+    # aggregate in the plan tree (aggregate appears below/after it in
+    # the plan string ordering: children print after parents)
+    assert plan.index("Window") < plan.index("documents.parquet")
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """The eval side is benchmark-sized and must broadcast; the train
+    scan joins map-side — no shuffle of the corpus for the candidate
+    join."""
+    df = catalog.queries()["decontamination_semantic"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_image_dhash_map_only(spark):
+    """PNG encode → decode → fingerprint is one Arrow map stage: zero
+    exchanges, one documents scan."""
+    df = catalog.queries()["multimodal_image_dhash"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert plan.count("documents.parquet") == 1
