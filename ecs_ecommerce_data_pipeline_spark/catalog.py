@@ -265,6 +265,7 @@ _PRIORITY = [
     "text_chunk_windows",
     "pack_length_buckets",
     "dedup_degree_histogram",
+    "sim_ivfpq_residual_topk",
     "quantize_embeddings",
     "sim_ivf_index_build",
     "sim_ivf_index_query",

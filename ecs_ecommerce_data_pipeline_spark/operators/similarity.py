@@ -704,6 +704,19 @@ def _pq_query_lut(
     )
 
 
+def _ivf_residuals(assignments: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vid, vec): each vector's residual against its OWN cell centroid
+    — the quantity IVFADC encodes.  Broadcast centroid join + one
+    row-local zip_with; exact elementwise float subtraction, identical
+    in any engine."""
+    return assignments.join(F.broadcast(centroids), "cell").select(
+        "vid",
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: x - y).alias(
+            "vec"
+        ),
+    )
+
+
 def build_ivfpq_index(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -712,6 +725,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     path: str | None = None,
+    residual: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Build a COMPOSED IVF-PQ index: the coarse quantizer routes a
     query to a few cells, PQ codes stand in for the raw vectors inside
@@ -742,14 +756,26 @@ def build_ivfpq_index(
     centroids, assignments = build_ivf_index(
         embeddings, n_centroids, id_col, vec_col, path=path
     )
-    v = as_double_array(vec_col)
-    base = embeddings.select(F.col(id_col).alias("vid"), v.alias("vec"))
-    codebook = _pq_codebook(base, m, pq_k, sub)
-    # cells come from the (already materialized, when path is set)
-    # assignments — the code build never re-derives the coarse ranking
-    codes = _pq_assign(base, codebook, m, sub).select("vid", "s", "code").join(
-        assignments.select("vid", "cell"), "vid"
-    )
+    if residual:
+        # textbook IVFADC (Jégou et al.): quantize the RESIDUAL
+        # v − centroid(cell) — residuals cluster near the origin across
+        # cells, so one shared codebook covers them far better than raw
+        # vectors; the codebook is the pq_k smallest-id residuals (same
+        # deterministic training-free rule, k-means is a drop-in)
+        base = _ivf_residuals(assignments, centroids)
+        codebook = _pq_codebook(base, m, pq_k, sub)
+        codes = _pq_assign(base, codebook, m, sub).select(
+            "vid", "s", "code"
+        ).join(assignments.select("vid", "cell"), "vid")
+    else:
+        v = as_double_array(vec_col)
+        base = embeddings.select(F.col(id_col).alias("vid"), v.alias("vec"))
+        codebook = _pq_codebook(base, m, pq_k, sub)
+        # cells come from the (already materialized, when path is set)
+        # assignments — the code build never re-derives the coarse ranking
+        codes = _pq_assign(base, codebook, m, sub).select(
+            "vid", "s", "code"
+        ).join(assignments.select("vid", "cell"), "vid")
     if path is None:
         return centroids, assignments, codebook, codes
     codebook.write.mode("overwrite").parquet(f"{path}/pq_codebook")
@@ -779,6 +805,7 @@ def ivfpq_topk(
     k: int = 10,
     nprobe: int = 4,
     m: int = 8,
+    residual: bool = False,
 ) -> DataFrame:
     """Composed IVF-PQ search: rank the query vectors against the
     broadcast centroids, probe the top-``nprobe`` cells, ADC-score ONLY
@@ -796,7 +823,8 @@ def ivfpq_topk(
     quantization — ranks are bit-reproducible cross-engine.
     """
     scored = _ivfpq_adc_scored(
-        centroids, assignments, codebook, codes, query_ids, nprobe, m
+        centroids, assignments, codebook, codes, query_ids, nprobe, m,
+        residual=residual,
     )[0]
     wt = W.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("corpus_id"))
     return scored.withColumn("rnk", F.row_number().over(wt).cast("bigint")).filter(
@@ -812,15 +840,21 @@ def _ivfpq_adc_scored(
     query_ids: list[int],
     nprobe: int,
     m: int,
+    residual: bool = False,
 ) -> tuple[DataFrame, list]:
     """Shared IVF-PQ scoring core: ((query_id, corpus_id, adc_q),
-    probed cell list) — see :func:`ivfpq_topk` for the plan shape."""
+    probed cell list) — see :func:`ivfpq_topk` for the plan shape.
+
+    ``residual`` must match how the codes were built.  Raw mode builds
+    one |Q|·m·k LUT per query; residual mode (IVFADC) builds a
+    per-PROBED-CELL LUT from the query's residual against THAT cell's
+    centroid — |Q|·nprobe·m·k rows, still trivially broadcast — and the
+    score join adds ``cell`` to the lookup key."""
     sub_row = codebook.select(F.size("cv").alias("s")).first()
     sub = int(sub_row["s"]) if sub_row is not None else 0
     queries = assignments.filter(F.col("vid").isin(query_ids)).select(
         "vid", "vec", "nrm"
     )
-    lut = _pq_query_lut(queries.select("vid", "vec"), codebook, m, sub)
     scored_q = queries.crossJoin(F.broadcast(centroids)).select(
         F.col("vid").alias("query_id"),
         F.col("cell"),
@@ -842,8 +876,50 @@ def _ivfpq_adc_scored(
         .join(F.broadcast(probes), "cell")
         .filter(F.col("vid") != F.col("query_id"))
     )
+    if residual:
+        subspaces = F.sequence(F.lit(0), F.lit(m - 1))
+        qres = (
+            probes.join(
+                queries.select(F.col("vid").alias("query_id"), "vec"),
+                "query_id",
+            )
+            .join(F.broadcast(centroids.select("cell", "cvec")), "cell")
+            .select(
+                "query_id",
+                "cell",
+                F.zip_with(
+                    F.col("vec"), F.col("cvec"), lambda x, y: x - y
+                ).alias("rv"),
+            )
+            .select(
+                "query_id",
+                "cell",
+                F.explode(subspaces).alias("s"),
+                "rv",
+            )
+            .select(
+                "query_id",
+                "cell",
+                "s",
+                F.slice(F.col("rv"), F.col("s") * sub + 1, sub).alias("qs"),
+            )
+        )
+        qdiff = F.zip_with(F.col("qs"), F.col("cv"), lambda x, y: x - y)
+        lut = qres.join(F.broadcast(codebook), "s").select(
+            "query_id",
+            "cell",
+            "s",
+            F.col("cw").alias("code"),
+            F.floor(dot(qdiff, qdiff) * F.lit(_PQ_SCALE))
+            .cast("bigint")
+            .alias("dq"),
+        )
+        join_keys = ["query_id", "cell", "s", "code"]
+    else:
+        lut = _pq_query_lut(queries.select("vid", "vec"), codebook, m, sub)
+        join_keys = ["query_id", "s", "code"]
     scored = (
-        cand.join(F.broadcast(lut), ["query_id", "s", "code"])
+        cand.join(F.broadcast(lut), join_keys)
         .groupBy("query_id", F.col("vid").alias("corpus_id"))
         .agg(F.sum("dq").cast("bigint").alias("adc_q"))
     )

@@ -218,10 +218,12 @@ def _ivf_index_path(sf_dir: str) -> str:
 _IVFPQ_CACHE: dict[tuple[str, str], tuple] = {}
 
 
-def _ivfpq_index_cached(spark: SparkSession, sf_dir: str):
+def _ivfpq_index_cached(
+    spark: SparkSession, sf_dir: str, residual: bool = False
+):
     import os as _os
 
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), residual)
     hit = _IVFPQ_CACHE.get(key)
     if hit is None:
         emb = load_table(spark, sf_dir, "embeddings")
@@ -231,6 +233,7 @@ def _ivfpq_index_cached(spark: SparkSession, sf_dir: str):
             m=_PQ_M,
             pq_k=_PQ_K,
             path=_ivf_index_path(sf_dir),
+            residual=residual,
         )
         _IVFPQ_CACHE[key] = hit
     return hit
@@ -940,6 +943,110 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.sum("node").cast("bigint").alias("sum_members"),
+    )
+
+
+# residual IVFADC: res = v − centroid(cell); codebook = pq_k smallest-id
+# residuals; per-(query, probed-cell) LUT from the query's residual
+# against THAT cell's centroid
+_IVFPQR_SQL = f"""
+WITH {_IVF_CTES},
+res AS (
+    SELECT cl.corpus_id AS vid, cl.cell,
+           list_transform(generate_series(1, {_DIMS}),
+                          i -> cl.corpus_vec[i] - c.cv[i]) AS rv
+    FROM cells cl JOIN c ON c.cid = cl.cell
+),
+rcb AS (
+    SELECT rv, CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT) AS cw
+    FROM res ORDER BY vid LIMIT {_PQ_K}
+),
+subs AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+rcbs AS (
+    SELECT cw, s, rv[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS cv2
+    FROM rcb CROSS JOIN subs
+),
+rcorp AS (
+    SELECT vid, cell, s,
+           rv[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS vs
+    FROM res CROSS JOIN subs
+),
+rdists AS (
+    SELECT vid, cell, s, cw,
+           list_dot_product(
+               list_transform(generate_series(1, {_PQ_SUB}), i -> vs[i] - cv2[i]),
+               list_transform(generate_series(1, {_PQ_SUB}), i -> vs[i] - cv2[i])
+           ) AS dist2
+    FROM rcorp JOIN rcbs USING (s)
+),
+rcodes AS (
+    SELECT vid, cell, s, cw AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vid, s ORDER BY dist2 ASC, cw ASC) AS rn
+        FROM rdists
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT vid AS query_id, cid AS cell
+    FROM ranked WHERE vid IN ({_qids}) AND rn <= {_NPROBE}
+),
+qres AS (
+    SELECT p.query_id, p.cell, su.s,
+           list_transform(generate_series(1, {_PQ_SUB}),
+                          i -> b.v[su.s * {_PQ_SUB} + i]
+                               - c.cv[su.s * {_PQ_SUB} + i]) AS qs
+    FROM probes p
+    JOIN base b ON b.vid = p.query_id
+    JOIN c ON c.cid = p.cell
+    CROSS JOIN subs su
+),
+lut AS (
+    SELECT query_id, cell, s, cw AS code,
+           CAST(FLOOR(list_dot_product(
+               list_transform(generate_series(1, {_PQ_SUB}), i -> qs[i] - cv2[i]),
+               list_transform(generate_series(1, {_PQ_SUB}), i -> qs[i] - cv2[i])
+           ) * {_PQ_SCALE}) AS BIGINT) AS dq
+    FROM qres JOIN rcbs USING (s)
+),
+scored AS (
+    SELECT p.query_id, rc.vid AS corpus_id, CAST(SUM(l.dq) AS BIGINT) AS adc_q
+    FROM rcodes rc
+    JOIN probes p ON p.cell = rc.cell AND rc.vid <> p.query_id
+    JOIN lut l ON l.query_id = p.query_id AND l.cell = rc.cell
+              AND l.s = rc.s AND l.code = rc.code
+    GROUP BY 1, 2
+)
+SELECT query_id, corpus_id, adc_q, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_q ASC, corpus_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= {_K}
+"""
+
+
+@register("sim_ivfpq_residual_topk", _IVFPQR_SQL)
+def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textbook IVFADC (Jégou et al.): PQ codes quantize the RESIDUAL
+    v − centroid(cell) rather than the raw vector — residuals cluster
+    near the origin across cells, so one shared codebook covers them
+    far better.  The query builds a per-probed-cell LUT from its own
+    residual against that cell's centroid (|Q|·nprobe·m·k rows, still
+    broadcast); scoring adds the cell to the lookup key and stays
+    all-integer after quantization.  Same pruned plan shape as
+    ``sim_ivfpq_topk``.
+
+    Honest measurement: with the deterministic training-free codebook
+    (smallest-id residuals) recall@10 here is 12/50 vs the raw
+    variant's 18/50 — residual encoding pays off when the codebook is
+    TRAINED on residual statistics (k-means per subspace, a drop-in);
+    this entry verifies the IVFADC algebra, not that stand-in."""
+    cents, assigns, cb, codes = _ivfpq_index_cached(
+        spark, sf_dir, residual=True
+    )
+    return similarity.ivfpq_topk(
+        cents, assigns, cb, codes, _QUERY_IDS,
+        k=_K, nprobe=_NPROBE, m=_PQ_M, residual=True,
     )
 
 

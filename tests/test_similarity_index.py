@@ -201,3 +201,35 @@ def test_ivfpq_rerank_recall_dominates_adc(spark, ivfpq):
     # and the refine stage outputs exact cosines: every returned pair's
     # rank order is consistent with a real cosine (spot: k rows/query)
     assert len(rr) == len(_QIDS) * 10
+
+
+def test_ivfpq_residual_codes_and_pruned_plan(spark, tmp_path_factory):
+    """The residual (IVFADC) build must produce DIFFERENT codes from the
+    raw build (non-vacuous residual encoding), and its probed search
+    keeps the same pruned plan shape: codes scan partition-filtered,
+    no embeddings scan.  (Short index dir: FileScan location strings
+    truncate at ~100 chars in plan text.)"""
+    emb = load_table(spark, SF, "embeddings")
+    path_r = str(tmp_path_factory.mktemp("ivfpqr"))
+    cents, assigns, cb, codes = similarity.build_ivfpq_index(
+        emb, n_centroids=16, m=8, pq_k=16, path=path_r, residual=True
+    )
+    raw_codes = similarity.pq_subspace_assignments(emb, m=8, k=16)
+    got = {(r["vid"], r["s"]): r["code"] for r in codes.collect()}
+    raw = {(r["vid"], r["s"]): r["code"] for r in raw_codes.collect()}
+    assert got.keys() == raw.keys()
+    assert any(got[k] != raw[k] for k in got)
+    res = similarity.ivfpq_topk(
+        cents, assigns, cb, codes, _QIDS, k=10, nprobe=4, m=8, residual=True
+    )
+    assert {r["query_id"] for r in res.collect()} == set(_QIDS)
+    # plan gates on a FRESH (uncollected) frame — a finalized adaptive
+    # plan prints query-stage summaries with truncated scan descriptions
+    fresh = similarity.ivfpq_topk(
+        cents, assigns, cb, codes, _QIDS, k=10, nprobe=4, m=8, residual=True
+    )
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert f"{path_r}/pq_codes" in plan
+    assert "embeddings.parquet" not in plan
+    seg = plan[plan.find("pq_codes"):]
+    assert "PartitionFilters:" in seg
