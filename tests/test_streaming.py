@@ -1080,3 +1080,81 @@ def test_vector_index_stream_maintains_pq_codes(spark, tmp_path):
     # serves the composed query path
     topk = similarity.ivfpq_topk(cents2, assigns2, cb2, codes2, [0, 1, 2], k=5)
     assert {r["query_id"] for r in topk.collect()} == {0, 1, 2}
+
+
+def test_decontamination_stream_equals_batch_operator(spark, tmp_path):
+    """Per-batch screening folded with MAX/SUM must equal the batch
+    operator over the full corpus BIT-FOR-BIT: a train vector's LSH
+    bucket is row-local, so per-batch candidate sets partition the
+    full candidate set and max/sum/argmax distribute. A replayed crash
+    window changes nothing."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import BatchLedger
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.decon_stream import (
+        decontamination_stream,
+        load_decon_state,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    eval_df = emb.filter(F.col("vec_id") % 7 == 0)
+    train = emb.filter(F.col("vec_id") % 7 != 0)
+    drop_dir = str(tmp_path / "drop")
+    train.repartition(3).write.parquet(drop_dir)
+    state = str(tmp_path / "state")
+    lpath = str(tmp_path / "ledger.json")
+
+    def start(ckpt):
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop_dir)
+        )
+        return decontamination_stream(
+            stream, eval_df, state, ckpt, BatchLedger(lpath), threshold=0.2
+        )
+
+    start(str(tmp_path / "ckpt")).awaitTermination(240)
+
+    got = {
+        r["eval_id"]: (
+            r["n_candidates"], r["max_cosine"], r["nearest_train_id"],
+            r["contaminated"],
+        )
+        for r in load_decon_state(
+            spark, state, eval_df, threshold=0.2
+        ).collect()
+    }
+    expect = {
+        r["eval_id"]: (
+            r["n_candidates"], r["max_cosine"], r["nearest_train_id"],
+            r["contaminated"],
+        )
+        for r in semantic_decontamination(
+            emb, eval_pred=(F.col("vec_id") % 7 == 0), threshold=0.2
+        ).collect()
+    }
+    assert got == expect and len(got) == eval_df.count()
+
+    # crash-window replay: unchanged
+    st = _json.load(open(lpath))
+    victim = sorted(k for k in st if k.startswith("decon-microbatch-"))[-1]
+    st[victim] = "running"
+    _json.dump(st, open(lpath, "w"))
+    start(str(tmp_path / "ckpt2")).awaitTermination(240)
+    again = {
+        r["eval_id"]: (
+            r["n_candidates"], r["max_cosine"], r["nearest_train_id"],
+            r["contaminated"],
+        )
+        for r in load_decon_state(
+            spark, state, eval_df, threshold=0.2
+        ).collect()
+    }
+    assert again == expect
