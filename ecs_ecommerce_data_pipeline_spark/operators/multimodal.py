@@ -467,7 +467,10 @@ def image_dhash_bands(payloads: DataFrame) -> DataFrame:
 
 
 def image_neardup_pairs(
-    bands: DataFrame, max_hamming: int = 10, band_bits: int = 8
+    bands: DataFrame,
+    max_hamming: int = 10,
+    band_bits: int = 8,
+    materialize: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming): image pairs whose dHash Hamming distance
     is ≤ ``max_hamming``, candidates blocked on shared hash bands —
@@ -489,7 +492,16 @@ def image_neardup_pairs(
     one hash aggregate. Everything shuffles 3-integer rows; no image
     bytes move after the map-only hash stage; the verify always runs on
     the full 64-bit hash whatever the blocking width.
+
+    The ``bands`` input feeds FOUR joins (both candidate sides, both
+    verify sides) — a lazy input would re-run its derivation (the PNG
+    decode + fingerprint kernel) once per consumer, so it is
+    persist-pinned for the duration, the pair-sized result is
+    materialized, and the pin released before returning (the
+    ``prefix_filter_join`` discipline).  ``materialize=False`` skips
+    that for plan inspection — the caller releases the pin.
     """
+    bands = bands.persist()
     if band_bits == 8:
         blocks = bands
     elif band_bits == 16:
@@ -530,7 +542,7 @@ def image_neardup_pairs(
         F.col("band_val").alias("val_b"),
     )
     per_band = cand.join(ba, "doc_a").join(bb, ["doc_b", "band_idx"])
-    return (
+    result = (
         per_band.groupBy("doc_a", "doc_b")
         .agg(
             F.sum(F.bit_count(F.col("val_a").bitwiseXOR(F.col("val_b"))))
@@ -539,3 +551,8 @@ def image_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    if not materialize:
+        return result
+    result = result.localCheckpoint()
+    bands.unpersist()
+    return result

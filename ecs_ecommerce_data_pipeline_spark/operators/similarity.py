@@ -322,11 +322,21 @@ def semantic_decontamination(
         )
         .withColumn("nrm", norm(F.col("vec")))
     )
-    ev = side.filter(F.col("_ev")).select(
-        F.col("vid").alias("eval_id"),
-        F.col("vec").alias("evec"),
-        F.col("nrm").alias("enrm"),
-        "bucket",
+    # The eval side feeds TWO consumers (the candidate join and the
+    # all-evals report spine); it is benchmark-sized AFTER the filter
+    # but its derivation scans the corpus — eagerly materialize it once
+    # (localCheckpoint: bounded rows, no lingering cache pin) so the
+    # corpus is scanned twice total (train + eval derivation), never
+    # once per consumer.
+    ev = (
+        side.filter(F.col("_ev"))
+        .select(
+            F.col("vid").alias("eval_id"),
+            F.col("vec").alias("evec"),
+            F.col("nrm").alias("enrm"),
+            "bucket",
+        )
+        .localCheckpoint()
     )
     tr = side.filter(~F.col("_ev")).select(
         F.col("vid").alias("train_id"),
@@ -350,7 +360,7 @@ def semantic_decontamination(
         (-F.max(F.struct(F.col("cos"), (-F.col("train_id")).alias("nid")))
          .getField("nid")).cast("bigint").alias("nearest_train_id"),
     )
-    evl = side.filter(F.col("_ev")).select(F.col("vid").alias("eval_id"))
+    evl = ev.select("eval_id")  # from the checkpointed frame — no rescan
     # agg is eval-bounded (≤ one row per eval vector) — broadcast it so
     # the report join never sort-merges two benchmark-sized frames
     return evl.join(F.broadcast(agg), "eval_id", "left").select(
