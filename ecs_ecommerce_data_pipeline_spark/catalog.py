@@ -267,6 +267,7 @@ _PRIORITY = [
     "dedup_degree_histogram",
     "sim_ivfpq_residual_topk",
     "sim_ivfpq_nprobe_sweep",
+    "sim_ivf_trained_recall",
     "quantize_embeddings",
     "sim_ivf_index_build",
     "sim_ivf_index_query",

@@ -1248,6 +1248,71 @@ def kmeans_refine(
     return assignment
 
 
+def ivf_topk_with_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against an EXTERNAL quantizer — ``centroids`` is
+    (cluster_id, centroid ARRAY<DOUBLE>), e.g. the k-means-refined
+    table from :func:`recompute_centroids` — so trained and
+    training-free quantizers run through one identical search path.
+    Same shape as :func:`ivf_topk`: broadcast centroid scoring, one
+    cell per corpus vector, nprobe-cell probing, exact cosine inside
+    probed cells."""
+    v = as_double_array(vec_col)
+    base = embeddings.select(F.col(id_col).alias("vid"), v.alias("vec")).withColumn(
+        "nrm", norm(F.col("vec"))
+    )
+    cents = centroids.select(
+        F.col("cluster_id").alias("cell"), F.col("centroid").alias("cvec")
+    ).withColumn("cnrm", norm(F.col("cvec")))
+    scored_c = base.crossJoin(F.broadcast(cents)).select(
+        "vid",
+        "vec",
+        "nrm",
+        "cell",
+        (dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))).alias(
+            "cos"
+        ),
+    )
+    w = W.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cell"))
+    ranked = scored_c.withColumn("rn", F.row_number().over(w))
+    cells = ranked.filter(F.col("rn") == 1).select(
+        F.col("vid").alias("corpus_id"),
+        F.col("vec").alias("corpus_vec"),
+        F.col("nrm").alias("corpus_norm"),
+        "cell",
+    )
+    probes = ranked.filter(
+        F.col("vid").isin(query_ids) & (F.col("rn") <= nprobe)
+    ).select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("query_vec"),
+        F.col("nrm").alias("query_norm"),
+        "cell",
+    )
+    scored = cells.join(
+        F.broadcast(probes),
+        (cells["cell"] == probes["cell"]) & (F.col("corpus_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "corpus_id",
+        (
+            dot(F.col("query_vec"), F.col("corpus_vec"))
+            / (F.col("query_norm") * F.col("corpus_norm"))
+        ).alias("cosine_sim"),
+    )
+    wt = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
+    return scored.withColumn("rnk", F.row_number().over(wt).cast("bigint")).filter(
+        F.col("rnk") <= k
+    )
+
+
 def brute_force_topk_arrow(
     embeddings: DataFrame,
     query_ids: list[int],
