@@ -308,6 +308,7 @@ _BENCH_EXTRA: set[str] = {
     "dedup_degree_histogram",
     "sim_ivfpq_residual_topk",
     "sim_ivfpq_nprobe_sweep",
+    "sim_ivf_trained_recall",
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use
