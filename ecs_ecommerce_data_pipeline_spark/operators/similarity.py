@@ -790,6 +790,13 @@ def build_ivfpq_index(
         return centroids, assignments, codebook, codes
     codebook.write.mode("overwrite").parquet(f"{path}/pq_codebook")
     codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/pq_codes")
+    # record the encoding mode: searching residual codes with a raw LUT
+    # (or vice versa) is silently meaningless — consumers validate via
+    # load_ivfpq_meta before picking their scoring mode
+    embeddings.sparkSession.createDataFrame(
+        [(bool(residual), int(m), int(pq_k))],
+        "residual boolean, m int, pq_k int",
+    ).write.mode("overwrite").parquet(f"{path}/pq_meta")
     return load_ivfpq_index(embeddings.sparkSession, path)
 
 
@@ -804,6 +811,27 @@ def load_ivfpq_index(
         "vid", "s", "code", F.col("cell").cast("long").alias("cell")
     )
     return centroids, assignments, codebook, codes
+
+
+def load_ivfpq_meta(spark, path: str) -> dict:
+    """Encoding metadata of a persisted IVF-PQ index:
+    ``{"residual": bool, "m": int, "pq_k": int}``.  Search paths pass
+    ``residual`` through to the scorer — joining a raw-vector LUT
+    against residual codes (or vice versa) yields a syntactically valid
+    but meaningless ADC shortlist, so the mode travels WITH the index,
+    never as caller folklore.  Pre-meta indexes (no ``pq_meta`` file)
+    report ``residual=False`` — the historical default."""
+    try:
+        row = spark.read.parquet(f"{path}/pq_meta").first()
+    except Exception:
+        return {"residual": False, "m": 8, "pq_k": 16}
+    if row is None:
+        return {"residual": False, "m": 8, "pq_k": 16}
+    return {
+        "residual": bool(row["residual"]),
+        "m": int(row["m"]),
+        "pq_k": int(row["pq_k"]),
+    }
 
 
 def ivfpq_topk(
@@ -946,12 +974,19 @@ def ivfpq_rerank_topk(
     shortlist: int = 50,
     nprobe: int = 4,
     m: int = 8,
+    residual: bool = False,
 ) -> DataFrame:
     """Search-then-refine, the final ANN-ladder rung: the compressed
     IVF-PQ path shortlists ``shortlist`` candidates per query by ADC,
     then EXACT cosine over the shortlist's raw vectors re-ranks to the
     final top-``k`` — recovering most of the quantization-lost recall
     while touching raw floats for only |Q|·shortlist rows.
+
+    ``residual`` must match how the index was built (as in
+    :func:`ivfpq_topk` — a raw-mode LUT joined against residual codes
+    would produce a meaningless shortlist with no error); persisted
+    builds record the mode in ``pq_meta`` and
+    :func:`load_ivfpq_meta` recovers it.
 
     Plan shape: the ADC stage is :func:`ivfpq_topk`'s (pruned code
     partitions, broadcast LUT); the refine stage fetches raw vectors
@@ -961,7 +996,8 @@ def ivfpq_rerank_topk(
     id pairs.  No corpus-sized raw-vector scan anywhere.
     """
     scored, probe_cells = _ivfpq_adc_scored(
-        centroids, assignments, codebook, codes, query_ids, nprobe, m
+        centroids, assignments, codebook, codes, query_ids, nprobe, m,
+        residual=residual,
     )
     ws = W.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("corpus_id"))
     short = (
@@ -1263,7 +1299,13 @@ def ivf_topk_with_centroids(
     training-free quantizers run through one identical search path.
     Same shape as :func:`ivf_topk`: broadcast centroid scoring, one
     cell per corpus vector, nprobe-cell probing, exact cosine inside
-    probed cells."""
+    probed cells.
+
+    Fan-out note: the corpus×centroids scoring scan runs ONCE, for the
+    rn=1 cell assignment; the probe side re-scores ONLY the query
+    vectors (a vid IN-filter pushed to the scan — |Q|·k work) instead
+    of filtering a second consumer of the same lazy ranked frame, which
+    would re-execute the full corpus scoring once per consumer."""
     v = as_double_array(vec_col)
     base = embeddings.select(F.col(id_col).alias("vid"), v.alias("vec")).withColumn(
         "nrm", norm(F.col("vec"))
@@ -1281,20 +1323,38 @@ def ivf_topk_with_centroids(
         ),
     )
     w = W.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cell"))
-    ranked = scored_c.withColumn("rn", F.row_number().over(w))
-    cells = ranked.filter(F.col("rn") == 1).select(
-        F.col("vid").alias("corpus_id"),
-        F.col("vec").alias("corpus_vec"),
-        F.col("nrm").alias("corpus_norm"),
-        "cell",
+    cells = (
+        scored_c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vid").alias("corpus_id"),
+            F.col("vec").alias("corpus_vec"),
+            F.col("nrm").alias("corpus_norm"),
+            "cell",
+        )
     )
-    probes = ranked.filter(
-        F.col("vid").isin(query_ids) & (F.col("rn") <= nprobe)
-    ).select(
-        F.col("vid").alias("query_id"),
-        F.col("vec").alias("query_vec"),
-        F.col("nrm").alias("query_norm"),
-        "cell",
+    scored_q = (
+        base.filter(F.col("vid").isin(query_ids))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vid",
+            "vec",
+            "nrm",
+            "cell",
+            (
+                dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+            ).alias("cos"),
+        )
+    )
+    probes = (
+        scored_q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("vec").alias("query_vec"),
+            F.col("nrm").alias("query_norm"),
+            "cell",
+        )
     )
     scored = cells.join(
         F.broadcast(probes),

@@ -86,14 +86,18 @@ def vector_index_stream(
             centroids = None
             n_cents = 0
         if n_cents < n_centroids:
-            # Quantizer not yet full: (re)train it as the n_centroids
-            # smallest-id vectors seen SO FAR (existing centroids ∪ this
-            # batch). A first batch smaller than n_centroids therefore
-            # under-provisions only TEMPORARILY — later batches keep
-            # topping the table up until it is full, at which point it
-            # freezes (the production trade: train once, assign forever;
+            # Quantizer not yet full: top the table up with this batch's
+            # smallest-id vectors.  EXISTING centroids are NEVER evicted
+            # — rows already written to assignments (and pq_codes) are
+            # keyed by those cells, and probes only come from the
+            # centroid table, so dropping a cell would make its rows
+            # unreachable at any nprobe.  The quantizer is therefore the
+            # "first n_centroids distinct ids offered, smallest-id-first
+            # within each batch" — append-only until full, then frozen
+            # (the production trade: train once, assign forever;
             # re-training is an offline rebuild).  Replay-idempotent:
-            # re-processing a batch re-derives the same union ∪ limit.
+            # existing cells win the dedup, and a replayed batch offers
+            # the same candidate ids in the same order.
             #
             # Caveat (documented contract): the frozen quantizer matches
             # a batch ``build_ivf_index`` over the same corpus only when
@@ -111,14 +115,26 @@ def vector_index_stream(
                 .limit(2 * n_centroids)  # bounded: dedup headroom below
             )
             rows = cand.collect()
+            existing_cells: set = set()
             if centroids is not None:
-                rows = centroids.collect() + rows
+                existing = centroids.collect()
+                existing_cells = {r["cell"] for r in existing}
+                rows = existing + rows
             # existing-centroid rows first → a re-embedded id cannot
             # perturb an already-frozen centroid vector (determinism)
             by_cell: dict = {}
             for r in rows:
                 by_cell.setdefault(r["cell"], r)
-            kept = sorted(by_cell.values(), key=lambda r: r["cell"])[:n_centroids]
+            # never evict a cell that may already key written rows:
+            # existing cells are kept unconditionally, new candidates
+            # (smallest-id-first) fill only the remaining slots
+            new_cells = sorted(
+                c for c in by_cell if c not in existing_cells
+            )[: n_centroids - len(existing_cells)]
+            kept = sorted(
+                (by_cell[c] for c in existing_cells | set(new_cells)),
+                key=lambda r: r["cell"],
+            )
             new_c = spark.createDataFrame(
                 [(r["cell"], list(r["cvec"]), r["cnrm"]) for r in kept],
                 "cell bigint, cvec array<double>, cnrm double",
@@ -173,7 +189,17 @@ def _maintain_pq_codes(
     ``_batch_id`` pruning — never a store rescan).  Codes are written
     as ``(_batch_id, cell)`` dynamic overwrites: an at-least-once
     replay rewrites exactly its own partitions, idempotent by
-    construction."""
+    construction.
+
+    Crash-window contract: the ``pq_codebook`` file is the COMMIT
+    marker for the freeze — the back-filled codes are written FIRST and
+    the codebook LAST, so its existence proves every pre-freeze row is
+    coded.  (The reverse order had a hole: a crash between the codebook
+    write and the backfill made the ledger-replayed freeze batch see
+    the codebook present, skip the backfill, and permanently drop every
+    pre-freeze vector from ``pq_codes``.)  A crash after the codes but
+    before the codebook just re-derives the deterministic codebook and
+    rewrites the same partitions idempotently on replay."""
     from pyspark.sql import Window as W
 
     cbpath = f"{index_path}/pq_codebook"
@@ -188,8 +214,9 @@ def _maintain_pq_codes(
         base_c = centroids.select(
             F.col("cell").alias("vid"), F.col("cvec").alias("vec")
         )
-        _pq_codebook(base_c, m, k, sub).write.mode("overwrite").parquet(cbpath)
-        codebook = spark.read.parquet(cbpath)
+        # lazy frame over the (frozen, already-persisted) centroids —
+        # NOT written yet; the write happens after the backfill commits
+        codebook = _pq_codebook(base_c, m, k, sub)
         backfill = True
     sub_row = codebook.select(F.size("cv").alias("s")).first()
     sub = int(sub_row["s"])
@@ -217,6 +244,9 @@ def _maintain_pq_codes(
         .partitionBy("_batch_id", "cell")
         .parquet(f"{index_path}/pq_codes")
     )
+    if backfill:
+        # codes committed — NOW write the codebook (the commit marker)
+        codebook.write.mode("overwrite").parquet(cbpath)
 
 
 def load_stream_ivfpq(
