@@ -319,6 +319,9 @@ _BENCH_EXTRA: set[str] = {
     "sim_ivfpq_trained_topk",
     "sim_ivfpq_trained_recall",
     "sim_ivfpq_nprobe_sweep_trained",
+    # the 8-bit-banded companion: measured next to the wide-band
+    # headline so the collision-floor price stays visible
+    "multimodal_image_neardup_narrowband",
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use

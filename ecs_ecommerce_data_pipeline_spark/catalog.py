@@ -224,12 +224,17 @@ def _load_all() -> None:
     verified = _driver_verified()
 
     def rank(name: str) -> tuple[int, int]:
+        # re-registered names changed semantics THIS round: their old
+        # green rows verified a different result, so they outrank the
+        # verified block and re-enter the sampler's head window
+        if name in _REVERIFY:
+            return (0, _REVERIFY.index(name))
         if name in verified:
             return (2, 0)
         try:
-            return (0, _PRIORITY.index(name))
+            return (1, _PRIORITY.index(name))
         except ValueError:
-            return (1, 0)
+            return (1, len(_PRIORITY))
 
     ordered = sorted(_CATALOG.items(), key=lambda kv: rank(kv[0]))
     _CATALOG.clear()
@@ -246,6 +251,15 @@ def _load_all() -> None:
 # always sort last.  Rounds 1-3 confirmed the harness does take the
 # head: each round's sampled set matched that round's catalog head.
 #
+# Names whose SEMANTICS changed this round: their existing green rows
+# verified the old behavior, so they sort ahead of everything until the
+# next correctness run re-greens them (round 7: the image near-dup
+# headline re-registered at wide-band blocking).
+_REVERIFY = [
+    "multimodal_image_neardup",
+    "multimodal_image_dedup_clusters",
+]
+
 # Round-7 head: the round-7 additions, in build order — every round-6
 # query already holds a green hash row (CORRECTNESS_r06 was all-green,
 # cumulative backlog 0), so these are the only unverified entries and
@@ -255,6 +269,7 @@ _PRIORITY = [
     "sim_ivfpq_trained_topk",
     "sim_ivfpq_trained_recall",
     "sim_ivfpq_nprobe_sweep_trained",
+    "multimodal_image_neardup_narrowband",
     # round-6 head carries below (all already green — harmless)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",

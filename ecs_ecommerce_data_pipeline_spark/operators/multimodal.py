@@ -397,15 +397,24 @@ def image_dhash_bands(payloads: DataFrame) -> DataFrame:
     philosophy). bit(r, c) = pixel[r][c] > pixel[r][c+1]; band r packs
     its 8 bits little-endian. Map-only Arrow stage — no shuffle; band
     rows are 3 small integers regardless of image size.
+
+    The row-diff + bit-pack is numpy-vectorized over the whole image
+    (uint8 comparisons + one matrix-vector product against the
+    little-endian bit weights) — bit-identical to the per-pixel Python
+    loop it replaced, pinned by the hand-recomputed fingerprint test
+    and the analytic-pixel oracle.  On real post-resize ~256px images
+    the Python loop, not I/O, was the bottleneck; the zlib inflate
+    stays per-payload — that part IS the codec.
     """
 
     def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
         import zlib as _zlib
 
+        import numpy as _np
         import pandas as _pd
 
-        def _gray_pixels(payload: bytes) -> list[list[int]]:
+        def _gray_matrix(payload: bytes):
             if payload[:8] != b"\x89PNG\r\n\x1a\n":
                 raise ValueError("not a PNG: bad signature")
             pos, width, height = 8, None, None
@@ -437,30 +446,33 @@ def image_dhash_bands(payloads: DataFrame) -> DataFrame:
                     f"PNG geometry mismatch: {len(raw)} bytes for "
                     f"{width}x{height}"
                 )
-            rows = []
-            for r in range(height):
-                line = raw[r * scanline : (r + 1) * scanline]
-                if line[0] != 0:
-                    raise ValueError(
-                        f"unsupported scanline filter {line[0]} at row {r}"
-                    )
-                rows.append(list(line[1:]))
-            return rows
+            arr = _np.frombuffer(raw, dtype=_np.uint8).reshape(height, scanline)
+            filters = arr[:, 0]
+            if (filters != 0).any():
+                bad = int(_np.argmax(filters != 0))
+                raise ValueError(
+                    f"unsupported scanline filter {int(filters[bad])} at row {bad}"
+                )
+            return arr[:, 1:]
 
         for pdf in batches:
-            out_id, out_b, out_v = [], [], []
+            ids, bands, vals = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = _gray_pixels(bytes(payload))
-                for r, line in enumerate(px):
-                    val = 0
-                    for c in range(len(line) - 1):
-                        if line[c] > line[c + 1]:
-                            val |= 1 << c
-                    out_id.append(int(doc_id))
-                    out_b.append(r)
-                    out_v.append(val)
+                px = _gray_matrix(bytes(payload))
+                h, w = px.shape
+                bits = px[:, : w - 1] > px[:, 1:]
+                weights = _np.left_shift(
+                    _np.int64(1), _np.arange(w - 1, dtype=_np.int64)
+                )
+                ids.append(_np.full(h, int(doc_id), dtype=_np.int64))
+                bands.append(_np.arange(h, dtype=_np.int64))
+                vals.append(bits.astype(_np.int64) @ weights)
             yield _pd.DataFrame(
-                {"doc_id": out_id, "band_idx": out_b, "band_val": out_v}
+                {
+                    "doc_id": _np.concatenate(ids) if ids else [],
+                    "band_idx": _np.concatenate(bands) if bands else [],
+                    "band_val": _np.concatenate(vals) if vals else [],
+                }
             )
 
     return payloads.mapInPandas(_dhash, IMAGE_BANDS_SCHEMA)

@@ -280,11 +280,27 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IMG_NEARDUP_SQL = f"""
+# Wide-band (16-bit) blocking CTE: adjacent 8-bit band rows fuse into 4
+# 16-bit blocks — the n²/2¹⁶ collision floor is 256x below the 8-bit
+# n²/2⁸ floor (measured at 5k images: 776k collision candidates vs 10k
+# true pairs under 8-bit blocking).  Verification always runs on the
+# full 8-band 64-bit hash whatever the blocking width.
+_IMG_WBAND = """wband AS (
+    SELECT doc_id, CAST(band_idx // 2 AS INT) AS band_idx,
+           CAST(SUM(band_val * CASE WHEN band_idx % 2 = 1
+                                    THEN 256 ELSE 1 END) AS BIGINT) AS band_val
+    FROM bands GROUP BY 1, 2
+)"""
+
+
+def _img_neardup_sql(blocks: str) -> str:
+    wband = f"{_IMG_WBAND}," if blocks == "wband" else ""
+    return f"""
 WITH {_IMG_PX},
+{wband}
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM {blocks} a JOIN {blocks} b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
      AND a.doc_id < b.doc_id
 )
@@ -298,14 +314,17 @@ HAVING CAST(SUM(bit_count(xor(ba.band_val, bb.band_val))) AS BIGINT) <= {_IMG_MA
 """
 
 
-@register("multimodal_image_neardup", _IMG_NEARDUP_SQL)
+@register("multimodal_image_neardup", _img_neardup_sql("wband"))
 def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs (the multimodal member of the dedup
-    family): dHash fingerprints blocked on shared 8-bit hash bands (the
-    SimHash banding trick — exact up to Hamming 7 by pigeonhole,
-    LSH-recall above), verified by exact Hamming distance.  Replica
-    images (same base, independent pixel noise) cluster; distinct bases
-    don't — pinned by the invariant test."""
+    family), registered at the SCALE-SAFE wide-band blocking (round-6
+    verdict: the 8-bit headline's n²/2⁸ random-collision floor is
+    quadratic in corpus size — 776k collision candidates vs ~10k true
+    pairs at just 5k images).  Four fused 16-bit bands block candidates
+    (floor cut 256x, exact to Hamming 3 by pigeonhole, LSH-recall
+    above); verification is exact Hamming over the full 64-bit hash.
+    The 8-bit exact-to-Hamming-7 form stays available as the bounded
+    high-recall companion (``multimodal_image_neardup_narrowband``)."""
     from ..operators.multimodal import (
         image_dhash_bands,
         image_neardup_pairs,
@@ -316,14 +335,37 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = image_dhash_bands(
         synth_png_images(doc, _img_base_mod(doc.count()), _IMG_NOISE_CUT)
     )
-    return image_neardup_pairs(bands, _IMG_MAX_HAMMING)
+    return image_neardup_pairs(bands, _IMG_MAX_HAMMING, band_bits=16)
+
+
+@register("multimodal_image_neardup_narrowband", _img_neardup_sql("bands"))
+def q_image_neardup_narrowband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8-bit-banded near-dup form: exact up to Hamming 7 by
+    pigeonhole (8 bands, so any pair within distance 7 shares an intact
+    band) — the high-recall RE-CHECK for bounded corpora or flagged
+    shards, NOT the web-scale default (its n²/2⁸ random-collision
+    candidate floor grows quadratically).  Wide-band pairs are a subset
+    of these pairs by construction (a shared fused block implies both
+    constituent bands shared) — pinned by the containment test."""
+    from ..operators.multimodal import (
+        image_dhash_bands,
+        image_neardup_pairs,
+        synth_png_images,
+    )
+
+    doc = load_table(spark, sf_dir, "documents")
+    bands = image_dhash_bands(
+        synth_png_images(doc, _img_base_mod(doc.count()), _IMG_NOISE_CUT)
+    )
+    return image_neardup_pairs(bands, _IMG_MAX_HAMMING, band_bits=8)
 
 
 _IMG_CLUSTERS_SQL = f"""
 WITH RECURSIVE {_IMG_PX},
+{_IMG_WBAND},
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM wband a JOIN wband b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
      AND a.doc_id < b.doc_id
 ),
@@ -360,8 +402,10 @@ def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image dedup SURVIVOR selection: near-dup pairs fed through
     min-label connected components — component id = min doc_id, the
     canonical keep-one image per replica cluster (the multimodal twin
-    of dedup_semantic_clusters).  The oracle states the same fixpoint
-    as a recursive-CTE transitive closure over the verified pairs."""
+    of dedup_semantic_clusters).  Pairs come from the scale-safe
+    wide-band (16-bit) blocking — see ``multimodal_image_neardup``.
+    The oracle states the same fixpoint as a recursive-CTE transitive
+    closure over the verified pairs."""
     from ..operators.dedup import connected_components
     from ..operators.multimodal import (
         image_dhash_bands,
@@ -373,7 +417,7 @@ def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = image_dhash_bands(
         synth_png_images(doc, _img_base_mod(doc.count()), _IMG_NOISE_CUT)
     )
-    pairs = image_neardup_pairs(bands, _IMG_MAX_HAMMING)
+    pairs = image_neardup_pairs(bands, _IMG_MAX_HAMMING, band_bits=16)
     labels = connected_components(pairs, src="doc_a", dst="doc_b")
     return labels.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
