@@ -478,6 +478,30 @@ def image_dhash_bands(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(_dhash, IMAGE_BANDS_SCHEMA)
 
 
+def fuse_bands(bands: DataFrame, band_bits: int) -> DataFrame:
+    """Blocking keys from dHash band rows: 8 → the bands themselves;
+    16 → adjacent band pairs fused into 4 little-endian 16-bit blocks
+    (no re-decode — one hash aggregation over the 3-integer rows).
+    Shared by the batch near-dup operator and the streaming face so the
+    two blockings are trivially bit-identical."""
+    if band_bits == 8:
+        return bands
+    if band_bits != 16:
+        raise ValueError(f"band_bits must be 8 or 16, got {band_bits}")
+    part = F.col("band_val") * F.when(
+        F.col("band_idx") % 2 == 1, F.lit(256)
+    ).otherwise(F.lit(1))
+    return (
+        bands.select(
+            "doc_id",
+            (F.col("band_idx") / 2).cast("int").alias("blk"),
+            part.alias("part"),
+        )
+        .groupBy("doc_id", F.col("blk").alias("band_idx"))
+        .agg(F.sum("part").cast("bigint").alias("band_val"))
+    )
+
+
 def image_neardup_pairs(
     bands: DataFrame,
     max_hamming: int = 10,
@@ -514,23 +538,7 @@ def image_neardup_pairs(
     that for plan inspection — the caller releases the pin.
     """
     bands = bands.persist()
-    if band_bits == 8:
-        blocks = bands
-    elif band_bits == 16:
-        part = F.col("band_val") * F.when(
-            F.col("band_idx") % 2 == 1, F.lit(256)
-        ).otherwise(F.lit(1))
-        blocks = (
-            bands.select(
-                "doc_id",
-                (F.col("band_idx") / 2).cast("int").alias("blk"),
-                part.alias("part"),
-            )
-            .groupBy("doc_id", F.col("blk").alias("band_idx"))
-            .agg(F.sum("part").cast("bigint").alias("band_val"))
-        )
-    else:
-        raise ValueError(f"band_bits must be 8 or 16, got {band_bits}")
+    blocks = fuse_bands(bands, band_bits)
     a = blocks.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_val"
     )

@@ -1,0 +1,161 @@
+"""Streaming image near-duplicate detection.
+
+An ingest pipeline screens NEW images for near-duplicates as they
+arrive, not in a nightly full-corpus pass.  This is the
+``decon_stream`` pattern applied to the dHash band store:
+
+* each micro-batch fingerprints ONLY its own payloads (the map-only
+  Arrow dHash kernel of ``operators.multimodal.image_dhash_bands``);
+* candidates are band-blocked between the batch and the ACCUMULATED
+  band store ∪ the batch itself — a new image is screened against
+  everything seen up to and including its own batch;
+* verified pairs land as ``(_batch_id)`` dynamic-overwrite partitions,
+  the batch's bands are appended to the store as its own
+  ``(_batch_id)`` partition — an at-least-once replay rewrites exactly
+  its own partitions, idempotent by construction;
+* the union of per-batch pair partitions EQUALS the batch operator
+  (``image_neardup_pairs``) over the full corpus, bit-for-bit: every
+  pair (a, b) with a arriving no later than b is emitted exactly once,
+  in b's batch (when b arrives, a is in the store or in the same
+  batch) — the per-batch pair sets PARTITION the full pair set, the
+  same proof shape as the decontamination fold (there: bucket
+  row-locality; here: band rows are row-local to each image).
+
+Per-trigger cost: one store scan (the band join probes the accumulated
+3-integer band rows with the BROADCAST batch blocks — no shuffle of the
+store) plus batch-sized fingerprint work.  At scale the band store
+would be bucketed by band_val so the probe prunes to matching buckets;
+the screening shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.errors.exceptions.captured import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import fuse_bands, image_dhash_bands
+from ..plans.incremental import BatchLedger
+
+
+def image_dedup_stream(
+    payload_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    ledger: BatchLedger | None = None,
+    max_hamming: int = 10,
+    band_bits: int = 16,
+):
+    """Maintain a streaming image near-dup screen from a stream of
+    (doc_id, payload) rows.  Defaults to the scale-safe wide-band
+    blocking (``band_bits=16`` — see ``image_neardup_pairs``); the
+    verify always runs on the full 8-band 64-bit hash."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        bid = f"imgdedup-microbatch-{batch_id}"
+        if ledger is not None and not ledger.try_start(bid):
+            return
+        if batch_df.isEmpty():
+            if ledger is not None:
+                ledger.mark_done(bid)
+            return
+        spark = batch_df.sparkSession
+        # batch fingerprints feed the block join (both orientations),
+        # the verify joins, and the store write — pin once, release at
+        # the end (the image_neardup_pairs discipline); a lazy frame
+        # would re-run the PNG decode kernel once per consumer
+        bands_b = image_dhash_bands(
+            batch_df.select("doc_id", "payload")
+        ).localCheckpoint()
+        bpath = f"{state_path}/bands"
+        try:
+            store = spark.read.parquet(bpath).select(
+                "doc_id", "band_idx", "band_val"
+            )
+            # replay guard: a re-processed batch must not screen against
+            # its own previously-written bands (every intra-batch pair
+            # would verify at Hamming 0 against itself)
+            store = store.join(
+                F.broadcast(bands_b.select("doc_id").distinct()),
+                "doc_id",
+                "left_anti",
+            )
+            all_bands = store.unionByName(bands_b)
+        except AnalysisException:
+            all_bands = bands_b
+        blocks_all = fuse_bands(all_bands, band_bits)
+        blocks_b = fuse_bands(bands_b, band_bits)
+        cand = (
+            blocks_all.select(
+                F.col("doc_id").alias("doc_l"), "band_idx", "band_val"
+            )
+            .join(
+                F.broadcast(
+                    blocks_b.select(
+                        F.col("doc_id").alias("doc_r"), "band_idx", "band_val"
+                    )
+                ),
+                ["band_idx", "band_val"],
+            )
+            .filter(F.col("doc_l") != F.col("doc_r"))
+            .select(
+                F.least("doc_l", "doc_r").alias("doc_a"),
+                F.greatest("doc_l", "doc_r").alias("doc_b"),
+            )
+            .distinct()
+        )
+        ba = all_bands.select(
+            F.col("doc_id").alias("doc_a"), "band_idx",
+            F.col("band_val").alias("val_a"),
+        )
+        bb = all_bands.select(
+            F.col("doc_id").alias("doc_b"), "band_idx",
+            F.col("band_val").alias("val_b"),
+        )
+        pairs = (
+            cand.join(ba, "doc_a")
+            .join(bb, ["doc_b", "band_idx"])
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.sum(F.bit_count(F.col("val_a").bitwiseXOR(F.col("val_b"))))
+                .cast("bigint")
+                .alias("hamming")
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+        (
+            pairs.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_path}/pairs")
+        )
+        (
+            bands_b.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(bpath)
+        )
+        if ledger is not None:
+            ledger.mark_done(bid)
+
+    return (
+        payload_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def load_image_dedup_pairs(spark: SparkSession, state_path: str) -> DataFrame:
+    """Fold the per-batch pair partitions into the running near-dup
+    verdict: (doc_a, doc_b, hamming).  Because the per-batch sets
+    partition the full pair set (module docstring), the fold is a plain
+    union-distinct — equal to the batch operator over the whole corpus,
+    pinned by the equivalence test."""
+    return (
+        spark.read.parquet(f"{state_path}/pairs")
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )

@@ -260,7 +260,9 @@ def load_stream_ivfpq(
 
     centroids, assignments = load_stream_index(spark, index_path)
     codebook = spark.read.parquet(f"{index_path}/pq_codebook")
-    raw = spark.read.parquet(f"{index_path}/pq_codes")
+    raw = _mask_tombstones(
+        spark, index_path, spark.read.parquet(f"{index_path}/pq_codes")
+    )
     w = W.partitionBy("vid", "s").orderBy(F.desc("_batch_id"))
     codes = (
         raw.withColumn("_rn", F.row_number().over(w))
@@ -277,11 +279,15 @@ def load_stream_index(
     pair ``ivf_index_topk`` consumes.  Latest-batch-wins per vector id:
     a re-embedded id's newest assignment supersedes older rows (the
     dedup is one window over the id — state-sized, not corpus-scan
-    work, and only at read/compaction time)."""
+    work, and only at read/compaction time).  Tombstoned ids
+    (:func:`delete_vectors`) are masked out — a deleted vector never
+    surfaces, even if a ledger replay physically re-writes its rows."""
     from pyspark.sql import Window as W
 
     centroids = spark.read.parquet(f"{index_path}/centroids")
-    raw = spark.read.parquet(f"{index_path}/assignments")
+    raw = _mask_tombstones(spark, index_path, spark.read.parquet(
+        f"{index_path}/assignments"
+    ))
     w = W.partitionBy("vid").orderBy(F.desc("_batch_id"))
     assignments = (
         raw.withColumn("_rn", F.row_number().over(w))
@@ -289,3 +295,146 @@ def load_stream_index(
         .select("vid", "vec", "nrm", F.col("cell").cast("long").alias("cell"))
     )
     return centroids, assignments
+
+
+# --- lifecycle: deletes (tombstones) + compaction ---------------------------
+#
+# The store accumulates one (_batch_id, cell) partition set per trigger
+# and has no in-place mutation (parquet files are immutable) — the same
+# position every LSM / table-format store is in.  Lifecycle therefore
+# follows the standard two layers:
+#
+# * DELETE = append the vid to a tombstone table (O(|erasure list|)) —
+#   every load masks tombstones with a broadcast anti-join, so the
+#   deleted vector is INVISIBLE immediately and STAYS invisible across
+#   at-least-once replays (a replayed batch physically re-writes its
+#   partition, but the mask re-applies).  This is the erasure-audit
+#   contract: privacy_erasure_audit audits tables, this audits the
+#   serving index (see vector_store_erasure_audit).
+# * COMPACTION = rewrite each store as one generation (latest row per
+#   vid, tombstones physically dropped), collapsing the accumulated
+#   per-batch files.  Tombstones are RETAINED after compaction as the
+#   replay mask — a ledger replay of a pre-compaction batch would
+#   otherwise resurrect the deleted rows it re-writes.  They are ids
+#   only (no vector content), so retention does not conflict with
+#   content erasure.
+
+
+def _mask_tombstones(
+    spark: SparkSession, index_path: str, df: DataFrame
+) -> DataFrame:
+    try:
+        tomb = spark.read.parquet(f"{index_path}/tombstones")
+    except AnalysisException:
+        return df
+    return df.join(F.broadcast(tomb.select("vid").distinct()), "vid", "left_anti")
+
+
+def delete_vectors(
+    spark: SparkSession, index_path: str, vec_ids: list[int]
+) -> None:
+    """Erase vectors from the stream-maintained index: append the ids to
+    the tombstone table.  O(|vec_ids|) — no store scan, no partition
+    rewrite at delete time; physical removal happens at the next
+    :func:`compact_index`.  Idempotent (re-deleting is a no-op at load:
+    the mask is a distinct anti-join)."""
+    if not vec_ids:
+        return
+    spark.createDataFrame(
+        [(int(v),) for v in vec_ids], "vid bigint"
+    ).write.mode("append").parquet(f"{index_path}/tombstones")
+
+
+def compact_index(spark: SparkSession, index_path: str) -> dict:
+    """Rewrite the accumulated per-batch store files as ONE generation:
+    the latest surviving row per vid, tombstones physically dropped,
+    ``partitionBy(cell)`` layout preserved under a single `_batch_id`
+    (the max seen, so later stream batches still supersede compacted
+    rows by the same latest-wins rule).  Returns before/after parquet
+    file counts per store — the collapse a serving index needs once
+    accumulated trigger files dominate scan cost.
+
+    Swap discipline: the compacted generation is written to a sibling
+    directory and atomically renamed over the old one — never
+    overwriting a path the compaction plan is reading."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import Window as W
+
+    stats: dict = {}
+    w = W.partitionBy("vid").orderBy(F.desc("_batch_id"))
+    for store, keyed in (("assignments", False), ("pq_codes", True)):
+        spath = f"{index_path}/{store}"
+        if not _os.path.isdir(spath):
+            continue
+        raw = _mask_tombstones(spark, index_path, spark.read.parquet(spath))
+        max_bid_row = raw.agg(F.max("_batch_id").alias("m")).first()
+        max_bid = int(max_bid_row["m"]) if max_bid_row["m"] is not None else 0
+        if keyed:
+            # pq_codes carries m rows per vid (one per subspace): the
+            # latest batch wins per (vid, s)
+            ws = W.partitionBy("vid", "s").orderBy(F.desc("_batch_id"))
+            latest = (
+                raw.withColumn("_rn", F.row_number().over(ws))
+                .filter(F.col("_rn") == 1)
+                .select("vid", "s", "code", "cell")
+            )
+        else:
+            latest = (
+                raw.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("vid", "vec", "nrm", "cell")
+            )
+        tmp = f"{spath}__compacting"
+        (
+            latest.withColumn("_batch_id", F.lit(max_bid))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id", "cell")
+            .parquet(tmp)
+        )
+
+        def _files(p: str) -> int:
+            return len(_glob.glob(f"{p}/**/*.parquet", recursive=True))
+
+        stats[f"{store}_files_before"] = _files(spath)
+        stats[f"{store}_files_after"] = _files(tmp)
+        _shutil.rmtree(spath)
+        _os.rename(tmp, spath)
+    return stats
+
+
+def vector_store_erasure_audit(
+    spark: SparkSession, index_path: str
+) -> DataFrame:
+    """One audit row for the serving index's erasure posture —
+    (n_tombstones, n_physical_rows_remaining, n_visible): how many ids
+    are tombstoned, how many of their physical assignment rows still
+    exist on disk (> 0 between delete and compaction — by design), and
+    how many are VISIBLE through the load path (must be 0 always; the
+    test pins it).  The vector-store face of
+    ``privacy_erasure_audit``."""
+    try:
+        tomb = spark.read.parquet(f"{index_path}/tombstones").select(
+            "vid"
+        ).distinct()
+    except AnalysisException:
+        tomb = spark.createDataFrame([], "vid bigint")
+    raw = spark.read.parquet(f"{index_path}/assignments")
+    _, visible = load_stream_index(spark, index_path)
+    physical = raw.join(F.broadcast(tomb), "vid", "left_semi")
+    seen = visible.join(F.broadcast(tomb), "vid", "left_semi")
+    return (
+        tomb.agg(F.count(F.lit(1)).cast("bigint").alias("n_tombstones"))
+        .crossJoin(
+            physical.agg(
+                F.count(F.lit(1)).cast("bigint").alias(
+                    "n_physical_rows_remaining"
+                )
+            )
+        )
+        .crossJoin(
+            seen.agg(F.count(F.lit(1)).cast("bigint").alias("n_visible"))
+        )
+    )

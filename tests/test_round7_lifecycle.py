@@ -1,0 +1,201 @@
+"""Round-7 lifecycle + streaming-image-dedup tests (verdict tasks 3-4):
+
+* vector-index deletes: a tombstoned vid never surfaces through the
+  load path or ``ivfpq_topk`` — including after a ledger replay
+  physically re-writes its rows;
+* compaction: parquet file count drops, the loaded index is
+  content-equal, deleted rows are physically gone, and the store still
+  serves;
+* the erasure audit reports visible=0 always, physical>0 between
+  delete and compaction, physical=0 after;
+* streaming image dedup: the union of per-batch pair partitions equals
+  the batch operator over the full corpus, and replay changes nothing.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_vec_stream(spark, tmp_path, emb, ckpt, index_path, lpath):
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import BatchLedger
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        vector_index_stream,
+    )
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "drop"))
+    )
+    q = vector_index_stream(
+        stream, index_path, str(tmp_path / ckpt), BatchLedger(lpath),
+        n_centroids=16, pq_m=8, pq_k=16,
+    )
+    q.awaitTermination(240)
+
+
+def test_deleted_vid_never_surfaces_even_across_replay(spark, tmp_path):
+    from ecs_ecommerce_data_pipeline_spark.operators import similarity
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        delete_vectors,
+        load_stream_ivfpq,
+        vector_store_erasure_audit,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    drop = str(tmp_path / "drop")
+    emb.filter(F.col("vec_id") < 60).coalesce(1).write.parquet(drop)
+    emb.filter(F.col("vec_id").between(60, 119)).coalesce(1).write.mode(
+        "append"
+    ).parquet(drop)
+    index_path = str(tmp_path / "idx")
+    lpath = str(tmp_path / "ledger.json")
+    _run_vec_stream(spark, tmp_path, emb, "ckpt", index_path, lpath)
+
+    victims = [7, 8, 61]
+    delete_vectors(spark, index_path, victims)
+
+    def visible_vids():
+        _, assigns, _, codes = load_stream_ivfpq(spark, index_path)
+        av = {r["vid"] for r in assigns.select("vid").collect()}
+        cv = {r["vid"] for r in codes.select("vid").distinct().collect()}
+        return av | cv
+
+    assert not (set(victims) & visible_vids())
+    cents, assigns, cb, codes = load_stream_ivfpq(spark, index_path)
+    topk = similarity.ivfpq_topk(
+        cents, assigns, cb, codes, [0, 1, 2], k=20, nprobe=16, m=8
+    )
+    assert not (set(victims) & {r["corpus_id"] for r in topk.collect()})
+
+    audit = vector_store_erasure_audit(spark, index_path).first()
+    assert audit["n_visible"] == 0
+    assert audit["n_tombstones"] == 3
+    assert audit["n_physical_rows_remaining"] == 3  # pre-compaction
+
+    # ledger replay of the batch that carried vid 7: the physical rows
+    # come back, the mask must still hide them
+    state = json.load(open(lpath))
+    state["vecidx-microbatch-0"] = "running"
+    json.dump(state, open(lpath, "w"))
+    _run_vec_stream(spark, tmp_path, emb, "ckpt2", index_path, lpath)
+    assert not (set(victims) & visible_vids())
+    audit2 = vector_store_erasure_audit(spark, index_path).first()
+    assert audit2["n_visible"] == 0
+
+
+def test_compaction_drops_files_and_preserves_index(spark, tmp_path):
+    from ecs_ecommerce_data_pipeline_spark.operators import similarity
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        compact_index,
+        delete_vectors,
+        load_stream_ivfpq,
+        vector_store_erasure_audit,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    drop = str(tmp_path / "drop")
+    for lo, hi in ((0, 39), (40, 79), (80, 119), (120, 159)):
+        emb.filter(F.col("vec_id").between(lo, hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+    index_path = str(tmp_path / "idx")
+    _run_vec_stream(
+        spark, tmp_path, emb, "ckpt", index_path, str(tmp_path / "ledger.json")
+    )
+    delete_vectors(spark, index_path, [100, 101])
+
+    def snapshot():
+        _, assigns, _, codes = load_stream_ivfpq(spark, index_path)
+        return (
+            {(r["vid"], r["cell"]) for r in assigns.select("vid", "cell").collect()},
+            {(r["vid"], r["s"], r["code"]) for r in codes.collect()},
+        )
+
+    before = snapshot()
+    stats = compact_index(spark, index_path)
+    after = snapshot()
+    assert after == before
+    assert stats["assignments_files_after"] < stats["assignments_files_before"]
+    assert stats["pq_codes_files_after"] < stats["pq_codes_files_before"]
+    # deleted rows are physically gone, tombstones retained as the mask
+    audit = vector_store_erasure_audit(spark, index_path).first()
+    assert audit["n_physical_rows_remaining"] == 0
+    assert audit["n_tombstones"] == 2
+    assert audit["n_visible"] == 0
+    # the compacted store still serves the composed search
+    cents, assigns, cb, codes = load_stream_ivfpq(spark, index_path)
+    topk = similarity.ivfpq_topk(cents, assigns, cb, codes, [0, 1], k=5, m=8)
+    assert {r["query_id"] for r in topk.collect()} == {0, 1}
+
+
+def test_image_dedup_stream_union_equals_batch(spark, tmp_path):
+    from ecs_ecommerce_data_pipeline_spark.operators.multimodal import (
+        image_dhash_bands,
+        image_neardup_pairs,
+        synth_png_images,
+    )
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import BatchLedger
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.image_dedup_stream import (
+        image_dedup_stream,
+        load_image_dedup_pairs,
+    )
+
+    doc = load_table(spark, SF, "documents").select("doc_id")
+    payloads = synth_png_images(doc, base_mod=max(1, doc.count() // 5))
+    drop = str(tmp_path / "drop")
+    payloads.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(drop)
+    payloads.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(drop)
+    payloads.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(drop)
+
+    state = str(tmp_path / "state")
+    lpath = str(tmp_path / "ledger.json")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(payloads.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = image_dedup_stream(
+            stream, state, str(tmp_path / ckpt), BatchLedger(lpath),
+            max_hamming=10, band_bits=16,
+        )
+        q.awaitTermination(240)
+
+    run("ckpt")
+    expect = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in image_neardup_pairs(
+            image_dhash_bands(payloads), 10, band_bits=16
+        ).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in load_image_dedup_pairs(spark, state).collect()
+    }
+    assert got == expect and len(expect) > 0
+
+    # replay the middle batch from a fresh checkpoint: unchanged
+    state_j = json.load(open(lpath))
+    state_j["imgdedup-microbatch-1"] = "running"
+    json.dump(state_j, open(lpath, "w"))
+    run("ckpt2")
+    again = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in load_image_dedup_pairs(spark, state).collect()
+    }
+    assert again == expect
