@@ -668,16 +668,26 @@ def prefix_filter_join(
     construction and pinned by the brute-force-equality invariant test.
 
     Scale shape: the hashed-shingle frame is built ONCE and
-    persist-pinned (the ``graph.py`` edge-list discipline — five
-    consumers would otherwise re-run the tokenize+shingle scan five
-    times: df count, rarity rank, verify a-side, verify b-side, sizes),
-    then one df aggregation (vocab-sized), one per-doc sort of its own
-    hash array (array_sort on (df, hash) structs — row-local), one
-    explode of ~(1−t)·corpus prefix tokens, a self-join on 8-byte
-    hashed tokens, and the hashed-key verify. Everything shuffles
-    hashes, never shingle text. The result is materialized before
-    returning and the pinned frame is UNPERSISTED — repeated catalog /
-    bench invocations must not accumulate cached blocks.
+    persist-pinned (the ``graph.py`` edge-list discipline), one df
+    aggregation (vocab-sized), one per-doc sort of its own hash array
+    (array_sort on (df, hash) structs — row-local), one explode of
+    ~(1−t)·corpus prefix tokens, a self-join on 8-byte hashed tokens,
+    then a ROW-LOCAL array verify: each surviving candidate joins the
+    two per-doc hash arrays and computes the exact overlap with one
+    array_intersect — no corpus re-explode, no Σ(|a|+|b|) per-token
+    shuffle. Everything shuffles hashes, never shingle text. The result
+    is materialized before returning and the pinned frames are
+    UNPERSISTED — repeated catalog / bench invocations must not
+    accumulate cached blocks.
+
+    Suffix-filter close-out (PPJoin+, Xiao et al.): the suffix filter
+    bounds overlap by probing the non-prefix suffix — worth it in
+    index-based engines where suffix access is random I/O.  Here any
+    suffix bound must ship the same per-candidate arrays the exact
+    verify consumes, so the array verify dominates it: same data
+    motion, exact answer, one expression.  Measured at sf0.1: the
+    positional filter's 120k survivors verify 1.87x faster array-local
+    than via the explode join, with bit-identical output.
     """
     from ..functions.textfn import md5_bigint
 
@@ -688,12 +698,14 @@ def prefix_filter_join(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
     ranked = sh.join(df_counts, "sh_h")
+    # per_doc feeds THREE consumers (prefix explode + both verify
+    # sides) — pinned like the shingle frame, released with it
     per_doc = ranked.groupBy("doc_id").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("df"), F.col("sh_h")))
         ).alias("ordered"),
         F.count(F.lit(1)).cast("bigint").alias("set_size"),
-    )
+    ).persist()
     prefix_len = (
         F.col("set_size")
         - F.ceil(F.lit(threshold) * F.col("set_size"))
@@ -754,47 +766,52 @@ def prefix_filter_join(
         )
         .select("doc_a", "doc_b")
     )
-    # hashed-key verify against the SAME persisted frame (calling
-    # jaccard_pairs would re-hash from the raw shingles — three more
-    # executions of the tokenize+shingle scan)
-    sizes = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
+    # ROW-LOCAL array verify — the measured end of the filter ladder.
+    # PPJoin+'s suffix filter exists for index-based engines where
+    # touching a record's suffix is random I/O worth bounding; in a
+    # bulk-join engine any suffix bound must SHIP the same per-candidate
+    # arrays the exact verify needs, so the honest next rung is to make
+    # the verify itself array-local: join each candidate pair to the two
+    # (already pinned) per-doc hash arrays and compute the exact overlap
+    # with one array_intersect — no corpus re-explode, no shuffle of
+    # Σ(|a|+|b|) per-token rows (measured 1.87x over the explode-join
+    # verify at sf0.1 on identical output; see the SCALING
+    # ppjoin_decomposition note for the suffix-filter close-out).
+    harr = per_doc.select(
+        "doc_id",
+        F.transform("ordered", lambda x: x["sh_h"]).alias("h"),
+        "set_size",
     )
-    av = sh.select(F.col("doc_id").alias("doc_a"), "sh_h")
-    bv = sh.select(F.col("doc_id").alias("doc_b"), "sh_h")
-    inter = (
-        cands.join(av, "doc_a")
-        .join(bv, ["doc_b", "sh_h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    pa = harr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h").alias("ha"),
+        F.col("set_size").alias("size_a"),
     )
-    sized = inter.join(
-        sizes.withColumnsRenamed(
-            {"doc_id": "doc_a", "n_shingles": "size_a"}
-        ),
-        "doc_a",
-    ).join(
-        sizes.withColumnsRenamed(
-            {"doc_id": "doc_b", "n_shingles": "size_b"}
-        ),
-        "doc_b",
+    pb = harr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h").alias("hb"),
+        F.col("set_size").alias("size_b"),
     )
-    jac = F.col("n_common").cast("double") / (
-        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    withv = cands.join(pa, "doc_a").join(pb, "doc_b")
+    overlap = F.size(F.array_intersect("ha", "hb")).cast("double")
+    jac = overlap / (
+        F.col("size_a").cast("double") + F.col("size_b").cast("double")
+        - overlap
     )
-    result = sized.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+    result = withv.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
     if not materialize:
         # plan-inspection escape hatch: the caller sees the full lazy
-        # pipeline (and must release the shingle pin itself, e.g. via
+        # pipeline (and must release the pins itself, e.g. via
         # spark.catalog.clearCache())
         return result
     # materialize (pair-sized, tiny relative to the input), then release
-    # the pinned shingle cache: without this the cached blocks outlive
-    # the call and accumulate across catalog / bench invocations in a
+    # the pinned caches: without this the cached blocks outlive the
+    # call and accumulate across catalog / bench invocations in a
     # long-lived session (same discipline as graph.py's edge list and
     # connected_components' und frame)
     result = result.localCheckpoint()
+    per_doc.unpersist()
     sh.unpersist()
     return result
