@@ -322,6 +322,11 @@ _BENCH_EXTRA: set[str] = {
     # the 8-bit-banded companion: measured next to the wide-band
     # headline so the collision-floor price stays visible
     "multimodal_image_neardup_narrowband",
+    "sim_ivfpq_trained_rerank",
+    "sim_sq8_topk",
+    "sim_sq8_recall",
+    "sim_truncated_rerank",
+    "sim_truncated_recall",
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use

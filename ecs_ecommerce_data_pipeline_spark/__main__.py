@@ -30,7 +30,13 @@ def _build_parser() -> argparse.ArgumentParser:
     run = sub.add_parser("run", help="run a query, print JSON lines")
     run.add_argument("query")
     run.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    run.add_argument("--limit", type=int, default=0, help="0 = all rows")
+    run.add_argument(
+        "--limit",
+        type=int,
+        default=1000,
+        help="max rows printed (default 1000 — the driver boundary stays "
+        "bounded unless explicitly widened); 0 = all rows",
+    )
 
     exp = sub.add_parser("explain", help="print the formatted physical plan")
     exp.add_argument("query")
@@ -82,7 +88,10 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
             return 0
-        rows = df.limit(args.limit).collect() if args.limit else df.collect()
+        # default-capped display collect: unbounded output is an explicit
+        # opt-in (--limit 0), matching the engine's driver-boundary
+        # discipline everywhere else
+        rows = df.limit(args.limit).collect() if args.limit > 0 else df.collect()
         for r in rows:
             print(json.dumps(r.asDict(), default=str))
         return 0

@@ -270,6 +270,11 @@ _PRIORITY = [
     "sim_ivfpq_trained_recall",
     "sim_ivfpq_nprobe_sweep_trained",
     "multimodal_image_neardup_narrowband",
+    "sim_ivfpq_trained_rerank",
+    "sim_sq8_topk",
+    "sim_sq8_recall",
+    "sim_truncated_rerank",
+    "sim_truncated_recall",
     # round-6 head carries below (all already green — harmless)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",

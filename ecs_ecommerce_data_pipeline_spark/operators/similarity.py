@@ -1184,6 +1184,156 @@ def ivfpq_rerank_topk(
     )
 
 
+def sq8_quantize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, q): per-dimension 8-bit scalar quantization (the FAISS SQ8
+    rung of the compression ladder — 1 byte/dim vs PQ's 1 byte per
+    SUBSPACE, a gentler accuracy/size trade): q[d] = FLOOR((v[d] −
+    min_d) · 255 / (max_d − min_d)) clamped to [0, 255], with per-dim
+    corpus min/max as the trained range.
+
+    Determinism: min/max are data values (no arithmetic), and the
+    quantization expression is one fixed-order sub/mul/div/floor chain
+    — IEEE-identical cross-engine (no transcendentals, so no last-ulp
+    bin-flip hazard).  A constant dimension quantizes to 0.
+
+    Scale shape: one posexplode aggregation for the 2·dims stats
+    (map-side combinable), collected into two dims-length arrays on a
+    ONE-ROW broadcast frame; quantization is then a row-local
+    expression on a single corpus scan."""
+    dims = _vector_dims(embeddings, vec_col)
+    stats = (
+        embeddings.select(F.posexplode(as_double_array(vec_col)))
+        .groupBy("pos")
+        .agg(F.min("col").alias("mn"), F.max("col").alias("mx"))
+    )
+    ranges = stats.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "mn"))), lambda s: s.mn
+        ).alias("mns"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "mx"))), lambda s: s.mx
+        ).alias("mxs"),
+    )
+    q_sql = (
+        f"transform(sequence(0, {dims - 1}), d -> "
+        "CASE WHEN mxs[d] > mns[d] THEN "
+        "LEAST(CAST(FLOOR(((_v[d] - mns[d]) * 255.0D) / (mxs[d] - mns[d]))"
+        " AS BIGINT), CAST(255 AS BIGINT)) "
+        "ELSE CAST(0 AS BIGINT) END)"
+    )
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vid"), as_double_array(vec_col).alias("_v")
+        )
+        .crossJoin(F.broadcast(ranges))
+        .select("vid", F.expr(q_sql).alias("q"))
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by 8-bit scalar-quantized L2: corpus and queries quantized
+    by :func:`sq8_quantize`, distance = Σ (qa−qb)² — ALL-INTEGER, so
+    ranks are bit-reproducible cross-engine.  One corpus scan against
+    the broadcast quantized queries; 64 int ops/pair instead of 64
+    float mul-adds, and the serving copy is 1 byte/dim.  Returns
+    (query_id, corpus_id, sq_dist, rnk)."""
+    qz = sq8_quantize(embeddings, id_col, vec_col)
+    queries = qz.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("query_id"), F.col("q").alias("qq")
+    )
+    diff2 = F.zip_with(F.col("qq"), F.col("q"), lambda x, y: (x - y) * (x - y))
+    scored = qz.join(
+        F.broadcast(queries), F.col("vid") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vid").alias("corpus_id"),
+        F.aggregate(
+            diff2, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("sq_dist"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("sq_dist"), F.asc("corpus_id"))
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= k)
+
+
+def truncated_rerank_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    prefix_dims: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dimension-adaptive retrieval (the Matryoshka serving trick):
+    shortlist by cosine over the FIRST ``prefix_dims`` dimensions —
+    prefix_dims/dims of the scoring arithmetic — then exact full-dim
+    cosine re-ranks the shortlist to the final top-k.
+
+    ONE corpus scan: the full vector rides the row through the prefix
+    scoring, so the rerank touches full floats only for the
+    |Q|·shortlist surviving rows — no second scan, no id fetch join.
+    Returns (query_id, corpus_id, cosine_sim, rnk); both stages break
+    ties on corpus_id, fully deterministic."""
+    v = as_double_array(vec_col)
+    pv = F.slice(v, 1, prefix_dims)
+    corpus = embeddings.select(
+        F.col(id_col).alias("corpus_id"),
+        v.alias("cvec"),
+        norm(v).alias("cnrm"),
+        pv.alias("cpv"),
+        norm(pv).alias("cpnrm"),
+    )
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        v.alias("qvec"),
+        norm(v).alias("qnrm"),
+        pv.alias("qpv"),
+        norm(pv).alias("qpnrm"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("corpus_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "corpus_id",
+        "cvec",
+        "cnrm",
+        "qvec",
+        "qnrm",
+        (
+            dot(F.col("qpv"), F.col("cpv")) / (F.col("qpnrm") * F.col("cpnrm"))
+        ).alias("pcos"),
+    )
+    ws = W.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("corpus_id"))
+    short = scored.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= shortlist
+    )
+    rr = short.select(
+        "query_id",
+        "corpus_id",
+        (
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))
+        ).alias("cosine_sim"),
+    )
+    wt = W.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("corpus_id")
+    )
+    return rr.withColumn("rnk", F.row_number().over(wt).cast("bigint")).filter(
+        F.col("rnk") <= k
+    )
+
+
 def pq_subspace_assignments(
     embeddings: DataFrame,
     m: int = 8,

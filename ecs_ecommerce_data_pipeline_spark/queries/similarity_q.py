@@ -1913,3 +1913,277 @@ def q_ivfpq_nprobe_sweep_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+_CL_SHORTLIST = 50
+
+_CL_RERANK_SQL = f"""
+WITH {_CL_BASE},
+{_CL_TRAINED_CENTS},
+{_cl_chain("t", "c2", trained=True, nprobe=_CL_NPROBE)},
+fbase AS (
+    SELECT vec_id AS vid, v, sqrt(list_dot_product(v, v)) AS nrm FROM ce
+),
+short AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_q ASC, corpus_id ASC) AS rn
+        FROM tscored
+    ) WHERE rn <= {_CL_SHORTLIST}
+),
+rr AS (
+    SELECT s.query_id, s.corpus_id,
+           list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cosine_sim
+    FROM short s
+    JOIN fbase q ON q.vid = s.query_id
+    JOIN fbase b ON b.vid = s.corpus_id
+)
+SELECT query_id, corpus_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rnk
+    FROM rr
+) WHERE rnk <= {_K}
+"""
+
+
+@register("sim_ivfpq_trained_rerank", _CL_RERANK_SQL)
+def q_ivfpq_trained_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained ANN ladder's final rung — trained IVF-PQ ADC
+    shortlist + exact cosine re-rank, completing the measured recall
+    staircase on clustered data: training-free ADC 0.34 → trained ADC
+    0.70 → trained + rerank 1.00 (shortlist 50, nprobe 4, sf0.001).
+    Raw floats are touched for |Q|·shortlist rows only, fetched from
+    the probed cells of the assignments store (partition-pruned);
+    ``residual=True`` travels with the index via pq_meta (round-6
+    advisory: a raw-mode LUT against residual codes would silently
+    garbage-rank the shortlist)."""
+    cents, assigns, cb, codes = _clustered_index_cached(spark, sf_dir, True)
+    return similarity.ivfpq_rerank_topk(
+        cents, assigns, cb, codes, _QUERY_IDS,
+        k=_K, shortlist=_CL_SHORTLIST, nprobe=_CL_NPROBE, m=_CL_M,
+        residual=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization + truncated-dim rerank: two more production
+# rungs of the compression/serving ladder (round 7)
+# ---------------------------------------------------------------------------
+
+_SQ8_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+st AS (
+    SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM (
+        SELECT unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e
+    ) GROUP BY pos
+),
+rngs AS (
+    SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM st
+),
+qz AS (
+    SELECT vec_id,
+           list_transform(generate_series(1, {_DIMS}), d ->
+               CASE WHEN mxs[d] > mns[d]
+                    THEN LEAST(CAST(FLOOR(((v[d] - mns[d]) * 255.0)
+                                          / (mxs[d] - mns[d])) AS BIGINT),
+                               CAST(255 AS BIGINT))
+                    ELSE CAST(0 AS BIGINT) END) AS q
+    FROM e CROSS JOIN rngs
+),
+sq_scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+           CAST(list_sum(list_transform(generate_series(1, {_DIMS}),
+               d -> (a.q[d] - b.q[d]) * (a.q[d] - b.q[d]))) AS BIGINT)
+               AS sq_dist
+    FROM qz a JOIN qz b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id IN ({_qids})
+),
+sqk AS (
+    SELECT query_id, corpus_id, sq_dist, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sq_dist ASC, corpus_id ASC) AS rnk
+        FROM sq_scored
+    ) WHERE rnk <= {_K}
+)"""
+
+_SQ8_TOPK_SQL = f"""
+WITH {_SQ8_CTES}
+SELECT query_id, corpus_id, sq_dist, rnk FROM sqk
+"""
+
+
+@register("sim_sq8_topk", _SQ8_TOPK_SQL)
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar-quantized top-k (the FAISS SQ8 rung): per-dimension
+    min/max range training, 1 byte per DIMENSION (vs PQ's byte per
+    subspace — 8x more precision for 8x the bytes), all-integer Σ(Δq)²
+    distances so ranks are bit-reproducible.  One corpus scan against
+    broadcast quantized queries; stats are a single map-side-combinable
+    aggregation into a 1-row broadcast range table."""
+    return similarity.sq8_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=_K
+    )
+
+
+_SQ8_RECALL_SQL = f"""
+WITH {_SQ8_CTES},
+base AS (SELECT vec_id AS vid, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+bf AS (
+    SELECT q.vid AS query_id, b.vid AS corpus_id,
+           list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cosine_sim
+    FROM base q JOIN base b ON b.vid <> q.vid
+    WHERE q.vid IN ({_qids})
+),
+bfk AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rnk
+        FROM bf
+    ) WHERE rnk <= {_K}
+)
+SELECT bfk.query_id,
+       CAST(COUNT(s.corpus_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(s.corpus_id) AS DOUBLE) / {_K} AS recall
+FROM bfk LEFT JOIN sqk s
+  ON s.query_id = bfk.query_id AND s.corpus_id = bfk.corpus_id
+GROUP BY bfk.query_id
+"""
+
+
+@register("sim_sq8_recall", _SQ8_RECALL_SQL)
+def q_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of SQ8 quantized search vs the exact cosine truth —
+    where SQ8 sits on the ladder: far above PQ (8x the bytes), below
+    exact.  NOTE the metric mismatch it also exposes: SQ8 ranks by
+    quantized L2 while the truth is cosine — on unnormalized corpora
+    part of the loss is the metric, not the quantizer (normalize first
+    in production).  Measured at sf0.01: 0.84 — the compression ladder
+    reads PQ-raw 0.36 < SQ8 0.84 < exact 1.0, each at its byte
+    budget."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sqk = similarity.sq8_topk(emb, _QUERY_IDS, k=_K).select(
+        "query_id", "corpus_id"
+    )
+    bfk = similarity.brute_force_topk(emb, _QUERY_IDS, k=_K).select(
+        F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc")
+    )
+    hits = bfk.join(
+        sqk,
+        (F.col("bq") == F.col("query_id")) & (F.col("bc") == F.col("corpus_id")),
+        "left",
+    )
+    return hits.groupBy(F.col("bq").alias("query_id")).agg(
+        F.count("corpus_id").cast("bigint").alias("n_hits"),
+        (F.count("corpus_id").cast("double") / F.lit(float(_K))).alias("recall"),
+    )
+
+
+_TRUNC_DIMS = 16
+_TRUNC_SHORTLIST = 50
+
+_TRUNC_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (
+    SELECT vec_id AS vid, v, sqrt(list_dot_product(v, v)) AS nrm,
+           v[1 : {_TRUNC_DIMS}] AS pv,
+           sqrt(list_dot_product(v[1 : {_TRUNC_DIMS}], v[1 : {_TRUNC_DIMS}]))
+               AS pnrm
+    FROM e
+),
+pscored AS (
+    SELECT q.vid AS query_id, b.vid AS corpus_id,
+           list_dot_product(q.pv, b.pv) / (q.pnrm * b.pnrm) AS pcos
+    FROM base q JOIN base b ON b.vid <> q.vid
+    WHERE q.vid IN ({_qids})
+),
+short AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY pcos DESC, corpus_id) AS rn
+        FROM pscored
+    ) WHERE rn <= {_TRUNC_SHORTLIST}
+),
+rr AS (
+    SELECT s.query_id, s.corpus_id,
+           list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cosine_sim
+    FROM short s
+    JOIN base q ON q.vid = s.query_id
+    JOIN base b ON b.vid = s.corpus_id
+),
+trk AS (
+    SELECT query_id, corpus_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rnk
+        FROM rr
+    ) WHERE rnk <= {_K}
+)"""
+
+_TRUNC_TOPK_SQL = f"""
+WITH {_TRUNC_CTES}
+SELECT query_id, corpus_id, cosine_sim, rnk FROM trk
+"""
+
+
+@register("sim_truncated_rerank", _TRUNC_TOPK_SQL)
+def q_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-adaptive retrieval (the Matryoshka serving trick):
+    shortlist by cosine over the first 16 of 64 dimensions — 1/4 of
+    the scoring arithmetic — then exact full-dim cosine re-ranks the
+    shortlist.  ONE corpus scan: the full vector rides the row through
+    the prefix scoring, so full floats are touched only for the
+    |Q|·shortlist survivors."""
+    return similarity.truncated_rerank_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        k=_K,
+        prefix_dims=_TRUNC_DIMS,
+        shortlist=_TRUNC_SHORTLIST,
+    )
+
+
+_TRUNC_RECALL_SQL = f"""
+WITH {_TRUNC_CTES},
+bf AS (
+    SELECT q.vid AS query_id, b.vid AS corpus_id,
+           list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cosine_sim
+    FROM base q JOIN base b ON b.vid <> q.vid
+    WHERE q.vid IN ({_qids})
+),
+bfk AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rnk
+        FROM bf
+    ) WHERE rnk <= {_K}
+)
+SELECT bfk.query_id,
+       CAST(COUNT(t.corpus_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(t.corpus_id) AS DOUBLE) / {_K} AS recall
+FROM bfk LEFT JOIN trk t
+  ON t.query_id = bfk.query_id AND t.corpus_id = bfk.corpus_id
+GROUP BY bfk.query_id
+"""
+
+
+@register("sim_truncated_recall", _TRUNC_RECALL_SQL)
+def q_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of truncated-dim shortlist + exact rerank vs the
+    full-dim truth: what a 4x cheaper first stage costs — the tuning
+    curve is (prefix_dims, shortlist), the same cost/recall dial as
+    (nprobe, shortlist) on the IVF ladder."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    trk = similarity.truncated_rerank_topk(
+        emb, _QUERY_IDS, k=_K,
+        prefix_dims=_TRUNC_DIMS, shortlist=_TRUNC_SHORTLIST,
+    ).select("query_id", "corpus_id")
+    bfk = similarity.brute_force_topk(emb, _QUERY_IDS, k=_K).select(
+        F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc")
+    )
+    hits = bfk.join(
+        trk,
+        (F.col("bq") == F.col("query_id")) & (F.col("bc") == F.col("corpus_id")),
+        "left",
+    )
+    return hits.groupBy(F.col("bq").alias("query_id")).agg(
+        F.count("corpus_id").cast("bigint").alias("n_hits"),
+        (F.count("corpus_id").cast("double") / F.lit(float(_K))).alias("recall"),
+    )
