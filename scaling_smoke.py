@@ -126,6 +126,15 @@ STAGES = {
     "sim_ivfpq_rerank": "embeddings",
     "decontamination_semantic": "embeddings",
     "multimodal_image_dhash": "documents",
+    # round-7 additions: the SQ8 compression rung (stats agg + one
+    # integer-ADC scan) and the truncated-dim rerank (one scan carrying
+    # the full vector through the prefix shortlist).  The TRAINED
+    # clustered-fixture queries are NOT stages: their corpus is the
+    # md5-derived fixture, whose per-row cost is constant — the scaled
+    # replica ids just make more fixture rows, already covered by the
+    # timed embeddings stages.
+    "sim_sq8_topk": "embeddings",
+    "sim_truncated_rerank": "embeddings",
 }
 
 
@@ -586,8 +595,17 @@ def _ppjoin_decomposition(spark, src_dir: str, out_dir: str) -> dict:
         "prefix_candidates = the round-5 verify-join input; since round 6 "
         "the PPJoin positional filter drops candidates whose overlap upper "
         "bound c + min(|a|-i, |b|-j) cannot reach t/(1+t)*(|a|+|b|) BEFORE "
-        "any verify work — pos_filtered_candidates is what the verify join "
-        "now processes, at identical exactness"
+        "any verify work — pos_filtered_candidates is what the verify "
+        "now processes, at identical exactness.  Round 7 closed the "
+        "filter ladder: the verify is ROW-LOCAL (each candidate joins the "
+        "two pinned per-doc hash arrays, exact overlap via one "
+        "array_intersect — no corpus re-explode, no per-token shuffle; "
+        "stage wall ratio 27.7x -> ~7x at 10x rows on identical output). "
+        "PPJoin+'s suffix filter is dominated in a bulk-join engine: any "
+        "suffix bound ships the same per-candidate arrays the exact "
+        "verify consumes, so there is no cheaper rung left — residual "
+        "superlinearity is duplication density (candidates x96.8 at 10x "
+        "on replica-dense data), priced against the LSH route as before"
     )
     return out
 
@@ -796,12 +814,26 @@ def main() -> None:
 
     build_scaled(_SPARK, src_dir, out_dir, factor)
 
+    # Serving-path stages ride a session-cached index build keyed by
+    # sf_dir (the bench methodology: one-time build cost is warmed so the
+    # entry measures QUERY cost).  The stage loop's warm run only touches
+    # src_dir, so without this the scaled measurement charges a fresh
+    # 10x index BUILD to the first serving query (measured: it read
+    # 7.71x while the query-only ratio is ~1.3x).  Warm the scaled dir
+    # too and record that first-touch (build + query) cost separately.
+    _WARM_SCALED = {"sim_ivfpq_topk"}
+
     result: dict = {"factor": factor, "base_dir": src_dir, "stages": {}}
     try:
+        serving_build: dict = {}
         for name, table in STAGES.items():
             n_base = load_table(_SPARK, src_dir, table).count()
             n_scaled = load_table(_SPARK, out_dir, table).count()
             _time_stage(qs, name, src_dir)  # warm codegen for this plan
+            if name in _WARM_SCALED:
+                serving_build[f"{name}_first_touch_scaled_sec"] = _time_stage(
+                    qs, name, out_dir
+                )
             t_base = _time_stage(qs, name, src_dir)
             t_scaled = _time_stage(qs, name, out_dir)
             rows_ratio = n_scaled / n_base
@@ -816,6 +848,14 @@ def main() -> None:
                 "time_ratio": round(time_ratio, 2),
                 "per_row_ratio": round(time_ratio / rows_ratio, 3),
             }
+        if serving_build:
+            serving_build["note"] = (
+                "first touch of the scaled dir = one-time index BUILD + "
+                "query (the session cache is keyed by sf_dir); the stage "
+                "row above measures the warmed QUERY cost on both sides, "
+                "matching the bench methodology for serving entries"
+            )
+            result["ivfpq_serving_build"] = serving_build
         result["pagerank_decomposition"] = _pagerank_decomposition(
             _SPARK, qs, src_dir, out_dir
         )

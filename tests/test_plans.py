@@ -1086,3 +1086,27 @@ def test_image_dhash_map_only(spark):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert plan.count("documents.parquet") == 1
+
+
+def test_sq8_one_corpus_scan_broadcast_queries(spark):
+    """SQ8 search: the quantized corpus is ONE embeddings scan against
+    broadcast quantized queries + a broadcast 1-row range frame — no
+    sort-merge join, no corpus re-scan per query."""
+    df = catalog.queries()["sim_sq8_topk"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_truncated_rerank_single_scan_carries_vector(spark):
+    """Dimension-adaptive retrieval: the full vector rides the row
+    through the prefix shortlist, so the rerank needs NO second corpus
+    fetch — one full-corpus embeddings scan (plus the broadcast-built
+    query side's pruned scan), no sort-merge join."""
+    df = catalog.queries()["sim_truncated_rerank"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    # corpus scan + id-pruned query scan: the query side's scan carries
+    # a pushed IN-filter, the corpus side does not
+    assert plan.count("embeddings.parquet") == 2
+    assert "In(vec_id" in plan
