@@ -275,6 +275,9 @@ _PRIORITY = [
     "sim_sq8_recall",
     "sim_truncated_rerank",
     "sim_truncated_recall",
+    "sim_filtered_topk",
+    "sim_filtered_postfilter_recall",
+    "retrieval_hybrid_rrf",
     # round-6 head carries below (all already green — harmless)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",

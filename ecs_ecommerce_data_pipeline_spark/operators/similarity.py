@@ -1184,6 +1184,51 @@ def ivfpq_rerank_topk(
     )
 
 
+def filtered_brute_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    pred,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FILTERED vector search (the vector-DB problem every serving
+    stack hits: 'top-k nearest WHERE <predicate>'), pre-filter
+    strategy: the predicate restricts the CORPUS side before any
+    scoring — pushed into the scan, so cost tracks the filtered
+    cardinality — while query vectors come from the UNFILTERED set by
+    id (a query need not satisfy its own filter).  Exact within the
+    predicate; the baseline the post-filter shortcut is measured
+    against."""
+    from pyspark.sql import Window as W
+
+    v = as_double_array(vec_col)
+    corpus = (
+        embeddings.filter(pred)
+        .select(F.col(id_col).alias("corpus_id"), v.alias("corpus_vec"))
+        .withColumn("corpus_norm", norm(F.col("corpus_vec")))
+    )
+    queries = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), v.alias("query_vec"))
+        .withColumn("query_norm", norm(F.col("query_vec")))
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("corpus_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "corpus_id",
+        (
+            dot(F.col("query_vec"), F.col("corpus_vec"))
+            / (F.col("query_norm") * F.col("corpus_norm"))
+        ).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= k)
+
+
 def sq8_quantize(
     embeddings: DataFrame,
     id_col: str = "vec_id",

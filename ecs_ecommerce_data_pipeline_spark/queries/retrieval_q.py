@@ -411,3 +411,115 @@ def q_retrieval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dcg",
         (F.col("dcg") / F.col("idcg")).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and dense ANN (round 7)
+# ---------------------------------------------------------------------------
+
+_RRF_K0 = 60       # the standard RRF damping constant (Cormack et al.)
+_RRF_SHORT = 50    # per-channel shortlist depth
+_RRF_QVEC = 0      # the dense channel's query vector id
+
+_HYBRID_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS term FROM t),
+hits AS (SELECT doc_id, term FROM ex WHERE term IN ({_terms_sql})),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
+dfx AS (
+    SELECT term, COUNT(*) AS df
+    FROM (SELECT DISTINCT doc_id, term FROM hits) GROUP BY 1
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+bscored AS (
+    SELECT tf.doc_id,
+           CAST(
+             ((n_docs - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * ((CAST(tf AS DOUBLE) * 2.2)
+                / (CAST(tf AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+             AS DECIMAL(25,12)) AS term_score
+    FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN stats
+),
+bdoc AS (
+    SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS score
+    FROM bscored GROUP BY 1
+),
+rb AS (
+    SELECT doc_id, rnk AS rb FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM bdoc
+    ) WHERE rnk <= {_RRF_SHORT}
+),
+ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q0 AS (SELECT v AS qv FROM ed WHERE vec_id = {_RRF_QVEC}),
+dsc AS (
+    SELECT ed.vec_id AS doc_id,
+           list_dot_product(qv, v)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+             AS cos
+    FROM ed CROSS JOIN q0 WHERE ed.vec_id <> {_RRF_QVEC}
+),
+rd AS (
+    SELECT doc_id, rnk AS rd FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rnk
+        FROM dsc
+    ) WHERE rnk <= {_RRF_SHORT}
+),
+fused AS (
+    SELECT COALESCE(rb.doc_id, rd.doc_id) AS doc_id,
+           COALESCE(1.0 / ({_RRF_K0} + rb.rb), 0.0)
+             + COALESCE(1.0 / ({_RRF_K0} + rd.rd), 0.0) AS rrf_score
+    FROM rb FULL OUTER JOIN rd ON rd.doc_id = rb.doc_id
+)
+SELECT doc_id, rrf_score, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rnk
+    FROM fused
+) WHERE rnk <= {_TOP_K}
+"""
+
+
+@register("retrieval_hybrid_rrf", _HYBRID_SQL)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — reciprocal-rank fusion (RRF, Cormack et al.)
+    of the two verified channels every RAG stack runs side by side: the
+    sparse BM25 ranking (fixed query terms) and the dense cosine
+    ranking (query vector {_RRF_QVEC}).  score(d) = Σ_channels
+    1/(60 + rank_d) over each channel's top-50, absent-from-channel
+    contributing 0 — rank fusion needs NO score calibration between
+    channels, which is exactly why production uses it.  All-integer
+    ranks in, two exact divisions + one fixed-order add out:
+    bit-reproducible cross-engine.
+
+    Scale shape: both channels are their already-verified pipelines
+    (filter-before-shuffle BM25; one-scan broadcast-query dense); the
+    fusion itself is a full-outer join of two 50-row shortlists."""
+    from ..operators import similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    rb = retrieval.bm25_scores(docs, _QUERY_TERMS, k=_RRF_SHORT).select(
+        "doc_id", F.col("rnk").alias("rb")
+    )
+    rd = similarity.brute_force_topk(emb, [_RRF_QVEC], k=_RRF_SHORT).select(
+        F.col("corpus_id").alias("doc_id"), F.col("rnk").alias("rd")
+    )
+    fused = rb.join(rd, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (F.lit(_RRF_K0) + F.col("rb")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K0) + F.col("rd")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return fused.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= _TOP_K)

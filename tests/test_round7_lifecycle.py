@@ -199,3 +199,51 @@ def test_image_dedup_stream_union_equals_batch(spark, tmp_path):
         for r in load_image_dedup_pairs(spark, state).collect()
     }
     assert again == expect
+
+
+def test_stream_appends_after_compaction_still_supersede(spark, tmp_path):
+    """Compaction rewrites rows under _batch_id = max-seen; a LATER
+    stream batch must still supersede compacted rows by latest-wins —
+    and the quantizer/codebook must survive the compaction untouched."""
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import BatchLedger
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        compact_index,
+        load_stream_ivfpq,
+        vector_index_stream,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    drop = str(tmp_path / "drop")
+    emb.filter(F.col("vec_id") < 40).coalesce(1).write.parquet(drop)
+    emb.filter(F.col("vec_id").between(40, 79)).coalesce(1).write.mode(
+        "append"
+    ).parquet(drop)
+    index_path = str(tmp_path / "idx")
+    lpath = str(tmp_path / "ledger.json")
+    _run_vec_stream(spark, tmp_path, emb, "ckpt", index_path, lpath)
+    compact_index(spark, index_path)
+
+    # a new batch arrives AFTER compaction: re-embeds vid 5 with vid
+    # 200's vector (simulated re-embedding) plus fresh vids
+    re5 = (
+        emb.filter(F.col("vec_id") == 200)
+        .select(F.lit(5).cast("long").alias("vec_id"), "embedding")
+    )
+    emb.filter(F.col("vec_id").between(80, 99)).unionByName(re5).coalesce(
+        1
+    ).write.mode("append").parquet(drop)
+    _run_vec_stream(spark, tmp_path, emb, "ckpt2", index_path, lpath)
+
+    cents, assigns, cb, codes = load_stream_ivfpq(spark, index_path)
+    rows = {r["vid"] for r in assigns.select("vid").collect()}
+    assert {80, 81, 99, 5} <= rows
+    # vid 5 now carries vid 200's vector (the re-embedding won)
+    v5 = assigns.filter(F.col("vid") == 5).first()["vec"]
+    v200 = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 200).first()["embedding"]
+    ]
+    assert list(v5) == v200
+    # exactly one surviving assignment row per vid
+    assert assigns.count() == len(rows)
