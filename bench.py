@@ -330,6 +330,8 @@ _BENCH_EXTRA: set[str] = {
     "sim_filtered_topk",
     "sim_filtered_postfilter_recall",
     "retrieval_hybrid_rrf",
+    "retrieval_hard_negatives",
+    "sim_cluster_purity",
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use

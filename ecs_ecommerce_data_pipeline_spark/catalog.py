@@ -278,6 +278,8 @@ _PRIORITY = [
     "sim_filtered_topk",
     "sim_filtered_postfilter_recall",
     "retrieval_hybrid_rrf",
+    "retrieval_hard_negatives",
+    "sim_cluster_purity",
     # round-6 head carries below (all already green — harmless)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",
