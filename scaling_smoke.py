@@ -129,12 +129,19 @@ STAGES = {
     # round-7 additions: the SQ8 compression rung (stats agg + one
     # integer-ADC scan) and the truncated-dim rerank (one scan carrying
     # the full vector through the prefix shortlist).  The TRAINED
-    # clustered-fixture queries are NOT stages: their corpus is the
-    # md5-derived fixture, whose per-row cost is constant — the scaled
-    # replica ids just make more fixture rows, already covered by the
-    # timed embeddings stages.
+    # clustered-fixture queries are NOT stages (nor is
+    # sim_cluster_purity): their corpus is the md5-derived fixture,
+    # whose per-row cost is constant — the scaled replica ids just make
+    # more fixture rows, already covered by the timed embeddings stages.
     "sim_sq8_topk": "embeddings",
     "sim_truncated_rerank": "embeddings",
+    # round-7 tail: filtered search (predicate pushed to the corpus
+    # scan, then one exact scoring pass), hard-negative mining (one
+    # corpus scan vs the broadcast labeled query set), and hybrid RRF
+    # (BM25 + dense channels, each already-timed shapes, fused by rank)
+    "sim_filtered_topk": "embeddings",
+    "retrieval_hard_negatives": "embeddings",
+    "retrieval_hybrid_rrf": "documents",
 }
 
 
@@ -812,6 +819,14 @@ def main() -> None:
     )
     qs = catalog.queries()
 
+    # SCALE_STAGE_FILTER="a,b,c": time only the named stages, skip the
+    # decomposition passes, and MERGE the rows into the existing
+    # SCALING.json — re-timing all 60 stages to add three is wasteful
+    # and churns every number with box noise.
+    stage_filter = {
+        s for s in os.environ.get("SCALE_STAGE_FILTER", "").split(",") if s
+    }
+
     build_scaled(_SPARK, src_dir, out_dir, factor)
 
     # Serving-path stages ride a session-cached index build keyed by
@@ -826,7 +841,12 @@ def main() -> None:
     result: dict = {"factor": factor, "base_dir": src_dir, "stages": {}}
     try:
         serving_build: dict = {}
-        for name, table in STAGES.items():
+        stage_items = [
+            (n, t)
+            for n, t in STAGES.items()
+            if not stage_filter or n in stage_filter
+        ]
+        for name, table in stage_items:
             n_base = load_table(_SPARK, src_dir, table).count()
             n_scaled = load_table(_SPARK, out_dir, table).count()
             _time_stage(qs, name, src_dir)  # warm codegen for this plan
@@ -856,6 +876,18 @@ def main() -> None:
                 "matching the bench methodology for serving entries"
             )
             result["ivfpq_serving_build"] = serving_build
+        if stage_filter:
+            # merge mode: fold the freshly-timed rows into the existing
+            # file, leave every other stage and decomposition untouched
+            with open("SCALING.json") as fh:
+                merged = json.load(fh)
+            merged["stages"].update(result["stages"])
+            print(json.dumps(result))
+            with open("SCALING.json", "w") as fh:
+                json.dump(merged, fh, indent=2)
+            shutil.rmtree(out_dir, ignore_errors=True)
+            _SPARK.stop()
+            return
         result["pagerank_decomposition"] = _pagerank_decomposition(
             _SPARK, qs, src_dir, out_dir
         )
