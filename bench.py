@@ -332,6 +332,11 @@ _BENCH_EXTRA: set[str] = {
     "retrieval_hybrid_rrf",
     "retrieval_hard_negatives",
     "sim_cluster_purity",
+    "sim_lsh_multiprobe_topk",
+    "sim_recall_lsh_multiprobe",
+    "dedup_lsh_tuning_curve",
+    "sim_ivf_filtered_topk",
+    "sim_ivf_filtered_recall",
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use

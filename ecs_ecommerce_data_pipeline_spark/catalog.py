@@ -280,6 +280,11 @@ _PRIORITY = [
     "retrieval_hybrid_rrf",
     "retrieval_hard_negatives",
     "sim_cluster_purity",
+    "sim_lsh_multiprobe_topk",
+    "sim_recall_lsh_multiprobe",
+    "dedup_lsh_tuning_curve",
+    "sim_ivf_filtered_topk",
+    "sim_ivf_filtered_recall",
     # round-6 head carries below (all already green — harmless)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",

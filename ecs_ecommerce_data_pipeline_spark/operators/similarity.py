@@ -143,6 +143,25 @@ def _vector_dims(embeddings: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
+def _proj_sql_expr(vec_col: str, p: int, dims: int) -> str:
+    """Integerized hyperplane projection of plane ``p`` as ONE SQL string.
+
+    'D' suffix: bare decimal literals parse as DECIMAL in Spark SQL;
+    repr() is Python's shortest-roundtrip form, so the parsed double is
+    bit-identical to the weight F.lit() used to embed.  Each term is
+    integerized per element (floor of the double product scaled by 2^40)
+    BEFORE summation, so the sum is exact integer arithmetic — order-free,
+    partitioning- and engine-independent — at BIGINT speed.
+    """
+    v_sql = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    w = ", ".join(f"{x!r}D" for x in _hyperplane_weights_py(p, dims))
+    return (
+        f"aggregate(zip_with({v_sql}, array({w}),"
+        " (x, wd) -> CAST(FLOOR((x * wd) * 1099511627776.0D) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+
+
 def _with_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -177,18 +196,8 @@ def _with_buckets(
     # arithmetic — order-free, partitioning- and engine-independent — at
     # BIGINT speed instead of DECIMAL. 64-dim terms of magnitude ≲2^40
     # keep the sum far inside int64.
-    v_sql = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
-
     def proj_sql(p: int) -> str:
-        # 'D' suffix: bare decimal literals parse as DECIMAL in Spark SQL;
-        # repr() is Python's shortest-roundtrip form, so the parsed double
-        # is bit-identical to the weight F.lit() used to embed.
-        w = ", ".join(f"{x!r}D" for x in _hyperplane_weights_py(p, dims))
-        return (
-            f"aggregate(zip_with({v_sql}, array({w}),"
-            " (x, wd) -> CAST(FLOOR((x * wd) * 1099511627776.0D) AS BIGINT)),"
-            " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
-        )
+        return _proj_sql_expr(vec_col, p, dims)
 
     bits = " + ".join(
         f"IF({proj_sql(p)} > 0, CAST({1 << p} AS BIGINT), CAST(0 AS BIGINT))"
@@ -379,6 +388,7 @@ def ivf_centroid_scores(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Rank every vector against the IVF coarse quantizer's centroids.
 
@@ -389,13 +399,19 @@ def ivf_centroid_scores(
     vector's cell. The centroid side is tiny and broadcast; the corpus
     scan stays distributed, followed by one per-vid window (a single
     shuffle on vid — map-side combinable at scale).
+
+    ``keep_cols`` threads extra row attributes (e.g. a filter label)
+    through the ranking at zero cost — they ride the scan instead of
+    being joined back on vid afterwards (which would shuffle a second
+    corpus-sized projection).
     """
     from pyspark.sql import Window as W
 
+    keep = list(keep_cols or [])
     v = as_double_array(vec_col)
-    base = embeddings.select(F.col(id_col).alias("vid"), v.alias("vec")).withColumn(
-        "nrm", norm(F.col("vec"))
-    )
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), v.alias("vec"), *keep
+    ).withColumn("nrm", norm(F.col("vec")))
     centroids = (
         base.orderBy("vid")
         .limit(n_centroids)
@@ -409,6 +425,7 @@ def ivf_centroid_scores(
         "vid",
         "vec",
         "nrm",
+        *keep,
         "cid",
         (dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))).alias(
             "cos"
@@ -443,6 +460,77 @@ def ivf_topk(
         F.col("vec").alias("corpus_vec"),
         F.col("nrm").alias("corpus_norm"),
         F.col("cid").alias("cell"),
+    )
+    probes = (
+        ranked.filter(F.col("vid").isin(query_ids) & (F.col("rn") <= nprobe))
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("vec").alias("query_vec"),
+            F.col("nrm").alias("query_norm"),
+            F.col("cid").alias("cell"),
+        )
+    )
+    scored = cells.join(
+        F.broadcast(probes),
+        (cells["cell"] == probes["cell"]) & (F.col("corpus_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "corpus_id",
+        (
+            dot(F.col("query_vec"), F.col("corpus_vec"))
+            / (F.col("query_norm") * F.col("corpus_norm"))
+        ).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def ivf_filtered_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    pred,
+    pred_cols: list[str],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered search THROUGH the IVF index — the production shape for
+    'top-k nearest WHERE <predicate>' (FAISS calls it an IDSelector):
+    the index is built over the FULL corpus; at query time the
+    predicate masks rows inside the probed cells only.
+
+    This is the third filtered-search strategy next to
+    ``filtered_brute_topk`` (pre-filter exact: full filtered scan per
+    query set) and the post-filter shortcut (whose recall collapses
+    unless the shortlist is ~k/selectivity deep).  Here cost stays
+    Σ(probed-cell sizes) — independent of corpus size and of the
+    filter's selectivity — and the only recall loss is cell probing:
+    a qualifying neighbor is missed ONLY if its cell wasn't probed,
+    never because non-qualifying rows crowded a shortlist.
+
+    ``pred_cols`` names the row attributes the predicate reads; they
+    ride the ranking scan (``keep_cols``) instead of a second
+    corpus-sized join.  Queries come from the unfiltered set by id.
+    """
+    from pyspark.sql import Window as W
+
+    ranked = ivf_centroid_scores(
+        embeddings, n_centroids, id_col, vec_col, keep_cols=pred_cols
+    )
+    cells = (
+        ranked.filter(F.col("rn") == 1)
+        .filter(pred)
+        .select(
+            F.col("vid").alias("corpus_id"),
+            F.col("vec").alias("corpus_vec"),
+            F.col("nrm").alias("corpus_norm"),
+            F.col("cid").alias("cell"),
+        )
     )
     probes = (
         ranked.filter(F.col("vid").isin(query_ids) & (F.col("rn") <= nprobe))
@@ -1515,6 +1603,94 @@ def lsh_topk(
     scored = with_bucket.join(
         F.broadcast(queries),
         (F.col("bucket") == F.col("qbucket")) & (F.col("corpus_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "corpus_id",
+        (
+            dot(F.col("query_vec"), F.col("corpus_vec"))
+            / (F.col("query_norm") * F.col("corpus_norm"))
+        ).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def lsh_multiprobe_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 8,
+    n_extra: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB 2007): each query probes
+    its home bucket PLUS the ``n_extra`` buckets reached by flipping the
+    sign bits whose projection magnitude is smallest — the planes where
+    the vector lies closest to the boundary, hence the likeliest
+    misassignments.  Recall rises toward the multi-table level without
+    duplicating the corpus into more hash tables.
+
+    Scale shape: the corpus side is IDENTICAL to ``lsh_topk`` (one scan,
+    inline bucket column, no explosion); only the |Q|-row query side
+    fans out to |Q|·(n_extra+1) probe rows, broadcast into the bucket
+    equi-join.  Probe buckets are distinct by construction (home XOR a
+    distinct single bit each) and a corpus vector lives in exactly one
+    bucket, so no candidate dedup pass is needed.  The flip ranking is
+    exact integer arithmetic over the same integerized projections that
+    define the bucket — deterministic, engine-independent.
+
+    Recall dominance over single-probe is EXACT, not statistical: the
+    candidate set is a superset and a candidate that displaces a true
+    top-k member from the window must itself rank inside the true top-k
+    (same cosine/tie ordering both sides) — test-pinned.
+    """
+    from pyspark.sql import Window as W
+
+    dims = _vector_dims(embeddings, vec_col)
+    v = as_double_array(vec_col)
+    corpus = (
+        _with_buckets(embeddings, n_planes, id_col, vec_col, dims)
+        .select(F.col(id_col).alias("corpus_id"), v.alias("corpus_vec"), "bucket")
+        .withColumn("corpus_norm", norm(F.col("corpus_vec")))
+    )
+    qside = _with_buckets(
+        embeddings.filter(F.col(id_col).isin(query_ids)),
+        n_planes,
+        id_col,
+        vec_col,
+        dims,
+    )
+    if dims == 0:  # empty corpus: stable empty result
+        probes_sql = "array(bucket)"
+    else:
+        projs = ", ".join(
+            _proj_sql_expr(vec_col, p, dims) for p in range(n_planes)
+        )
+        # flip rank: ascending |projection|, plane id as the tie-break —
+        # array_sort on (ap, p) structs is exactly that lexicographic
+        # order. bucket ^ (1 << p) flips one sign bit per extra probe.
+        probes_sql = (
+            f"concat(array(bucket), transform("
+            f"slice(array_sort(transform(array({projs}),"
+            f" (pr, p) -> struct(abs(pr) AS ap, p AS p))), 1, {n_extra}),"
+            f" s -> bucket ^ shiftleft(CAST(1 AS BIGINT), s.p)))"
+        )
+    queries = (
+        qside.select(
+            F.col(id_col).alias("query_id"),
+            v.alias("query_vec"),
+            F.explode(F.expr(probes_sql)).alias("pbucket"),
+        )
+        .withColumn("query_norm", norm(F.col("query_vec")))
+    )
+    scored = corpus.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("pbucket"))
+        & (F.col("corpus_id") != F.col("query_id")),
     ).select(
         "query_id",
         "corpus_id",

@@ -553,6 +553,186 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- LSH banding tuning curve (the (b, r) analogue of the nprobe sweep) ------
+
+# (n_bands, rows_per_band) over the SAME 8-hash signatures: the S-curve
+# trade — more rows per band = sharper threshold (fewer candidates,
+# lower recall below t); more bands = higher recall, more candidates.
+_TUNE_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
+
+
+def _tuning_sql() -> str:
+    band_selects = []
+    for cfg, (n_bands, r) in enumerate(_TUNE_CONFIGS):
+        for b in range(n_bands):
+            key = " || '|' || ".join(
+                f"CAST(sig_{b * r + j} AS VARCHAR)" for j in range(r)
+            )
+            band_selects.append(
+                f"SELECT doc_id, {cfg} AS cfg, {b} AS band_idx,"
+                f" md5({key}) AS band_key FROM ssig"
+            )
+    allbands = "\n    UNION ALL ".join(band_selects)
+    cfg_rows = "\n    UNION ALL ".join(
+        f"SELECT {cfg} AS cfg, {nb} AS n_bands, {r} AS rows_per_band"
+        for cfg, (nb, r) in enumerate(_TUNE_CONFIGS)
+    )
+    return f"""
+WITH {_SIG_CTES},
+ssig AS (SELECT * FROM sigs WHERE doc_id < {_RECALL_MAX_ID}),
+sub AS (SELECT * FROM ex WHERE doc_id < {_RECALL_MAX_ID}),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sub GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS i
+    FROM sub a JOIN sub b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT i.da, i.db
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.da
+                 JOIN sizes sb ON sb.doc_id = i.db
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {_JACCARD_T}
+),
+allbands AS (
+    {allbands}
+),
+cand AS (
+    SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM allbands a JOIN allbands b
+      ON a.cfg = b.cfg AND a.band_idx = b.band_idx
+     AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+ncand AS (SELECT cfg, COUNT(*) AS n_candidates FROM cand GROUP BY cfg),
+ncaught AS (
+    SELECT c.cfg, COUNT(*) AS n_caught
+    FROM cand c JOIN truth t ON t.da = c.doc_a AND t.db = c.doc_b
+    GROUP BY c.cfg
+),
+cfgs AS (
+    {cfg_rows}
+)
+SELECT CAST(cfgs.n_bands AS BIGINT) AS n_bands,
+       CAST(cfgs.rows_per_band AS BIGINT) AS rows_per_band,
+       CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+       CAST(COALESCE(ng.n_caught, 0) AS BIGINT) AS n_caught
+FROM cfgs
+LEFT JOIN ncand nc ON nc.cfg = cfgs.cfg
+LEFT JOIN ncaught ng ON ng.cfg = cfgs.cfg
+"""
+
+
+@register("dedup_lsh_tuning_curve", _tuning_sql())
+def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding S-curve measured, not guessed: from ONE 8-hash signature
+    build, every (bands × rows-per-band) factorization — (8,1), (4,2),
+    (2,4), (1,8) — scored for candidate volume and true-pair recall
+    against the exact all-pairs Jaccard truth.  The nprobe-sweep
+    methodology applied to the dedup side: the table an operator reads
+    before picking the production banding.
+
+    Shape: the gold standard is quadratic, so (like the recall gate) it
+    runs on the bounded audit slice (doc_id < {max_id}); all four
+    bandings ride one config-tagged explode over the SAME signature
+    frame — one scan, one bucket agg keyed (cfg, band, key), one pair
+    explode — so the sweep costs one banding pass, not four pipelines.
+    Candidates are uncapped here (the cap is a production guard, not
+    part of the S-curve being measured).  All outputs integers.
+    """
+    doc = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _RECALL_MAX_ID
+    )
+    sh = dedup.shingle_docs(doc, k=_SHINGLE_K)
+    sigs = dedup.minhash_signatures(sh, num_hashes=_NUM_HASHES)
+
+    band_structs = []
+    for cfg, (n_bands, r) in enumerate(_TUNE_CONFIGS):
+        for b in range(n_bands):
+            slots = [F.col(f"sig_{b * r + j}") for j in range(r)]
+            band_structs.append(
+                F.struct(
+                    F.lit(cfg).alias("cfg"),
+                    F.lit(b).alias("band_idx"),
+                    F.md5(F.concat_ws("|", *slots)).alias("band_key"),
+                )
+            )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("doc_id", "bd.cfg", "bd.band_idx", "bd.band_key")
+    buckets = banded.groupBy("cfg", "band_idx", "band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    pairs = (
+        buckets.filter(F.size("docs") >= 2)
+        .select("cfg", F.posexplode("docs").alias("pos", "doc_a"), "docs")
+        .select(
+            "cfg",
+            "doc_a",
+            F.explode(
+                F.slice("docs", F.col("pos") + 2, F.size("docs"))
+            ).alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = sh.select(F.col("doc_id").alias("da"), "shingle")
+    b = sh.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db"
+        )
+        .filter(
+            F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+            >= _JACCARD_T
+        )
+        .select("da", "db")
+    )
+
+    ncand = pairs.groupBy("cfg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    ncaught = (
+        pairs.join(
+            truth,
+            (F.col("doc_a") == F.col("da")) & (F.col("doc_b") == F.col("db")),
+        )
+        .groupBy("cfg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_caught"))
+    )
+    ntrue = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    cfg_meta = spark.createDataFrame(
+        [(cfg, nb, r) for cfg, (nb, r) in enumerate(_TUNE_CONFIGS)],
+        "cfg INT, n_bands BIGINT, rows_per_band BIGINT",
+    )
+    return (
+        cfg_meta.join(ncand, "cfg", "left")
+        .join(ncaught, "cfg", "left")
+        .crossJoin(F.broadcast(ntrue))
+        .select(
+            "n_bands",
+            "rows_per_band",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            "n_true_pairs",
+            F.coalesce("n_caught", F.lit(0)).cast("bigint").alias("n_caught"),
+        )
+    )
+
+
+q_lsh_tuning_curve.__doc__ = q_lsh_tuning_curve.__doc__.format(
+    max_id=_RECALL_MAX_ID
+)
+
+
 _OVERLAP_SQL = """
 WITH h AS (
     SELECT DISTINCT source,

@@ -181,6 +181,63 @@ def q_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_multiprobe_recall_sql() -> str:
+    from .similarity_q import _LSH_MULTIPROBE_SQL, _LSH_TOPK_SQL
+
+    return f"""
+WITH bf AS ({_BRUTE_SQL}),
+single AS ({_LSH_TOPK_SQL}),
+multi AS ({_LSH_MULTIPROBE_SQL})
+SELECT bf.query_id,
+       CAST({_K} AS BIGINT) AS k,
+       CAST(COUNT(single.corpus_id) AS BIGINT) AS n_hits_single,
+       CAST(COUNT(multi.corpus_id) AS BIGINT) AS n_hits_multiprobe
+FROM bf
+LEFT JOIN single
+  ON single.query_id = bf.query_id AND single.corpus_id = bf.corpus_id
+LEFT JOIN multi
+  ON multi.query_id = bf.query_id AND multi.corpus_id = bf.corpus_id
+GROUP BY bf.query_id
+"""
+
+
+@register("sim_recall_lsh_multiprobe", _lsh_multiprobe_recall_sql())
+def q_recall_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of single-probe vs multi-probe LSH side by side, per
+    query, against the exact baseline.  Multi-probe dominance is exact,
+    not statistical: its candidate set is a superset of single-probe's,
+    and any candidate that displaces a true top-k member from the
+    result window must itself rank inside the true top-k (same
+    cosine/tie ordering on both sides) — the invariant test pins
+    n_hits_multiprobe >= n_hits_single on every row."""
+    from .similarity_q import _N_EXTRA, _N_PLANES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = similarity.brute_force_topk(emb, _QUERY_IDS, k=_K).select(
+        "query_id", "corpus_id"
+    )
+    single = similarity.lsh_topk(emb, _QUERY_IDS, k=_K, n_planes=_N_PLANES).select(
+        "query_id", "corpus_id", F.lit(1).alias("hit_s")
+    )
+    multi = similarity.lsh_multiprobe_topk(
+        emb, _QUERY_IDS, k=_K, n_planes=_N_PLANES, n_extra=_N_EXTRA
+    ).select("query_id", "corpus_id", F.lit(1).alias("hit_m"))
+    return (
+        bf.join(single, ["query_id", "corpus_id"], "left")
+        .join(multi, ["query_id", "corpus_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(_K).cast("bigint").alias("k"),
+            F.sum(F.coalesce(F.col("hit_s"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits_single"),
+            F.sum(F.coalesce(F.col("hit_m"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits_multiprobe"),
+        )
+    )
+
+
 # --- score calibration: is the LM score predictive of rule-based quality? ----
 
 _CAL_BINS = 10

@@ -134,6 +134,76 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_EXTRA = 2
+
+# per-plane |projection| rows for the flip ranking: ascending magnitude,
+# plane id breaks ties — the planes where the query sits closest to the
+# hyperplane are the likeliest misassignments (Lv et al., VLDB 2007)
+_mp_flip_unions = "\n        UNION ALL ".join(
+    f"SELECT vec_id, {p} AS p, abs(proj_{p}) AS ap FROM qp"
+    for p in range(_N_PLANES)
+)
+
+_LSH_MULTIPROBE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (SELECT vec_id, v, {_proj_terms} FROM e),
+bucketed AS (
+    SELECT vec_id AS corpus_id, v AS corpus_vec,
+           CAST({_bucket_expr} AS BIGINT) AS bucket
+    FROM proj
+),
+qp AS (SELECT * FROM proj WHERE vec_id IN ({_qids})),
+qb AS (SELECT vec_id, v, CAST({_bucket_expr} AS BIGINT) AS bucket FROM qp),
+flips AS (
+    SELECT vec_id, p FROM (
+        SELECT vec_id, p, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY ap, p) AS fr
+        FROM ({_mp_flip_unions})
+    ) WHERE fr <= {_N_EXTRA}
+),
+probes AS (
+    SELECT vec_id AS query_id, bucket AS pbucket FROM qb
+    UNION ALL
+    SELECT f.vec_id, xor(qb.bucket, (1::BIGINT << f.p))
+    FROM flips f JOIN qb ON qb.vec_id = f.vec_id
+),
+scored AS (
+    SELECT pr.query_id, b.corpus_id,
+           list_dot_product(q.v, b.corpus_vec)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(b.corpus_vec, b.corpus_vec)))
+             AS cosine_sim
+    FROM probes pr
+    JOIN qb q ON q.vec_id = pr.query_id
+    JOIN bucketed b ON b.bucket = pr.pbucket AND b.corpus_id <> pr.query_id
+)
+SELECT query_id, corpus_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rnk
+    FROM scored
+) WHERE rnk <= {_K}
+"""
+
+
+@register("sim_lsh_multiprobe_topk", _LSH_MULTIPROBE_SQL)
+def q_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: the home bucket plus the 2 buckets behind
+    the lowest-|projection| sign bits per query — recall toward the
+    multi-table level at (n_extra+1)x query-side probe rows and ZERO
+    extra corpus cost (one scan, same inline bucket as single-probe).
+    The flip ranking is the same exact-integer projection arithmetic
+    that defines the bucket, so both engines derive identical probe
+    sets."""
+    return similarity.lsh_multiprobe_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        k=_K,
+        n_planes=_N_PLANES,
+        n_extra=_N_EXTRA,
+    )
+
+
 _N_CENTROIDS = 16
 _NPROBE = 4
 
@@ -2302,6 +2372,125 @@ def q_filtered_postfilter_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = truth.join(
         pk,
+        (F.col("tq") == F.col("query_id")) & (F.col("tc") == F.col("corpus_id")),
+        "left",
+    )
+    return joined.groupBy(F.col("tq").alias("query_id")).agg(
+        F.count("corpus_id").cast("bigint").alias("n_hits"),
+        F.count("tc").cast("bigint").alias("n_truth"),
+        (
+            F.count("corpus_id").cast("double")
+            / F.greatest(F.count("tc"), F.lit(1)).cast("double")
+        ).alias("recall"),
+    )
+
+
+# filtered search THROUGH the IVF index: full-corpus cell assignment,
+# predicate masks rows inside the probed cells only (FAISS IDSelector)
+_FILT_IVF_CTES = f"""el AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+),
+basel AS (
+    SELECT vec_id AS vid, v, sqrt(list_dot_product(v, v)) AS nrm, label
+    FROM el
+),
+cl AS (
+    SELECT vid AS cid, v AS cv, nrm AS cnrm FROM basel
+    ORDER BY vid LIMIT {_N_CENTROIDS}
+),
+rankedl AS (
+    SELECT vid, v, nrm, label, cid,
+           ROW_NUMBER() OVER (
+               PARTITION BY vid
+               ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cid) AS rn
+    FROM basel CROSS JOIN cl
+),
+fcells AS (
+    SELECT vid AS corpus_id, v AS corpus_vec, nrm AS corpus_norm, cid AS cell
+    FROM rankedl WHERE rn = 1 AND label = {_FILT_LABEL}
+),
+fprobes AS (
+    SELECT vid AS query_id, v AS query_vec, nrm AS query_norm, cid AS cell
+    FROM rankedl WHERE vid IN ({_qids}) AND rn <= {_NPROBE}
+),
+fivfk AS (
+    SELECT query_id, corpus_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT p.query_id, fcells.corpus_id,
+               list_dot_product(p.query_vec, fcells.corpus_vec)
+                 / (p.query_norm * fcells.corpus_norm) AS cosine_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY list_dot_product(p.query_vec, fcells.corpus_vec)
+                            / (p.query_norm * fcells.corpus_norm) DESC,
+                            fcells.corpus_id) AS rnk
+        FROM fcells JOIN fprobes p
+          ON fcells.cell = p.cell AND fcells.corpus_id <> p.query_id
+    ) WHERE rnk <= {_K}
+)"""
+
+_FILT_IVF_TOPK_SQL = f"""
+WITH {_FILT_IVF_CTES}
+SELECT query_id, corpus_id, cosine_sim, rnk FROM fivfk
+"""
+
+
+@register("sim_ivf_filtered_topk", _FILT_IVF_TOPK_SQL)
+def q_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search THROUGH the IVF index — the production strategy
+    the other two filtered rungs bracket: the index holds the full
+    corpus, the 'label = 3' mask applies inside the probed cells only.
+    Cost stays Σ(probed-cell sizes) regardless of filter selectivity,
+    and the only recall loss is cell probing — no shortlist for
+    non-qualifying rows to crowd out (the post-filter failure mode)."""
+    return similarity.ivf_filtered_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        pred=(F.col("label") == _FILT_LABEL),
+        pred_cols=["label"],
+        k=_K,
+        n_centroids=_N_CENTROIDS,
+        nprobe=_NPROBE,
+    )
+
+
+_FILT_IVF_RECALL_SQL = f"""
+WITH {_FILT_CTES},
+{_FILT_IVF_CTES}
+SELECT fk.query_id,
+       CAST(COUNT(fivfk.corpus_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(fk.corpus_id) AS BIGINT) AS n_truth,
+       CAST(COUNT(fivfk.corpus_id) AS DOUBLE)
+           / GREATEST(COUNT(fk.corpus_id), 1) AS recall
+FROM fk
+LEFT JOIN fivfk
+  ON fivfk.query_id = fk.query_id AND fivfk.corpus_id = fk.corpus_id
+GROUP BY fk.query_id
+"""
+
+
+@register("sim_ivf_filtered_recall", _FILT_IVF_RECALL_SQL)
+def q_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of filtered-through-the-index search vs the pre-filter
+    exact truth: quantifies that the index path's loss is probing only
+    (compare `sim_recall_ivf_at_k`'s unfiltered probing recall), while
+    the post-filter shortcut at the same k collapses with selectivity
+    (`sim_filtered_postfilter_recall`) — the three-way comparison a
+    vector store makes before choosing its filtered-query plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = similarity.filtered_brute_topk(
+        emb, _QUERY_IDS, pred=(F.col("label") == _FILT_LABEL), k=_K
+    ).select(F.col("query_id").alias("tq"), F.col("corpus_id").alias("tc"))
+    ivfk = similarity.ivf_filtered_topk(
+        emb,
+        _QUERY_IDS,
+        pred=(F.col("label") == _FILT_LABEL),
+        pred_cols=["label"],
+        k=_K,
+        n_centroids=_N_CENTROIDS,
+        nprobe=_NPROBE,
+    ).select("query_id", "corpus_id")
+    joined = truth.join(
+        ivfk,
         (F.col("tq") == F.col("query_id")) & (F.col("tc") == F.col("corpus_id")),
         "left",
     )

@@ -142,6 +142,12 @@ STAGES = {
     "sim_filtered_topk": "embeddings",
     "retrieval_hard_negatives": "embeddings",
     "retrieval_hybrid_rrf": "documents",
+    # multi-probe LSH: same one-scan corpus side as sim_lsh_topk, the
+    # probe fan-out is query-side only (|Q|*(n_extra+1) broadcast rows).
+    # dedup_lsh_tuning_curve is NOT a stage: it runs on the bounded
+    # audit slice (doc_id < 500) by design — constant work at any
+    # corpus size, same exclusion rationale as the recall gate.
+    "sim_lsh_multiprobe_topk": "embeddings",
 }
 
 

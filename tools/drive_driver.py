@@ -3,6 +3,7 @@ hash-compared against its DuckDB oracle.
 
 Usage: python tools/drive_driver.py           (sf0.01, ~4 min)
        DRIVE_SF=/root/testdata/sf0.001 python tools/drive_driver.py  (~2 min)
+       DRIVE_ONLY=name1,name2 python tools/drive_driver.py  (subset)
 
 Exit 0 + "RESULT: ALL MATCH" is the bar every commit must hold.
 """
@@ -27,6 +28,9 @@ assert n >= 0 and df.columns, "entry() must return rows with a schema"
 print(f"entry(): {n} rows, schema {df.columns} [{time.time()-t0:.1f}s]")
 
 qs = e.queries()
+only = {s for s in os.environ.get("DRIVE_ONLY", "").split(",") if s}
+if only:
+    qs = {n: f for n, f in qs.items() if n in only}
 oracles = e.oracle_sql()
 con = duckdb_con(SF)
 fails = []
