@@ -337,6 +337,14 @@ _BENCH_EXTRA: set[str] = {
     "dedup_lsh_tuning_curve",
     "sim_ivf_filtered_topk",
     "sim_ivf_filtered_recall",
+    "sim_fps_seeds",
+    "sim_cluster_purity_fps",
+    # (sim_ivfpq_fps_recall stays OUT of the headline set: it is a
+    # BUILD-TIME experiment — 15 sequential max-min seed picks plus a
+    # second full trained IVF-PQ build, measured 13.5 s at sf0.1 — and
+    # its finding (fps ≈ smallest-id through the composed search; PQ
+    # codes are the binding constraint) is the point, not its serving
+    # cost.  The sf0.01 hash gate grades it.)
     # (dedup_exact_substring_spans stays OUT of the headline set: hashing
     # EVERY character position of the corpus is ~16 s at sf0.1 by honest
     # md5 contract — the sf0.01 hash gate grades it; production would use

@@ -285,6 +285,9 @@ _PRIORITY = [
     "dedup_lsh_tuning_curve",
     "sim_ivf_filtered_topk",
     "sim_ivf_filtered_recall",
+    "sim_fps_seeds",
+    "sim_cluster_purity_fps",
+    "sim_ivfpq_fps_recall",
     # round-6 head carries below (all already green — harmless)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",

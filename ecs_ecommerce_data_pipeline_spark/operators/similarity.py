@@ -928,6 +928,7 @@ def build_ivfpq_index(
     residual: bool = False,
     train_iters: int = 0,
     coarse_iters: int = 0,
+    coarse_seed: str = "smallest_id",
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Build a COMPOSED IVF-PQ index: the coarse quantizer routes a
     query to a few cells, PQ codes stand in for the raw vectors inside
@@ -955,8 +956,12 @@ def build_ivfpq_index(
     — not probing — caps the training-free ladder at 0.36):
 
     * ``coarse_iters > 0`` — the coarse quantizer is Lloyd-trained
-      (:func:`kmeans_refine`, smallest-id seeding, decimal-exact means)
-      instead of the smallest-id table;
+      (:func:`kmeans_refine`, decimal-exact means) instead of the
+      smallest-id table; ``coarse_seed`` picks the Lloyd init:
+      ``"smallest_id"`` (default, the historical seeding) or ``"fps"``
+      (:func:`farthest_point_seeds` max-min seeding — fixes the
+      measured duplicate-seed failure mode where smallest-id seeds
+      land several in one true cluster and leave others unseeded);
     * ``train_iters > 0`` — the PQ codebook is per-subspace
       Lloyd-trained (:func:`_pq_codebook_trained`) on the raw vectors
       or — with ``residual=True``, the configuration that pays — on the
@@ -970,10 +975,19 @@ def build_ivfpq_index(
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m {m}")
     sub = dims // m
+    if coarse_seed not in ("smallest_id", "fps"):
+        raise ValueError(f"unknown coarse_seed {coarse_seed!r}")
     if coarse_iters > 0:
+        init = (
+            farthest_point_seeds(
+                embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col
+            ).select("cluster_id", "centroid")
+            if coarse_seed == "fps"
+            else None
+        )
         assignment = kmeans_refine(
             embeddings, k=n_centroids, iters=coarse_iters,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, init_centroids=init,
         )
         centroids = (
             recompute_centroids(embeddings, assignment, id_col, vec_col)
@@ -1767,38 +1781,131 @@ def recompute_centroids(
     )
 
 
+def farthest_point_seeds(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic farthest-point (max-min) seeding for the coarse
+    quantizer — the k-means++-family fix for the measured smallest-id
+    failure mode (``sim_cluster_purity``: two of eight cells mixed
+    because the k smallest ids landed duplicate seeds in one true
+    cluster).  seed_0 is the smallest-id vector; each subsequent seed is
+    the not-yet-picked vector MINIMIZING its maximum cosine to the seeds
+    so far (= farthest in cosine distance), ties to the smallest id.  A
+    near-duplicate of an existing seed has max-cos ≈ 1 and sorts last,
+    so clustered mass can never claim two seeds while another cluster
+    is unseeded.
+
+    Driver boundary: ONE (vid, vector) row is collected per round —
+    k·dims doubles total, bounded quantizer metadata (the same class as
+    ``_vector_dims``; a production build broadcasts the quantizer
+    anyway).  Collected doubles re-enter the plan as shortest-roundtrip
+    literals (bit-identical, the hyperplane-weights discipline), and
+    every cosine/fold stays engine-side, so the DuckDB oracle reproduces
+    the pick chain exactly.  Each round is one corpus scan against the
+    seed literals: O(k·n·dims) total — the cost of one Lloyd iteration.
+
+    Returns (cluster_id, seed_vid, centroid), cluster_id = pick order
+    0..k-1, ready for ``assign_to_centroids`` /
+    ``ivf_topk_with_centroids`` / ``kmeans_refine(init_centroids=…)``.
+    """
+    first = (
+        embeddings.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vec"))
+        .orderBy("vid")
+        .limit(1)
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    out_schema = "cluster_id BIGINT, seed_vid BIGINT, centroid ARRAY<DOUBLE>"
+    if not first:
+        return spark.createDataFrame([], out_schema)
+    seeds: list[tuple[int, list[float]]] = [(int(first[0]["vid"]), list(first[0]["vec"]))]
+
+    def dot_lit(vec: list[float]) -> str:
+        # against the pre-cast `vec` column of the scoring frame
+        arr = ", ".join(f"{x!r}D" for x in vec)
+        return (
+            f"aggregate(zip_with(vec, array({arr}), (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+        )
+
+    def selfdot_lit(vec: list[float]) -> str:
+        arr = ", ".join(f"{x!r}D" for x in vec)
+        return (
+            f"aggregate(zip_with(array({arr}), array({arr}), (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+        )
+
+    for _ in range(1, k):
+        cos_exprs = [
+            f"(({dot_lit(vec)}) / (nrm * sqrt({selfdot_lit(vec)})))"
+            for _vid, vec in seeds
+        ]
+        mx = (
+            f"greatest({', '.join(cos_exprs)})"
+            if len(cos_exprs) > 1
+            else cos_exprs[0]
+        )
+        nxt = (
+            embeddings.filter(~F.col(id_col).isin([vid for vid, _ in seeds]))
+            .select(
+                F.col(id_col).alias("vid"),
+                as_double_array(vec_col).alias("vec"),
+            )
+            .withColumn("nrm", norm(F.col("vec")))
+            .withColumn("mx", F.expr(mx))
+            .orderBy(F.asc("mx"), F.asc("vid"))
+            .limit(1)
+            .collect()
+        )
+        if not nxt:  # fewer than k distinct rows: return what exists
+            break
+        seeds.append((int(nxt[0]["vid"]), list(nxt[0]["vec"])))
+
+    return spark.createDataFrame(
+        [(i, vid, vec) for i, (vid, vec) in enumerate(seeds)], out_schema
+    )
+
+
 def kmeans_refine(
     embeddings: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init_centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Lloyd's k-means for ``iters`` FIXED iterations (no convergence
     probe → no per-iteration driver boundary at all, and a deterministic
     plan) refining the IVF coarse quantizer: init = the k smallest-id
-    vectors (same deterministic seeding as ``ivf_centroid_scores``),
-    then assign → recompute per round. Returns the final (vec_id,
-    cluster_id) assignment.
+    vectors (same deterministic seeding as ``ivf_centroid_scores``) or
+    an explicit ``init_centroids`` (cluster_id, centroid) frame — e.g.
+    ``farthest_point_seeds`` — then assign → recompute per round.
+    Returns the final (vec_id, cluster_id) assignment.
 
     Per iteration: one broadcast-scored scan + one explode-aggregate —
     both map-side-combinable shuffles of k·dims rows, O(n·k·dims) work,
     no state on the driver (centroids never leave the cluster)."""
-    centroids = (
-        embeddings.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.col(id_col).cast("bigint").alias("_seed_id"),
-            as_double_array(vec_col).alias("centroid"),
+    if init_centroids is not None:
+        centroids = init_centroids.select("cluster_id", "centroid")
+    else:
+        centroids = (
+            embeddings.orderBy(id_col)
+            .limit(k)
+            .select(
+                F.col(id_col).cast("bigint").alias("_seed_id"),
+                as_double_array(vec_col).alias("centroid"),
+            )
+            .withColumn(
+                "cluster_id",
+                F.row_number()
+                .over(W.orderBy("_seed_id"))
+                .cast("bigint") - 1,
+            )
+            .select("cluster_id", "centroid")
         )
-        .withColumn(
-            "cluster_id",
-            F.row_number()
-            .over(W.orderBy("_seed_id"))
-            .cast("bigint") - 1,
-        )
-        .select("cluster_id", "centroid")
-    )
     assignment = assign_to_centroids(embeddings, centroids, id_col, vec_col)
     for _ in range(iters):
         centroids = recompute_centroids(embeddings, assignment, id_col, vec_col)

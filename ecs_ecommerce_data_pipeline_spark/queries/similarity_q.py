@@ -1789,14 +1789,20 @@ def _clustered_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clustered_index_cached(spark: SparkSession, sf_dir: str, trained: bool):
+def _clustered_index_cached(
+    spark: SparkSession, sf_dir: str, trained: bool,
+    seed: str = "smallest_id",
+):
     """Session-cached residual IVF-PQ build over the clustered fixture —
-    fixed (training-free) and trained (1 Lloyd iteration on coarse AND
-    codebook) variants share the serving-cost measurement discipline of
-    ``_ivfpq_index_cached``."""
+    fixed (training-free), trained (1 Lloyd iteration on coarse AND
+    codebook), and fps-seeded-trained variants share the serving-cost
+    measurement discipline of ``_ivfpq_index_cached``."""
     import os as _os
 
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), trained)
+    key = (
+        spark.sparkContext.applicationId, _os.path.abspath(sf_dir),
+        trained, seed,
+    )
     hit = _CL_CACHE.get(key)
     if hit is None:
         hit = similarity.build_ivfpq_index(
@@ -1808,6 +1814,7 @@ def _clustered_index_cached(spark: SparkSession, sf_dir: str, trained: bool):
             residual=True,
             train_iters=1 if trained else 0,
             coarse_iters=1 if trained else 0,
+            coarse_seed=seed,
         )
         _CL_CACHE[key] = hit
     return hit
@@ -2596,6 +2603,211 @@ SELECT cluster_id,
 FROM cells
 GROUP BY cluster_id
 """
+
+
+def _fps_ctes(k: int) -> str:
+    """Farthest-point seeding unrolled as chained CTEs: fs_i holds the
+    first i+1 seeds; each round picks the not-yet-picked vector with the
+    SMALLEST maximum cosine to the seeds so far (vec_id tie-break) —
+    the exact pick chain ``operators.similarity.farthest_point_seeds``
+    runs engine-side (its collected seed vectors re-enter the plan as
+    shortest-roundtrip literals, so the cosines are bit-identical).
+
+    Every fs/fm/fp CTE is MATERIALIZED: each round references the
+    previous seed set several times, and DuckDB's default inlining
+    re-evaluates the whole chain per reference — exponential in k
+    (measured 320 s → 0.1 s at sf0.01 with the hint; results are
+    hint-independent)."""
+    cos = _COS.format(a="e.v", b="s.v")
+    parts = [
+        "fs0 AS MATERIALIZED"
+        " (SELECT 0 AS sid, vec_id, v FROM e ORDER BY vec_id LIMIT 1)"
+    ]
+    for i in range(1, k):
+        prev = f"fs{i - 1}"
+        parts.append(
+            f"""fm{i} AS MATERIALIZED (
+    SELECT e.vec_id, MAX({cos}) AS mx
+    FROM e CROSS JOIN {prev} s
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM {prev})
+    GROUP BY e.vec_id
+),
+fp{i} AS MATERIALIZED (
+    SELECT e.vec_id, e.v FROM e JOIN fm{i} USING (vec_id)
+    ORDER BY fm{i}.mx ASC, e.vec_id ASC LIMIT 1
+),
+fs{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT {i} AS sid, vec_id, v FROM fp{i})"""
+        )
+    return ",\n".join(parts)
+
+
+_FPS_SEEDS_SQL = f"""
+WITH {_CL_BASE},
+{_fps_ctes(_CL_K)}
+SELECT CAST(sid AS BIGINT) AS cluster_id, CAST(vec_id AS BIGINT) AS seed_vid
+FROM fs{_CL_K - 1}
+"""
+
+
+@register("sim_fps_seeds", _FPS_SEEDS_SQL)
+def q_fps_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The farthest-point seed picks themselves (pick order → seed vid),
+    hash-verifying the WHOLE max-min chain cross-engine: every round's
+    argmin-of-max-cosine must agree bit-for-bit for all eight rows to
+    match.  The quantizer-seeding answer to the measured smallest-id
+    failure mode — see ``sim_cluster_purity_fps`` for the effect."""
+    fx = _clustered_fx(spark, sf_dir)
+    return similarity.farthest_point_seeds(fx, k=_CL_K).select(
+        "cluster_id", "seed_vid"
+    )
+
+
+_PURITY_FPS_SQL = f"""
+WITH {_CL_BASE},
+{_fps_ctes(_CL_K)},
+c0 AS (SELECT sid AS cluster_id, v AS centroid FROM fs{_CL_K - 1}),
+{_km_assign_cte("a0", "c0")},
+{_km_recompute_cte("c1", "a0")},
+{_km_assign_cte("a1", "c1")},
+joined AS (
+    SELECT a1.cluster_id, ce.cluster_true
+    FROM a1 JOIN ce ON ce.vec_id = a1.vec_id
+),
+cells AS (
+    SELECT cluster_id, cluster_true, COUNT(*) AS n
+    FROM joined GROUP BY 1, 2
+)
+SELECT cluster_id,
+       CAST(SUM(n) AS BIGINT) AS n_members,
+       CAST(MAX(n) AS BIGINT) AS n_majority,
+       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS purity
+FROM cells
+GROUP BY cluster_id
+"""
+
+
+@register("sim_cluster_purity_fps", _PURITY_FPS_SQL)
+def q_cluster_purity_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_cluster_purity`` re-run with farthest-point seeding: same
+    one Lloyd iteration, same fixture, same purity readout — measured
+    at sf0.01 ALL EIGHT cells reach purity 1.0 (smallest-id seeding:
+    six, with two mixed at 0.90/0.52 from duplicate seeds).  Seeding,
+    not more Lloyd rounds, was the quantizer's binding constraint —
+    max-min seeds cost one Lloyd-iteration-equivalent scan pass and
+    remove the imperfection the trained-recall staircase priced."""
+    fx = _clustered_fx(spark, sf_dir)
+    seeds = similarity.farthest_point_seeds(fx, k=_CL_K)
+    assignment = similarity.kmeans_refine(
+        fx, k=_CL_K, iters=1, init_centroids=seeds
+    )
+    joined = assignment.join(fx.select("vec_id", "cluster_true"), "vec_id")
+    cells = joined.groupBy("cluster_id", "cluster_true").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cells.groupBy("cluster_id").agg(
+        F.sum("n").cast("bigint").alias("n_members"),
+        F.max("n").cast("bigint").alias("n_majority"),
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias("purity"),
+    )
+
+
+# fps-seeded trained coarse quantizer: farthest-point seeds (k = n_cells)
+# -> one Lloyd iteration -> final recompute, the exact chain
+# build_ivfpq_index(coarse_iters=1, coarse_seed="fps") runs
+_FPS_TRAINED_CENTS = f"""{_fps_ctes(_CL_NC)},
+c0g AS (SELECT sid AS cluster_id, v AS centroid FROM fs{_CL_NC - 1}),
+{_km_assign_cte("a0g", "c0g")},
+{_km_recompute_cte("c1g", "a0g")},
+{_km_assign_cte("a1g", "c1g")},
+{_km_recompute_cte("c2g", "a1g")}"""
+
+
+_FPS_RECALL_SQL = f"""
+WITH {_CL_BASE},
+{_CL_TRAINED_CENTS},
+{_FPS_TRAINED_CENTS},
+{_cl_chain("t", "c2", trained=True, nprobe=_CL_NPROBE)},
+{_cl_chain("g", "c2g", trained=True, nprobe=_CL_NPROBE)},
+tk AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_q ASC, corpus_id ASC) AS rnk
+        FROM tscored
+    ) WHERE rnk <= {_K}
+),
+gk AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_q ASC, corpus_id ASC) AS rnk
+        FROM gscored
+    ) WHERE rnk <= {_K}
+),
+{_CL_BF}
+SELECT bfk.query_id,
+       CAST(COUNT(tk.corpus_id) AS BIGINT) AS n_hits_trained,
+       CAST(COUNT(gk.corpus_id) AS BIGINT) AS n_hits_fps,
+       CAST(COUNT(tk.corpus_id) AS DOUBLE) / {_K} AS recall_trained,
+       CAST(COUNT(gk.corpus_id) AS DOUBLE) / {_K} AS recall_fps
+FROM bfk
+LEFT JOIN tk ON tk.query_id = bfk.query_id AND tk.corpus_id = bfk.corpus_id
+LEFT JOIN gk ON gk.query_id = bfk.query_id AND gk.corpus_id = bfk.corpus_id
+GROUP BY bfk.query_id
+"""
+
+
+@register("sim_ivfpq_fps_recall", _FPS_RECALL_SQL)
+def q_ivfpq_fps_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall staircase's top step, measured END-TO-END through the
+    composed residual IVF-PQ search: the trained build re-seeded with
+    farthest-point (max-min) seeds vs the smallest-id-seeded trained
+    build, same one Lloyd iteration, same nprobe, against brute-force
+    truth.  ``sim_cluster_purity_fps`` showed seeding (not more Lloyd
+    rounds) was the quantizer's binding constraint at the CELL level;
+    this query prices that through probing + trained residual codes.
+    Measured (sf0.01, nprobe=4): fps 0.72 vs smallest-id 0.70 mean
+    recall — a wash.  The honest reading: perfect cells (purity 1.0 vs
+    0.90/0.52) buy almost nothing through the composed search, because
+    after one Lloyd iteration BOTH coarse quantizers route well enough
+    that the residual PQ codebook (m=8, k=16) is now the binding
+    constraint, exactly where the trained-recall staircase left it.
+    Seeding matters for clustering QUALITY (purity) and for skipping
+    Lloyd rounds, not for squeezing more recall past the codes."""
+    qids = _QUERY_IDS
+    truth = similarity.brute_force_topk(
+        _clustered_fx(spark, sf_dir), qids, k=_K
+    ).select(F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc"))
+
+    def topk(seed: str) -> DataFrame:
+        cents, assigns, cb, codes = _clustered_index_cached(
+            spark, sf_dir, True, seed=seed
+        )
+        return similarity.ivfpq_topk(
+            cents, assigns, cb, codes, qids,
+            k=_K, nprobe=_CL_NPROBE, m=_CL_M, residual=True,
+        ).select("query_id", "corpus_id")
+
+    trained = topk("smallest_id").select(
+        F.col("query_id").alias("tq"), F.col("corpus_id").alias("tc")
+    )
+    fps = topk("fps")
+    joined = truth.join(
+        trained, (F.col("bq") == F.col("tq")) & (F.col("bc") == F.col("tc")),
+        "left",
+    ).join(
+        fps,
+        (F.col("bq") == F.col("query_id")) & (F.col("bc") == F.col("corpus_id")),
+        "left",
+    )
+    return joined.groupBy(F.col("bq").alias("query_id")).agg(
+        F.count("tc").cast("bigint").alias("n_hits_trained"),
+        F.count("corpus_id").cast("bigint").alias("n_hits_fps"),
+        (F.count("tc").cast("double") / F.lit(float(_K))).alias(
+            "recall_trained"
+        ),
+        (F.count("corpus_id").cast("double") / F.lit(float(_K))).alias(
+            "recall_fps"
+        ),
+    )
 
 
 @register("sim_cluster_purity", _PURITY_SQL)
