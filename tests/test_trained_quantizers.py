@@ -113,3 +113,108 @@ def test_lloyd_training_keeps_codebook_size(spark, fixture_df):
     assert cb.count() == _M * _PQK
     # every (s, cw) pair present exactly once
     assert cb.select("s", "cw").distinct().count() == _M * _PQK
+
+
+def test_fps_seeds_match_numpy_twin(spark, fixture_df):
+    """The engine-side max-min pick chain equals a driver-side numpy
+    recomputation (sequential adds mirror the zip_with/aggregate fold
+    order, so cosines are bit-identical)."""
+    import numpy as np
+
+    from ecs_ecommerce_data_pipeline_spark.operators import similarity
+
+    rows = fixture_df.orderBy("vec_id").collect()
+    vids = [r["vec_id"] for r in rows]
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in rows}
+
+    def dot(a, b):
+        # strict sequential IEEE adds (the fold order), never np.dot
+        return float(np.cumsum(a * b)[-1])
+
+    def cos(a, b):
+        import math
+
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    expect = [min(vids)]
+    for _ in range(1, 8):
+        best = None
+        for v in vids:
+            if v in expect:
+                continue
+            mx = max(cos(vecs[v], vecs[s]) for s in expect)
+            if best is None or (mx, v) < best:
+                best = (mx, v)
+        expect.append(best[1])
+
+    got = [
+        (r["cluster_id"], r["seed_vid"])
+        for r in similarity.farthest_point_seeds(fixture_df, k=8)
+        .orderBy("cluster_id")
+        .collect()
+    ]
+    assert got == list(enumerate(expect))
+
+
+def test_fps_seeds_cover_all_true_clusters(spark, fixture_df):
+    """The property smallest-id seeding measurably lacks: with k = the
+    number of true clusters, max-min seeding lands exactly one seed in
+    each (a near-duplicate of an existing seed has max-cos ~ 1 and
+    sorts last)."""
+    from ecs_ecommerce_data_pipeline_spark.operators import similarity
+
+    seeds = similarity.farthest_point_seeds(fixture_df, k=8)
+    covered = (
+        seeds.join(
+            fixture_df.select(
+                F.col("vec_id").alias("seed_vid"), "cluster_true"
+            ),
+            "seed_vid",
+        )
+        .select("cluster_true")
+        .distinct()
+        .count()
+    )
+    assert covered == 8
+
+    # smallest-id seeding does NOT cover all 8 on this fixture — the
+    # failure mode fps exists to fix; if the fixture ever changes so
+    # that it does, the fps entries lose their point and should be
+    # re-examined
+    smallest = (
+        fixture_df.orderBy("vec_id")
+        .limit(8)
+        .select("cluster_true")
+        .distinct()
+        .count()
+    )
+    assert smallest < 8
+
+
+def test_fps_seeded_build_is_valid_index(spark, fixture_df, tmp_path):
+    """build_ivfpq_index(coarse_seed='fps') yields a structurally sound
+    index: n_centroids cells, assignments partition the corpus, codes
+    cover every vector in every subspace."""
+    from ecs_ecommerce_data_pipeline_spark.operators import similarity
+
+    n = fixture_df.count()
+    cents, assigns, cb, codes = similarity.build_ivfpq_index(
+        fixture_df, n_centroids=_NC, m=_M, pq_k=_PQK,
+        path=str(tmp_path / "fps"), residual=True,
+        train_iters=1, coarse_iters=1, coarse_seed="fps",
+    )
+    assert cents.count() == _NC
+    assert assigns.count() == n
+    assert assigns.select("vid").distinct().count() == n
+    assert codes.count() == n * _M
+
+
+def test_build_rejects_unknown_coarse_seed(spark, fixture_df):
+    from ecs_ecommerce_data_pipeline_spark.operators import similarity
+
+    with pytest.raises(ValueError, match="coarse_seed"):
+        similarity.build_ivfpq_index(
+            fixture_df, n_centroids=_NC, m=_M, pq_k=_PQK,
+            coarse_seed="random",
+        )
