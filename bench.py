@@ -339,6 +339,8 @@ _BENCH_EXTRA: set[str] = {
     "sim_ivf_filtered_recall",
     "sim_fps_seeds",
     "sim_cluster_purity_fps",
+    "sim_ivf_cell_sizes",
+    "sim_ivf_cell_split",
     # (sim_ivfpq_fps_recall stays OUT of the headline set: it is a
     # BUILD-TIME experiment — 15 sequential max-min seed picks plus a
     # second full trained IVF-PQ build, measured 13.5 s at sf0.1 — and

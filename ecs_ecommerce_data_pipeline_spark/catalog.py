@@ -288,6 +288,8 @@ _PRIORITY = [
     "sim_fps_seeds",
     "sim_cluster_purity_fps",
     "sim_ivfpq_fps_recall",
+    "sim_ivf_cell_sizes",
+    "sim_ivf_cell_split",
     # round-6 head carries below (all already green — harmless)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",

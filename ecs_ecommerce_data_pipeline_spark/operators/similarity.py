@@ -1913,6 +1913,69 @@ def kmeans_refine(
     return assignment
 
 
+def split_ivf_cell(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    cell: int,
+    new_cell: int | None = None,
+    iters: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Rebalance ONE overful IVF inverted list: split ``cell`` into two
+    by LOCAL 2-means over only that cell's members — max-min
+    (:func:`farthest_point_seeds`) seeds, ``iters`` Lloyd iterations,
+    decimal-exact means — and reroute only those rows.
+
+    This is the skew answer a 100 TB serving index needs: inverted
+    lists drift overful as data accumulates (appends route to existing
+    cells; the quantizer never moves), and probing one fat list costs
+    what probing should have amortized.  The split is O(|cell|): only
+    the target cell's members are scanned for seeding/Lloyd/re-encode,
+    and on a ``partitionBy("cell")`` store the persist is a dynamic
+    overwrite of one partition plus one new one — the rest of the index
+    is untouched bytes.  Completes the lifecycle ladder: append
+    (``ivf_index_add_batch``), delete/compact
+    (``streaming.vector_index_stream``), rebalance (here).
+
+    The split cell keeps its id for sub-cluster 0 (probes that ranked
+    it still find mass there); sub-cluster 1 gets ``new_cell`` (default
+    max(cell)+1 — one bounded 1-row metadata collect).  Degenerate
+    cells (one member, or all-duplicate vectors) split into a single
+    sub-cluster: the id is retired from the centroid table only if
+    empty, never silently.
+
+    Returns (centroids', assignments') with ``build_ivf_index`` schemas
+    — the split is invisible to every consumer except that searches now
+    probe two tighter lists where one fat one was.
+    """
+    members = assignments.filter(F.col("cell") == cell)
+    if new_cell is None:
+        new_cell = int(centroids.agg(F.max("cell")).first()[0]) + 1
+    seeds = farthest_point_seeds(members, k=2, id_col="vid", vec_col="vec")
+    sub_assign = kmeans_refine(
+        members, iters=iters, id_col="vid", vec_col="vec",
+        init_centroids=seeds.select("cluster_id", "centroid"),
+    )
+    sub_cents = recompute_centroids(
+        members, sub_assign, id_col="vid", vec_col="vec"
+    )
+    cellmap = (
+        F.when(F.col("cluster_id") == 0, F.lit(cell))
+        .otherwise(F.lit(new_cell))
+        .cast("long")
+    )
+    new_cent_rows = sub_cents.select(
+        cellmap.alias("cell"), F.col("centroid").alias("cvec")
+    ).withColumn("cnrm", norm(F.col("cvec")))
+    centroids2 = centroids.filter(F.col("cell") != cell).unionByName(
+        new_cent_rows
+    )
+    moved = members.join(sub_assign, "vid").select(
+        "vid", "vec", "nrm", cellmap.alias("cell")
+    )
+    assignments2 = assignments.filter(F.col("cell") != cell).unionByName(moved)
+    return centroids2, assignments2
+
+
 def ivf_topk_with_centroids(
     embeddings: DataFrame,
     centroids: DataFrame,

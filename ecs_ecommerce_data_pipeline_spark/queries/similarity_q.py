@@ -2810,6 +2810,168 @@ def q_ivfpq_fps_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF cell rebalancing (the lifecycle ladder's last rung) ---------------
+
+_CELL_SIZES_SQL = f"""
+WITH {_CL_BASE},
+{_CL_FIXED_CENTS},
+{_km_assign_cte("af", "c0f")},
+sizes AS (SELECT cluster_id AS cell, COUNT(*) AS n FROM af GROUP BY 1)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(n AS BIGINT) AS n_members,
+       CAST(n AS DOUBLE) / (SELECT AVG(n) FROM sizes) AS skew
+FROM sizes
+"""
+
+
+@register("sim_ivf_cell_sizes", _CELL_SIZES_SQL)
+def q_ivf_cell_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list occupancy of the training-free IVF index on the
+    clustered fixture — the REBALANCE TRIGGER: per cell, member count
+    and skew (n / mean-cells).  Smallest-id centroids on clustered data
+    leave some lists several times overful (skew > 2): probing a fat
+    list costs what probing should have amortized, and at 100 TB the
+    fat partitions are stragglers in every probe.  ``sim_ivf_cell_split``
+    is the repair."""
+    fx = _clustered_fx(spark, sf_dir)
+    _, assigns = similarity.build_ivf_index(fx, n_centroids=_CL_NC)
+    sizes = assigns.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    mean = sizes.agg(F.avg("n_members").alias("_mean"))
+    return sizes.crossJoin(F.broadcast(mean)).select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "n_members",
+        (F.col("n_members").cast("double") / F.col("_mean")).alias("skew"),
+    )
+
+
+def _cell_split_ctes() -> str:
+    cos_s = _COS.format(a="m.v", b="s.v")
+    cos_c = _COS.format(a="m.v", b="c.centroid")
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+    SELECT vec_id, cluster_id FROM (
+        SELECT m.vec_id, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                   ORDER BY {cos_c} DESC, c.cluster_id) AS rk
+        FROM mem m CROSS JOIN {cents} c
+    ) WHERE rk = 1
+)"""
+
+    def recompute(name: str, a: str) -> str:
+        return f"""{name} AS (
+    SELECT cluster_id, list(mean_val ORDER BY pos) AS centroid FROM (
+        SELECT a.cluster_id, q.pos,
+               CAST(CAST(SUM(CAST(q.val AS DECIMAL(25,12))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS mean_val
+        FROM mel q JOIN {a} a USING (vec_id)
+        GROUP BY 1, 2
+    ) GROUP BY 1
+)"""
+
+    return f"""target AS (
+    SELECT cluster_id AS cell FROM af
+    GROUP BY 1 ORDER BY COUNT(*) DESC, cluster_id ASC LIMIT 1
+),
+newid AS (SELECT MAX(cluster_id) + 1 AS nc FROM c0f),
+mem AS MATERIALIZED (
+    SELECT e.vec_id, e.v
+    FROM af JOIN e USING (vec_id) JOIN target t ON af.cluster_id = t.cell
+),
+mel AS (
+    SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM mem
+),
+s0 AS (SELECT vec_id, v FROM mem ORDER BY vec_id LIMIT 1),
+s1 AS (
+    SELECT m.vec_id, m.v FROM mem m CROSS JOIN s0 s
+    WHERE m.vec_id <> s.vec_id
+    ORDER BY {cos_s} ASC, m.vec_id ASC LIMIT 1
+),
+sc0 AS (
+    SELECT 0 AS cluster_id, v AS centroid FROM s0
+    UNION ALL SELECT 1 AS cluster_id, v FROM s1
+),
+{assign("sa0", "sc0")},
+{recompute("sc1", "sa0")},
+{assign("sa1", "sc1")},
+{recompute("sc2", "sa1")}"""
+
+
+_CELL_SPLIT_SQL = f"""
+WITH {_CL_BASE},
+{_CL_FIXED_CENTS},
+{_km_assign_cte("af", "c0f")},
+{_cell_split_ctes()},
+final AS (
+    SELECT CASE WHEN a.cluster_id = 0 THEN t.cell ELSE n.nc END AS cell,
+           a.vec_id
+    FROM sa1 a CROSS JOIN target t CROSS JOIN newid n
+),
+cent AS (
+    SELECT CASE WHEN s.cluster_id = 0 THEN t.cell ELSE n.nc END AS cell,
+           list_sum(list_transform(s.centroid,
+               x -> CAST(FLOOR(x * {_PQ_SCALE}) AS BIGINT))) AS qsum
+    FROM sc2 s CROSS JOIN target t CROSS JOIN newid n
+)
+SELECT CAST(f.cell AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MAX(c.qsum) AS BIGINT) AS centroid_qsum
+FROM final f JOIN cent c ON c.cell = f.cell
+GROUP BY f.cell
+"""
+
+
+@register("sim_ivf_cell_split", _CELL_SPLIT_SQL)
+def q_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the FATTEST inverted list of the training-free IVF index
+    (the skew ``sim_ivf_cell_sizes`` measures) into two by LOCAL
+    2-means — max-min seeds, one Lloyd iteration, O(|cell|) work, the
+    rest of the index untouched — and fingerprint the result: the two
+    sub-lists' member counts plus quantized-centroid checksums.  The
+    hash match pins the ENTIRE repair cross-engine: trigger pick,
+    seed pick, Lloyd argmaxes, decimal means, id routing (split cell
+    keeps its id for sub-cluster 0; the new list gets max(cell)+1).
+    The index build is path-backed, so the split's member scan reads
+    ONE pruned partition — the on-disk form the 100 TB rebalance would
+    run against."""
+    fx = _clustered_fx(spark, sf_dir)
+    cents, assigns = similarity.build_ivf_index(
+        fx, n_centroids=_CL_NC, path=_ivf_index_path(sf_dir)
+    )
+    top = (
+        assigns.groupBy("cell")
+        .count()
+        .orderBy(F.desc("count"), F.asc("cell"))
+        .first()
+    )
+    target = int(top["cell"])
+    new_cell = int(cents.agg(F.max("cell")).first()[0]) + 1
+    c2, a2 = similarity.split_ivf_cell(
+        cents, assigns, target, new_cell=new_cell
+    )
+    qt = F.transform(
+        "cvec", lambda x: F.floor(x * F.lit(_PQ_SCALE_F)).cast("bigint")
+    )
+    cent_q = c2.filter(F.col("cell").isin([target, new_cell])).select(
+        "cell",
+        F.aggregate(
+            qt, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("centroid_qsum"),
+    )
+    sizes = (
+        a2.filter(F.col("cell").isin([target, new_cell]))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    )
+    return sizes.join(cent_q, "cell").select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "n_members",
+        F.col("centroid_qsum").cast("bigint").alias("centroid_qsum"),
+    )
+
+
 @register("sim_cluster_purity", _PURITY_SQL)
 def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """External cluster validation on the clustered fixture: one Lloyd

@@ -233,3 +233,73 @@ def test_ivfpq_residual_codes_and_pruned_plan(spark, tmp_path_factory):
     assert "embeddings.parquet" not in plan
     seg = plan[plan.find("pq_codes"):]
     assert "PartitionFilters:" in seg
+
+
+# --- cell rebalancing (split) ------------------------------------------------
+
+
+def test_cell_split_partitions_the_cell_and_touches_nothing_else(spark, index):
+    path, centroids, assignments = index
+    top = (
+        assignments.groupBy("cell")
+        .count()
+        .orderBy(F.desc("count"), F.asc("cell"))
+        .first()
+    )
+    cell = int(top["cell"])
+    before_others = {
+        (r["cell"], r["count"])
+        for r in assignments.filter(F.col("cell") != cell)
+        .groupBy("cell").count().collect()
+    }
+    c2, a2 = similarity.split_ivf_cell(centroids, assignments, cell)
+    new_cell = int(centroids.agg(F.max("cell")).first()[0]) + 1
+
+    # the two sub-lists partition the original cell's members exactly
+    orig_vids = {r["vid"] for r in assignments.filter(F.col("cell") == cell)
+                 .select("vid").collect()}
+    sub = a2.filter(F.col("cell").isin([cell, new_cell]))
+    sub_vids = {r["vid"] for r in sub.select("vid").collect()}
+    assert sub_vids == orig_vids
+    assert sub.count() == len(orig_vids)
+    # a real 2-way split, not a degenerate one, on this fixture
+    counts = {r["cell"]: r["n"] for r in sub.groupBy("cell")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {cell, new_cell}
+    assert all(v > 0 for v in counts.values())
+
+    # every other inverted list is bit-unchanged
+    after_others = {
+        (r["cell"], r["count"])
+        for r in a2.filter(~F.col("cell").isin([cell, new_cell]))
+        .groupBy("cell").count().collect()
+    }
+    assert after_others == before_others
+
+    # centroid table: one id replaced by a tighter pair, others intact
+    assert c2.count() == centroids.count() + 1
+    kept = centroids.filter(F.col("cell") != cell).select("cell", "cnrm")
+    kept2 = c2.filter(~F.col("cell").isin([cell, new_cell])).select(
+        "cell", "cnrm"
+    )
+    assert kept.exceptAll(kept2).count() == 0
+
+
+def test_cell_split_search_still_finds_all_vectors(spark, index):
+    """After a split, probing ALL cells still ranks exactly the same
+    corpus (the split moves rows between lists, it never loses one)."""
+    path, centroids, assignments = index
+    top = (
+        assignments.groupBy("cell").count()
+        .orderBy(F.desc("count"), F.asc("cell")).first()
+    )
+    c2, a2 = similarity.split_ivf_cell(centroids, assignments, int(top["cell"]))
+    full_before = similarity.ivf_index_topk(
+        centroids, assignments, _QIDS, k=10, nprobe=16
+    )
+    full_after = similarity.ivf_index_topk(c2, a2, _QIDS, k=10, nprobe=17)
+    got_b = {(r["query_id"], r["corpus_id"], r["rnk"])
+             for r in full_before.collect()}
+    got_a = {(r["query_id"], r["corpus_id"], r["rnk"])
+             for r in full_after.collect()}
+    assert got_a == got_b
