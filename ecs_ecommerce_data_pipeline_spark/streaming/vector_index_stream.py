@@ -405,6 +405,117 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     return stats
 
 
+def rebalance_store_cell(
+    spark: SparkSession,
+    index_path: str,
+    cell: int,
+    new_cell: int | None = None,
+    iters: int = 1,
+) -> dict:
+    """Split one overful inverted list of the STREAM-MAINTAINED store —
+    the lifecycle ladder's rebalance rung, on disk (the batch-frame
+    form is :func:`operators.similarity.split_ivf_cell`).
+
+    The move is LOGICAL, through the store's own latest-wins rule: the
+    split's re-routed rows are appended under a fresh ``_batch_id``
+    (no existing partition rewritten — replay-safe exactly like a
+    stream trigger), and the next :func:`compact_index` folds the move
+    physically.  Raw-vector PQ codes do not depend on the centroid, so
+    re-routing updates only their ``cell`` — codes are copied, never
+    re-encoded.  O(|cell|): the local 2-means scans only the target
+    cell's (pruned) partitions; everything else is untouched bytes.
+
+    Write order is crash-safe by reachability: the centroid table goes
+    FIRST (atomic sibling-swap), so there is never a moment when a row
+    lives in a cell no probe can rank — a crash between the centroid
+    swap and the row append leaves all rows in the old cell (still a
+    valid probe target under sub-centroid 0) and an empty-but-rankable
+    new cell; re-running with the SAME ``new_cell`` completes the move.
+
+    Returns {cell, new_cell, n_members, n_kept, n_moved, batch_id}.
+    """
+    import os as _os
+
+    from ..operators.similarity import split_ivf_cell
+
+    centroids, assignments = load_stream_index(spark, index_path)
+    if new_cell is None:
+        new_cell = int(centroids.agg(F.max("cell")).first()[0]) + 1
+    c2, a2 = split_ivf_cell(
+        centroids, assignments, cell, new_cell=new_cell, iters=iters
+    )
+    # pin the moved rows BEFORE any store write: their lineage reads the
+    # store paths the appends below will touch
+    moved = a2.filter(F.col("cell").isin([cell, new_cell])).localCheckpoint()
+    n_kept = moved.filter(F.col("cell") == cell).count()
+    n_moved = moved.filter(F.col("cell") == new_cell).count()
+
+    # 1. centroid table, atomic sibling swap (bounded quantizer
+    #    metadata: n_centroids + 1 rows through the driver)
+    cent_rows = c2.collect()
+    cpath = f"{index_path}/centroids"
+    tmp = f"{cpath}__rebalancing"
+    spark.createDataFrame(cent_rows, c2.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    import shutil as _shutil
+
+    _shutil.rmtree(cpath)
+    _os.rename(tmp, cpath)
+
+    # 2. re-routed assignment rows under a fresh batch id (latest-wins
+    #    supersedes the fat cell's old rows; replay of any earlier batch
+    #    cannot resurrect them)
+    raw = spark.read.parquet(f"{index_path}/assignments")
+    next_bid = int(raw.agg(F.max("_batch_id")).first()[0]) + 1
+    (
+        moved.withColumn("_batch_id", F.lit(next_bid))
+        .write.mode("append")
+        .partitionBy("_batch_id", "cell")
+        .parquet(f"{index_path}/assignments")
+    )
+
+    # 3. PQ code rows follow their vectors (cell re-route only)
+    if _os.path.isdir(f"{index_path}/pq_codes"):
+        from pyspark.sql import Window as W
+
+        # pruned to the split cell's partitions: a moved vid's GLOBAL
+        # latest code rows live in that cell by construction (any vid
+        # whose latest rows sit elsewhere is not in `moved`, and the
+        # join drops the stale in-cell rows such a vid may have left)
+        raw_codes = _mask_tombstones(
+            spark,
+            index_path,
+            spark.read.parquet(f"{index_path}/pq_codes").filter(
+                F.col("cell") == cell
+            ),
+        )
+        ws = W.partitionBy("vid", "s").orderBy(F.desc("_batch_id"))
+        latest = (
+            raw_codes.withColumn("_rn", F.row_number().over(ws))
+            .filter(F.col("_rn") == 1)
+            .select("vid", "s", "code")
+        )
+        routed = latest.join(
+            F.broadcast(moved.select("vid", "cell")), "vid"
+        ).localCheckpoint()
+        (
+            routed.withColumn("_batch_id", F.lit(next_bid))
+            .write.mode("append")
+            .partitionBy("_batch_id", "cell")
+            .parquet(f"{index_path}/pq_codes")
+        )
+
+    return {
+        "cell": int(cell),
+        "new_cell": int(new_cell),
+        "n_members": int(n_kept + n_moved),
+        "n_kept": int(n_kept),
+        "n_moved": int(n_moved),
+        "batch_id": next_bid,
+    }
+
+
 def vector_store_erasure_audit(
     spark: SparkSession, index_path: str
 ) -> DataFrame:

@@ -247,3 +247,91 @@ def test_stream_appends_after_compaction_still_supersede(spark, tmp_path):
     assert list(v5) == v200
     # exactly one surviving assignment row per vid
     assert assigns.count() == len(rows)
+
+
+def test_rebalance_store_cell_moves_rows_and_preserves_search(spark, tmp_path):
+    """Rebalance rung on the persisted store: split the fattest
+    inverted list; membership partitions exactly, PQ code rows follow
+    their vectors without re-encoding, full-probe search is identical,
+    and a later compaction folds the move physically."""
+    from ecs_ecommerce_data_pipeline_spark.operators import similarity
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        compact_index,
+        load_stream_index,
+        load_stream_ivfpq,
+        rebalance_store_cell,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    drop = str(tmp_path / "drop")
+    emb.filter(F.col("vec_id") < 60).coalesce(1).write.parquet(drop)
+    emb.filter(F.col("vec_id").between(60, 119)).coalesce(1).write.mode(
+        "append"
+    ).parquet(drop)
+    index_path = str(tmp_path / "idx")
+    _run_vec_stream(
+        spark, tmp_path, emb, "ckpt", index_path, str(tmp_path / "ledger.json")
+    )
+
+    _, assigns0 = load_stream_index(spark, index_path)
+    top = (
+        assigns0.groupBy("cell").count()
+        .orderBy(F.desc("count"), F.asc("cell")).first()
+    )
+    cell = int(top["cell"])
+    before = {
+        (r["vid"], r["cell"]) for r in assigns0.select("vid", "cell").collect()
+    }
+    orig_members = {v for v, c in before if c == cell}
+    cents_b, a_b, cb_b, codes_b = load_stream_ivfpq(spark, index_path)
+    full_b = {
+        (r["query_id"], r["corpus_id"], r["rnk"])
+        for r in similarity.ivf_index_topk(
+            cents_b, a_b, [0, 1, 2], k=10, nprobe=16
+        ).collect()
+    }
+    codes_before = {
+        (r["vid"], r["s"], r["code"]) for r in codes_b.collect()
+    }
+
+    stats = rebalance_store_cell(spark, index_path, cell)
+    assert stats["n_kept"] > 0 and stats["n_moved"] > 0
+    assert stats["n_members"] == len(orig_members)
+
+    cents, assigns, cb, codes = load_stream_ivfpq(spark, index_path)
+    after = {
+        (r["vid"], r["cell"]) for r in assigns.select("vid", "cell").collect()
+    }
+    sub = {v for v, c in after if c in (cell, stats["new_cell"])}
+    assert sub == orig_members
+    # untouched rows identical
+    assert {p for p in after if p[1] not in (cell, stats["new_cell"])} == {
+        p for p in before if p[1] != cell
+    }
+    # code CONTENT unchanged (re-route, never re-encode), routing follows
+    assert {(r["vid"], r["s"], r["code"]) for r in codes.collect()} == (
+        codes_before
+    )
+    assert codes.select("vid", "cell").distinct().exceptAll(
+        assigns.select("vid", "cell")
+    ).count() == 0
+    # full-probe search identical (one extra cell to probe)
+    full_a = {
+        (r["query_id"], r["corpus_id"], r["rnk"])
+        for r in similarity.ivf_index_topk(
+            cents, assigns, [0, 1, 2], k=10, nprobe=17
+        ).collect()
+    }
+    assert full_a == full_b
+
+    # compaction folds the logical move and the store still serves
+    # (count pinned BEFORE compaction: the lazy `codes` plan reads the
+    # pre-compaction directory, which compaction replaces)
+    n_codes_visible = codes.count()
+    compact_index(spark, index_path)
+    cents2, assigns2, _, codes2 = load_stream_ivfpq(spark, index_path)
+    assert {
+        (r["vid"], r["cell"]) for r in assigns2.select("vid", "cell").collect()
+    } == after
+    assert codes2.count() == n_codes_visible
