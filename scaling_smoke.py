@@ -148,6 +148,16 @@ STAGES = {
     # audit slice (doc_id < 500) by design — constant work at any
     # corpus size, same exclusion rationale as the recall gate.
     "sim_lsh_multiprobe_topk": "embeddings",
+    # round-7 fps/rebalance tail: sim_fps_seeds, sim_cluster_purity_fps,
+    # sim_ivfpq_fps_recall, sim_ivf_cell_sizes and sim_ivf_cell_split
+    # all run on the md5 clustered fixture — excluded per the round-7
+    # note above (fixture per-row cost is constant; the timed embeddings
+    # stages already cover the scan shapes).  sim_ivf_cell_split's scale
+    # posture is O(|cell|) BY CONSTRUCTION (only the target cell's
+    # pruned partitions feed the 2-means; every other list is untouched
+    # bytes) and is pinned by the membership-partition invariants in
+    # tests/test_similarity_index.py and the store-side test in
+    # tests/test_round7_lifecycle.py, not by a replica timing.
 }
 
 

@@ -303,3 +303,20 @@ def test_cell_split_search_still_finds_all_vectors(spark, index):
     got_a = {(r["query_id"], r["corpus_id"], r["rnk"])
              for r in full_after.collect()}
     assert got_a == got_b
+
+
+def test_cell_split_member_scan_is_partition_pruned(spark, index):
+    """The O(|cell|) claim in the plan: on a path-backed index the
+    split's 2-means inputs scan ONLY the target cell's partition —
+    the cell equality reaches the parquet scan as a partition filter."""
+    path, centroids, assignments = index
+    top = (
+        assignments.groupBy("cell").count()
+        .orderBy(F.desc("count"), F.asc("cell")).first()
+    )
+    cell = int(top["cell"])
+    members = assignments.filter(F.col("cell") == cell)
+    plan = members._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters:", 1)[1][:200]
+    assert "cell" in seg and str(cell) in seg
