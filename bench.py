@@ -341,6 +341,9 @@ _BENCH_EXTRA: set[str] = {
     "sim_cluster_purity_fps",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
+    "pref_winrate_matrix",
+    "pref_bradley_terry",
+    "pref_annotator_agreement",
     # (sim_ivfpq_fps_recall stays OUT of the headline set: it is a
     # BUILD-TIME experiment — 15 sequential max-min seed picks plus a
     # second full trained IVF-PQ build, measured 13.5 s at sf0.1 — and

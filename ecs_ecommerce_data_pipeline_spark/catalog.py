@@ -219,6 +219,7 @@ def _load_all() -> None:
         pipeline_q,
         geo_q,
         balance_q,
+        preference_q,
     )
 
     verified = _driver_verified()
@@ -290,6 +291,9 @@ _PRIORITY = [
     "sim_ivfpq_fps_recall",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
+    "pref_winrate_matrix",
+    "pref_bradley_terry",
+    "pref_annotator_agreement",
     # round-6 head carries below (all already green — harmless)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",

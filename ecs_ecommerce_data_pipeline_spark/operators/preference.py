@@ -1,0 +1,193 @@
+"""Pairwise-preference and annotation-agreement analytics — the QA
+surface of an RLHF / preference-data pipeline: before preference pairs
+train a reward model, the pipeline must answer "which system actually
+wins, by how much, and do the annotators even agree?".
+
+Reference parity note: the reference ETL
+(Eugenia-DE/ecs-ecommerce-data-pipeline) has no preference surface —
+this family extends the engine the way the dedup/ANN ladders do, as
+first-class LLM-training-data operators.
+
+Scale posture: the comparison log is the only data-sized input; every
+operator reduces it with ONE hash aggregation to per-pair or per-item
+sufficient statistics (counts), and all iteration happens on the
+systems×systems frame — bounded model metadata, never corpus-sized.
+Cross-engine exactness: every float is a fixed-order composition of
+exact integer counts (divisions/adds/multiplies of identical doubles
+are IEEE-identical in Spark and DuckDB); the one order-sensitive sum —
+the Bradley-Terry denominator — is quantized to FLOOR(term · 2^20)
+BIGINT per term, so the aggregation is integer-exact and
+partitioning-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Bradley-Terry denominator quantum: terms are bit-identical doubles in
+# both engines (pure rational arithmetic on counts — no transcendental
+# last-ulp hazard), so FLOOR at 2^20 is deterministic AND order-free to
+# sum.
+_BT_SCALE = float(1 << 20)
+
+
+def pairwise_winrates(
+    comparisons: DataFrame,
+    a_col: str = "sys_a",
+    b_col: str = "sys_b",
+    winner_col: str = "winner",
+) -> DataFrame:
+    """Win-rate matrix from a pairwise comparison log (one row per
+    judged pair, ``a_col < b_col`` canonical order): per (sys_a,
+    sys_b), total comparisons, wins for the a-side, and the a-side win
+    rate.  One hash aggregation over the log — the reduce every other
+    preference statistic builds on."""
+    return (
+        comparisons.groupBy(
+            F.col(a_col).cast("bigint").alias("sys_a"),
+            F.col(b_col).cast("bigint").alias("sys_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_comparisons"),
+            F.sum(
+                F.when(F.col(winner_col) == F.col(a_col), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("wins_a"),
+        )
+        .withColumn(
+            "winrate_a",
+            F.col("wins_a").cast("double")
+            / F.col("n_comparisons").cast("double"),
+        )
+    )
+
+
+def bradley_terry(
+    comparisons: DataFrame,
+    iters: int = 2,
+    a_col: str = "sys_a",
+    b_col: str = "sys_b",
+    winner_col: str = "winner",
+) -> DataFrame:
+    """Bradley-Terry strengths from a pairwise comparison log via
+    ``iters`` FIXED minorization-maximization rounds (Hunter 2004):
+    p_i' = W_i / Σ_{j≠i} n_ij / (p_i + p_j), starting from p = 1.
+
+    Fixed iteration count → deterministic plan, no convergence probe;
+    the comparison log reduces ONCE to (pair counts, per-system wins),
+    and every MM round is a self-join of the systems×systems pair frame
+    — bounded model metadata.  Each denominator term is quantized
+    FLOOR(term · 2^20) BIGINT before summing, making the per-system sum
+    order-free (exact integer aggregation) and bit-reproducible
+    cross-engine.  Returns (system, strength, rnk), rank by strength
+    descending (ties → smaller system id).
+    """
+    pairs = comparisons.groupBy(
+        F.col(a_col).cast("bigint").alias("i"),
+        F.col(b_col).cast("bigint").alias("j"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_ij"))
+    wins = (
+        comparisons.select(F.col(winner_col).cast("bigint").alias("system"))
+        .groupBy("system")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    # systems that never win still need a strength row (w = 0)
+    systems = (
+        comparisons.select(F.col(a_col).cast("bigint").alias("system"))
+        .union(comparisons.select(F.col(b_col).cast("bigint")))
+        .distinct()
+    )
+    wins = systems.join(wins, "system", "left").select(
+        "system", F.coalesce(F.col("w"), F.lit(0)).cast("bigint").alias("w")
+    )
+
+    p = systems.select("system", F.lit(1.0).alias("p"))
+    for _ in range(iters):
+        both = (
+            pairs.join(
+                p.select(F.col("system").alias("i"), F.col("p").alias("p_i")),
+                "i",
+            )
+            .join(
+                p.select(F.col("system").alias("j"), F.col("p").alias("p_j")),
+                "j",
+            )
+            .withColumn(
+                "term_q",
+                F.floor(
+                    F.col("n_ij").cast("double")
+                    / (F.col("p_i") + F.col("p_j"))
+                    * F.lit(_BT_SCALE)
+                ).cast("bigint"),
+            )
+        )
+        terms = both.select(
+            F.col("i").alias("system"), "term_q"
+        ).union(both.select(F.col("j").alias("system"), "term_q"))
+        denom = terms.groupBy("system").agg(
+            F.sum("term_q").cast("bigint").alias("d_q")
+        )
+        p = wins.join(denom, "system").select(
+            "system",
+            (
+                F.col("w").cast("double")
+                * F.lit(_BT_SCALE)
+                / F.col("d_q").cast("double")
+            ).alias("p"),
+        )
+    from pyspark.sql import Window as W
+
+    w_rank = W.orderBy(F.desc("p"), F.asc("system"))
+    return p.select(
+        "system",
+        F.col("p").alias("strength"),
+        F.row_number().over(w_rank).cast("bigint").alias("rnk"),
+    )
+
+
+def fleiss_kappa(
+    labels: DataFrame,
+    item_col: str = "item_id",
+    rater_col: str = "rater",
+    label_col: str = "label",
+) -> DataFrame:
+    """Fleiss' kappa over a complete (every rater labels every item)
+    annotation table — the agreement gate preference data must pass
+    before it trains anything.
+
+    Entirely integer sufficient statistics: with r_ik = raters putting
+    item i in category k, P̄ = (Σ_ik r_ik² − n·r) / (n·r·(r−1)) and
+    P_e = Σ_k c_k² / (n·r)² (c_k the category column sums) — both are
+    one integer aggregate divided once, so no float accumulates in any
+    engine-dependent order.  Returns one row (n_items, n_raters, p_bar,
+    p_e, kappa).
+    """
+    rik = labels.groupBy(item_col, label_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("r_ik")
+    )
+    tot = rik.agg(
+        F.sum(F.col("r_ik") * F.col("r_ik")).cast("bigint").alias("sum_sq"),
+        F.countDistinct(item_col).cast("bigint").alias("n"),
+    )
+    ck = rik.groupBy(label_col).agg(F.sum("r_ik").cast("bigint").alias("c_k"))
+    cksq = ck.agg(
+        F.sum(F.col("c_k") * F.col("c_k")).cast("bigint").alias("sum_ck_sq")
+    )
+    r = labels.agg(
+        F.countDistinct(rater_col).cast("bigint").alias("r")
+    )
+    out = tot.crossJoin(F.broadcast(cksq)).crossJoin(F.broadcast(r))
+    nr = F.col("n").cast("double") * F.col("r").cast("double")
+    p_bar = (
+        F.col("sum_sq").cast("double") - nr
+    ) / (nr * (F.col("r").cast("double") - F.lit(1.0)))
+    p_e = F.col("sum_ck_sq").cast("double") / (nr * nr)
+    return out.select(
+        F.col("n").alias("n_items"),
+        F.col("r").alias("n_raters"),
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        ((p_bar - p_e) / (F.lit(1.0) - p_e)).alias("kappa"),
+    )

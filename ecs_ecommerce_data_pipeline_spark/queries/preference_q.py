@@ -1,0 +1,233 @@
+"""Preference / annotation-QA queries over an md5-analytic fixture
+derived from ``documents`` — the RLHF-data quality surface (operators
+in ``operators.preference``; scale + exactness rationale there).
+
+Fixture: four "systems" each score every document with the 60-bit
+md5-uniform (the clustered-embeddings discipline: both engines derive
+identical doubles from identical formulas, nothing is shipped); every
+document contributes one comparison per system pair, winner = higher
+score (ties → smaller system id).  Annotators label each document from
+a shared doc-level base plus per-annotator noise, so agreement is real
+but imperfect — exactly the shape an annotation-QA gate sees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..operators import preference
+from ..sources.testdata import load_table
+
+_N_SYS = 4
+_N_RATERS = 3
+
+# 60-bit md5 uniform in [-1, 1) — Spark rendering (see
+# operators.similarity.synth_clustered_embeddings) and DuckDB twin
+_U_SPARK = (
+    "(CAST(CONV(SUBSTRING(MD5({s}), 1, 15), 16, 10) AS DOUBLE)"
+    " / 1152921504606846976.0D * 2.0D - 1.0D)"
+)
+_U_DUCK = (
+    "(('0x' || substr(md5({s}), 1, 15))::BIGINT"
+    " / 1152921504606846976.0 * 2.0 - 1.0)"
+)
+
+
+def _score_spark(k: int) -> str:
+    return _U_SPARK.format(s=f"CONCAT('bt:{k}:', CAST(doc_id AS STRING))")
+
+
+def _comparisons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    structs = []
+    for i in range(_N_SYS):
+        for j in range(i + 1, _N_SYS):
+            structs.append(
+                f"struct(CAST({i} AS BIGINT) AS sys_a,"
+                f" CAST({j} AS BIGINT) AS sys_b,"
+                f" CAST(IF({_score_spark(i)} >= {_score_spark(j)}, {i}, {j})"
+                f" AS BIGINT) AS winner)"
+            )
+    return docs.select(
+        F.expr(f"explode(array({', '.join(structs)}))").alias("c")
+    ).select("c.*")
+
+
+_COMP_DUCK = f"""syspairs AS (
+    SELECT * FROM (VALUES {", ".join(f"({i}, {j})" for i in range(_N_SYS) for j in range(i + 1, _N_SYS))}) AS t(i, j)
+),
+comp AS (
+    SELECT CAST(p.i AS BIGINT) AS sys_a, CAST(p.j AS BIGINT) AS sys_b,
+           CAST(CASE WHEN
+               {_U_DUCK.format(s="'bt:' || p.i || ':' || d.doc_id")}
+               >= {_U_DUCK.format(s="'bt:' || p.j || ':' || d.doc_id")}
+           THEN p.i ELSE p.j END AS BIGINT) AS winner
+    FROM documents d CROSS JOIN syspairs p
+)"""
+
+
+_WINRATE_SQL = f"""
+WITH {_COMP_DUCK}
+SELECT sys_a, sys_b,
+       CAST(COUNT(*) AS BIGINT) AS n_comparisons,
+       CAST(SUM(CASE WHEN winner = sys_a THEN 1 ELSE 0 END) AS BIGINT)
+           AS wins_a,
+       CAST(SUM(CASE WHEN winner = sys_a THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS winrate_a
+FROM comp
+GROUP BY sys_a, sys_b
+"""
+
+
+@register("pref_winrate_matrix", _WINRATE_SQL)
+def q_winrate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise win-rate matrix over the preference fixture: for every
+    system pair, comparisons judged, a-side wins, a-side win rate — the
+    first readout any RLHF data QA runs, one hash aggregation over the
+    comparison log."""
+    return preference.pairwise_winrates(_comparisons(spark, sf_dir))
+
+
+def _bt_iter_sql(p_prev: str, t: str, d: str, p_next: str) -> str:
+    return f"""{t} AS (
+    SELECT pn.i, pn.j,
+           CAST(FLOOR(CAST(pn.n_ij AS DOUBLE) / (pi.p + pj.p)
+               * 1048576.0) AS BIGINT) AS term_q
+    FROM pairsn pn
+    JOIN {p_prev} pi ON pi.system = pn.i
+    JOIN {p_prev} pj ON pj.system = pn.j
+),
+{d} AS (
+    SELECT system, CAST(SUM(term_q) AS BIGINT) AS d_q FROM (
+        SELECT i AS system, term_q FROM {t}
+        UNION ALL SELECT j AS system, term_q FROM {t}
+    ) GROUP BY system
+),
+{p_next} AS (
+    SELECT w.system, CAST(w.w AS DOUBLE) * 1048576.0
+               / CAST(d.d_q AS DOUBLE) AS p
+    FROM wins w JOIN {d} d USING (system)
+)"""
+
+
+_BT_SQL = f"""
+WITH {_COMP_DUCK},
+pairsn AS (
+    SELECT sys_a AS i, sys_b AS j, CAST(COUNT(*) AS BIGINT) AS n_ij
+    FROM comp GROUP BY 1, 2
+),
+systems AS (
+    SELECT DISTINCT sys_a AS system FROM comp
+    UNION SELECT DISTINCT sys_b FROM comp
+),
+winsn AS (SELECT winner AS system, CAST(COUNT(*) AS BIGINT) AS w
+          FROM comp GROUP BY 1),
+wins AS (
+    SELECT s.system, CAST(COALESCE(w.w, 0) AS BIGINT) AS w
+    FROM systems s LEFT JOIN winsn w USING (system)
+),
+p0 AS (SELECT system, CAST(1.0 AS DOUBLE) AS p FROM systems),
+{_bt_iter_sql("p0", "t1", "d1", "p1")},
+{_bt_iter_sql("p1", "t2", "d2", "p2")}
+SELECT CAST(system AS BIGINT) AS system, p AS strength,
+       CAST(ROW_NUMBER() OVER (ORDER BY p DESC, system ASC) AS BIGINT) AS rnk
+FROM p2
+"""
+
+
+@register("pref_bradley_terry", _BT_SQL)
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths of the four systems via two fixed MM
+    rounds — the aggregate-to-metadata shape: the comparison log
+    reduces once to (pair counts, win counts); every iteration runs on
+    the 4-system frame.  The hash match pins the full chain
+    cross-engine: winner decisions, integer reduces, quantized
+    denominators, both MM rounds, final ranking."""
+    return preference.bradley_terry(_comparisons(spark, sf_dir), iters=2)
+
+
+def _v_spark() -> str:
+    base = _U_SPARK.format(s="CONCAT('base:', CAST(item_id AS STRING))")
+    noise = _U_SPARK.format(
+        s="CONCAT('an:', CAST(a AS STRING), ':', CAST(item_id AS STRING))"
+    )
+    return f"(0.5D * {base} + 0.5D * {noise})"
+
+
+def _labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    v = _v_spark()
+    return docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.expr(f"explode(sequence(0, {_N_RATERS - 1}))").alias("a"),
+    ).select(
+        "item_id",
+        F.col("a").cast("bigint").alias("rater"),
+        F.expr(
+            f"CAST(CASE WHEN {v} < -0.25D THEN 0"
+            f" WHEN {v} < 0.25D THEN 1 ELSE 2 END AS BIGINT)"
+        ).alias("label"),
+    )
+
+
+_V_DUCK = (
+    f"(0.5 * {_U_DUCK.format(s=chr(39) + 'base:' + chr(39) + ' || d.doc_id')}"
+    f" + 0.5 * {_U_DUCK.format(s=chr(39) + 'an:' + chr(39) + ' || a.a || ' + chr(39) + ':' + chr(39) + ' || d.doc_id')})"
+)
+
+_KAPPA_SQL = f"""
+WITH raters AS (
+    SELECT * FROM (VALUES {", ".join(f"({a})" for a in range(_N_RATERS))}) AS t(a)
+),
+lab AS (
+    SELECT d.doc_id AS item_id, CAST(a.a AS BIGINT) AS rater,
+           CAST(CASE WHEN {_V_DUCK} < -0.25 THEN 0
+                WHEN {_V_DUCK} < 0.25 THEN 1 ELSE 2 END AS BIGINT) AS label
+    FROM documents d CROSS JOIN raters a
+),
+rik AS (
+    SELECT item_id, label, CAST(COUNT(*) AS BIGINT) AS r_ik
+    FROM lab GROUP BY 1, 2
+),
+tot AS (
+    SELECT CAST(SUM(r_ik * r_ik) AS BIGINT) AS sum_sq,
+           CAST(COUNT(DISTINCT item_id) AS BIGINT) AS n
+    FROM rik
+),
+cks AS (
+    SELECT CAST(SUM(c_k * c_k) AS BIGINT) AS sum_ck_sq FROM (
+        SELECT label, CAST(SUM(r_ik) AS BIGINT) AS c_k FROM rik GROUP BY 1
+    )
+),
+rr AS (SELECT CAST(COUNT(DISTINCT rater) AS BIGINT) AS r FROM lab)
+SELECT n AS n_items, r AS n_raters,
+       (CAST(sum_sq AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)))
+           / ((CAST(n AS DOUBLE) * CAST(r AS DOUBLE))
+              * (CAST(r AS DOUBLE) - 1.0)) AS p_bar,
+       CAST(sum_ck_sq AS DOUBLE)
+           / ((CAST(n AS DOUBLE) * CAST(r AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(r AS DOUBLE))) AS p_e,
+       (((CAST(sum_sq AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)))
+           / ((CAST(n AS DOUBLE) * CAST(r AS DOUBLE))
+              * (CAST(r AS DOUBLE) - 1.0)))
+        - (CAST(sum_ck_sq AS DOUBLE)
+           / ((CAST(n AS DOUBLE) * CAST(r AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)))))
+       / (1.0 - (CAST(sum_ck_sq AS DOUBLE)
+           / ((CAST(n AS DOUBLE) * CAST(r AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(r AS DOUBLE))))) AS kappa
+FROM tot CROSS JOIN cks CROSS JOIN rr
+"""
+
+
+@register("pref_annotator_agreement", _KAPPA_SQL)
+def q_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over the three-annotator fixture — the agreement
+    gate preference data passes before training.  All sufficient
+    statistics are integers (Σ r_ik², category column sums squared),
+    divided once in a fixed expression shape, so the doubles are
+    bit-identical cross-engine with no ordered float accumulation
+    anywhere."""
+    return preference.fleiss_kappa(_labels(spark, sf_dir))
