@@ -294,6 +294,7 @@ _PRIORITY = [
     "pref_winrate_matrix",
     "pref_bradley_terry",
     "pref_annotator_agreement",
+    "pref_cohen_kappa_pairs",
     # round-6 head carries below (all already green — harmless)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",

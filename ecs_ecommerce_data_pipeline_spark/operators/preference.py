@@ -147,6 +147,68 @@ def bradley_terry(
     )
 
 
+def cohen_kappa_pairs(
+    labels: DataFrame,
+    item_col: str = "item_id",
+    rater_col: str = "rater",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cohen's kappa for EVERY annotator pair — the drill-down under
+    :func:`fleiss_kappa`: when the pool disagrees, which rater is the
+    outlier?  One self-join on the item key (rater_a < rater_b
+    canonical), then integer sufficient statistics per pair: observed
+    agreement o (label equality count) and the expected-agreement dot
+    product Σ_k c_ak·c_bk — so p_o = o/n and p_e = Σ_k c_ak·c_bk / n²
+    are each ONE division of exact integers, bit-identical cross-engine.
+    Returns (rater_a, rater_b, n_items, p_o, p_e, kappa)."""
+    a = labels.select(
+        F.col(item_col).alias("item"),
+        F.col(rater_col).cast("bigint").alias("rater_a"),
+        F.col(label_col).alias("la"),
+    )
+    b = labels.select(
+        F.col(item_col).alias("item"),
+        F.col(rater_col).cast("bigint").alias("rater_b"),
+        F.col(label_col).alias("lb"),
+    )
+    joined = a.join(b, "item").filter(F.col("rater_a") < F.col("rater_b"))
+    obs = joined.groupBy("rater_a", "rater_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("o"),
+    )
+    # per (rater, label) counts, then the per-pair label dot product
+    counts = labels.groupBy(
+        F.col(rater_col).cast("bigint").alias("rater"),
+        F.col(label_col).alias("lab"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ca = counts.select(
+        F.col("rater").alias("rater_a"), "lab", F.col("c").alias("c_a")
+    )
+    cb = counts.select(
+        F.col("rater").alias("rater_b"), "lab", F.col("c").alias("c_b")
+    )
+    dots = (
+        ca.join(cb, "lab")
+        .filter(F.col("rater_a") < F.col("rater_b"))
+        .groupBy("rater_a", "rater_b")
+        .agg(F.sum(F.col("c_a") * F.col("c_b")).cast("bigint").alias("dot"))
+    )
+    out = obs.join(dots, ["rater_a", "rater_b"])
+    n_d = F.col("n_items").cast("double")
+    p_o = F.col("o").cast("double") / n_d
+    p_e = F.col("dot").cast("double") / (n_d * n_d)
+    return out.select(
+        "rater_a",
+        "rater_b",
+        "n_items",
+        p_o.alias("p_o"),
+        p_e.alias("p_e"),
+        ((p_o - p_e) / (F.lit(1.0) - p_e)).alias("kappa"),
+    )
+
+
 def fleiss_kappa(
     labels: DataFrame,
     item_col: str = "item_id",

@@ -222,6 +222,58 @@ FROM tot CROSS JOIN cks CROSS JOIN rr
 """
 
 
+_COHEN_SQL = f"""
+WITH raters AS (
+    SELECT * FROM (VALUES {", ".join(f"({a})" for a in range(_N_RATERS))}) AS t(a)
+),
+lab AS (
+    SELECT d.doc_id AS item_id, CAST(a.a AS BIGINT) AS rater,
+           CAST(CASE WHEN {_V_DUCK} < -0.25 THEN 0
+                WHEN {_V_DUCK} < 0.25 THEN 1 ELSE 2 END AS BIGINT) AS label
+    FROM documents d CROSS JOIN raters a
+),
+obs AS (
+    SELECT x.rater AS rater_a, y.rater AS rater_b,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN x.label = y.label THEN 1 ELSE 0 END)
+               AS BIGINT) AS o
+    FROM lab x JOIN lab y ON y.item_id = x.item_id AND x.rater < y.rater
+    GROUP BY 1, 2
+),
+counts AS (
+    SELECT rater, label, CAST(COUNT(*) AS BIGINT) AS c FROM lab GROUP BY 1, 2
+),
+dots AS (
+    SELECT ca.rater AS rater_a, cb.rater AS rater_b,
+           CAST(SUM(ca.c * cb.c) AS BIGINT) AS dot
+    FROM counts ca JOIN counts cb
+        ON cb.label = ca.label AND ca.rater < cb.rater
+    GROUP BY 1, 2
+)
+SELECT o.rater_a, o.rater_b, o.n_items,
+       CAST(o.o AS DOUBLE) / CAST(o.n_items AS DOUBLE) AS p_o,
+       CAST(d.dot AS DOUBLE)
+           / (CAST(o.n_items AS DOUBLE) * CAST(o.n_items AS DOUBLE)) AS p_e,
+       ((CAST(o.o AS DOUBLE) / CAST(o.n_items AS DOUBLE))
+        - (CAST(d.dot AS DOUBLE)
+           / (CAST(o.n_items AS DOUBLE) * CAST(o.n_items AS DOUBLE))))
+       / (1.0 - (CAST(d.dot AS DOUBLE)
+           / (CAST(o.n_items AS DOUBLE) * CAST(o.n_items AS DOUBLE))))
+           AS kappa
+FROM obs o JOIN dots d USING (rater_a, rater_b)
+"""
+
+
+@register("pref_cohen_kappa_pairs", _COHEN_SQL)
+def q_cohen_kappa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per annotator pair — the drill-down under the
+    pooled Fleiss gate: with shared-base + per-annotator-noise labels,
+    every pair agrees above chance and roughly equally; a rater whose
+    pairs all sag is the outlier to audit.  Same integer-statistics
+    exactness as the pooled query."""
+    return preference.cohen_kappa_pairs(_labels(spark, sf_dir))
+
+
 @register("pref_annotator_agreement", _KAPPA_SQL)
 def q_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fleiss' kappa over the three-annotator fixture — the agreement

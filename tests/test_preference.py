@@ -72,3 +72,26 @@ def test_fleiss_kappa_systematic_disagreement_is_negative(spark):
     got = preference.fleiss_kappa(df).first()
     assert got["p_bar"] == 0.0
     assert got["kappa"] < 0.0
+
+
+def test_cohen_kappa_pairs_poles(spark):
+    # raters 0 and 1 agree perfectly; rater 2 labels a constant -> its
+    # pairs have p_o = p_e-dominated kappa near 0 or below
+    rows = (
+        [(i, 0, i % 3) for i in range(30)]
+        + [(i, 1, i % 3) for i in range(30)]
+        + [(i, 2, 0) for i in range(30)]
+    )
+    df = spark.createDataFrame(
+        rows, "item_id bigint, rater bigint, label bigint"
+    )
+    got = {
+        (r["rater_a"], r["rater_b"]): r
+        for r in preference.cohen_kappa_pairs(df).collect()
+    }
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    assert got[(0, 1)]["kappa"] == 1.0 and got[(0, 1)]["p_o"] == 1.0
+    # constant rater: observed agreement equals chance agreement -> 0
+    assert got[(0, 2)]["kappa"] == 0.0
+    assert got[(1, 2)]["kappa"] == 0.0
+    assert all(r["n_items"] == 30 for r in got.values())
