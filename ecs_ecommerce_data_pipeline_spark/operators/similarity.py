@@ -1919,6 +1919,7 @@ def split_ivf_cell(
     cell: int,
     new_cell: int | None = None,
     iters: int = 1,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Rebalance ONE overful IVF inverted list: split ``cell`` into two
     by LOCAL 2-means over only that cell's members — max-min
@@ -1946,8 +1947,20 @@ def split_ivf_cell(
     Returns (centroids', assignments') with ``build_ivf_index`` schemas
     — the split is invisible to every consumer except that searches now
     probe two tighter lists where one fat one was.
+
+    Fan-out note: the 2-means consumes ``members`` several times (seed
+    collects, assign/recompute rounds, the re-route join).  On a
+    path-backed index each consumption is a pruned one-partition read —
+    the production form, and what the catalog query uses.  For a
+    LAZY-lineage index that fan-out would re-execute the full corpus
+    assignment per consumer, so ``materialize=True`` pins the cell's
+    rows ONCE (bounded |cell| persist, released before returning) and
+    returns lineage-cut outputs — the store face
+    (``rebalance_store_cell``) uses this.
     """
     members = assignments.filter(F.col("cell") == cell)
+    if materialize:
+        members = members.persist()
     if new_cell is None:
         new_cell = int(centroids.agg(F.max("cell")).first()[0]) + 1
     seeds = farthest_point_seeds(members, k=2, id_col="vid", vec_col="vec")
@@ -1966,11 +1979,16 @@ def split_ivf_cell(
     new_cent_rows = sub_cents.select(
         cellmap.alias("cell"), F.col("centroid").alias("cvec")
     ).withColumn("cnrm", norm(F.col("cvec")))
-    centroids2 = centroids.filter(F.col("cell") != cell).unionByName(
-        new_cent_rows
-    )
     moved = members.join(sub_assign, "vid").select(
         "vid", "vec", "nrm", cellmap.alias("cell")
+    )
+    if materialize:
+        # one execution of the 2-means chain, then the cell cache goes
+        moved = moved.localCheckpoint()
+        new_cent_rows = new_cent_rows.localCheckpoint()
+        members.unpersist()
+    centroids2 = centroids.filter(F.col("cell") != cell).unionByName(
+        new_cent_rows
     )
     assignments2 = assignments.filter(F.col("cell") != cell).unionByName(moved)
     return centroids2, assignments2

@@ -442,10 +442,12 @@ def rebalance_store_cell(
     if new_cell is None:
         new_cell = int(centroids.agg(F.max("cell")).first()[0]) + 1
     c2, a2 = split_ivf_cell(
-        centroids, assignments, cell, new_cell=new_cell, iters=iters
+        centroids, assignments, cell, new_cell=new_cell, iters=iters,
+        materialize=True,
     )
-    # pin the moved rows BEFORE any store write: their lineage reads the
-    # store paths the appends below will touch
+    # materialize=True already lineage-cut the re-routed rows, so this
+    # filter just selects the checkpointed branch of the union — safe
+    # against the store writes below
     moved = a2.filter(F.col("cell").isin([cell, new_cell])).localCheckpoint()
     n_kept = moved.filter(F.col("cell") == cell).count()
     n_moved = moved.filter(F.col("cell") == new_cell).count()

@@ -320,3 +320,25 @@ def test_cell_split_member_scan_is_partition_pruned(spark, index):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters:", 1)[1][:200]
     assert "cell" in seg and str(cell) in seg
+
+
+def test_cell_split_materialized_equals_lazy(spark, index):
+    """materialize=True (pin cell once, lineage-cut outputs, release
+    cache) returns the identical split as the lazy form, and leaves no
+    persisted relation behind."""
+    path, centroids, assignments = index
+    top = (
+        assignments.groupBy("cell").count()
+        .orderBy(F.desc("count"), F.asc("cell")).first()
+    )
+    cell = int(top["cell"])
+    c_l, a_l = similarity.split_ivf_cell(centroids, assignments, cell)
+    c_m, a_m = similarity.split_ivf_cell(
+        centroids, assignments, cell, materialize=True
+    )
+    assert {tuple(r) for r in a_l.select("vid", "cell").collect()} == {
+        tuple(r) for r in a_m.select("vid", "cell").collect()
+    }
+    assert {(r["cell"], r["cnrm"]) for r in c_l.collect()} == {
+        (r["cell"], r["cnrm"]) for r in c_m.collect()
+    }
