@@ -518,6 +518,51 @@ def rebalance_store_cell(
     }
 
 
+def rebalance_overful_cells(
+    spark: SparkSession,
+    index_path: str,
+    factor: float = 2.0,
+    max_splits: int = 8,
+    iters: int = 1,
+) -> list[dict]:
+    """The trigger and the repair in one admin op: split the fattest
+    inverted list while any list holds more than ``factor`` × the mean
+    occupancy, up to ``max_splits`` splits.  Each round re-reads ONLY
+    per-cell counts (one hash aggregate over the store — the
+    ``sim_ivf_cell_sizes`` readout) and runs one
+    :func:`rebalance_store_cell`; the mean shrinks as cells are added,
+    so the loop terminates either at the skew bound or at the split
+    budget.  Returns the per-split stats, in order.
+
+    ``factor`` ≤ 1.0 would chase the mean forever; values are validated.
+    Greedy fattest-first is the right order: each split halves the
+    worst straggler, and under latest-wins appends every split stays
+    O(|cell|) regardless of how many ran before."""
+    if factor <= 1.0:
+        raise ValueError("factor must be > 1.0")
+    out: list[dict] = []
+    for _ in range(max_splits):
+        _, assignments = load_stream_index(spark, index_path)
+        sizes = (
+            assignments.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if not sizes:
+            break
+        mean = sum(r["n"] for r in sizes) / len(sizes)
+        fat = sorted(
+            ((r["n"], r["cell"]) for r in sizes if r["n"] > factor * mean),
+            key=lambda t: (-t[0], t[1]),
+        )
+        if not fat:
+            break
+        out.append(rebalance_store_cell(
+            spark, index_path, int(fat[0][1]), iters=iters
+        ))
+    return out
+
+
 def vector_store_erasure_audit(
     spark: SparkSession, index_path: str
 ) -> DataFrame:

@@ -335,3 +335,66 @@ def test_rebalance_store_cell_moves_rows_and_preserves_search(spark, tmp_path):
         (r["vid"], r["cell"]) for r in assigns2.select("vid", "cell").collect()
     } == after
     assert codes2.count() == n_codes_visible
+
+
+def test_rebalance_overful_cells_bounds_skew(spark, tmp_path):
+    """The trigger+repair loop: after rebalance_overful_cells the store
+    either has no cell above factor x mean or spent its split budget;
+    total membership is conserved and full-probe search is unchanged."""
+    from ecs_ecommerce_data_pipeline_spark.operators import similarity
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        load_stream_index,
+        rebalance_overful_cells,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    drop = str(tmp_path / "drop")
+    emb.filter(F.col("vec_id") < 60).coalesce(1).write.parquet(drop)
+    emb.filter(F.col("vec_id").between(60, 119)).coalesce(1).write.mode(
+        "append"
+    ).parquet(drop)
+    index_path = str(tmp_path / "idx")
+    _run_vec_stream(
+        spark, tmp_path, emb, "ckpt", index_path, str(tmp_path / "ledger.json")
+    )
+
+    cents0, a0 = load_stream_index(spark, index_path)
+    vids_before = {r["vid"] for r in a0.select("vid").collect()}
+    full_b = {
+        (r["query_id"], r["corpus_id"], r["rnk"])
+        for r in similarity.ivf_index_topk(
+            cents0, a0, [0, 1, 2], k=10, nprobe=64
+        ).collect()
+    }
+
+    stats = rebalance_overful_cells(
+        spark, index_path, factor=1.5, max_splits=3
+    )
+    assert stats, "fixture store starts skewed; at least one split runs"
+
+    cents, assigns = load_stream_index(spark, index_path)
+    sizes = {r["cell"]: r["n"] for r in assigns.groupBy("cell")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    mean = sum(sizes.values()) / len(sizes)
+    assert max(sizes.values()) <= 1.5 * mean or len(stats) == 3
+    assert {r["vid"] for r in assigns.select("vid").collect()} == vids_before
+    assert cents.count() == 16 + len(stats)
+    full_a = {
+        (r["query_id"], r["corpus_id"], r["rnk"])
+        for r in similarity.ivf_index_topk(
+            cents, assigns, [0, 1, 2], k=10, nprobe=64
+        ).collect()
+    }
+    assert full_a == full_b
+
+
+def test_rebalance_overful_cells_rejects_bad_factor(spark, tmp_path):
+    import pytest as _pytest
+
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        rebalance_overful_cells,
+    )
+
+    with _pytest.raises(ValueError, match="factor"):
+        rebalance_overful_cells(spark, str(tmp_path), factor=1.0)
