@@ -341,6 +341,7 @@ _BENCH_EXTRA: set[str] = {
     "sim_cluster_purity_fps",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
+    "sim_ivfpq_cell_split",
     "pref_winrate_matrix",
     "pref_bradley_terry",
     "pref_annotator_agreement",

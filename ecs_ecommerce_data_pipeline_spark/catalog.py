@@ -291,6 +291,7 @@ _PRIORITY = [
     "sim_ivfpq_fps_recall",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
+    "sim_ivfpq_cell_split",
     "pref_winrate_matrix",
     "pref_bradley_terry",
     "pref_annotator_agreement",

@@ -1994,6 +1994,64 @@ def split_ivf_cell(
     return centroids2, assignments2
 
 
+def split_ivfpq_cell(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    cell: int,
+    new_cell: int | None = None,
+    iters: int = 1,
+    residual: bool = True,
+    materialize: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Rebalance one overful cell of the COMPOSED IVF-PQ index — the
+    residual-aware face of :func:`split_ivf_cell`.
+
+    Raw-vector codes don't depend on the centroid, so a raw split only
+    re-routes code rows.  RESIDUAL codes (IVFADC) do: a moved vector's
+    code quantizes v − centroid(cell), and the split replaces that
+    centroid for every member — so the split cell's codes are
+    RE-ENCODED against the two new sub-centroids using the SAME shared
+    codebook (the codebook never retrains on a split; it covers
+    residuals near the origin regardless of which centroid produced
+    them).  Work stays O(|cell|·m·k): only the split cell's members
+    re-encode; every other inverted list — raw vectors and codes — is
+    untouched bytes.
+
+    Returns (centroids', assignments', codebook, codes') with
+    ``build_ivfpq_index`` schemas.
+    """
+    if new_cell is None:
+        new_cell = int(centroids.agg(F.max("cell")).first()[0]) + 1
+    c2, a2 = split_ivf_cell(
+        centroids, assignments, cell, new_cell=new_cell, iters=iters,
+        materialize=materialize,
+    )
+    moved = a2.filter(F.col("cell").isin([cell, new_cell]))
+    code_cols = [c for c in codes.columns]
+    if residual:
+        dims = _vector_dims(assignments, "vec")
+        m = int(codebook.select("s").distinct().count())
+        sub = dims // m
+        base = _ivf_residuals(moved, c2)
+        new_codes = (
+            _pq_assign(base, codebook, m, sub)
+            .select("vid", "s", "code")
+            .join(moved.select("vid", "cell"), "vid")
+        )
+    else:
+        new_codes = (
+            codes.filter(F.col("cell") == cell)
+            .drop("cell")
+            .join(moved.select("vid", "cell"), "vid")
+        )
+    codes2 = codes.filter(F.col("cell") != cell).unionByName(
+        new_codes.select(*code_cols)
+    )
+    return c2, a2, codebook, codes2
+
+
 def ivf_topk_with_centroids(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -2972,6 +2972,183 @@ def q_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_split_ctes() -> str:
+    cos_s = _COS.format(a="m.v", b="s.v")
+    cos_c = _COS.format(a="m.v", b="c.centroid")
+    sub = _CL_SUB
+    dist = _cl_dist2("t.vs", "cb.cv", sub)
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+    SELECT vec_id, cluster_id FROM (
+        SELECT m.vec_id, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                   ORDER BY {cos_c} DESC, c.cluster_id) AS rk
+        FROM smem m CROSS JOIN {cents} c
+    ) WHERE rk = 1
+)"""
+
+    def recompute(name: str, a: str) -> str:
+        return f"""{name} AS (
+    SELECT cluster_id, list(mean_val ORDER BY pos) AS centroid FROM (
+        SELECT a.cluster_id, q.pos,
+               CAST(CAST(SUM(CAST(q.val AS DECIMAL(25,12))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS mean_val
+        FROM smel q JOIN {a} a USING (vec_id)
+        GROUP BY 1, 2
+    ) GROUP BY 1
+)"""
+
+    return f"""starget AS (
+    SELECT cell FROM fcells GROUP BY cell
+    ORDER BY COUNT(*) DESC, cell ASC LIMIT 1
+),
+snewid AS (SELECT MAX(cluster_id) + 1 AS nc FROM c0f),
+smem AS MATERIALIZED (
+    SELECT e.vec_id, e.v
+    FROM fcells fc JOIN e ON e.vec_id = fc.vid
+    JOIN starget t ON fc.cell = t.cell
+),
+smel AS (
+    SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+    FROM smem
+),
+ss0 AS (SELECT vec_id, v FROM smem ORDER BY vec_id LIMIT 1),
+ss1 AS (
+    SELECT m.vec_id, m.v FROM smem m CROSS JOIN ss0 s
+    WHERE m.vec_id <> s.vec_id
+    ORDER BY {cos_s} ASC, m.vec_id ASC LIMIT 1
+),
+ssc0 AS (
+    SELECT 0 AS cluster_id, v AS centroid FROM ss0
+    UNION ALL SELECT 1 AS cluster_id, v FROM ss1
+),
+{assign("ssa0", "ssc0")},
+{recompute("ssc1", "ssa0")},
+{assign("ssa1", "ssc1")},
+{recompute("ssc2", "ssa1")},
+sfinal AS (
+    SELECT CASE WHEN a.cluster_id = 0 THEN t.cell ELSE n.nc END AS cell,
+           a.vec_id
+    FROM ssa1 a CROSS JOIN starget t CROSS JOIN snewid n
+),
+snewcent AS (
+    SELECT CASE WHEN s.cluster_id = 0 THEN t.cell ELSE n.nc END AS cell,
+           s.centroid
+    FROM ssc2 s CROSS JOIN starget t CROSS JOIN snewid n
+),
+sres AS (
+    SELECT f.vec_id, f.cell,
+           list_transform(generate_series(1, {_CL_DIMS}),
+                          i -> e.v[i] - c.centroid[i]) AS rv
+    FROM sfinal f JOIN e ON e.vec_id = f.vec_id
+    JOIN snewcent c ON c.cell = f.cell
+),
+scorp AS (
+    SELECT vec_id, cell, s, rv[s * {sub} + 1 : s * {sub} + {sub}] AS vs
+    FROM sres CROSS JOIN subs
+),
+scodes AS (
+    SELECT vec_id, cell, s, cw AS code FROM (
+        SELECT t.vec_id, t.cell, t.s, cb.cw,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.s
+                   ORDER BY {dist} ASC, cb.cw ASC) AS rn
+        FROM scorp t JOIN fcb0 cb USING (s)
+    ) WHERE rn = 1
+)"""
+
+
+_IVFPQ_SPLIT_SQL = f"""
+WITH {_CL_BASE},
+{_CL_FIXED_CENTS},
+{_cl_chain("f", "c0f", trained=False, nprobe=_CL_NPROBE)},
+{_ivfpq_split_ctes()},
+members AS (
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM sfinal GROUP BY cell
+),
+codesums AS (
+    SELECT cell,
+           CAST(COUNT(*) AS BIGINT) AS n_code_rows,
+           CAST(SUM((s + 1) * code) AS BIGINT) AS codes_checksum
+    FROM scodes GROUP BY cell
+),
+centsums AS (
+    SELECT cell,
+           CAST(list_sum(list_transform(centroid,
+               x -> CAST(FLOOR(x * {_PQ_SCALE}) AS BIGINT))) AS BIGINT)
+               AS centroid_qsum
+    FROM snewcent
+)
+SELECT CAST(m.cell AS BIGINT) AS cell, m.n_members,
+       c.n_code_rows, c.codes_checksum, ce.centroid_qsum
+FROM members m
+JOIN codesums c USING (cell)
+JOIN centsums ce USING (cell)
+"""
+
+
+@register("sim_ivfpq_cell_split", _IVFPQ_SPLIT_SQL)
+def q_ivfpq_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the fattest cell of the COMPOSED residual IVF-PQ index
+    (the session-cached training-free build): local 2-means split plus
+    re-encoding of ONLY the moved rows' residuals against their new
+    sub-centroids, through the unchanged shared codebook.  The hash
+    match pins the full residual-aware repair cross-engine: trigger and
+    seed picks, Lloyd argmaxes, decimal sub-centroids, per-subspace
+    codeword argmins of the re-encoded rows (checksum Σ (s+1)·code),
+    id routing.  O(|cell|·m·k) work — every other inverted list, raw
+    and compressed, is untouched bytes."""
+    cents, assigns, cb, codes = _clustered_index_cached(spark, sf_dir, False)
+    top = (
+        assigns.groupBy("cell")
+        .count()
+        .orderBy(F.desc("count"), F.asc("cell"))
+        .first()
+    )
+    target = int(top["cell"])
+    new_cell = int(cents.agg(F.max("cell")).first()[0]) + 1
+    c2, a2, _, codes2 = similarity.split_ivfpq_cell(
+        cents, assigns, cb, codes, target, new_cell=new_cell
+    )
+    touched = [target, new_cell]
+    sizes = (
+        a2.filter(F.col("cell").isin(touched))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    )
+    codesums = (
+        codes2.filter(F.col("cell").isin(touched))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_code_rows"),
+            F.sum((F.col("s") + F.lit(1)) * F.col("code"))
+            .cast("bigint")
+            .alias("codes_checksum"),
+        )
+    )
+    qt = F.transform(
+        "cvec", lambda x: F.floor(x * F.lit(_PQ_SCALE_F)).cast("bigint")
+    )
+    centsums = c2.filter(F.col("cell").isin(touched)).select(
+        "cell",
+        F.aggregate(
+            qt, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("centroid_qsum"),
+    )
+    return (
+        sizes.join(codesums, "cell")
+        .join(centsums, "cell")
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            "n_members",
+            "n_code_rows",
+            "codes_checksum",
+            "centroid_qsum",
+        )
+    )
+
+
 @register("sim_cluster_purity", _PURITY_SQL)
 def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """External cluster validation on the clustered fixture: one Lloyd

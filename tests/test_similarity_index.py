@@ -342,3 +342,50 @@ def test_cell_split_materialized_equals_lazy(spark, index):
     assert {(r["cell"], r["cnrm"]) for r in c_l.collect()} == {
         (r["cell"], r["cnrm"]) for r in c_m.collect()
     }
+
+
+def test_ivfpq_cell_split_reencodes_only_the_split_cell(spark, tmp_path):
+    """Residual-aware split: code rows are conserved (m per vid), codes
+    of every OTHER cell are bit-unchanged, moved rows' cells agree
+    between assignments and codes, and re-encoded codes come from the
+    unchanged shared codebook."""
+    emb = load_table(spark, SF, "embeddings")
+    cents, assigns, cb, codes = similarity.build_ivfpq_index(
+        emb, n_centroids=16, m=8, pq_k=16,
+        path=str(tmp_path / "idx"), residual=True,
+    )
+    top = (
+        assigns.groupBy("cell").count()
+        .orderBy(F.desc("count"), F.asc("cell")).first()
+    )
+    cell = int(top["cell"])
+    n_vids = assigns.count()
+    before_other = {
+        (r["vid"], r["s"], r["code"], r["cell"])
+        for r in codes.filter(F.col("cell") != cell).collect()
+    }
+    c2, a2, cb2, codes2 = similarity.split_ivfpq_cell(
+        cents, assigns, cb, codes, cell
+    )
+    assert codes2.count() == n_vids * 8
+    assert codes2.select("vid").distinct().count() == n_vids
+    # untouched cells bit-identical
+    new_cell = int(cents.agg(F.max("cell")).first()[0]) + 1
+    after_other = {
+        (r["vid"], r["s"], r["code"], r["cell"])
+        for r in codes2.filter(~F.col("cell").isin([cell, new_cell]))
+        .collect()
+    }
+    assert after_other == before_other
+    # code routing agrees with the split assignments
+    assert codes2.select("vid", "cell").distinct().exceptAll(
+        a2.select("vid", "cell")
+    ).count() == 0
+    # codebook unchanged (shared across the split)
+    assert {(r["s"], r["cw"]) for r in cb2.collect()} == {
+        (r["s"], r["cw"]) for r in cb.collect()
+    }
+    # every re-encoded code is a valid codeword id
+    assert codes2.filter(
+        (F.col("code") < 0) | (F.col("code") >= 16)
+    ).count() == 0
