@@ -292,6 +292,7 @@ _PRIORITY = [
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",
+    "sim_ivf_quantizer_drift",
     "pref_winrate_matrix",
     "pref_bradley_terry",
     "pref_annotator_agreement",

@@ -2972,6 +2972,120 @@ def q_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QDRIFT_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+    SELECT vec_id AS cell, v AS centroid FROM e
+    WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16
+),
+asg AS (
+    SELECT vec_id, vec_id % 2 AS smp, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_COS.format(a="e.v", b="c.centroid")} DESC,
+                            c.cell) AS rk
+        FROM e CROSS JOIN cents c
+    ) WHERE rk = 1
+),
+counts AS (
+    SELECT c.cell,
+           CAST(COALESCE(SUM(CASE WHEN a.smp = 0 THEN 1 END), 0) AS BIGINT)
+               AS c_ref,
+           CAST(COALESCE(SUM(CASE WHEN a.smp = 1 THEN 1 END), 0) AS BIGINT)
+               AS c_cur
+    FROM cents c LEFT JOIN asg a ON a.cell = c.cell
+    GROUP BY c.cell
+),
+tot AS (
+    SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+           CAST(SUM(c_cur) AS BIGINT) AS n_cur
+    FROM counts
+),
+terms AS (
+    SELECT c.cell, c.c_ref, c.c_cur,
+           CAST(c.c_ref + 1 AS DOUBLE) / (CAST(t.n_ref AS DOUBLE) + 16.0)
+               AS p_ref,
+           CAST(c.c_cur + 1 AS DOUBLE) / (CAST(t.n_cur AS DOUBLE) + 16.0)
+               AS p_cur
+    FROM counts c, tot t
+)
+SELECT CAST(cell AS BIGINT) AS cell, c_ref, c_cur, p_ref, p_cur,
+       CAST(FLOOR((p_cur - p_ref) * ln(p_cur / p_ref) * 1099511627776.0)
+           AS BIGINT) AS psi_term_q,
+       CAST(sum(CAST(FLOOR((p_cur - p_ref) * ln(p_cur / p_ref)
+           * 1099511627776.0) AS BIGINT)) OVER () AS BIGINT) AS psi_total_q
+FROM terms
+"""
+
+
+@register("sim_ivf_quantizer_drift", _QDRIFT_SQL)
+def q_ivf_quantizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETRAIN trigger for a frozen coarse quantizer: PSI between
+    the cell-occupancy distributions of the index-time corpus (even
+    vec_ids — the half the smallest-id quantizer was built from) and
+    newly-arrived data (odd vec_ids), Laplace-smoothed, quantized
+    FLOOR(term · 2^40) like the drift family (16 cells — the last-ulp
+    hazard calculus that rules 2^40 out at corpus size is fine at 16
+    rows).  Completes the maintenance loop: appends route against a
+    frozen quantizer (``ivf_index_add_batch``), THIS detects when
+    routing has drifted from the build-time distribution, cell split
+    repairs local skew, and a full retrain (``kmeans_refine``) is the
+    escalation.  One broadcast-scored scan + two hash aggregates."""
+    from ..operators.drift import PSI_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    centroids, _ = similarity.build_ivf_index(ref, n_centroids=16)
+    asg = similarity.ivf_index_add_batch(centroids, emb).withColumn(
+        "smp", F.col("vid") % 2
+    )
+    counts = (
+        centroids.select("cell")
+        .join(
+            asg.groupBy("cell").agg(
+                F.sum(F.when(F.col("smp") == 0, 1)).alias("_r"),
+                F.sum(F.when(F.col("smp") == 1, 1)).alias("_c"),
+            ),
+            "cell",
+            "left",
+        )
+        .select(
+            "cell",
+            F.coalesce(F.col("_r"), F.lit(0)).cast("bigint").alias("c_ref"),
+            F.coalesce(F.col("_c"), F.lit(0)).cast("bigint").alias("c_cur"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    p_ref = (F.col("c_ref") + 1).cast("double") / (
+        F.col("n_ref").cast("double") + F.lit(16.0)
+    )
+    p_cur = (F.col("c_cur") + 1).cast("double") / (
+        F.col("n_cur").cast("double") + F.lit(16.0)
+    )
+    term_q = F.floor(
+        (p_cur - p_ref) * F.log(p_cur / p_ref) * F.lit(PSI_SCALE)
+    ).cast("bigint")
+    per_cell = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("p_ref", p_ref)
+        .withColumn("p_cur", p_cur)
+        .withColumn("psi_term_q", term_q)
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return per_cell.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "c_ref",
+        "c_cur",
+        "p_ref",
+        "p_cur",
+        "psi_term_q",
+        F.sum("psi_term_q").over(w_all).cast("bigint").alias("psi_total_q"),
+    )
+
+
 def _ivfpq_split_ctes() -> str:
     cos_s = _COS.format(a="m.v", b="s.v")
     cos_c = _COS.format(a="m.v", b="c.centroid")
