@@ -99,10 +99,53 @@ def bradley_terry(
         .union(comparisons.select(F.col(b_col).cast("bigint")))
         .distinct()
     )
-    wins = systems.join(wins, "system", "left").select(
-        "system", F.coalesce(F.col("w"), F.lit(0)).cast("bigint").alias("w")
-    )
+    return _bt_mm(pairs, wins, systems, iters)
 
+
+def bradley_terry_from_stats(stats: DataFrame, iters: int = 2) -> DataFrame:
+    """Bradley-Terry from PRE-REDUCED pair statistics — the serving
+    face of the streaming preference store: ``stats`` is the
+    :func:`pairwise_winrates` shape (sys_a, sys_b, n_comparisons,
+    wins_a), which is ALL the MM iteration ever reads, so streaming
+    folds of per-batch counts lose nothing.  Identical result to
+    :func:`bradley_terry` over the raw log (test-pinned)."""
+    pairs = stats.select(
+        F.col("sys_a").cast("bigint").alias("i"),
+        F.col("sys_b").cast("bigint").alias("j"),
+        F.col("n_comparisons").cast("bigint").alias("n_ij"),
+    )
+    wins = (
+        stats.select(
+            F.col("sys_a").cast("bigint").alias("system"),
+            F.col("wins_a").cast("bigint").alias("w"),
+        )
+        .union(
+            stats.select(
+                F.col("sys_b").cast("bigint"),
+                (F.col("n_comparisons") - F.col("wins_a")).cast("bigint"),
+            )
+        )
+        .groupBy("system")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    systems = (
+        stats.select(F.col("sys_a").cast("bigint").alias("system"))
+        .union(stats.select(F.col("sys_b").cast("bigint")))
+        .distinct()
+    )
+    return _bt_mm(pairs, wins, systems, iters)
+
+
+def _bt_mm(
+    pairs: DataFrame, wins: DataFrame, systems: DataFrame, iters: int
+) -> DataFrame:
+    """The shared MM loop: (i, j, n_ij) pair counts + per-system win
+    counts + the system universe → (system, strength, rnk).  See
+    :func:`bradley_terry` for the quantization rationale."""
+    wins = systems.join(wins, "system", "left").select(
+        "system",
+        F.coalesce(F.col("w"), F.lit(0)).cast("bigint").alias("w"),
+    )
     p = systems.select("system", F.lit(1.0).alias("p"))
     for _ in range(iters):
         both = (

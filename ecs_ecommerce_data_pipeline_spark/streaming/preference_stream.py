@@ -1,0 +1,91 @@
+"""Streaming preference-log maintenance.
+
+An RLHF data pipeline collects pairwise judgments continuously; the
+win-rate matrix and Bradley-Terry strengths must serve from the running
+log without nightly full-log rescans.  The key fact making this cheap:
+everything the preference family computes reads ONLY the per-pair
+sufficient statistics (n comparisons, a-side wins), and counts are
+associative — so
+
+* each micro-batch reduces its OWN comparison rows to per-pair counts
+  (the :func:`operators.preference.pairwise_winrates` reduce,
+  O(|batch|) work);
+* the counts land as a ``(_batch_id)`` dynamic-overwrite partition —
+  an at-least-once replay rewrites exactly its own partition,
+  idempotent by construction (the ledger guards the crash window);
+* :func:`load_preference_stats` folds partitions with one SUM per pair
+  — equal to the batch reduce over the full log, bit-for-bit, because
+  integer sums have no order;
+* :func:`operators.preference.bradley_terry_from_stats` serves
+  strengths from the folded counts — test-pinned identical to the
+  batch operator over the raw log.
+
+Per-trigger cost tracks the batch; the store holds
+O(batches · pairs-per-batch) tiny count rows, collapsed by any later
+compaction of the same shape as the vector store's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.preference import pairwise_winrates
+from ..plans.incremental import BatchLedger
+
+
+def preference_stream(
+    comp_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    ledger: BatchLedger | None = None,
+):
+    """Maintain the per-pair preference statistics store from a stream
+    of (sys_a, sys_b, winner) comparison rows."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        bid = f"pref-microbatch-{batch_id}"
+        if ledger is not None and not ledger.try_start(bid):
+            return
+        if batch_df.isEmpty():
+            if ledger is not None:
+                ledger.mark_done(bid)
+            return
+        stats = pairwise_winrates(batch_df).select(
+            "sys_a", "sys_b", "n_comparisons", "wins_a"
+        )
+        (
+            stats.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_path}/pair_stats")
+        )
+        if ledger is not None:
+            ledger.mark_done(bid)
+
+    return (
+        comp_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def load_preference_stats(spark: SparkSession, state_path: str) -> DataFrame:
+    """Fold the per-batch count partitions into the running win-rate
+    matrix (sys_a, sys_b, n_comparisons, wins_a, winrate_a) — one SUM
+    per pair; integer sums are order-free, so the fold equals the batch
+    reduce over the concatenated log exactly."""
+    folded = (
+        spark.read.parquet(f"{state_path}/pair_stats")
+        .groupBy("sys_a", "sys_b")
+        .agg(
+            F.sum("n_comparisons").cast("bigint").alias("n_comparisons"),
+            F.sum("wins_a").cast("bigint").alias("wins_a"),
+        )
+    )
+    return folded.withColumn(
+        "winrate_a",
+        F.col("wins_a").cast("double") / F.col("n_comparisons").cast("double"),
+    )

@@ -1,0 +1,95 @@
+"""Streaming preference maintenance: the per-batch count fold equals
+the batch reduce over the full log, Bradley-Terry served from folded
+stats equals the raw-log operator, and a ledger replay changes nothing.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def _comparisons(spark, n=400):
+    # deterministic synthetic log over 4 systems
+    rows = []
+    for d in range(n):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                # system with more 1-bits in (d*7+sys) wins — arbitrary
+                # deterministic rule giving a non-uniform matrix
+                wi = bin((d * 7 + i) % 64).count("1")
+                wj = bin((d * 7 + j) % 64).count("1")
+                rows.append((i, j, i if wi >= wj else j, d))
+    return spark.createDataFrame(
+        rows, "sys_a bigint, sys_b bigint, winner bigint, d bigint"
+    )
+
+
+def test_preference_stream_fold_equals_batch_and_replays(spark, tmp_path):
+    from ecs_ecommerce_data_pipeline_spark.operators import preference
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import BatchLedger
+    from ecs_ecommerce_data_pipeline_spark.streaming.preference_stream import (
+        load_preference_stats,
+        preference_stream,
+    )
+
+    comp = _comparisons(spark)
+    drop = str(tmp_path / "drop")
+    for k in range(3):
+        comp.filter(F.col("d") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+
+    state = str(tmp_path / "state")
+    lpath = str(tmp_path / "ledger.json")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(comp.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = preference_stream(
+            stream, state, str(tmp_path / ckpt), BatchLedger(lpath)
+        )
+        q.awaitTermination(240)
+
+    run("ckpt")
+
+    expect = {
+        (r["sys_a"], r["sys_b"]): (r["n_comparisons"], r["wins_a"],
+                                   r["winrate_a"])
+        for r in preference.pairwise_winrates(comp).collect()
+    }
+    got = {
+        (r["sys_a"], r["sys_b"]): (r["n_comparisons"], r["wins_a"],
+                                   r["winrate_a"])
+        for r in load_preference_stats(spark, state).collect()
+    }
+    assert got == expect
+
+    # Bradley-Terry from the folded store == from the raw log
+    bt_raw = {
+        (r["system"], r["strength"], r["rnk"])
+        for r in preference.bradley_terry(comp).collect()
+    }
+    bt_stream = {
+        (r["system"], r["strength"], r["rnk"])
+        for r in preference.bradley_terry_from_stats(
+            load_preference_stats(spark, state)
+        ).collect()
+    }
+    assert bt_stream == bt_raw
+
+    # ledger replay of the middle batch: store unchanged
+    state_j = json.load(open(lpath))
+    state_j["pref-microbatch-1"] = "running"
+    json.dump(state_j, open(lpath, "w"))
+    run("ckpt2")
+    again = {
+        (r["sys_a"], r["sys_b"]): (r["n_comparisons"], r["wins_a"],
+                                   r["winrate_a"])
+        for r in load_preference_stats(spark, state).collect()
+    }
+    assert again == expect
