@@ -347,6 +347,7 @@ _BENCH_EXTRA: set[str] = {
     "pref_bradley_terry",
     "pref_annotator_agreement",
     "pref_cohen_kappa_pairs",
+    "events_sprt_sequential",
     # (sim_ivfpq_fps_recall stays OUT of the headline set: it is a
     # BUILD-TIME experiment — 15 sequential max-min seed picks plus a
     # second full trained IVF-PQ build, measured 13.5 s at sf0.1 — and

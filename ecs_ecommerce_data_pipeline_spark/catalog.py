@@ -297,6 +297,7 @@ _PRIORITY = [
     "pref_bradley_terry",
     "pref_annotator_agreement",
     "pref_cohen_kappa_pairs",
+    "events_sprt_sequential",
     # round-6 head carries below (all already green — harmless)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",

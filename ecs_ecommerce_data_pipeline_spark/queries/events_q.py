@@ -2437,3 +2437,120 @@ def q_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
         money_sum("value").alias("attributed_revenue"),
     )
+
+
+# --- sequential testing (SPRT) ----------------------------------------------
+
+import math as _math
+
+# SPRT on the purchase rate: H0 p=0.25 vs H1 p=0.375 (both binary-exact
+# literals), alpha = beta = 0.05.  The log-likelihood-ratio increments
+# and the Wald boundaries are computed ONCE here in Python and inlined
+# as pre-quantized FLOOR(x * 2^20) INTEGER literals in BOTH engines —
+# no engine evaluates a transcendental, so the entire test is integer
+# arithmetic end-to-end (the strongest form of the drift family's
+# quantization discipline).
+_SPRT_P0, _SPRT_P1 = 0.25, 0.375
+_SPRT_SCALE = 1 << 20
+_SPRT_Q1 = _math.floor(_math.log(_SPRT_P1 / _SPRT_P0) * _SPRT_SCALE)
+_SPRT_Q0 = _math.floor(
+    _math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0)) * _SPRT_SCALE
+)
+_SPRT_QA = _math.floor(_math.log(0.95 / 0.05) * _SPRT_SCALE)  # accept H1
+_SPRT_QB = _math.floor(_math.log(0.05 / 0.95) * _SPRT_SCALE)  # accept H0
+
+_SPRT_SQL = f"""
+WITH terms AS (
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+           CASE WHEN event_type = 'purchase'
+                THEN {_SPRT_Q1} ELSE {_SPRT_Q0} END AS term_q
+    FROM events
+),
+cum AS (
+    SELECT event_id, x,
+           CAST(SUM(term_q) OVER (ORDER BY event_id) AS BIGINT) AS cum_q,
+           CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS BIGINT) AS idx
+    FROM terms
+),
+crossing AS (
+    SELECT idx, cum_q,
+           CASE WHEN cum_q >= {_SPRT_QA} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision
+    FROM cum
+    WHERE cum_q >= {_SPRT_QA} OR cum_q <= {_SPRT_QB}
+    ORDER BY idx LIMIT 1
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(x) AS BIGINT) AS n_purchases
+    FROM terms
+)
+SELECT t.n_events, t.n_purchases,
+       COALESCE(c.decision, 'continue') AS decision,
+       CAST(COALESCE(c.idx, -1) AS BIGINT) AS crossing_idx,
+       CAST(COALESCE(c.cum_q, 0) AS BIGINT) AS crossing_cum_q
+FROM tot t LEFT JOIN crossing c ON TRUE
+"""
+
+
+@register("events_sprt_sequential", _SPRT_SQL)
+def q_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT on the purchase rate, scanned in arrival order
+    (event_id) — the SEQUENTIAL rung of the experimentation family
+    (SRM/CUPED/DiD test fixed samples; SPRT answers "when could we have
+    stopped?").  Pre-quantized integer LLR increments make the whole
+    test order-free integer arithmetic; the cumulative sum runs through
+    the two-phase prefix machinery (equal-width buckets + broadcast
+    offsets — no global sort-to-one-partition), and the first boundary
+    crossing is a bounded 1-row reduce."""
+    from ..functions.prefix import two_phase_cumsum
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    terms = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("x"),
+        F.when(F.col("event_type") == "purchase", F.lit(_SPRT_Q1))
+        .otherwise(F.lit(_SPRT_Q0))
+        .alias("term_q"),
+    )
+    cum = two_phase_cumsum(
+        terms, "event_id", {"cum_q": "term_q", "idx": F.lit(1)}
+    ).select(
+        F.col("idx").cast("bigint").alias("idx"),
+        "x",
+        F.col("cum_q").cast("bigint").alias("cum_q"),
+    )
+    crossing = (
+        cum.filter(
+            (F.col("cum_q") >= _SPRT_QA) | (F.col("cum_q") <= _SPRT_QB)
+        )
+        .orderBy("idx")
+        .limit(1)
+        .select(
+            "idx",
+            "cum_q",
+            F.when(F.col("cum_q") >= _SPRT_QA, F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+        )
+    )
+    tot = cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("x").cast("bigint").alias("n_purchases"),
+    )
+    # LEFT join on TRUE (not crossJoin): a never-crossing log must still
+    # yield the totals row with decision='continue'
+    return tot.join(F.broadcast(crossing), F.lit(True), "left").select(
+        "n_events",
+        "n_purchases",
+        F.coalesce(F.col("decision"), F.lit("continue")).alias("decision"),
+        F.coalesce(F.col("idx"), F.lit(-1)).cast("bigint").alias(
+            "crossing_idx"
+        ),
+        F.coalesce(F.col("cum_q"), F.lit(0)).cast("bigint").alias(
+            "crossing_cum_q"
+        ),
+    )
