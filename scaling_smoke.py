@@ -148,6 +148,12 @@ STAGES = {
     # audit slice (doc_id < 500) by design — constant work at any
     # corpus size, same exclusion rationale as the recall gate.
     "sim_lsh_multiprobe_topk": "embeddings",
+    # round-7 preference/sequential tail: the comparison fixture is
+    # 6 rows per document (one scan + hash aggs), the SPRT is the
+    # two-phase prefix machinery over events — both linear shapes
+    "pref_bradley_terry": "documents",
+    "pref_annotator_agreement": "documents",
+    "events_sprt_sequential": "events",
     # round-7 fps/rebalance tail: sim_fps_seeds, sim_cluster_purity_fps,
     # sim_ivfpq_fps_recall, sim_ivf_cell_sizes and sim_ivf_cell_split
     # all run on the md5 clustered fixture — excluded per the round-7
