@@ -72,6 +72,68 @@ def preference_stream(
     )
 
 
+def compact_preference_stats(
+    spark: SparkSession, state_path: str, ledger: BatchLedger | None = None
+) -> dict:
+    """Collapse the accumulated per-batch count partitions into ONE
+    folded generation under the max folded batch id — counts are
+    associative, so the compacted store IS the fold; later stream
+    batches append on top and the next compaction folds again.  Same
+    sibling-swap discipline as the vector store's ``compact_index``.
+
+    Replay safety — where a SUM store differs from a latest-wins store:
+    folding a batch whose ledger state is still ``running`` (the crash
+    window) would DOUBLE its counts when the replay re-writes its
+    partition onto the folded generation.  With ``ledger`` given, only
+    batches marked ``done`` fold (done batches never re-run —
+    ``try_start`` refuses them); running partitions are RETAINED as-is
+    for their replay to overwrite.  Without a ledger every partition
+    folds (callers without replay semantics).  Returns before/after
+    parquet file counts."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    spath = f"{state_path}/pair_stats"
+    raw = spark.read.parquet(spath)
+    skip: list[int] = []
+    if ledger is not None:
+        state = ledger._load()
+        skip = [
+            int(b.rsplit("-", 1)[-1])
+            for b, s in state.items()
+            if b.startswith("pref-microbatch-") and s != "done"
+        ]
+    foldable = raw.filter(~F.col("_batch_id").isin(skip)) if skip else raw
+    retained = raw.filter(F.col("_batch_id").isin(skip)) if skip else None
+    max_bid_row = foldable.agg(F.max("_batch_id").alias("m")).first()
+    max_bid = int(max_bid_row["m"]) if max_bid_row["m"] is not None else 0
+    folded = foldable.groupBy("sys_a", "sys_b").agg(
+        F.sum("n_comparisons").cast("bigint").alias("n_comparisons"),
+        F.sum("wins_a").cast("bigint").alias("wins_a"),
+    ).withColumn("_batch_id", F.lit(max_bid))
+    out = (
+        folded.unionByName(retained.select(*folded.columns))
+        if retained is not None
+        else folded
+    )
+    tmp = f"{spath}__compacting"
+    (
+        out.coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("_batch_id")
+        .parquet(tmp)
+    )
+
+    def _files(p: str) -> int:
+        return len(_glob.glob(f"{p}/**/*.parquet", recursive=True))
+
+    stats = {"files_before": _files(spath), "files_after": _files(tmp)}
+    _shutil.rmtree(spath)
+    _os.rename(tmp, spath)
+    return stats
+
+
 def load_preference_stats(spark: SparkSession, state_path: str) -> DataFrame:
     """Fold the per-batch count partitions into the running win-rate
     matrix (sys_a, sys_b, n_comparisons, wins_a, winrate_a) — one SUM

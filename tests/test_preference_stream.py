@@ -93,3 +93,76 @@ def test_preference_stream_fold_equals_batch_and_replays(spark, tmp_path):
         for r in load_preference_stats(spark, state).collect()
     }
     assert again == expect
+
+
+def test_preference_compaction_folds_and_stays_replay_safe(spark, tmp_path):
+    """Compaction collapses the per-batch count files into one folded
+    generation with identical folded stats; a batch in the ledger's
+    crash window ('running') is RETAINED un-folded so its replay cannot
+    double-count."""
+    from ecs_ecommerce_data_pipeline_spark.operators import preference
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import BatchLedger
+    from ecs_ecommerce_data_pipeline_spark.streaming.preference_stream import (
+        compact_preference_stats,
+        load_preference_stats,
+        preference_stream,
+    )
+
+    comp = _comparisons(spark)
+    drop = str(tmp_path / "drop")
+    for k in range(3):
+        comp.filter(F.col("d") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+    state = str(tmp_path / "state")
+    lpath = str(tmp_path / "ledger.json")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(comp.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = preference_stream(
+            stream, state, str(tmp_path / ckpt), BatchLedger(lpath)
+        )
+        q.awaitTermination(240)
+
+    run("ckpt")
+    expect = {
+        (r["sys_a"], r["sys_b"]): (r["n_comparisons"], r["wins_a"])
+        for r in load_preference_stats(spark, state).collect()
+    }
+
+    # mark the middle batch as crashed BEFORE compaction
+    state_j = json.load(open(lpath))
+    state_j["pref-microbatch-1"] = "running"
+    json.dump(state_j, open(lpath, "w"))
+
+    stats = compact_preference_stats(
+        spark, state, BatchLedger(lpath)
+    )
+    assert stats["files_after"] < stats["files_before"]
+    # fold unchanged by compaction
+    after = {
+        (r["sys_a"], r["sys_b"]): (r["n_comparisons"], r["wins_a"])
+        for r in load_preference_stats(spark, state).collect()
+    }
+    assert after == expect
+
+    # the replay re-writes its own partition onto the compacted store —
+    # counts must NOT double
+    run("ckpt2")
+    replayed = {
+        (r["sys_a"], r["sys_b"]): (r["n_comparisons"], r["wins_a"])
+        for r in load_preference_stats(spark, state).collect()
+    }
+    assert replayed == expect
+
+    # a second compaction with everything done folds to one generation
+    stats2 = compact_preference_stats(spark, state, BatchLedger(lpath))
+    assert stats2["files_after"] <= stats2["files_before"]
+    assert {
+        (r["sys_a"], r["sys_b"]): (r["n_comparisons"], r["wins_a"])
+        for r in load_preference_stats(spark, state).collect()
+    } == expect
