@@ -348,6 +348,10 @@ _BENCH_EXTRA: set[str] = {
     "pref_annotator_agreement",
     "pref_cohen_kappa_pairs",
     "events_sprt_sequential",
+    # (pref_bt_jackknife stays OUT of the headline set: a stability
+    # DIAGNOSTIC — four leave-fold-out MM chains whose first execution
+    # pays ~13 s of codegen for ~5 s of warm work; the sf0.01 hash gate
+    # grades it, same policy as sim_ivfpq_fps_recall)
     # (sim_ivfpq_fps_recall stays OUT of the headline set: it is a
     # BUILD-TIME experiment — 15 sequential max-min seed picks plus a
     # second full trained IVF-PQ build, measured 13.5 s at sf0.1 — and

@@ -298,6 +298,7 @@ _PRIORITY = [
     "pref_annotator_agreement",
     "pref_cohen_kappa_pairs",
     "events_sprt_sequential",
+    "pref_bt_jackknife",
     # round-6 head carries below (all already green — harmless)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",

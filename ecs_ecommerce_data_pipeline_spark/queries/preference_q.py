@@ -148,6 +148,164 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference.bradley_terry(_comparisons(spark, sf_dir), iters=2)
 
 
+_N_FOLDS = 4
+_FOLD_SPARK = (
+    "(CAST(CONV(SUBSTRING(MD5(CONCAT('bt-fold:', CAST(doc_id AS STRING))),"
+    f" 1, 4), 16, 10) AS BIGINT) % {_N_FOLDS})"
+)
+_FOLD_DUCK = (
+    "(('0x' || substr(md5('bt-fold:' || d.doc_id), 1, 4))::BIGINT"
+    f" % {_N_FOLDS})"
+)
+
+
+def _comparisons_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    structs = []
+    for i in range(_N_SYS):
+        for j in range(i + 1, _N_SYS):
+            structs.append(
+                f"struct(CAST({i} AS BIGINT) AS sys_a,"
+                f" CAST({j} AS BIGINT) AS sys_b,"
+                f" CAST(IF({_score_spark(i)} >= {_score_spark(j)}, {i}, {j})"
+                f" AS BIGINT) AS winner)"
+            )
+    return docs.select(
+        F.expr(_FOLD_SPARK).alias("fold"),
+        F.expr(f"explode(array({', '.join(structs)}))").alias("c"),
+    ).select("fold", "c.*")
+
+
+def _bt_chain_sql(k: int) -> str:
+    """One leave-fold-out Bradley-Terry chain (2 MM rounds) over the
+    pre-reduced (pair, fold) counts — all CTEs tiny."""
+    parts = [f"""pairs{k} AS (
+    SELECT i, j, CAST(SUM(n) AS BIGINT) AS n_ij
+    FROM pairfold WHERE fold <> {k} GROUP BY 1, 2
+)""", f"""wins{k} AS (
+    SELECT system, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT i AS system, w FROM pairfold WHERE fold <> {k}
+        UNION ALL SELECT j AS system, n - w FROM pairfold WHERE fold <> {k}
+    ) GROUP BY system
+)""", f"""p0_{k} AS (SELECT system, CAST(1.0 AS DOUBLE) AS p FROM systems)"""]
+    prev = f"p0_{k}"
+    for it in (1, 2):
+        parts.append(f"""t{it}_{k} AS (
+    SELECT pn.i, pn.j,
+           CAST(FLOOR(CAST(pn.n_ij AS DOUBLE) / (pi.p + pj.p)
+               * 1048576.0) AS BIGINT) AS term_q
+    FROM pairs{k} pn
+    JOIN {prev} pi ON pi.system = pn.i
+    JOIN {prev} pj ON pj.system = pn.j
+),
+d{it}_{k} AS (
+    SELECT system, CAST(SUM(term_q) AS BIGINT) AS d_q FROM (
+        SELECT i AS system, term_q FROM t{it}_{k}
+        UNION ALL SELECT j AS system, term_q FROM t{it}_{k}
+    ) GROUP BY system
+),
+p{it}_{k} AS (
+    SELECT w.system, CAST(w.w AS DOUBLE) * 1048576.0
+               / CAST(d.d_q AS DOUBLE) AS p
+    FROM wins{k} w JOIN d{it}_{k} d USING (system)
+)""")
+        prev = f"p{it}_{k}"
+    return ",\n".join(parts)
+
+
+_BT_JACK_SQL = f"""
+WITH syspairs AS (
+    SELECT * FROM (VALUES {", ".join(f"({i}, {j})" for i in range(_N_SYS) for j in range(i + 1, _N_SYS))}) AS t(i, j)
+),
+comp AS (
+    SELECT {_FOLD_DUCK} AS fold,
+           CAST(p.i AS BIGINT) AS sys_a, CAST(p.j AS BIGINT) AS sys_b,
+           CAST(CASE WHEN
+               {_U_DUCK.format(s="'bt:' || p.i || ':' || d.doc_id")}
+               >= {_U_DUCK.format(s="'bt:' || p.j || ':' || d.doc_id")}
+           THEN p.i ELSE p.j END AS BIGINT) AS winner
+    FROM documents d CROSS JOIN syspairs p
+),
+pairfold AS MATERIALIZED (
+    SELECT sys_a AS i, sys_b AS j, fold,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN winner = sys_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS w
+    FROM comp GROUP BY 1, 2, 3
+),
+systems AS (
+    SELECT DISTINCT i AS system FROM pairfold
+    UNION SELECT DISTINCT j FROM pairfold
+),
+{",".join(_bt_chain_sql(k) for k in range(_N_FOLDS))}
+SELECT s.system,
+       (p2_0.p + p2_1.p + p2_2.p + p2_3.p) / 4.0 AS strength_mean,
+       LEAST(p2_0.p, p2_1.p, p2_2.p, p2_3.p) AS strength_min,
+       GREATEST(p2_0.p, p2_1.p, p2_2.p, p2_3.p) AS strength_max,
+       GREATEST(p2_0.p, p2_1.p, p2_2.p, p2_3.p)
+           - LEAST(p2_0.p, p2_1.p, p2_2.p, p2_3.p) AS spread
+FROM systems s
+JOIN p2_0 ON p2_0.system = s.system
+JOIN p2_1 ON p2_1.system = s.system
+JOIN p2_2 ON p2_2.system = s.system
+JOIN p2_3 ON p2_3.system = s.system
+"""
+
+
+@register("pref_bt_jackknife", _BT_JACK_SQL)
+def q_bt_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-jackknife stability for the Bradley-Terry strengths:
+    documents (and their six comparisons — grouped, so dependent rows
+    stay together) hash into 4 folds, BT runs leave-one-fold-out, and
+    the per-system spread across the four estimates is the stability
+    readout.  ONE corpus scan total: the log reduces once to (pair,
+    fold) counts (24 rows, lineage-cut), every fold's MM chain runs on
+    that tiny frame via ``bradley_terry_from_stats``.  Mean uses a
+    fixed left-associated sum so the doubles are bit-identical
+    cross-engine; min/max/spread are order-free."""
+    comp = _comparisons_folded(spark, sf_dir)
+    pf = (
+        comp.groupBy("sys_a", "sys_b", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_comparisons"),
+            F.sum(F.when(F.col("winner") == F.col("sys_a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("wins_a"),
+        )
+        .localCheckpoint()
+    )
+    folds = []
+    for k in range(_N_FOLDS):
+        stats_k = (
+            pf.filter(F.col("fold") != k)
+            .groupBy("sys_a", "sys_b")
+            .agg(
+                F.sum("n_comparisons").cast("bigint").alias("n_comparisons"),
+                F.sum("wins_a").cast("bigint").alias("wins_a"),
+            )
+        )
+        folds.append(
+            preference.bradley_terry_from_stats(stats_k).select(
+                "system", F.col("strength").alias(f"s{k}")
+            )
+        )
+    joined = folds[0]
+    for k in range(1, _N_FOLDS):
+        joined = joined.join(folds[k], "system")
+    mean = (
+        F.col("s0") + F.col("s1") + F.col("s2") + F.col("s3")
+    ) / F.lit(4.0)
+    mn = F.least("s0", "s1", "s2", "s3")
+    mx = F.greatest("s0", "s1", "s2", "s3")
+    return joined.select(
+        "system",
+        mean.alias("strength_mean"),
+        mn.alias("strength_min"),
+        mx.alias("strength_max"),
+        (mx - mn).alias("spread"),
+    )
+
+
 def _v_spark() -> str:
     base = _U_SPARK.format(s="CONCAT('base:', CAST(item_id AS STRING))")
     noise = _U_SPARK.format(
