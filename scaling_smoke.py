@@ -155,11 +155,14 @@ STAGES = {
     "pref_annotator_agreement": "documents",
     "events_sprt_sequential": "events",
     # round-7 fps/rebalance tail: sim_fps_seeds, sim_cluster_purity_fps,
-    # sim_ivfpq_fps_recall, sim_ivf_cell_sizes and sim_ivf_cell_split
-    # all run on the md5 clustered fixture — excluded per the round-7
-    # note above (fixture per-row cost is constant; the timed embeddings
-    # stages already cover the scan shapes).  sim_ivf_cell_split's scale
-    # posture is O(|cell|) BY CONSTRUCTION (only the target cell's
+    # sim_ivfpq_fps_recall, sim_ivf_cell_sizes, sim_ivf_cell_split,
+    # sim_ivfpq_cell_split and pref_bt_jackknife (fixture-derived folds)
+    # all run on the md5 clustered/preference fixtures — excluded per
+    # the round-7 note above (fixture per-row cost is constant; the
+    # timed embeddings stages already cover the scan shapes), and
+    # sim_ivf_quantizer_drift is one broadcast assign scan + two hash
+    # aggs over embeddings (already-timed shapes).  sim_ivf_cell_split's
+    # scale posture is O(|cell|) BY CONSTRUCTION (only the target cell's
     # pruned partitions feed the 2-means; every other list is untouched
     # bytes) and is pinned by the membership-partition invariants in
     # tests/test_similarity_index.py and the store-side test in
