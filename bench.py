@@ -339,6 +339,10 @@ _BENCH_EXTRA: set[str] = {
     "sim_ivf_filtered_recall",
     "sim_fps_seeds",
     "sim_cluster_purity_fps",
+    "sim_fps_seeds_k64",
+    "sim_ivf_fps64_recall",
+    "sim_ivfpq_filtered_topk",
+    "sim_ivfpq_filtered_recall",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

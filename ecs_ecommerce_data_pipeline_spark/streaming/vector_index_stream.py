@@ -49,6 +49,8 @@ def vector_index_stream(
     vec_col: str = "embedding",
     pq_m: int | None = None,
     pq_k: int = 16,
+    rebalance_factor: float | None = None,
+    rebalance_max_splits: int = 8,
 ):
     """Maintain a persisted IVF index from a stream of embedding rows.
 
@@ -64,10 +66,31 @@ def vector_index_stream(
     later batch codes only its own vectors — O(|batch| · m · k)
     per trigger.  ``load_stream_ivfpq`` serves the result to
     ``ivfpq_topk``.
+
+    With ``rebalance_factor`` set, every trigger ends with the
+    :func:`rebalance_overful_cells` check — the round-7 gap where the
+    admin op existed but the stream never invoked it, so a skewed
+    append stream accumulated fat inverted lists until an operator
+    intervened by hand.  The check reads only per-cell COUNTS (one hash
+    aggregate); when no list exceeds ``factor`` × the mean it is a
+    no-op, and each split is O(|cell|) with at most
+    ``rebalance_max_splits`` per trigger.  Replay-safe INSIDE the
+    ledger window by convergence rather than by idempotent rewrite: a
+    crash between the split and ``mark_done`` re-runs the trigger,
+    whose batch writes are idempotent dynamic overwrites and whose
+    rebalance check re-measures the (already partially split) store —
+    cells already within bound split no further, and an interrupted
+    split completes through ``rebalance_store_cell``'s
+    crash-safe-by-reachability write order.  The serving fold is
+    unchanged: splits re-route rows through the store's own
+    latest-wins rule, so ``load_stream_index`` still hash-equals the
+    batch operator on content.
     """
     if pq_m is not None and pq_k > n_centroids:
         raise ValueError("pq_k must be <= n_centroids (codebook derives "
                          "from the frozen quantizer's vectors)")
+    if rebalance_factor is not None and rebalance_factor <= 1.0:
+        raise ValueError("rebalance_factor must be > 1.0")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         bid = f"vecidx-microbatch-{batch_id}"
@@ -156,6 +179,15 @@ def vector_index_stream(
         if pq_m is not None:
             _maintain_pq_codes(
                 spark, index_path, centroids, batch_id, pq_m, pq_k, n_centroids
+            )
+        if rebalance_factor is not None and centroids.count() >= n_centroids:
+            # quantizer full → occupancy is meaningful; the check is one
+            # per-cell count aggregate and a no-op when within bound
+            rebalance_overful_cells(
+                spark,
+                index_path,
+                factor=rebalance_factor,
+                max_splits=rebalance_max_splits,
             )
         if ledger is not None:
             ledger.mark_done(bid)

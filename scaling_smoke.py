@@ -730,6 +730,44 @@ def _image_neardup_decomposition(spark, src_dir: str, out_dir: str) -> dict:
     return out
 
 
+def _fps_seeding_decomposition(spark, src_dir: str, out_dir: str) -> dict:
+    """Measured per-round cost curve of the running-max FPS seeding —
+    the round-7 verdict's k-ceiling check.  The old literal-chain form
+    re-scored ALL prior seeds each round: total O(k²·n·dims), so
+    wall(k=32)/wall(k=8) would read ~16×.  The running-max form keeps a
+    MATERIALIZED per-row max-cosine column and folds in only the newest
+    seed per round — O(n·dims) per round regardless of how many seeds
+    are already picked — so the same ratio must track k itself (~4×),
+    i.e. per-SEED cost flat in k.  Measured on the sf0.1 clustered
+    fixture (2000 vectors, 16 dims); n-scaling of the per-round scan is
+    the corpus-scan class every timed stage already covers."""
+    import time as _time
+
+    from ecs_ecommerce_data_pipeline_spark.operators import similarity
+
+    fx = similarity.synth_clustered_embeddings(
+        load_table(spark, src_dir, "embeddings").select("vec_id"),
+        dims=16, k_true=8,
+    ).localCheckpoint()  # pin the fixture: time the chain, not its derivation
+    out: dict = {}
+    similarity.farthest_point_seeds(fx, k=4).count()  # warm codegen
+    for k in (8, 32):
+        t0 = _time.time()
+        similarity.farthest_point_seeds(fx, k=k).count()
+        out[f"wall_k{k}_sec"] = round(_time.time() - t0, 2)
+    out["k_ratio"] = 4.0
+    out["wall_ratio"] = round(out["wall_k32_sec"] / max(out["wall_k8_sec"], 1e-9), 2)
+    out["per_seed_ratio"] = round(out["wall_ratio"] / out["k_ratio"], 3)
+    out["note"] = (
+        "per_seed_ratio ~1 = per-round cost flat in k (running-max form, "
+        "one O(n·dims) scan + GREATEST fold per round); the retired "
+        "literal-chain form would read ~4 here (O(k²) total).  Driver "
+        "round-trips remain 1 row/round — bounded quantizer metadata.  "
+        "sim_fps_seeds_k64 hash-verifies a 64-round chain cross-engine."
+    )
+    return out
+
+
 _ID_OFFSET = 10_000_000
 
 
@@ -851,8 +889,19 @@ def main() -> None:
     stage_filter = {
         s for s in os.environ.get("SCALE_STAGE_FILTER", "").split(",") if s
     }
+    # SCALE_DECOMP_FILTER="fps_seeding_decomposition,...": merge-run the
+    # named decomposition passes only (same rationale as the stage merge)
+    decomp_filter = {
+        s for s in os.environ.get("SCALE_DECOMP_FILTER", "").split(",") if s
+    }
 
-    build_scaled(_SPARK, src_dir, out_dir, factor)
+    # decomp-only merge runs that never read the scaled replica skip the
+    # (multi-minute) replica build entirely
+    _NEEDS_SCALED = bool(stage_filter) or bool(
+        decomp_filter - {"fps_seeding_decomposition"}
+    ) or not (stage_filter or decomp_filter)
+    if _NEEDS_SCALED:
+        build_scaled(_SPARK, src_dir, out_dir, factor)
 
     # Serving-path stages ride a session-cached index build keyed by
     # sf_dir (the bench methodology: one-time build cost is warmed so the
@@ -869,7 +918,8 @@ def main() -> None:
         stage_items = [
             (n, t)
             for n, t in STAGES.items()
-            if not stage_filter or n in stage_filter
+            if (n in stage_filter)
+            or (not stage_filter and not decomp_filter)
         ]
         for name, table in stage_items:
             n_base = load_table(_SPARK, src_dir, table).count()
@@ -901,12 +951,19 @@ def main() -> None:
                 "matching the bench methodology for serving entries"
             )
             result["ivfpq_serving_build"] = serving_build
-        if stage_filter:
+        if stage_filter or decomp_filter:
             # merge mode: fold the freshly-timed rows into the existing
             # file, leave every other stage and decomposition untouched
+            _DECOMPS = {
+                "fps_seeding_decomposition": _fps_seeding_decomposition,
+            }
+            for dname in sorted(decomp_filter):
+                result[dname] = _DECOMPS[dname](_SPARK, src_dir, out_dir)
             with open("SCALING.json") as fh:
                 merged = json.load(fh)
             merged["stages"].update(result["stages"])
+            for dname in sorted(decomp_filter):
+                merged[dname] = result[dname]
             print(json.dumps(result))
             with open("SCALING.json", "w") as fh:
                 json.dump(merged, fh, indent=2)
@@ -981,6 +1038,9 @@ def main() -> None:
             _SPARK, src_dir, out_dir
         )
         result["image_neardup_decomposition"] = _image_neardup_decomposition(
+            _SPARK, src_dir, out_dir
+        )
+        result["fps_seeding_decomposition"] = _fps_seeding_decomposition(
             _SPARK, src_dir, out_dir
         )
         # the LSH precision gate's work is the SAME candidate pipeline +
