@@ -343,6 +343,9 @@ _BENCH_EXTRA: set[str] = {
     "sim_ivf_fps64_recall",
     "sim_ivfpq_filtered_topk",
     "sim_ivfpq_filtered_recall",
+    "dedup_simhash_pairs",
+    "dedup_simhash_recall",
+    "pref_sprt_monitor",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

@@ -269,6 +269,9 @@ _PRIORITY = [
     "sim_ivf_fps64_recall",
     "sim_ivfpq_filtered_topk",
     "sim_ivfpq_filtered_recall",
+    "dedup_simhash_pairs",
+    "dedup_simhash_recall",
+    "pref_sprt_monitor",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

@@ -305,6 +305,86 @@ def simhash(doc: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame
     return agg.select("doc_id", packed.alias("simhash"))
 
 
+def simhash_bands(doc: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit WEIGHTED SimHash (Charikar) emitted as 8 little-endian
+    8-bit band rows (doc_id, band_idx, band_val) — the exact shape of
+    ``multimodal.image_dhash_bands``, so the image family's band-fusion
+    blocking and Hamming verify (``fuse_bands`` /
+    ``image_neardup_pairs``) apply to TEXT unchanged.
+
+    Differences from :func:`simhash` (the 32-bit fingerprint):
+    64 bits (the web-crawl standard width), and weights = term
+    FREQUENCY rather than presence — each token occurrence contributes
+    ±1 per bit, so Σ over occurrences equals the count-weighted Σ over
+    distinct terms with no distinct pass and no second shuffle.
+
+    Shape: explode(tokens) → one md5 per occurrence (bits 0-59 from
+    hex[1:15], 60-63 from hex[16]) → ONE groupBy(doc_id) carrying 64
+    conditional sums → pack 8 bands row-locally.  All integer
+    arithmetic; the DuckDB oracle reproduces every bit.
+    """
+    tok = doc.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    md = F.md5(F.col("tok"))
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(md, 1, 15), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(md, 16, 1), 16, 10).cast("bigint").alias("h2"),
+    )
+
+    def bit(i: int) -> F.Column:
+        if i < 60:
+            return F.shiftright(F.col("h1"), i).bitwiseAND(F.lit(1))
+        return F.shiftright(F.col("h2"), i - 60).bitwiseAND(F.lit(1))
+
+    agg = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    bands = []
+    for b in range(8):
+        val = None
+        for j in range(8):
+            term = F.when(
+                F.col(f"b{8 * b + j}") > 0, F.lit(2**j).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+            val = term if val is None else val + term
+        bands.append(
+            F.struct(
+                F.lit(b).cast("bigint").alias("band_idx"),
+                val.alias("band_val"),
+            )
+        )
+    return agg.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bd")
+    ).select("doc_id", F.col("bd.band_idx").alias("band_idx"),
+             F.col("bd.band_val").alias("band_val"))
+
+
+def simhash_neardup_pairs(
+    doc: DataFrame,
+    max_hamming: int = 6,
+    band_bits: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Text near-dup pairs by SimHash distance — the bit-vector rung of
+    the text-dedup ladder (MinHash≈Jaccard on shingle sets,
+    PPJoin=exact set similarity, SimHash≈cosine on term vectors: the
+    classic web-crawl combination).  Delegates blocking + verify to the
+    image family's band machinery (``image_neardup_pairs``): band-equal
+    candidates (pigeonhole-exact to n_bands−1, LSH recall above), exact
+    Hamming over the full 64-bit signature, ``band_bits=16`` as the
+    scale-safe n²/2¹⁶ collision-floor default — every scaling argument
+    measured for images (SCALING ``image_neardup_decomposition``)
+    transfers verbatim because the plan IS the same plan."""
+    from .multimodal import image_neardup_pairs
+
+    return image_neardup_pairs(
+        simhash_bands(doc, text_col), max_hamming, band_bits=band_bits
+    )
+
+
 def fuzzy_verify_pairs(
     doc: DataFrame,
     candidates: DataFrame,

@@ -23,6 +23,7 @@ partitioning-independent.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 # Bradley-Terry denominator quantum: terms are bit-identical doubles in
@@ -295,4 +296,89 @@ def fleiss_kappa(
         p_bar.alias("p_bar"),
         p_e.alias("p_e"),
         ((p_bar - p_e) / (F.lit(1.0) - p_e)).alias("kappa"),
+    )
+
+
+def sprt_pair_decisions(
+    comparisons: DataFrame,
+    q1: int,
+    q0: int,
+    qa: int,
+    qb: int,
+    order_col: str = "doc_id",
+    a_col: str = "sys_a",
+    b_col: str = "sys_b",
+    winner_col: str = "winner",
+) -> DataFrame:
+    """Wald's SPRT per system pair over the comparison log scanned in
+    arrival order — the sequential rung of the preference family
+    ("stop collecting, A wins"): per (sys_a, sys_b), the cumulative
+    pre-quantized integer log-likelihood ratio (``q1`` on an a-win,
+    ``q0`` otherwise — callers compute FLOOR(ln(p1/p0)·2^S) etc. ONCE
+    in Python and inline the literals in BOTH engines, the
+    ``events_sprt_sequential`` discipline) and the FIRST crossing of
+    the Wald boundaries ``qa``/``qb``, all integer arithmetic.
+
+    Returns one row per pair: (sys_a, sys_b, n_comparisons, wins_a,
+    decision ∈ accept_h1|accept_h0|continue, crossing_idx,
+    crossing_cum_q); crossing_idx = −1 when the log never crosses.
+
+    Shape: one projection + one per-pair ordered window (shuffle on the
+    pair key) + a 2-struct-min reduce.  This is the event-level AUDIT
+    form — each pair's history sorts within one partition, fine for the
+    bounded pair×history sizes an offline audit reads.  The SERVING
+    form at 100 TB is :func:`streaming.preference_stream.
+    sprt_monitor_from_stats`: the identical integer fold over per-batch
+    sufficient statistics (O(batches·pairs) rows, no event-level sort
+    anywhere) — batch increments are exact because every event
+    contributes the same two possible literals.
+    """
+    terms = comparisons.select(
+        F.col(a_col).cast("bigint").alias("sys_a"),
+        F.col(b_col).cast("bigint").alias("sys_b"),
+        F.col(order_col).alias("_ord"),
+        F.when(F.col(winner_col) == F.col(a_col), 1).otherwise(0).alias("x"),
+        F.when(F.col(winner_col) == F.col(a_col), F.lit(q1))
+        .otherwise(F.lit(q0))
+        .cast("bigint")
+        .alias("term_q"),
+    )
+    w = W.partitionBy("sys_a", "sys_b").orderBy("_ord")
+    cum = terms.select(
+        "sys_a",
+        "sys_b",
+        "x",
+        F.sum("term_q").over(w).cast("bigint").alias("cum_q"),
+        F.row_number().over(w).cast("bigint").alias("idx"),
+    )
+    crossing = (
+        cum.filter((F.col("cum_q") >= qa) | (F.col("cum_q") <= qb))
+        .groupBy("sys_a", "sys_b")
+        .agg(F.min(F.struct("idx", "cum_q")).alias("c"))
+        .select(
+            "sys_a",
+            "sys_b",
+            F.col("c.idx").alias("crossing_idx"),
+            F.col("c.cum_q").alias("crossing_cum_q"),
+        )
+    )
+    tot = cum.groupBy("sys_a", "sys_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_comparisons"),
+        F.sum("x").cast("bigint").alias("wins_a"),
+    )
+    return tot.join(F.broadcast(crossing), ["sys_a", "sys_b"], "left").select(
+        "sys_a",
+        "sys_b",
+        "n_comparisons",
+        "wins_a",
+        F.when(F.col("crossing_cum_q") >= qa, F.lit("accept_h1"))
+        .when(F.col("crossing_cum_q") <= qb, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.coalesce(F.col("crossing_idx"), F.lit(-1)).cast("bigint").alias(
+            "crossing_idx"
+        ),
+        F.coalesce(F.col("crossing_cum_q"), F.lit(0)).cast("bigint").alias(
+            "crossing_cum_q"
+        ),
     )

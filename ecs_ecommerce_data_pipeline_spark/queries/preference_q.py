@@ -441,3 +441,116 @@ def q_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine with no ordered float accumulation
     anywhere."""
     return preference.fleiss_kappa(_labels(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Sequential preference monitor (round 8): SPRT per system pair
+# ---------------------------------------------------------------------------
+# The fixed-sample family (win rates, Bradley-Terry, kappa) answers
+# "who wins on this log"; the sequential rung answers "when could we
+# have STOPPED collecting" — Wald's SPRT on the a-side win rate per
+# pair, scanned in arrival (doc_id) order.  Increments and boundaries
+# are computed ONCE here in Python and inlined as FLOOR(x·2^20) integer
+# literals in BOTH engines (the events_sprt_sequential discipline) —
+# no engine evaluates a transcendental.
+
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.5, 0.6
+_SPRT_SCALE = 1 << 20
+_SPQ1 = _math.floor(_math.log(_SPRT_P1 / _SPRT_P0) * _SPRT_SCALE)
+_SPQ0 = _math.floor(
+    _math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0)) * _SPRT_SCALE
+)
+_SPQA = _math.floor(_math.log(0.95 / 0.05) * _SPRT_SCALE)  # accept H1
+_SPQB = _math.floor(_math.log(0.05 / 0.95) * _SPRT_SCALE)  # accept H0
+
+
+def _comparisons_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The preference fixture WITH the arrival-order column retained —
+    same winner rule as ``_comparisons``, one row per (pair, doc)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    structs = []
+    for i in range(_N_SYS):
+        for j in range(i + 1, _N_SYS):
+            structs.append(
+                f"struct(CAST({i} AS BIGINT) AS sys_a,"
+                f" CAST({j} AS BIGINT) AS sys_b,"
+                f" CAST(IF({_score_spark(i)} >= {_score_spark(j)}, {i}, {j})"
+                f" AS BIGINT) AS winner)"
+            )
+    return docs.select(
+        "doc_id", F.expr(f"explode(array({', '.join(structs)}))").alias("c")
+    ).select("doc_id", "c.*")
+
+
+_COMP_DUCK_ORD = f"""syspairs AS (
+    SELECT * FROM (VALUES {", ".join(f"({i}, {j})" for i in range(_N_SYS) for j in range(i + 1, _N_SYS))}) AS t(i, j)
+),
+comp AS (
+    SELECT d.doc_id,
+           CAST(p.i AS BIGINT) AS sys_a, CAST(p.j AS BIGINT) AS sys_b,
+           CAST(CASE WHEN
+               {_U_DUCK.format(s="'bt:' || p.i || ':' || d.doc_id")}
+               >= {_U_DUCK.format(s="'bt:' || p.j || ':' || d.doc_id")}
+           THEN p.i ELSE p.j END AS BIGINT) AS winner
+    FROM documents d CROSS JOIN syspairs p
+)"""
+
+_SPRT_MONITOR_SQL = f"""
+WITH {_COMP_DUCK_ORD},
+terms AS (
+    SELECT sys_a, sys_b, doc_id,
+           CASE WHEN winner = sys_a THEN 1 ELSE 0 END AS x,
+           CASE WHEN winner = sys_a THEN {_SPQ1} ELSE {_SPQ0} END AS term_q
+    FROM comp
+),
+cum AS (
+    SELECT sys_a, sys_b, x,
+           CAST(SUM(term_q) OVER (
+               PARTITION BY sys_a, sys_b ORDER BY doc_id) AS BIGINT) AS cum_q,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY sys_a, sys_b ORDER BY doc_id) AS BIGINT) AS idx
+    FROM terms
+),
+crossing AS (
+    SELECT sys_a, sys_b, idx AS crossing_idx, cum_q AS crossing_cum_q FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY sys_a, sys_b ORDER BY idx) AS rn
+        FROM cum WHERE cum_q >= {_SPQA} OR cum_q <= {_SPQB}
+    ) WHERE rn = 1
+),
+tot AS (
+    SELECT sys_a, sys_b, CAST(COUNT(*) AS BIGINT) AS n_comparisons,
+           CAST(SUM(x) AS BIGINT) AS wins_a
+    FROM terms GROUP BY 1, 2
+)
+SELECT t.sys_a, t.sys_b, t.n_comparisons, t.wins_a,
+       CASE WHEN c.crossing_cum_q >= {_SPQA} THEN 'accept_h1'
+            WHEN c.crossing_cum_q <= {_SPQB} THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       CAST(COALESCE(c.crossing_idx, -1) AS BIGINT) AS crossing_idx,
+       CAST(COALESCE(c.crossing_cum_q, 0) AS BIGINT) AS crossing_cum_q
+FROM tot t
+LEFT JOIN crossing c ON c.sys_a = t.sys_a AND c.sys_b = t.sys_b
+"""
+
+
+@register("pref_sprt_monitor", _SPRT_MONITOR_SQL)
+def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential win-rate monitor per system pair — SPRT(H0 p=0.5 vs
+    H1 p=0.6, α=β=0.05) on the a-side win indicator in arrival order:
+    for each pair, sample size, wins, the stop/continue decision, and
+    WHERE the log crossed a Wald boundary.  The "stop collecting, A
+    wins" readout an RLHF collection pipeline runs while judgments
+    stream in; the streaming face
+    (``preference_stream.sprt_monitor_from_stats``) folds the same
+    integer increments over per-batch counts — test-pinned equal to
+    this event-level form at batch boundaries.  All integer arithmetic
+    end-to-end (pre-quantized LLR literals, the
+    ``events_sprt_sequential`` discipline)."""
+    return preference.sprt_pair_decisions(
+        _comparisons_ordered(spark, sf_dir),
+        q1=_SPQ1, q0=_SPQ0, qa=_SPQA, qb=_SPQB,
+        order_col="doc_id",
+    )

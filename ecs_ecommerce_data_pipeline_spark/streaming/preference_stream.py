@@ -151,3 +151,87 @@ def load_preference_stats(spark: SparkSession, state_path: str) -> DataFrame:
         "winrate_a",
         F.col("wins_a").cast("double") / F.col("n_comparisons").cast("double"),
     )
+
+
+def sprt_monitor_from_stats(
+    spark: SparkSession,
+    state_path: str,
+    q1: int,
+    q0: int,
+    qa: int,
+    qb: int,
+) -> DataFrame:
+    """Sequential win-rate monitor per system pair over the STREAMING
+    counts — the "stop collecting, A wins" readout an RLHF log wants
+    online, composed from the SPRT machinery and the preference store
+    (round-7 verdict task): per (sys_a, sys_b), the cumulative
+    quantized-integer log-likelihood ratio over batches in ``_batch_id``
+    order and its first Wald-boundary crossing.
+
+    Exactness: every comparison contributes one of the same two integer
+    literals (``q1``/``q0``), so a batch's increment is EXACTLY
+    ``wins_a·q1 + (n−wins_a)·q0`` — no per-event state needed, and the
+    fold over per-batch sufficient statistics is bit-equal to the
+    event-level SPRT evaluated at batch boundaries (decisions can only
+    be DECLARED at a trigger anyway; the event-level audit form is
+    :func:`operators.preference.sprt_pair_decisions`).
+
+    Scale shape: reads O(batches·pairs) tiny count rows; the ordered
+    window runs over that bounded frame, never the comparison log.
+    Returns (sys_a, sys_b, n_comparisons, wins_a, decision,
+    crossing_batch, crossing_cum_q); crossing_batch = −1 while the pair
+    is still in 'continue'.
+    """
+    raw = spark.read.parquet(f"{state_path}/pair_stats").select(
+        "sys_a",
+        "sys_b",
+        "_batch_id",
+        "n_comparisons",
+        "wins_a",
+        (
+            F.col("wins_a") * F.lit(q1)
+            + (F.col("n_comparisons") - F.col("wins_a")) * F.lit(q0)
+        ).cast("bigint").alias("inc_q"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("sys_a", "sys_b").orderBy("_batch_id")
+    cum = raw.select(
+        "sys_a",
+        "sys_b",
+        "_batch_id",
+        "n_comparisons",
+        "wins_a",
+        F.sum("inc_q").over(w).cast("bigint").alias("cum_q"),
+    )
+    crossing = (
+        cum.filter((F.col("cum_q") >= qa) | (F.col("cum_q") <= qb))
+        .groupBy("sys_a", "sys_b")
+        .agg(F.min(F.struct("_batch_id", "cum_q")).alias("c"))
+        .select(
+            "sys_a",
+            "sys_b",
+            F.col("c._batch_id").alias("crossing_batch"),
+            F.col("c.cum_q").alias("crossing_cum_q"),
+        )
+    )
+    tot = cum.groupBy("sys_a", "sys_b").agg(
+        F.sum("n_comparisons").cast("bigint").alias("n_comparisons"),
+        F.sum("wins_a").cast("bigint").alias("wins_a"),
+    )
+    return tot.join(F.broadcast(crossing), ["sys_a", "sys_b"], "left").select(
+        "sys_a",
+        "sys_b",
+        "n_comparisons",
+        "wins_a",
+        F.when(F.col("crossing_cum_q") >= qa, F.lit("accept_h1"))
+        .when(F.col("crossing_cum_q") <= qb, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.coalesce(F.col("crossing_batch"), F.lit(-1)).cast("bigint").alias(
+            "crossing_batch"
+        ),
+        F.coalesce(F.col("crossing_cum_q"), F.lit(0)).cast("bigint").alias(
+            "crossing_cum_q"
+        ),
+    )
