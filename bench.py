@@ -346,6 +346,8 @@ _BENCH_EXTRA: set[str] = {
     "dedup_simhash_pairs",
     "dedup_simhash_recall",
     "pref_sprt_monitor",
+    "sim_kmeanspar_rounds",
+    "sim_kmeanspar_purity",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

@@ -272,6 +272,8 @@ _PRIORITY = [
     "dedup_simhash_pairs",
     "dedup_simhash_recall",
     "pref_sprt_monitor",
+    "sim_kmeanspar_rounds",
+    "sim_kmeanspar_purity",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

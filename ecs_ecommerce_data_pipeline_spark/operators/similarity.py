@@ -1850,6 +1850,186 @@ def recompute_centroids(
     )
 
 
+_KPAR_COST_SCALE = 1 << 20  # cost quantum: FLOOR((1 − maxcos)·2^20)
+_KPAR_U_SCALE = 1 << 60     # md5-uniform resolution (15 hex chars)
+
+
+def kmeans_parallel_oversample(
+    embeddings: DataFrame,
+    l: int = 32,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_tag: str = "kpar",
+) -> tuple[DataFrame, list[dict]]:
+    """k-means|| oversampling (Bahmani et al., VLDB'12) — the seeding
+    whose ROUND COUNT is independent of k: each round samples ~``l``
+    new centers at once with probability ∝ current cost, so a k in the
+    thousands needs the same ``rounds`` O(n·dims) scans where
+    farthest-point seeding needs k of them.  The two now bracket the
+    seeding design space: FPS = deterministic max-min, one seed per
+    round (``farthest_point_seeds``); k-means|| = cost-proportional
+    oversampling, ~l seeds per round, reduced to k afterwards.
+
+    Deterministic, oracle-reproducible form:
+
+    * cost(x) = FLOOR((1 − maxcos(x, C))·2^20) — the cosine-distance
+      cost quantized to an integer, so ψ = Σ cost is an ORDER-FREE
+      integer sum (a raw double ψ would depend on partition fold
+      order and break cross-engine equality);
+    * sampling: include x iff u60(x, r)·ψ < l·cost(x)·2^60, where
+      u60 = the 60-bit md5 uniform of ``{seed_tag}:{r}:{vid}`` — the
+      Bernoulli(l·cost/ψ) draw as one exact integer comparison
+      (DECIMAL(38,0) / HUGEINT products, no floats anywhere);
+    * the running max-cos column is MATERIALIZED per round and folds
+      in only the new candidates (broadcast join + one GREATEST — the
+      ``farthest_point_seeds`` running-max machinery, batched).
+
+    Returns ``(candidates, stats)``: candidates = (vid, vec, nrm,
+    weight) with weight = |{x : argmax-cos assigns x to this
+    candidate}| (smallest-vid ties) — the weighted set the final
+    k-reduction clusters; stats = one dict per round
+    {round, psi_q, n_sampled} (bounded driver metadata).  Already-
+    sampled rows stay in the frame with cost 0, the textbook
+    no-resample property, with no id-exclusion lists anywhere.
+    """
+    first = (
+        embeddings.select(
+            F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vec")
+        )
+        .orderBy("vid")
+        .limit(1)
+        .localCheckpoint()
+    )
+    c0 = first.select(
+        F.col("vid").alias("cand_vid"),
+        F.col("vec").alias("cvec"),
+        norm(F.col("vec")).alias("cnrm"),
+    ).localCheckpoint()
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vec")
+        )
+        .withColumn("nrm", norm(F.col("vec")))
+    )
+    state = (
+        base.crossJoin(F.broadcast(c0))
+        .select(
+            "vid",
+            "vec",
+            "nrm",
+            (
+                dot(F.col("vec"), F.col("cvec"))
+                / (F.col("nrm") * F.col("cnrm"))
+            ).alias("mx"),
+        )
+        .localCheckpoint()
+    )
+    cands = c0
+    stats: list[dict] = []
+    for r in range(1, rounds + 1):
+        # clamped at 0: cos(x, x) can exceed 1.0 by an ulp (nrm·nrm vs
+        # dot), and a −1 cost row would leak into ψ
+        costq = F.greatest(
+            F.floor(
+                (F.lit(1.0) - F.col("mx")) * F.lit(float(_KPAR_COST_SCALE))
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+        scored = state.withColumn("costq", costq)
+        psi_row = scored.agg(F.sum("costq").alias("p")).first()
+        psi_q = int(psi_row["p"]) if psi_row["p"] is not None else 0
+        if psi_q <= 0:
+            stats.append(
+                {"round": r, "psi_q": 0, "n_sampled": 0, "vids": []}
+            )
+            continue
+        u60 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed_tag}:{r}:"),
+                        F.col("vid").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        picked = (
+            scored.withColumn("u60", u60)
+            .filter(
+                F.col("u60").cast("decimal(38,0)")
+                * F.lit(psi_q).cast("decimal(38,0)")
+                < F.lit(l).cast("decimal(38,0)")
+                * F.col("costq").cast("decimal(38,0)")
+                * F.lit(_KPAR_U_SCALE).cast("decimal(38,0)")
+            )
+            .select(
+                F.col("vid").alias("cand_vid"),
+                F.col("vec").alias("cvec"),
+                F.col("nrm").alias("cnrm"),
+            )
+            .localCheckpoint()
+        )
+        vids = sorted(
+            int(x["cand_vid"]) for x in picked.select("cand_vid").collect()
+        )
+        n_sampled = len(vids)
+        stats.append(
+            {"round": r, "psi_q": psi_q, "n_sampled": n_sampled, "vids": vids}
+        )
+        if n_sampled == 0:
+            continue
+        cands = cands.unionByName(picked).localCheckpoint()
+        folded = (
+            state.crossJoin(F.broadcast(picked))
+            .groupBy("vid")
+            .agg(
+                F.max(
+                    dot(F.col("vec"), F.col("cvec"))
+                    / (F.col("nrm") * F.col("cnrm"))
+                ).alias("mc")
+            )
+        )
+        state = (
+            state.join(folded, "vid")
+            .select(
+                "vid",
+                "vec",
+                "nrm",
+                F.greatest(F.col("mx"), F.col("mc")).alias("mx"),
+            )
+            .localCheckpoint()
+        )
+    # attraction weights: one scan, argmax-cos with smallest-vid ties
+    scoredw = base.crossJoin(F.broadcast(cands)).select(
+        "vid",
+        "cand_vid",
+        (
+            dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+        ).alias("cos"),
+    )
+    best = scoredw.groupBy("vid").agg(
+        (
+            -F.max(F.struct(F.col("cos"), (-F.col("cand_vid")).alias("nid")))
+            .getField("nid")
+        ).cast("bigint").alias("cand_vid")
+    )
+    weights = best.groupBy("cand_vid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("weight")
+    )
+    out = cands.join(weights, "cand_vid", "left").select(
+        F.col("cand_vid").alias("vid"),
+        F.col("cvec").alias("vec"),
+        F.col("cnrm").alias("nrm"),
+        F.coalesce("weight", F.lit(0).cast("bigint")).alias("weight"),
+    )
+    return out, stats
+
+
 def farthest_point_seeds(
     embeddings: DataFrame,
     k: int = 8,

@@ -3313,7 +3313,7 @@ _FPS64_K = 64
 _FPS64_NPROBE = 8
 
 
-def _fps_run_ctes(k: int) -> str:
+def _fps_run_ctes(k: int, base: str = "e", pfx: str = "") -> str:
     """The running-max FPS chain unrolled for DuckDB: st_i holds every
     not-yet-picked vector with its materialized max-cosine to the first
     i+1 seeds; each round folds ONLY the newest seed in with one exact
@@ -3321,38 +3321,42 @@ def _fps_run_ctes(k: int) -> str:
     operator runs, so values are bit-identical to the quadratic
     re-scoring form round for round.  2 CTEs per round (pick + fold),
     each MATERIALIZED (the ``_fps_ctes`` inlining lesson), each one
-    O(n·dims) — the oracle's cost curve matches the engine's."""
+    O(n·dims) — the oracle's cost curve matches the engine's.
+
+    ``base`` must expose (vec_id, v); ``pfx`` namespaces the CTEs so a
+    second chain (e.g. FPS over the k-means|| candidate set) composes
+    in one query.  The final seed table is ``{pfx}fseeds``."""
     cos = (
         "list_dot_product(s.v, f.v)"
         " / (s.nrm * sqrt(list_dot_product(f.v, f.v)))"
     )
     parts = [
-        "fr0 AS MATERIALIZED"
-        " (SELECT 0 AS sid, vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
-        f"""st0 AS MATERIALIZED (
+        f"{pfx}fr0 AS MATERIALIZED"
+        f" (SELECT 0 AS sid, vec_id, v FROM {base} ORDER BY vec_id LIMIT 1)",
+        f"""{pfx}st0 AS MATERIALIZED (
     SELECT s.vec_id, s.v, s.nrm, {cos} AS mx
-    FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e) s
-    CROSS JOIN fr0 f WHERE s.vec_id <> f.vec_id
+    FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM {base}) s
+    CROSS JOIN {pfx}fr0 f WHERE s.vec_id <> f.vec_id
 )""",
     ]
     for i in range(1, k):
         parts.append(
-            f"""fr{i} AS MATERIALIZED (
-    SELECT {i} AS sid, vec_id, v FROM st{i - 1}
+            f"""{pfx}fr{i} AS MATERIALIZED (
+    SELECT {i} AS sid, vec_id, v FROM {pfx}st{i - 1}
     ORDER BY mx ASC, vec_id ASC LIMIT 1
 )"""
         )
         if i < k - 1:
             parts.append(
-                f"""st{i} AS MATERIALIZED (
+                f"""{pfx}st{i} AS MATERIALIZED (
     SELECT s.vec_id, s.v, s.nrm, GREATEST(s.mx, {cos}) AS mx
-    FROM st{i - 1} s CROSS JOIN fr{i} f WHERE s.vec_id <> f.vec_id
+    FROM {pfx}st{i - 1} s CROSS JOIN {pfx}fr{i} f WHERE s.vec_id <> f.vec_id
 )"""
             )
     union = " UNION ALL ".join(
-        f"SELECT sid, vec_id, v FROM fr{i}" for i in range(k)
+        f"SELECT sid, vec_id, v FROM {pfx}fr{i}" for i in range(k)
     )
-    parts.append(f"fseeds AS MATERIALIZED ({union})")
+    parts.append(f"{pfx}fseeds AS MATERIALIZED ({union})")
     return ",\n".join(parts)
 
 
@@ -3583,4 +3587,209 @@ def q_ivfpq_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("corpus_id").cast("double")
             / F.greatest(F.count("tc"), F.lit(1)).cast("double")
         ).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means|| oversampling (round 8): rounds independent of k
+# ---------------------------------------------------------------------------
+# The second scalable-seeding rung (Bahmani et al.): where running-max
+# FPS pays one scan PER SEED (k rounds), k-means|| samples ~l new
+# centers per round with probability ∝ current cost — the same R
+# O(n·dims) scans whether k is 16 or 16384.  All-integer sampling
+# (quantized costs, 60-bit md5 uniforms, DECIMAL/HUGEINT cross-
+# multiplication) makes the whole chain hash-verifiable cross-engine.
+
+_KPAR_L = 32
+_KPAR_ROUNDS = 3
+_KPAR_K = 16
+_KPAR_CSCALE = 1048576.0  # 2^20, the cost quantum
+_KPAR_USCALE = 1152921504606846976  # 2^60
+
+
+def _kpar_ctes(l: int, rounds: int) -> str:
+    """The k-means|| chain unrolled for DuckDB over the clustered
+    fixture's ``e``: per round, an integer ψ aggregate, the exact
+    Bernoulli threshold test (HUGEINT products), and the running
+    max-cos fold against ONLY the new candidates — mirroring
+    ``operators.similarity.kmeans_parallel_oversample`` value for
+    value.  Final tables: ``kcands`` (cand_vid, cvec, cnrm),
+    ``kweights`` (cand_vid, weight)."""
+    cost = f"CAST(GREATEST(FLOOR((1.0 - mx) * {_KPAR_CSCALE}), 0) AS BIGINT)"
+    parts = [
+        """kb AS (
+    SELECT vec_id AS vid, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+)""",
+        """kc0 AS MATERIALIZED (
+    SELECT vid AS cand_vid, v AS cvec, nrm AS cnrm FROM kb
+    ORDER BY vid LIMIT 1
+)""",
+        """kst0 AS MATERIALIZED (
+    SELECT s.vid, s.v, s.nrm,
+           list_dot_product(s.v, c.cvec) / (s.nrm * c.cnrm) AS mx
+    FROM kb s CROSS JOIN kc0 c
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"kst{r - 1}"
+        parts.append(
+            f"""kpsi{r} AS MATERIALIZED (
+    SELECT SUM({cost}) AS p FROM {prev}
+)"""
+        )
+        parts.append(
+            f"""kcand{r} AS MATERIALIZED (
+    SELECT s.vid AS cand_vid, s.v AS cvec, s.nrm AS cnrm
+    FROM {prev} s, kpsi{r} p
+    WHERE CAST(('0x' || substr(md5('kpar:{r}:' || s.vid), 1, 15))::BIGINT
+               AS HUGEINT) * CAST(p.p AS HUGEINT)
+        < CAST({l} AS HUGEINT)
+          * CAST(CAST(GREATEST(FLOOR((1.0 - s.mx) * {_KPAR_CSCALE}), 0)
+                      AS BIGINT) AS HUGEINT)
+          * CAST({_KPAR_USCALE} AS HUGEINT)
+)"""
+        )
+        parts.append(
+            f"""kfold{r} AS (
+    SELECT s.vid,
+           MAX(list_dot_product(s.v, c.cvec) / (s.nrm * c.cnrm)) AS mc
+    FROM {prev} s CROSS JOIN kcand{r} c GROUP BY s.vid
+)"""
+        )
+        parts.append(
+            f"""kst{r} AS MATERIALIZED (
+    SELECT s.vid, s.v, s.nrm,
+           GREATEST(s.mx, COALESCE(f.mc, s.mx)) AS mx
+    FROM {prev} s LEFT JOIN kfold{r} f ON f.vid = s.vid
+)"""
+        )
+    union = " UNION ALL ".join(
+        ["SELECT cand_vid, cvec, cnrm FROM kc0"]
+        + [f"SELECT cand_vid, cvec, cnrm FROM kcand{r}" for r in range(1, rounds + 1)]
+    )
+    parts.append(f"kcands AS MATERIALIZED ({union})")
+    parts.append(
+        """kassign AS (
+    SELECT vid, cand_vid FROM (
+        SELECT b.vid, c.cand_vid,
+               ROW_NUMBER() OVER (PARTITION BY b.vid ORDER BY
+                   list_dot_product(b.v, c.cvec) / (b.nrm * c.cnrm) DESC,
+                   c.cand_vid) AS rk
+        FROM kb b CROSS JOIN kcands c
+    ) WHERE rk = 1
+)"""
+    )
+    parts.append(
+        """kweights AS (
+    SELECT cand_vid, CAST(COUNT(*) AS BIGINT) AS weight
+    FROM kassign GROUP BY cand_vid
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def _kpar_rounds_sql() -> str:
+    selects = []
+    for r in range(1, _KPAR_ROUNDS + 1):
+        selects.append(
+            f"""SELECT {r} AS round,
+       CAST((SELECT p FROM kpsi{r}) AS BIGINT) AS psi_q,
+       CAST((SELECT COUNT(*) FROM kcand{r}) AS BIGINT) AS n_sampled,
+       (SELECT md5(string_agg(CAST(cand_vid AS VARCHAR), ','
+                              ORDER BY cand_vid)) FROM kcand{r})
+           AS members_md5"""
+        )
+    return f"""
+WITH {_CL_BASE},
+{_kpar_ctes(_KPAR_L, _KPAR_ROUNDS)}
+{" UNION ALL ".join(selects)}
+"""
+
+
+@register("sim_kmeanspar_rounds", _kpar_rounds_sql())
+def q_kmeanspar_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means|| oversampling chain, fingerprinted round by round:
+    ψ (the quantized total cost — watch it COLLAPSE after round 1, the
+    property the oversampling exists for), the number of sampled
+    centers, and the md5 of the sorted member list.  A hash match
+    proves both engines drew the same Bernoulli(l·cost/ψ) decisions
+    for every row in every round — sampling-based seeding held to the
+    same bit-exactness bar as the deterministic max-min chain.
+    Measured at sf0.01: ψ 389M → 24.4M → 20.2M, 23/25/32 centers."""
+    import hashlib
+
+    fx = _clustered_fx(spark, sf_dir)
+    _, stats = similarity.kmeans_parallel_oversample(
+        fx, l=_KPAR_L, rounds=_KPAR_ROUNDS
+    )
+    rows = []
+    for s in stats:
+        md = (
+            hashlib.md5(
+                ",".join(str(v) for v in s["vids"]).encode()
+            ).hexdigest()
+            if s["vids"]
+            else None
+        )
+        rows.append((s["round"], s["psi_q"], s["n_sampled"], md))
+    return spark.createDataFrame(
+        rows, "round BIGINT, psi_q BIGINT, n_sampled BIGINT, members_md5 STRING"
+    )
+
+
+_KPAR_PURITY_SQL = f"""
+WITH {_CL_BASE},
+{_kpar_ctes(_KPAR_L, _KPAR_ROUNDS)},
+ke2 AS (SELECT cand_vid AS vec_id, cvec AS v FROM kcands),
+{_fps_run_ctes(_KPAR_K, base="ke2", pfx="kp")},
+c0 AS (SELECT sid AS cluster_id, v AS centroid FROM kpfseeds),
+{_km_assign_cte("a0", "c0")},
+{_km_recompute_cte("c1", "a0")},
+{_km_assign_cte("a1", "c1")},
+joined AS (
+    SELECT a1.cluster_id, ce.cluster_true
+    FROM a1 JOIN ce ON ce.vec_id = a1.vec_id
+),
+cells AS (
+    SELECT cluster_id, cluster_true, COUNT(*) AS n
+    FROM joined GROUP BY 1, 2
+)
+SELECT cluster_id,
+       CAST(SUM(n) AS BIGINT) AS n_members,
+       CAST(MAX(n) AS BIGINT) AS n_majority,
+       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS purity
+FROM cells
+GROUP BY cluster_id
+"""
+
+
+@register("sim_kmeanspar_purity", _KPAR_PURITY_SQL)
+def q_kmeanspar_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality readout for k-means|| seeding, the ``sim_cluster_purity``
+    family's third member: reduce the weighted candidate set to k=16
+    seeds (max-min over the ~80-row candidate frame — bounded work
+    reusing the verified FPS machinery), run ONE Lloyd iteration on the
+    FULL fixture, score cells against the known generative clusters.
+    The three-way comparison prices seeding strategies at equal Lloyd
+    budget: smallest-id (two cells mixed), FPS over the corpus (pure,
+    k scans), k-means|| (R scans — the only one whose scan count
+    survives k in the thousands)."""
+    fx = _clustered_fx(spark, sf_dir)
+    cands, _ = similarity.kmeans_parallel_oversample(
+        fx, l=_KPAR_L, rounds=_KPAR_ROUNDS
+    )
+    seeds = similarity.farthest_point_seeds(
+        cands, k=_KPAR_K, id_col="vid", vec_col="vec"
+    )
+    assignment = similarity.kmeans_refine(
+        fx, k=_KPAR_K, iters=1, init_centroids=seeds
+    )
+    joined = assignment.join(fx.select("vec_id", "cluster_true"), "vec_id")
+    cells = joined.groupBy("cluster_id", "cluster_true").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cells.groupBy("cluster_id").agg(
+        F.sum("n").cast("bigint").alias("n_members"),
+        F.max("n").cast("bigint").alias("n_majority"),
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias("purity"),
     )

@@ -167,6 +167,20 @@ STAGES = {
     # bytes) and is pinned by the membership-partition invariants in
     # tests/test_similarity_index.py and the store-side test in
     # tests/test_round7_lifecycle.py, not by a replica timing.
+    # round-8 additions: the SimHash near-dup pipeline (one md5-per-token
+    # scan + a 64-sum hash agg + the band-blocked pair join — the
+    # verified pairs share the image family's duplication-density
+    # caveat, but unlike images the signature stage dominates and is
+    # linear) and the filtered compressed-path search (the ivfpq_topk
+    # plan plus one row-local predicate on the pruned codes scan —
+    # cost must track the unfiltered stage).  The k=64 FPS and
+    # k-means|| chains are fixture-bound (constant per-row cost) and
+    # are priced by their dedicated decompositions instead;
+    # pref_sprt_monitor is 6 pair-partitioned window passes over the
+    # fixture comparisons (the pref_bradley_terry scan shape, already
+    # timed).
+    "dedup_simhash_pairs": "documents",
+    "sim_ivfpq_filtered_topk": "embeddings",
 }
 
 
@@ -768,6 +782,48 @@ def _fps_seeding_decomposition(spark, src_dir: str, out_dir: str) -> dict:
     return out
 
 
+def _kmeanspar_seeding_decomposition(spark, src_dir: str, out_dir: str) -> dict:
+    """Measured companion to fps_seeding_decomposition for the second
+    seeding rung: k-means|| runs a FIXED number of cost-proportional
+    sampling rounds whatever k is (l = 2k centers arrive per round), so
+    quadrupling the target k must leave the wall roughly FLAT — against
+    FPS's wall ∝ k.  That pair of curves is the whole case for carrying
+    both seeders: FPS for exactness-critical small k, k-means|| once k
+    reaches production cell counts."""
+    import time as _time
+
+    from ecs_ecommerce_data_pipeline_spark.operators import similarity
+
+    fx = similarity.synth_clustered_embeddings(
+        load_table(spark, src_dir, "embeddings").select("vec_id"),
+        dims=16, k_true=8,
+    ).localCheckpoint()
+    out: dict = {}
+    similarity.kmeans_parallel_oversample(fx, l=8, rounds=3)  # warm
+    for k in (16, 64):
+        t0 = _time.time()
+        cands, stats = similarity.kmeans_parallel_oversample(
+            fx, l=2 * k, rounds=3
+        )
+        n = cands.count()
+        out[f"wall_l{2 * k}_sec"] = round(_time.time() - t0, 2)
+        out[f"n_candidates_l{2 * k}"] = n
+    out["k_ratio"] = 4.0
+    out["wall_ratio"] = round(
+        out["wall_l128_sec"] / max(out["wall_l32_sec"], 1e-9), 2
+    )
+    out["note"] = (
+        "wall_ratio ~1 at 4x the target k = the round count is "
+        "independent of k (3 sampling rounds either way; only the "
+        "per-round candidate fold grows, and it is a broadcast of ~l "
+        "rows).  Compare fps_seeding_decomposition, where the same 4x "
+        "in k costs ~4x wall — the crossover argument for k-means|| at "
+        "production cell counts.  sim_kmeanspar_rounds hash-verifies "
+        "every Bernoulli draw of the chain cross-engine."
+    )
+    return out
+
+
 _ID_OFFSET = 10_000_000
 
 
@@ -898,7 +954,8 @@ def main() -> None:
     # decomp-only merge runs that never read the scaled replica skip the
     # (multi-minute) replica build entirely
     _NEEDS_SCALED = bool(stage_filter) or bool(
-        decomp_filter - {"fps_seeding_decomposition"}
+        decomp_filter
+        - {"fps_seeding_decomposition", "kmeanspar_seeding_decomposition"}
     ) or not (stage_filter or decomp_filter)
     if _NEEDS_SCALED:
         build_scaled(_SPARK, src_dir, out_dir, factor)
@@ -910,7 +967,7 @@ def main() -> None:
     # 10x index BUILD to the first serving query (measured: it read
     # 7.71x while the query-only ratio is ~1.3x).  Warm the scaled dir
     # too and record that first-touch (build + query) cost separately.
-    _WARM_SCALED = {"sim_ivfpq_topk"}
+    _WARM_SCALED = {"sim_ivfpq_topk", "sim_ivfpq_filtered_topk"}
 
     result: dict = {"factor": factor, "base_dir": src_dir, "stages": {}}
     try:
@@ -956,6 +1013,8 @@ def main() -> None:
             # file, leave every other stage and decomposition untouched
             _DECOMPS = {
                 "fps_seeding_decomposition": _fps_seeding_decomposition,
+                "kmeanspar_seeding_decomposition":
+                    _kmeanspar_seeding_decomposition,
             }
             for dname in sorted(decomp_filter):
                 result[dname] = _DECOMPS[dname](_SPARK, src_dir, out_dir)
@@ -1042,6 +1101,9 @@ def main() -> None:
         )
         result["fps_seeding_decomposition"] = _fps_seeding_decomposition(
             _SPARK, src_dir, out_dir
+        )
+        result["kmeanspar_seeding_decomposition"] = (
+            _kmeanspar_seeding_decomposition(_SPARK, src_dir, out_dir)
         )
         # the LSH precision gate's work is the SAME candidate pipeline +
         # verify as the jaccard stage — its growth drivers are the
