@@ -274,6 +274,7 @@ _PRIORITY = [
     "pref_sprt_monitor",
     "sim_kmeanspar_rounds",
     "sim_kmeanspar_purity",
+    "sim_ivfpq_kpar_recall",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

@@ -982,16 +982,27 @@ def build_ivfpq_index(
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m {m}")
     sub = dims // m
-    if coarse_seed not in ("smallest_id", "fps"):
+    if coarse_seed not in ("smallest_id", "fps", "kmeans_par"):
         raise ValueError(f"unknown coarse_seed {coarse_seed!r}")
     if coarse_iters > 0:
-        init = (
-            farthest_point_seeds(
+        if coarse_seed == "fps":
+            init = farthest_point_seeds(
                 embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col
             ).select("cluster_id", "centroid")
-            if coarse_seed == "fps"
-            else None
-        )
+        elif coarse_seed == "kmeans_par":
+            # cost-proportional oversampling (rounds independent of k)
+            # then max-min reduction over the BOUNDED candidate set —
+            # the seeding that still works at thousands of cells where
+            # corpus-wide FPS would pay one scan per cell
+            cands, _ = kmeans_parallel_oversample(
+                embeddings, l=2 * n_centroids, rounds=3,
+                id_col=id_col, vec_col=vec_col,
+            )
+            init = farthest_point_seeds(
+                cands, k=n_centroids, id_col="vid", vec_col="vec"
+            ).select("cluster_id", "centroid")
+        else:
+            init = None
         assignment = kmeans_refine(
             embeddings, k=n_centroids, iters=coarse_iters,
             id_col=id_col, vec_col=vec_col, init_centroids=init,

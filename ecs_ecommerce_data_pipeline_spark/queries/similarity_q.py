@@ -3793,3 +3793,77 @@ def q_kmeanspar_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_majority"),
         (F.max("n").cast("double") / F.sum("n").cast("double")).alias("purity"),
     )
+
+
+# kpar-seeded trained coarse quantizer: k-means|| oversample -> FPS
+# reduce over the bounded candidate set -> one Lloyd iteration -> final
+# recompute, the exact chain build_ivfpq_index(coarse_iters=1,
+# coarse_seed="kmeans_par") runs
+_KPAR_TRAINED_CENTS = f"""{_kpar_ctes(_KPAR_L, _KPAR_ROUNDS)},
+ke2 AS (SELECT cand_vid AS vec_id, cvec AS v FROM kcands),
+{_fps_run_ctes(_CL_NC, base="ke2", pfx="kp")},
+c0k AS (SELECT sid AS cluster_id, v AS centroid FROM kpfseeds),
+{_km_assign_cte("a0k", "c0k")},
+{_km_recompute_cte("c1k", "a0k")},
+{_km_assign_cte("a1k", "c1k")},
+{_km_recompute_cte("c2k", "a1k")}"""
+
+
+_KPAR_RECALL_SQL = f"""
+WITH {_CL_BASE},
+{_KPAR_TRAINED_CENTS},
+{_cl_chain("q", "c2k", trained=True, nprobe=_CL_NPROBE)},
+qk AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_q ASC, corpus_id ASC) AS rnk
+        FROM qscored
+    ) WHERE rnk <= {_K}
+),
+{_CL_BF}
+SELECT bfk.query_id,
+       CAST(COUNT(qk.corpus_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(qk.corpus_id) AS DOUBLE) / {_K} AS recall
+FROM bfk
+LEFT JOIN qk ON qk.query_id = bfk.query_id AND qk.corpus_id = bfk.corpus_id
+GROUP BY bfk.query_id
+"""
+
+
+@register("sim_ivfpq_kpar_recall", _KPAR_RECALL_SQL)
+def q_ivfpq_kpar_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end recall of the k-means||-seeded trained build through
+    the composed residual IVF-PQ search — the third seeding strategy
+    measured at the same Lloyd budget as ``sim_ivfpq_trained_recall``
+    (smallest-id) and ``sim_ivfpq_fps_recall`` (corpus-wide FPS).
+    Measured (sf0.01, nprobe=4): mean recall 0.72 — exactly the FPS
+    number, above smallest-id's 0.70: seeding buys clustering quality
+    (``sim_kmeanspar_purity``: 1.0) and scan-count economics
+    (R rounds vs k), while the residual codebook stays the recall
+    bottleneck through the composed search — but unlike FPS, this
+    seeding's build cost survives k in the thousands, so it is the one
+    a production 100 TB index would actually run.  Build is
+    session-cached per seed; the bench policy keeps build experiments
+    out of the headline set (the ``sim_ivfpq_fps_recall`` precedent)."""
+    qids = _QUERY_IDS
+    truth = similarity.brute_force_topk(
+        _clustered_fx(spark, sf_dir), qids, k=_K
+    ).select(F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc"))
+    cents, assigns, cb, codes = _clustered_index_cached(
+        spark, sf_dir, True, seed="kmeans_par"
+    )
+    pk = similarity.ivfpq_topk(
+        cents, assigns, cb, codes, qids,
+        k=_K, nprobe=_CL_NPROBE, m=_CL_M, residual=True,
+    ).select("query_id", "corpus_id")
+    joined = truth.join(
+        pk,
+        (F.col("bq") == F.col("query_id")) & (F.col("bc") == F.col("corpus_id")),
+        "left",
+    )
+    return joined.groupBy(F.col("bq").alias("query_id")).agg(
+        F.count("corpus_id").cast("bigint").alias("n_hits"),
+        (F.count("corpus_id").cast("double") / F.lit(float(_K))).alias(
+            "recall"
+        ),
+    )
