@@ -1,8 +1,9 @@
-"""Streaming image near-duplicate detection.
+"""Streaming near-duplicate detection over a band store — image dHash
+and text SimHash faces of ONE machine (``band_dedup_stream``).
 
-An ingest pipeline screens NEW images for near-duplicates as they
+An ingest pipeline screens NEW items for near-duplicates as they
 arrive, not in a nightly full-corpus pass.  This is the
-``decon_stream`` pattern applied to the dHash band store:
+``decon_stream`` pattern applied to the fingerprint band store:
 
 * each micro-batch fingerprints ONLY its own payloads (the map-only
   Arrow dHash kernel of ``operators.multimodal.image_dhash_bands``);
@@ -38,21 +39,26 @@ from ..operators.multimodal import fuse_bands, image_dhash_bands
 from ..plans.incremental import BatchLedger
 
 
-def image_dedup_stream(
-    payload_stream: DataFrame,
+def band_dedup_stream(
+    src_stream: DataFrame,
     state_path: str,
     checkpoint_dir: str,
+    bands_fn,
     ledger: BatchLedger | None = None,
     max_hamming: int = 10,
     band_bits: int = 16,
+    tag: str = "imgdedup",
 ):
-    """Maintain a streaming image near-dup screen from a stream of
-    (doc_id, payload) rows.  Defaults to the scale-safe wide-band
-    blocking (``band_bits=16`` — see ``image_neardup_pairs``); the
-    verify always runs on the full 8-band 64-bit hash."""
+    """The generic band-store near-dup screen: any fingerprint that
+    emits (doc_id, band_idx, band_val) rows — image dHash, text
+    SimHash — rides the identical blocking/verify/store machinery, so
+    every property proved for one face (batch-equals-union fold, replay
+    idempotence, broadcast-probe store access) holds for all of them.
+    ``bands_fn`` maps a micro-batch DataFrame to its band rows;
+    ``tag`` namespaces the ledger entries per face."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        bid = f"imgdedup-microbatch-{batch_id}"
+        bid = f"{tag}-microbatch-{batch_id}"
         if ledger is not None and not ledger.try_start(bid):
             return
         if batch_df.isEmpty():
@@ -63,10 +69,8 @@ def image_dedup_stream(
         # batch fingerprints feed the block join (both orientations),
         # the verify joins, and the store write — pin once, release at
         # the end (the image_neardup_pairs discipline); a lazy frame
-        # would re-run the PNG decode kernel once per consumer
-        bands_b = image_dhash_bands(
-            batch_df.select("doc_id", "payload")
-        ).localCheckpoint()
+        # would re-run the fingerprint kernel once per consumer
+        bands_b = bands_fn(batch_df).localCheckpoint()
         bpath = f"{state_path}/bands"
         try:
             store = spark.read.parquet(bpath).select(
@@ -141,10 +145,62 @@ def image_dedup_stream(
             ledger.mark_done(bid)
 
     return (
-        payload_stream.writeStream.foreachBatch(_process)
+        src_stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def image_dedup_stream(
+    payload_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    ledger: BatchLedger | None = None,
+    max_hamming: int = 10,
+    band_bits: int = 16,
+):
+    """Maintain a streaming image near-dup screen from a stream of
+    (doc_id, payload) rows.  Defaults to the scale-safe wide-band
+    blocking (``band_bits=16`` — see ``image_neardup_pairs``); the
+    verify always runs on the full 8-band 64-bit hash."""
+    return band_dedup_stream(
+        payload_stream,
+        state_path,
+        checkpoint_dir,
+        bands_fn=lambda b: image_dhash_bands(b.select("doc_id", "payload")),
+        ledger=ledger,
+        max_hamming=max_hamming,
+        band_bits=band_bits,
+        tag="imgdedup",
+    )
+
+
+def simhash_dedup_stream(
+    doc_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    ledger: BatchLedger | None = None,
+    max_hamming: int = 6,
+    band_bits: int = 16,
+):
+    """Streaming TEXT near-dup screening by 64-bit weighted SimHash —
+    the text face of the band-store machinery (round 8): new documents
+    are fingerprinted once (``dedup.simhash_bands``) and screened
+    against everything seen so far, with the identical
+    blocking/verify/store/replay semantics the image face proved.
+    The batch operator it folds to is ``dedup.simhash_neardup_pairs``."""
+    from ..operators.dedup import simhash_bands
+
+    return band_dedup_stream(
+        doc_stream,
+        state_path,
+        checkpoint_dir,
+        bands_fn=lambda b: simhash_bands(b.select("doc_id", "text")),
+        ledger=ledger,
+        max_hamming=max_hamming,
+        band_bits=band_bits,
+        tag="txtdedup",
     )
 
 

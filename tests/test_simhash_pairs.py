@@ -104,3 +104,64 @@ def test_wide_pairs_subset_of_narrow_and_hamming_exact(spark):
         )
     }
     assert n == brute
+
+
+def test_simhash_dedup_stream_union_equals_batch(spark, tmp_path):
+    """The text face of the band-store stream: the per-batch pair
+    partitions fold to exactly the batch operator's pairs, and a
+    ledger replay changes nothing — the image-face proof transferred
+    through the shared band_dedup_stream machinery."""
+    import json
+
+    from ecs_ecommerce_data_pipeline_spark.operators import dedup
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import BatchLedger
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.image_dedup_stream import (
+        load_image_dedup_pairs,
+        simhash_dedup_stream,
+    )
+
+    doc = load_table(spark, SF, "documents").select("doc_id", "text")
+    drop = str(tmp_path / "drop")
+    for k in range(3):
+        doc.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+
+    state = str(tmp_path / "state")
+    lpath = str(tmp_path / "ledger.json")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(doc.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = simhash_dedup_stream(
+            stream, state, str(tmp_path / ckpt), BatchLedger(lpath),
+            max_hamming=6, band_bits=16,
+        )
+        q.awaitTermination(240)
+
+    run("ckpt")
+    expect = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_neardup_pairs(
+            doc, max_hamming=6, band_bits=16
+        ).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in load_image_dedup_pairs(spark, state).collect()
+    }
+    assert got == expect and len(expect) > 0
+
+    st = json.load(open(lpath))
+    st["txtdedup-microbatch-1"] = "running"
+    json.dump(st, open(lpath, "w"))
+    run("ckpt2")
+    again = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in load_image_dedup_pairs(spark, state).collect()
+    }
+    assert again == expect
