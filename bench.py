@@ -348,6 +348,7 @@ _BENCH_EXTRA: set[str] = {
     "pref_sprt_monitor",
     "sim_kmeanspar_rounds",
     "sim_kmeanspar_purity",
+    "retrieval_mmr_rerank",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

@@ -275,6 +275,7 @@ _PRIORITY = [
     "sim_kmeanspar_rounds",
     "sim_kmeanspar_purity",
     "sim_ivfpq_kpar_recall",
+    "retrieval_mmr_rerank",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

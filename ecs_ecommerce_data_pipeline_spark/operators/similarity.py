@@ -1861,6 +1861,129 @@ def recompute_centroids(
     )
 
 
+def mmr_diversified_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein):
+    greedily pick k results from an exact-cosine shortlist maximizing
+    ``lam·rel − (1−lam)·max-sim-to-already-picked`` — the
+    diversification rung of the retrieval family (RRF fuses channels,
+    hard-negatives mine the boundary; MMR stops the top-k from being k
+    near-copies of one document, the failure mode a dedup-light corpus
+    shows immediately).
+
+    Determinism + exactness: ``lam`` must be a binary-exact fraction
+    (default 0.5) so the score expression is reproducible cross-engine;
+    ms starts at the constant 0.0, making pick 1 the pure-relevance
+    argmax (the textbook convention); ties to the smaller corpus id.
+
+    Shape: shortlist = one corpus scan (``brute_force_topk``); the
+    |Q|·S² within-shortlist similarity matrix and every greedy round
+    live on BOUNDED frames (|Q|·S rows, localCheckpoint per round — the
+    FPS running-state discipline), with per-query argmax as a window
+    rank, never a driver loop over queries.  k rounds of O(|Q|·S) work
+    after the single corpus-sized stage.
+    """
+    one_minus = 1.0 - lam
+    sl = brute_force_topk(
+        embeddings, query_ids, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select(
+        "query_id", "corpus_id", F.col("cosine_sim").alias("rel")
+    ).localCheckpoint()
+    v = as_double_array(vec_col)
+    cv = (
+        embeddings.select(F.col(id_col).alias("cid"), v.alias("cvec"))
+        .join(
+            F.broadcast(
+                sl.select(F.col("corpus_id").alias("cid")).distinct()
+            ),
+            "cid",
+        )
+        .withColumn("cnrm", norm(F.col("cvec")))
+    )
+    sa = sl.select("query_id", F.col("corpus_id").alias("ci")).join(
+        cv.select(
+            F.col("cid").alias("ci"),
+            F.col("cvec").alias("vi"),
+            F.col("cnrm").alias("ni"),
+        ),
+        "ci",
+    )
+    sb = sl.select("query_id", F.col("corpus_id").alias("cj")).join(
+        cv.select(
+            F.col("cid").alias("cj"),
+            F.col("cvec").alias("vj"),
+            F.col("cnrm").alias("nj"),
+        ),
+        "cj",
+    )
+    sims = (
+        sa.join(sb, "query_id")
+        .filter(F.col("ci") != F.col("cj"))
+        .select(
+            "query_id",
+            "ci",
+            "cj",
+            (dot(F.col("vi"), F.col("vj")) / (F.col("ni") * F.col("nj"))).alias(
+                "sim"
+            ),
+        )
+        .localCheckpoint()
+    )
+    state = sl.withColumn("ms", F.lit(0.0)).localCheckpoint()
+    score = F.lit(lam) * F.col("rel") - F.lit(one_minus) * F.col("ms")
+    picks = []
+    for i in range(1, k + 1):
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("corpus_id")
+        )
+        p = (
+            state.withColumn("score", score)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                "corpus_id",
+                F.lit(i).cast("bigint").alias("mmr_rank"),
+                F.col("score").alias("mmr_score"),
+            )
+            .localCheckpoint()
+        )
+        picks.append(p)
+        if i < k:
+            pk = p.select("query_id", F.col("corpus_id").alias("picked"))
+            state = (
+                state.join(F.broadcast(pk), "query_id")
+                .filter(F.col("corpus_id") != F.col("picked"))
+                .join(
+                    sims.select(
+                        "query_id",
+                        F.col("ci").alias("corpus_id"),
+                        F.col("cj").alias("picked"),
+                        "sim",
+                    ),
+                    ["query_id", "corpus_id", "picked"],
+                )
+                .select(
+                    "query_id",
+                    "corpus_id",
+                    "rel",
+                    F.greatest(F.col("ms"), F.col("sim")).alias("ms"),
+                )
+                .localCheckpoint()
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 _KPAR_COST_SCALE = 1 << 20  # cost quantum: FLOOR((1 − maxcos)·2^20)
 _KPAR_U_SCALE = 1 << 60     # md5-uniform resolution (15 hex chars)
 

@@ -3867,3 +3867,97 @@ def q_ivfpq_kpar_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (round 8)
+# ---------------------------------------------------------------------------
+
+_MMR_K = 10
+_MMR_S = 20
+_MMR_LAM = 0.5  # binary-exact: the score expression is bit-reproducible
+
+
+def _mmr_sql(k: int, s: int, lam: float) -> str:
+    om = 1.0 - lam
+    sc = f"({lam} * rel - {om} * ms)"
+    parts = [
+        f"""mshort AS MATERIALIZED (
+    SELECT query_id, corpus_id, cosine_sim AS rel FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {s}
+)""",
+        """mcv AS (
+    SELECT vec_id AS cid, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    WHERE vec_id IN (SELECT DISTINCT corpus_id FROM mshort)
+)""",
+        """msims AS MATERIALIZED (
+    SELECT a.query_id, a.corpus_id AS ci, b.corpus_id AS cj,
+           list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm) AS sim
+    FROM mshort a
+    JOIN mshort b ON b.query_id = a.query_id AND b.corpus_id <> a.corpus_id
+    JOIN mcv va ON va.cid = a.corpus_id
+    JOIN mcv vb ON vb.cid = b.corpus_id
+)""",
+        "mst0 AS MATERIALIZED"
+        " (SELECT query_id, corpus_id, rel, 0.0 AS ms FROM mshort)",
+    ]
+    for i in range(1, k + 1):
+        prev = f"mst{i - 1}"
+        parts.append(
+            f"""mp{i} AS MATERIALIZED (
+    SELECT query_id, corpus_id, score FROM (
+        SELECT query_id, corpus_id, {sc} AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY {sc} DESC, corpus_id) AS rk
+        FROM {prev}
+    ) WHERE rk = 1
+)"""
+        )
+        if i < k:
+            parts.append(
+                f"""mst{i} AS MATERIALIZED (
+    SELECT s.query_id, s.corpus_id, s.rel, GREATEST(s.ms, m.sim) AS ms
+    FROM {prev} s
+    JOIN mp{i} p ON p.query_id = s.query_id AND s.corpus_id <> p.corpus_id
+    JOIN msims m ON m.query_id = s.query_id
+                AND m.ci = s.corpus_id AND m.cj = p.corpus_id
+)"""
+            )
+    union = " UNION ALL ".join(
+        f"SELECT query_id, corpus_id, CAST({i} AS BIGINT) AS mmr_rank,"
+        f" score AS mmr_score FROM mp{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({_qids})),
+scored AS (
+    SELECT q.query_id, e.vec_id AS corpus_id,
+           list_dot_product(q.qv, e.v)
+             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+             AS cosine_sim
+    FROM q JOIN e ON e.vec_id <> q.query_id
+),
+{",".join(parts)}
+{union}
+"""
+
+
+@register("retrieval_mmr_rerank", _mmr_sql(_MMR_K, _MMR_S, _MMR_LAM))
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversification — the retrieval
+    family's anti-redundancy rung (RRF fuses channels, hard negatives
+    mine the boundary; MMR keeps the served top-k from being k
+    near-copies, the direct consumer of what the dedup family measures):
+    greedy picks maximizing 0.5·relevance − 0.5·max-sim-to-picked over
+    an exact shortlist of 20, ties to the smaller id.  Every greedy
+    round is a per-query window rank on a bounded |Q|·20 frame (the FPS
+    running-state discipline — no driver loop over queries); the oracle
+    unrolls all 10 rounds and the hash pins every pick and score."""
+    return similarity.mmr_diversified_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS,
+        k=_MMR_K, shortlist=_MMR_S, lam=_MMR_LAM,
+    )
