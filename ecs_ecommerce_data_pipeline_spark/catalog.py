@@ -276,6 +276,7 @@ _PRIORITY = [
     "sim_kmeanspar_purity",
     "sim_ivfpq_kpar_recall",
     "retrieval_mmr_rerank",
+    "sim_ivf_kpar64_recall",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",
