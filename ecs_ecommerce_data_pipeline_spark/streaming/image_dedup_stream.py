@@ -73,8 +73,17 @@ def band_dedup_stream(
         bands_b = bands_fn(batch_df).localCheckpoint()
         bpath = f"{state_path}/bands"
         try:
-            store = spark.read.parquet(bpath).select(
-                "doc_id", "band_idx", "band_val"
+            # distinct: band rows are deterministic per doc, so a batch
+            # replayed AFTER a compaction folded its partition away
+            # re-creates byte-identical rows — distinct collapses the
+            # generations (the band store's latest-wins analogue)
+            store = _mask_doc_tombstones(
+                spark,
+                state_path,
+                spark.read.parquet(bpath)
+                .select("doc_id", "band_idx", "band_val")
+                .distinct(),
+                ["doc_id"],
             )
             # replay guard: a re-processed batch must not screen against
             # its own previously-written bands (every intra-batch pair
@@ -209,9 +218,137 @@ def load_image_dedup_pairs(spark: SparkSession, state_path: str) -> DataFrame:
     verdict: (doc_a, doc_b, hamming).  Because the per-batch sets
     partition the full pair set (module docstring), the fold is a plain
     union-distinct — equal to the batch operator over the whole corpus,
-    pinned by the equivalence test."""
-    return (
+    pinned by the equivalence test.  Tombstoned documents are masked on
+    BOTH pair sides (a near-dup pair is derived data of both members —
+    the erasure face, see :func:`delete_docs`)."""
+    return _mask_doc_tombstones(
+        spark,
+        state_path,
         spark.read.parquet(f"{state_path}/pairs")
         .select("doc_a", "doc_b", "hamming")
-        .distinct()
+        .distinct(),
+        ["doc_a", "doc_b"],
+    )
+
+
+def _mask_doc_tombstones(
+    spark: SparkSession, state_path: str, df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Anti-join every id column in ``cols`` against the band store's
+    tombstone table — a pair row dies if EITHER side is erased."""
+    try:
+        tomb = spark.read.parquet(f"{state_path}/tombstones").select(
+            "doc_id"
+        ).distinct()
+    except AnalysisException:
+        return df
+    for c in cols:
+        df = df.join(
+            F.broadcast(tomb.withColumnRenamed("doc_id", c)), c, "left_anti"
+        )
+    return df
+
+
+def delete_docs(spark: SparkSession, state_path: str, doc_ids: list[int]) -> None:
+    """Erase documents from the band-dedup store (the GDPR face the
+    vector store already has): append ids to the tombstone table —
+    O(|doc_ids|), no store scan, no partition rewrite at delete time.
+    Every load path masks: the doc's bands stop screening new arrivals,
+    and every recorded pair INVOLVING the doc disappears (a near-dup
+    pair is derived data of both members).  Physical removal happens at
+    the next :func:`compact_band_store`; idempotent (the mask is a
+    distinct anti-join)."""
+    if not doc_ids:
+        return
+    spark.createDataFrame(
+        [(int(d),) for d in doc_ids], "doc_id bigint"
+    ).write.mode("append").parquet(f"{state_path}/tombstones")
+
+
+def compact_band_store(spark: SparkSession, state_path: str) -> dict:
+    """Collapse the accumulated per-batch band and pair partitions into
+    ONE generation each, physically dropping tombstoned rows — the
+    vector store's ``compact_index`` discipline (sibling-swap writes,
+    max-seen ``_batch_id`` so later stream batches still layer on top).
+    Returns before/after parquet file counts per store."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    stats: dict = {}
+    for store, cols in (("bands", ["doc_id"]), ("pairs", ["doc_a", "doc_b"])):
+        spath = f"{state_path}/{store}"
+        if not _os.path.isdir(spath):
+            continue
+        raw = spark.read.parquet(spath)
+        max_bid = int(raw.agg(F.max("_batch_id")).first()[0])
+        kept = _mask_doc_tombstones(
+            spark, state_path, raw.drop("_batch_id").distinct(), cols
+        )
+        tmp = f"{spath}__compacting"
+        (
+            kept.withColumn("_batch_id", F.lit(max_bid))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(tmp)
+        )
+
+        def _files(p: str) -> int:
+            return len(_glob.glob(f"{p}/**/*.parquet", recursive=True))
+
+        stats[f"{store}_files_before"] = _files(spath)
+        stats[f"{store}_files_after"] = _files(tmp)
+        _shutil.rmtree(spath)
+        _os.rename(tmp, spath)
+    return stats
+
+
+def band_store_erasure_audit(spark: SparkSession, state_path: str) -> DataFrame:
+    """One audit row for the band store's erasure posture —
+    (n_tombstones, n_physical_band_rows_remaining, n_visible_band_rows,
+    n_visible_pair_rows): physical > 0 between delete and compaction by
+    design; both visible counts must be 0 always (the test pins it).
+    The band-store face of ``vector_store_erasure_audit``."""
+    try:
+        tomb = spark.read.parquet(f"{state_path}/tombstones").select(
+            "doc_id"
+        ).distinct()
+    except AnalysisException:
+        tomb = spark.createDataFrame([], "doc_id bigint")
+    raw_bands = spark.read.parquet(f"{state_path}/bands")
+    physical = raw_bands.join(F.broadcast(tomb), "doc_id", "left_semi")
+    vis_bands = _mask_doc_tombstones(
+        spark, state_path, raw_bands, ["doc_id"]
+    ).join(F.broadcast(tomb), "doc_id", "left_semi")
+    vis_pairs_all = load_image_dedup_pairs(spark, state_path)
+    vp = vis_pairs_all.join(
+        F.broadcast(tomb.withColumnRenamed("doc_id", "doc_a")),
+        "doc_a",
+        "left_semi",
+    ).unionByName(
+        vis_pairs_all.join(
+            F.broadcast(tomb.withColumnRenamed("doc_id", "doc_b")),
+            "doc_b",
+            "left_semi",
+        )
+    )
+    return (
+        tomb.agg(F.count(F.lit(1)).cast("bigint").alias("n_tombstones"))
+        .crossJoin(
+            physical.agg(
+                F.count(F.lit(1)).cast("bigint").alias(
+                    "n_physical_band_rows_remaining"
+                )
+            )
+        )
+        .crossJoin(
+            vis_bands.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_visible_band_rows")
+            )
+        )
+        .crossJoin(
+            vp.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_visible_pair_rows")
+            )
+        )
     )
