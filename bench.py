@@ -349,6 +349,8 @@ _BENCH_EXTRA: set[str] = {
     "sim_kmeanspar_rounds",
     "sim_kmeanspar_purity",
     "retrieval_mmr_rerank",
+    "retrieval_triplets",
+    "text_curriculum_order",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

@@ -277,6 +277,8 @@ _PRIORITY = [
     "sim_ivfpq_kpar_recall",
     "retrieval_mmr_rerank",
     "sim_ivf_kpar64_recall",
+    "retrieval_triplets",
+    "text_curriculum_order",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

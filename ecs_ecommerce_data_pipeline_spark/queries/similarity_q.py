@@ -4054,3 +4054,112 @@ def q_ivf_kpar64_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplet assembly (round 8)
+# ---------------------------------------------------------------------------
+
+_TRIP_NEG = 3
+
+_TRIPLETS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+base AS (
+    SELECT vec_id AS vid, v, sqrt(list_dot_product(v, v)) AS nrm, label FROM e
+),
+tsc AS (
+    SELECT q.vid AS anchor_id, b.vid AS cand_id, b.label AS clabel,
+           q.label AS alabel,
+           list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
+    FROM base q JOIN base b ON b.vid <> q.vid
+    WHERE q.vid IN ({_qids})
+),
+tpos AS (
+    SELECT anchor_id, cand_id AS positive_id, cos AS pos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY anchor_id ORDER BY cos DESC, cand_id) AS rk
+        FROM tsc WHERE clabel = alabel
+    ) WHERE rk = 1
+),
+tneg AS (
+    SELECT anchor_id, cand_id AS negative_id, cos AS neg_sim,
+           CAST(rk AS BIGINT) AS neg_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY anchor_id ORDER BY cos DESC, cand_id) AS rk
+        FROM tsc WHERE clabel <> alabel
+    ) WHERE rk <= {_TRIP_NEG}
+)
+SELECT p.anchor_id, p.positive_id, n.negative_id, n.neg_rank,
+       p.pos_sim, n.neg_sim, p.pos_sim - n.neg_sim AS margin
+FROM tpos p JOIN tneg n ON n.anchor_id = p.anchor_id
+"""
+
+
+@register("retrieval_triplets", _TRIPLETS_SQL)
+def q_retrieval_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive TRIPLET assembly — the step after hard-negative
+    mining: per anchor, the most-similar SAME-label vector (positive)
+    crossed with the top-3 most-similar DIFFERENT-label vectors (hard
+    negatives), with the per-triplet margin pos_sim − neg_sim the
+    trainer's loss will see.  One corpus scan against the broadcast
+    labeled anchors, two windows, one bounded join — the
+    (anchor, positive, negative) table an embedding-training pipeline
+    materializes at corpus scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = similarity.as_double_array("embedding")
+    corpus = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        v.alias("cvec"),
+        similarity.norm(v).alias("cnrm"),
+        F.col("label").alias("clabel"),
+    )
+    anchors = emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("anchor_id"),
+        v.alias("avec"),
+        similarity.norm(v).alias("anrm"),
+        F.col("label").alias("alabel"),
+    )
+    scored = corpus.join(
+        F.broadcast(anchors), F.col("cand_id") != F.col("anchor_id")
+    ).select(
+        "anchor_id",
+        "cand_id",
+        "clabel",
+        "alabel",
+        (
+            similarity.dot(F.col("avec"), F.col("cvec"))
+            / (F.col("anrm") * F.col("cnrm"))
+        ).alias("cos"),
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    pos = (
+        scored.filter(F.col("clabel") == F.col("alabel"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("positive_id"),
+            F.col("cos").alias("pos_sim"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("clabel") != F.col("alabel"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TRIP_NEG)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("negative_id"),
+            F.col("cos").alias("neg_sim"),
+            F.col("rk").cast("bigint").alias("neg_rank"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "negative_id",
+        "neg_rank",
+        "pos_sim",
+        "neg_sim",
+        (F.col("pos_sim") - F.col("neg_sim")).alias("margin"),
+    )

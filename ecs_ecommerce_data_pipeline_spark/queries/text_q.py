@@ -1051,3 +1051,91 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(F.col("toks"), F.col("i") * s + 1, clen))
         ).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (round 8)
+# ---------------------------------------------------------------------------
+# Training pipelines feed data easy-to-hard (or clean-to-noisy): order
+# the corpus by a quality bucket, deterministically shuffled WITHIN each
+# bucket so no spurious correlation (source order, id order) leaks into
+# the schedule.  All-integer quality key (stopword permille), 60-bit
+# md5 shuffle, and the global rank through the two-phase prefix
+# machinery — no sort-to-one-partition anywhere.
+
+_CUR_U = "('0x' || substr(md5('cur:' || doc_id), 1, 15))::BIGINT"
+
+_CURRICULUM_SQL = f"""
+WITH t AS (
+    SELECT doc_id, list_distinct({_TOKS}) AS dt FROM documents
+),
+keyed AS (
+    SELECT doc_id,
+           CAST((len(list_intersect(dt, [{_stop_list}])) * 1000)
+                // GREATEST(len(dt), 1) AS BIGINT) AS stop_permille,
+           CAST((len(list_intersect(dt, [{_stop_list}])) * 1000)
+                // GREATEST(len(dt), 1) // 250 AS BIGINT) AS bucket,
+           {_CUR_U} AS u60
+    FROM t
+)
+SELECT doc_id, stop_permille, bucket,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY bucket * 1152921504606846976 + u60, doc_id
+       ) AS BIGINT) AS curriculum_rank
+FROM keyed
+"""
+
+
+@register("text_curriculum_order", _CURRICULUM_SQL)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule for the corpus: quality bucket (integer
+    stopword permille, quartile-width buckets — higher stopword density
+    reads as more natural running text, the classic cheap properness
+    signal) ascending, deterministic md5 shuffle within the bucket, and
+    the GLOBAL schedule position as a two-phase prefix rank (equal-width
+    key buckets + broadcast offsets — the plan stays shuffle-bounded at
+    any corpus size, never a sort to one partition).  The oracle states
+    the same order as one window."""
+    from ..functions.prefix import two_phase_cumsum
+
+    doc = load_table(spark, sf_dir, "documents")
+    from ..functions.textfn import tokens
+
+    staged = doc.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("dt")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    spm = (
+        F.size(F.array_intersect(F.col("dt"), stop_arr)).cast("bigint")
+        * F.lit(1000)
+    ) / F.greatest(F.size("dt"), F.lit(1))
+    keyed = staged.select(
+        "doc_id",
+        F.floor(spm).cast("bigint").alias("stop_permille"),
+    ).select(
+        "doc_id",
+        "stop_permille",
+        (F.col("stop_permille") / 250).cast("bigint").alias("bucket"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint").alias("u60"),
+    ).withColumn(
+        "_key",
+        F.col("bucket") * F.lit(1152921504606846976) + F.col("u60"),
+    )
+    ranked = two_phase_cumsum(
+        keyed, "_key", {"curriculum_rank": F.lit(1)},
+        order_cols=["_key", "doc_id"],
+    )
+    return ranked.select(
+        "doc_id",
+        "stop_permille",
+        "bucket",
+        F.col("curriculum_rank").cast("bigint").alias("curriculum_rank"),
+    )
