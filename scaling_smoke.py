@@ -178,7 +178,13 @@ STAGES = {
     # are priced by their dedicated decompositions instead;
     # pref_sprt_monitor is 6 pair-partitioned window passes over the
     # fixture comparisons (the pref_bradley_terry scan shape, already
-    # timed).
+    # timed).  Round-8 tail, each with a shape already covered:
+    # retrieval_mmr_rerank runs its greedy rounds over BOUNDED |Q|·S
+    # frames after one brute-topk corpus scan (constant work past the
+    # timed scan); retrieval_triplets is the retrieval_hard_negatives
+    # scan plus bounded windows (that stage is timed);
+    # text_curriculum_order is one linear quality scan + the two-phase
+    # prefix rank (the rfm/histogram two-phase shapes, both timed).
     "dedup_simhash_pairs": "documents",
     "sim_ivfpq_filtered_topk": "embeddings",
 }
