@@ -351,6 +351,9 @@ _BENCH_EXTRA: set[str] = {
     "retrieval_mmr_rerank",
     "retrieval_triplets",
     "text_curriculum_order",
+    "sim_ivfpq_filtered_rerank",
+    "sim_ivfpq_filtered_rerank_recall",
+    "events_cusum_hourly",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

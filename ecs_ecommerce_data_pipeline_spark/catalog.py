@@ -279,6 +279,9 @@ _PRIORITY = [
     "sim_ivf_kpar64_recall",
     "retrieval_triplets",
     "text_curriculum_order",
+    "sim_ivfpq_filtered_rerank",
+    "sim_ivfpq_filtered_rerank_recall",
+    "events_cusum_hourly",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

@@ -1308,6 +1308,7 @@ def ivfpq_rerank_topk(
     nprobe: int = 4,
     m: int = 8,
     residual: bool = False,
+    codes_pred: Column | None = None,
 ) -> DataFrame:
     """Search-then-refine, the final ANN-ladder rung: the compressed
     IVF-PQ path shortlists ``shortlist`` candidates per query by ADC,
@@ -1327,10 +1328,17 @@ def ivfpq_rerank_topk(
     → partition pruning again — shortlist members live in probed cells
     by construction) via one broadcast semi-join of the |Q|·shortlist
     id pairs.  No corpus-sized raw-vector scan anywhere.
+
+    ``codes_pred`` composes the filtered face (FAISS IDSelector over
+    the inverted lists — see :func:`ivfpq_filtered_topk`) with the
+    refine stage: the mask rides the pruned codes scan, so the
+    shortlist contains ONLY qualifying rows and the rerank needs no
+    second predicate — the full production filtered-serving stack
+    (filter → ADC shortlist → exact rerank) in one plan.
     """
     scored, probe_cells = _ivfpq_adc_scored(
         centroids, assignments, codebook, codes, query_ids, nprobe, m,
-        residual=residual,
+        residual=residual, codes_pred=codes_pred,
     )
     ws = W.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("corpus_id"))
     short = (

