@@ -354,6 +354,8 @@ _BENCH_EXTRA: set[str] = {
     "sim_ivfpq_filtered_rerank",
     "sim_ivfpq_filtered_rerank_recall",
     "events_cusum_hourly",
+    "dedup_simhash_clusters",
+    "retrieval_mmr_diversity_gain",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

@@ -282,6 +282,8 @@ _PRIORITY = [
     "sim_ivfpq_filtered_rerank",
     "sim_ivfpq_filtered_rerank_recall",
     "events_cusum_hourly",
+    "dedup_simhash_clusters",
+    "retrieval_mmr_diversity_gain",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

@@ -1489,3 +1489,52 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+_SIMHASH_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SIMHASH_BANDS_CTES},
+spairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM scand c
+    JOIN sbands ba ON ba.doc_id = c.doc_a
+    JOIN sbands bb ON bb.doc_id = c.doc_b AND bb.band_idx = ba.band_idx
+    GROUP BY 1, 2
+    HAVING SUM(bit_count(xor(ba.band_val, bb.band_val))) <= {_SIMHAM}
+),
+sund AS (
+    SELECT doc_a AS u, doc_b AS v FROM spairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM spairs
+),
+snodes AS (SELECT DISTINCT u AS node FROM sund),
+sreach(node, r) AS (
+    SELECT node, node FROM snodes
+    UNION
+    SELECT ed.v, r.r FROM sreach r JOIN sund ed ON ed.u = r.node
+),
+slabeled AS (SELECT node, MIN(r) AS component FROM sreach GROUP BY node)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(node) AS BIGINT) AS sum_members
+FROM slabeled
+GROUP BY component
+"""
+
+
+@register("dedup_simhash_clusters", _SIMHASH_CLUSTERS_SQL)
+def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup SURVIVOR selection: wide-band near-dup pairs fed
+    through min-label connected components — component id = min doc_id,
+    the canonical keep-one per near-dup cluster.  Completes the SimHash
+    family (pairs → recall gate → clusters) exactly as the image family
+    reads, sharing the star-contraction CC operator; the oracle states
+    the same fixpoint as a recursive-CTE transitive closure."""
+    pairs = dedup.simhash_neardup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=_SIMHAM, band_bits=16,
+    )
+    labels = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    return labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("node").cast("bigint").alias("sum_members"),
+    )

