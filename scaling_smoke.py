@@ -185,6 +185,14 @@ STAGES = {
     # scan plus bounded windows (that stage is timed);
     # text_curriculum_order is one linear quality scan + the two-phase
     # prefix rank (the rfm/histogram two-phase shapes, both timed).
+    # events_cusum_hourly is the events_ewma_hourly spine + two windows
+    # (that stage class is timed); sim_ivfpq_filtered_rerank is the
+    # timed sim_ivfpq_rerank plan plus the same row-local mask the
+    # timed filtered stage carries; dedup_simhash_clusters composes the
+    # timed simhash pair stage with the star-contraction CC the
+    # keep-best stage times; retrieval_mmr_diversity_gain is bounded
+    # |Q|·S work past the timed brute-topk scan; retrieval_triplets'
+    # scan is retrieval_hard_negatives (timed).
     "dedup_simhash_pairs": "documents",
     "sim_ivfpq_filtered_topk": "embeddings",
 }

@@ -134,3 +134,33 @@ def test_filtered_plan_prunes_cells_and_pushes_label(fivfpq):
     assert "cell" in seg.split("PartitionFilters:", 1)[1][:200]
     pushed = seg.split("PushedFilters:", 1)[1][:200]
     assert "label" in pushed
+
+
+def test_filtered_rerank_composes(spark, fivfpq):
+    """filter → ADC shortlist → exact rerank: every hit satisfies the
+    predicate, and with an always-true predicate the stack reproduces
+    the unfiltered rerank bit-for-bit."""
+    _, cents, assigns, cb, codes = fivfpq
+    emb = load_table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("corpus_id"), "label"
+    )
+    fr = similarity.ivfpq_rerank_topk(
+        cents, assigns, cb, codes, _QIDS,
+        k=10, shortlist=50, nprobe=4, m=8,
+        codes_pred=(F.col("label") == _LBL),
+    )
+    bad = fr.join(emb, "corpus_id").filter(F.col("label") != _LBL).count()
+    assert bad == 0
+    cols = ["query_id", "corpus_id", "cosine_sim", "rnk"]
+    always = similarity.ivfpq_rerank_topk(
+        cents, assigns, cb, codes, _QIDS,
+        k=10, shortlist=50, nprobe=4, m=8,
+        codes_pred=(F.col("label") >= 0),
+    )
+    plain = similarity.ivfpq_rerank_topk(
+        cents, assigns, cb, codes, _QIDS,
+        k=10, shortlist=50, nprobe=4, m=8,
+    )
+    assert sorted(map(tuple, always.select(cols).collect())) == sorted(
+        map(tuple, plain.select(cols).collect())
+    )
