@@ -356,6 +356,9 @@ _BENCH_EXTRA: set[str] = {
     "events_cusum_hourly",
     "dedup_simhash_clusters",
     "retrieval_mmr_diversity_gain",
+    "retrieval_token_embeddings",
+    "retrieval_maxsim_topk",
+    "retrieval_maxsim_cluster_hit",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

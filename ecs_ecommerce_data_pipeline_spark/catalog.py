@@ -284,6 +284,9 @@ _PRIORITY = [
     "events_cusum_hourly",
     "dedup_simhash_clusters",
     "retrieval_mmr_diversity_gain",
+    "retrieval_token_embeddings",
+    "retrieval_maxsim_topk",
+    "retrieval_maxsim_cluster_hit",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

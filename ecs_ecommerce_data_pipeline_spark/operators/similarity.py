@@ -2704,3 +2704,112 @@ def covariance_pair_partials_arrow(
     return embeddings.select(as_double_array(vec_col).alias("_v")).mapInPandas(
         partials, "i bigint, j bigint, s_ij bigint, n bigint"
     )
+
+
+def synth_token_embeddings(
+    ids: DataFrame,
+    n_tokens: int = 4,
+    dims: int = 16,
+    k_true: int = 8,
+    eps: float = 0.25,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(doc_id, tok_idx, tvec, cluster_true): an md5-analytic
+    MULTI-VECTOR corpus — every document carries ``n_tokens`` token
+    embeddings, the representation late-interaction retrievers
+    (ColBERT) index.  Token vectors share the document's cluster center
+    (the ``synth_clustered_embeddings`` 'cl:' assignment, so the two
+    fixtures agree on cluster_true) plus per-(doc, token) noise —
+    same-cluster documents genuinely have similar token sets, so MaxSim
+    has structure to find.  Same determinism contract: every value is a
+    fixed-order composition of 60-bit md5 uniforms, reproduced
+    bit-for-bit by the oracle; map-only scan."""
+    u = (
+        "(CAST(CONV(SUBSTRING(MD5({s}), 1, 15), 16, 10) AS DOUBLE)"
+        " / 1152921504606846976.0D * 2.0D - 1.0D)"
+    )
+    cluster = (
+        f"(CAST(CONV(SUBSTRING(MD5(CONCAT('cl:', CAST(`{id_col}` AS STRING))),"
+        f" 1, 4), 16, 10) AS BIGINT) % {k_true})"
+    )
+    ctr = u.format(
+        s=f"CONCAT('ctr:', CAST({cluster} AS STRING), ':', CAST(d AS STRING))"
+    )
+    noise = u.format(
+        s=(
+            f"CONCAT('mtk:', CAST(`{id_col}` AS STRING), ':',"
+            " CAST(t AS STRING), ':', CAST(d AS STRING))"
+        )
+    )
+    vec_sql = (
+        f"transform(sequence(0, {dims - 1}), d -> {ctr} + {eps!r}D * {noise})"
+    )
+    return (
+        ids.select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.expr(cluster.replace(f"`{id_col}`", id_col)).cast("bigint").alias(
+                "cluster_true"
+            ),
+            F.explode(F.sequence(F.lit(0), F.lit(n_tokens - 1))).alias("t"),
+        )
+        .withColumn("tvec", F.expr(vec_sql.replace(f"`{id_col}`", "doc_id")))
+        .select(
+            "doc_id",
+            F.col("t").cast("bigint").alias("tok_idx"),
+            "tvec",
+            "cluster_true",
+        )
+    )
+
+
+def maxsim_topk(
+    token_embs: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """Late-interaction (ColBERT MaxSim) top-k over a multi-vector
+    corpus: score(q, d) = Σ over q's tokens of max over d's tokens of
+    cosine — each query token finds its best-matching document token,
+    the interaction single-vector retrieval collapses away.
+
+    Exactness: the per-(query, doc, query-token) max is an exact
+    double (max is order-free); each max is quantized to
+    FLOOR(·2^20) BIGINT BEFORE the per-pair sum, so the score is an
+    order-free integer and ranks are bit-reproducible cross-engine
+    (the drift-family quantization discipline — a raw double sum of 4
+    maxes could differ in the last ulp between engines).
+
+    Scale shape: ONE corpus-token scan joined against the broadcast
+    |Q|·n_tokens query-token set (never corpus × corpus), then two
+    hash aggregations (max per query-token, integer sum per pair) and
+    a per-query top-k window.  Linear in corpus tokens.
+    """
+    base = token_embs.select(
+        "doc_id", "tok_idx", F.col("tvec").alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+    qt = base.filter(F.col("doc_id").isin(query_ids)).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("tok_idx").alias("qt"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = base.join(
+        F.broadcast(qt), F.col("doc_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "doc_id",
+        "qt",
+        (
+            dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos"),
+    )
+    per_qt = scored.groupBy("query_id", "doc_id", "qt").agg(
+        F.floor(F.max("cos") * F.lit(1048576.0)).cast("bigint").alias("mq")
+    )
+    pair = per_qt.groupBy("query_id", "doc_id").agg(
+        F.sum("mq").cast("bigint").alias("maxsim_q")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("maxsim_q"), F.asc("doc_id"))
+    return pair.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= k)

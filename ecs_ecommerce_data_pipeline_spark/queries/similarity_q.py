@@ -4474,3 +4474,169 @@ def q_mmr_diversity_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_rel_mmr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-vector late interaction (ColBERT MaxSim) — round 8
+# ---------------------------------------------------------------------------
+# Single-vector retrieval collapses a document to one point;
+# late-interaction keeps one vector PER TOKEN and scores
+# Σ_q-token max_d-token cos — the representation/scoring pair modern
+# retrieval stacks (ColBERT) serve.  The fixture shares the clustered
+# corpus' cluster assignment so MaxSim has real structure to find.
+
+_MV_T = 4
+_MV_DIMS = 16
+
+_MV_U = "(('0x' || substr(md5({s}), 1, 15))::BIGINT / 1152921504606846976.0 * 2.0 - 1.0)"
+_MV_CL = "(('0x' || substr(md5('cl:' || e.vec_id), 1, 4))::BIGINT % 8)"
+
+_MV_TOK = f"""mtok AS (
+    SELECT e.vec_id AS doc_id,
+           {_MV_CL} AS cluster_true,
+           tt.t AS tok_idx,
+           list_transform(range(0, {_MV_DIMS}), d ->
+               {_MV_U.format(s=f"'ctr:' || {_MV_CL} || ':' || d")}
+               + 0.25 * {_MV_U.format(s="'mtk:' || e.vec_id || ':' || tt.t || ':' || d")}
+           ) AS tvec
+    FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {_MV_T})) AS t) tt
+)"""
+
+_MV_FIXTURE_SQL = f"""
+WITH {_MV_TOK}
+SELECT doc_id,
+       CAST(cluster_true AS BIGINT) AS cluster_true,
+       CAST(SUM(list_sum(list_transform(tvec,
+           x -> CAST(FLOOR(x * 1048576.0) AS BIGINT)))) AS BIGINT) AS vq_sum
+FROM mtok
+GROUP BY doc_id, cluster_true
+"""
+
+
+@register("retrieval_token_embeddings", _MV_FIXTURE_SQL)
+def q_token_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-vector corpus itself, fingerprinted: per document, its
+    true cluster and the exact integer checksum over all 4 token
+    vectors — a hash match proves both engines derive the SAME
+    per-token embeddings, localizing any MaxSim discrepancy to the
+    scoring pipeline (the ``sim_clustered_embeddings`` discipline)."""
+    fx = similarity.synth_token_embeddings(
+        load_table(spark, sf_dir, "embeddings").select("vec_id"),
+        n_tokens=_MV_T, dims=_MV_DIMS,
+    )
+    q = F.transform(
+        "tvec", lambda x: F.floor(x * F.lit(1048576.0)).cast("bigint")
+    )
+    per_tok = fx.select(
+        "doc_id",
+        "cluster_true",
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "tq"
+        ),
+    )
+    return per_tok.groupBy("doc_id", "cluster_true").agg(
+        F.sum("tq").cast("bigint").alias("vq_sum")
+    )
+
+
+_MV_SCORED = f"""{_MV_TOK},
+mbase AS (
+    SELECT doc_id, tok_idx, tvec AS v,
+           sqrt(list_dot_product(tvec, tvec)) AS nrm
+    FROM mtok
+),
+mqt AS (
+    SELECT doc_id AS query_id, tok_idx AS qt, v AS qv, nrm AS qn
+    FROM mbase WHERE doc_id IN ({_qids})
+),
+mper AS (
+    SELECT q.query_id, b.doc_id, q.qt,
+           CAST(FLOOR(MAX(list_dot_product(q.qv, b.v) / (q.qn * b.nrm))
+                * 1048576.0) AS BIGINT) AS mq
+    FROM mbase b JOIN mqt q ON b.doc_id <> q.query_id
+    GROUP BY 1, 2, 3
+),
+mpair AS (
+    SELECT query_id, doc_id, CAST(SUM(mq) AS BIGINT) AS maxsim_q
+    FROM mper GROUP BY 1, 2
+),
+mtopk AS (
+    SELECT query_id, doc_id, maxsim_q, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY maxsim_q DESC, doc_id) AS rnk
+        FROM mpair
+    ) WHERE rnk <= {_K}
+)"""
+
+_MV_TOPK_SQL = f"""
+WITH {_MV_SCORED}
+SELECT query_id, doc_id, maxsim_q, rnk FROM mtopk
+"""
+
+
+@register("retrieval_maxsim_topk", _MV_TOPK_SQL)
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim top-k over the multi-vector corpus: each
+    query token finds its best-matching document token (exact max —
+    order-free), the per-token maxes are quantized to integers BEFORE
+    the per-pair sum (order-free — a raw double sum of maxes could
+    differ in the last ulp between engines), ranks break ties to the
+    smaller doc id.  One corpus-token scan against the broadcast
+    query-token set, two hash aggregations, one window — linear in
+    corpus tokens, never corpus × corpus."""
+    fx = similarity.synth_token_embeddings(
+        load_table(spark, sf_dir, "embeddings").select("vec_id"),
+        n_tokens=_MV_T, dims=_MV_DIMS,
+    )
+    return similarity.maxsim_topk(fx, _QUERY_IDS, k=_K)
+
+
+_MV_HIT_SQL = f"""
+WITH {_MV_SCORED},
+mcl AS (SELECT DISTINCT doc_id, cluster_true FROM mtok)
+SELECT t.query_id,
+       CAST(ANY_VALUE(qc.cluster_true) AS BIGINT) AS query_cluster,
+       CAST(SUM(CASE WHEN dc.cluster_true = qc.cluster_true
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_same_cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_results
+FROM mtopk t
+JOIN mcl qc ON qc.doc_id = t.query_id
+JOIN mcl dc ON dc.doc_id = t.doc_id
+GROUP BY t.query_id
+"""
+
+
+@register("retrieval_maxsim_cluster_hit", _MV_HIT_SQL)
+def q_maxsim_cluster_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic readout for MaxSim: how many of each query's top-10 are
+    TRUE same-cluster documents — late interaction must recover the
+    generative cluster through per-token matching for the fixture to
+    certify the scoring does what the representation promises.
+    Measured at sf0.01: 10/10 for all five queries."""
+    fx = similarity.synth_token_embeddings(
+        load_table(spark, sf_dir, "embeddings").select("vec_id"),
+        n_tokens=_MV_T, dims=_MV_DIMS,
+    )
+    topk = similarity.maxsim_topk(fx, _QUERY_IDS, k=_K)
+    cl = fx.select("doc_id", "cluster_true").distinct()
+    return (
+        topk.join(
+            cl.select(
+                F.col("doc_id").alias("query_id"),
+                F.col("cluster_true").alias("qcl"),
+            ),
+            "query_id",
+        )
+        .join(
+            cl.select("doc_id", F.col("cluster_true").alias("dcl")),
+            "doc_id",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.first("qcl").cast("bigint").alias("query_cluster"),
+            F.sum(
+                F.when(F.col("dcl") == F.col("qcl"), 1).otherwise(0)
+            ).cast("bigint").alias("n_same_cluster"),
+            F.count(F.lit(1)).cast("bigint").alias("n_results"),
+        )
+    )

@@ -195,6 +195,10 @@ STAGES = {
     # scan is retrieval_hard_negatives (timed).
     "dedup_simhash_pairs": "documents",
     "sim_ivfpq_filtered_topk": "embeddings",
+    # multi-vector late interaction: 4 md5-analytic token rows per
+    # embedding row, ONE corpus-token scan vs the broadcast query-token
+    # set, two hash aggs — must stay linear in corpus tokens
+    "retrieval_maxsim_topk": "embeddings",
 }
 
 
