@@ -359,6 +359,8 @@ _BENCH_EXTRA: set[str] = {
     "retrieval_token_embeddings",
     "retrieval_maxsim_topk",
     "retrieval_maxsim_cluster_hit",
+    "retrieval_maxsim_pruned_topk",
+    "retrieval_maxsim_pruned_recall",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

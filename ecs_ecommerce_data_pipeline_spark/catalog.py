@@ -287,6 +287,8 @@ _PRIORITY = [
     "retrieval_token_embeddings",
     "retrieval_maxsim_topk",
     "retrieval_maxsim_cluster_hit",
+    "retrieval_maxsim_pruned_topk",
+    "retrieval_maxsim_pruned_recall",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

@@ -2813,3 +2813,75 @@ def maxsim_topk(
     return pair.withColumn(
         "rnk", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rnk") <= k)
+
+
+def maxsim_pruned_topk(
+    token_embs: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Late-interaction serving with token-level candidate pruning —
+    the PLAID-shaped scale path for :func:`maxsim_topk`: every token
+    (corpus and query) gets its random-hyperplane LSH bucket inline
+    (``_with_buckets`` — map-only), candidate documents are those
+    owning a corpus token in the SAME bucket as any of the query's
+    tokens (one equi-join on bucket — never a corpus-token × query-
+    token cross product), and exact MaxSim scores ONLY the candidates.
+
+    Returns the same (query_id, doc_id, maxsim_q, rnk) shape as the
+    exact operator; recall vs the exact ranking is the candidate
+    generation's to lose (token-level bucket collision = the document
+    is findable), priced by ``retrieval_maxsim_pruned_recall``.
+
+    Scale shape: bucket assignment is a pure scan; the candidate join
+    shuffles (bucket, doc_id) pairs against a broadcast |Q|·T probe
+    set; exact scoring touches Σ_q |cand(q)|·T token rows instead of
+    the full corpus-token table.
+    """
+    bucketed = _with_buckets(
+        token_embs, n_planes, id_col="doc_id", vec_col="tvec"
+    ).select(
+        "doc_id", "tok_idx", F.col("tvec").alias("vec"), "bucket"
+    ).withColumn("nrm", norm(F.col("vec")))
+    qt = bucketed.filter(F.col("doc_id").isin(query_ids)).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("tok_idx").alias("qt"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+        "bucket",
+    )
+    cand = (
+        bucketed.select("doc_id", "bucket")
+        .join(F.broadcast(qt.select("query_id", "bucket").distinct()), "bucket")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    scored = (
+        bucketed.select("doc_id", "vec", "nrm")
+        .join(cand, "doc_id")
+        .join(
+            F.broadcast(qt.select("query_id", "qt", "qvec", "qnrm")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "qt",
+            (
+                dot(F.col("qvec"), F.col("vec"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos"),
+        )
+    )
+    per_qt = scored.groupBy("query_id", "doc_id", "qt").agg(
+        F.floor(F.max("cos") * F.lit(1048576.0)).cast("bigint").alias("mq")
+    )
+    pair = per_qt.groupBy("query_id", "doc_id").agg(
+        F.sum("mq").cast("bigint").alias("maxsim_q")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("maxsim_q"), F.asc("doc_id"))
+    return pair.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= k)
