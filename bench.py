@@ -361,6 +361,7 @@ _BENCH_EXTRA: set[str] = {
     "retrieval_maxsim_cluster_hit",
     "retrieval_maxsim_pruned_topk",
     "retrieval_maxsim_pruned_recall",
+    "rag_chunk_attribution",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

@@ -289,6 +289,7 @@ _PRIORITY = [
     "retrieval_maxsim_cluster_hit",
     "retrieval_maxsim_pruned_topk",
     "retrieval_maxsim_pruned_recall",
+    "rag_chunk_attribution",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

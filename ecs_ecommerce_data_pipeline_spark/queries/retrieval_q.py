@@ -523,3 +523,103 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn(
         "rnk", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rnk") <= _TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# RAG passage attribution (round 8): BM25 over CHUNKS
+# ---------------------------------------------------------------------------
+# A RAG pipeline retrieves PASSAGES, not documents — the ranked unit is
+# the overlapping chunk, and the answer cites (doc, chunk).  Chunks are
+# the curation family's fixed-window substrings (chunk_documents: 200
+# chars, stride 150) treated as pseudo-documents through the SAME BM25
+# machinery; n/avgdl statistics are chunk-level by construction.
+
+_RAG_CHUNK = 200
+_RAG_STRIDE = 150
+
+_RAG_SQL = f"""
+WITH c AS (
+    SELECT doc_id, CAST(s // {_RAG_STRIDE} AS BIGINT) AS chunk_id,
+           substring(text, s + 1, {_RAG_CHUNK}) AS text
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, GREATEST(n_chars - 1, 0) + 1, {_RAG_STRIDE})) AS s
+        FROM documents
+    )
+),
+t AS (SELECT doc_id, chunk_id, {_TOKS} AS toks FROM c),
+ex AS (SELECT doc_id, chunk_id, unnest(toks) AS term FROM t),
+hits AS (
+    SELECT doc_id, chunk_id, term FROM ex WHERE term IN ({_terms_sql})
+),
+tf AS (
+    SELECT doc_id, chunk_id, term, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3
+),
+dfx AS (
+    SELECT term, COUNT(*) AS df
+    FROM (SELECT DISTINCT doc_id, chunk_id, term FROM hits) GROUP BY 1
+),
+dl AS (SELECT doc_id, chunk_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+scored AS (
+    SELECT tf.doc_id, tf.chunk_id,
+           CAST(
+             ((n_docs - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * ((CAST(tf AS DOUBLE) * 2.2)
+                / (CAST(tf AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+             AS DECIMAL(25,12)) AS term_score
+    FROM tf
+    JOIN dl USING (doc_id, chunk_id)
+    JOIN dfx USING (term) CROSS JOIN stats
+),
+per_chunk AS (
+    SELECT doc_id, chunk_id, CAST(SUM(term_score) AS DOUBLE) AS score
+    FROM scored GROUP BY 1, 2
+)
+SELECT doc_id, chunk_id, score, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        ORDER BY score DESC, doc_id, chunk_id) AS rnk
+    FROM per_chunk
+) WHERE rnk <= {_TOP_K}
+"""
+
+
+@register("rag_chunk_attribution", _RAG_SQL)
+def q_rag_chunk_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level retrieval for RAG: BM25 top-k over the overlapping
+    200/150 chunk windows, attributed back to (doc_id, chunk_id) — the
+    unit a generator actually cites.  Chunks run as pseudo-documents
+    through the verified BM25 operator (chunk-level n/avgdl); the
+    composite (doc, chunk) key rides a single BIGINT so ranking
+    tie-order matches the oracle's (score, doc_id, chunk_id)
+    lexicographic rule.  Chunking is one explode (no text shuffled
+    twice: the pseudo-doc frame derives chunks inline from the source
+    scan); everything downstream is the timed BM25 shape."""
+    from ..operators.retrieval import bm25_scores
+
+    doc = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_chars") - 1, F.lit(0)),
+        F.lit(_RAG_STRIDE),
+    )
+    chunks = doc.select(
+        "doc_id", "text", F.explode(starts).alias("s")
+    ).select(
+        (F.col("doc_id") * 10000 + (F.col("s") / _RAG_STRIDE).cast("bigint"))
+        .alias("pseudo_id"),
+        F.col("text").substr(F.col("s") + 1, F.lit(_RAG_CHUNK)).alias("text"),
+    ).select(F.col("pseudo_id").alias("doc_id"), "text")
+    ranked = bm25_scores(chunks, _QUERY_TERMS, k=_TOP_K)
+    return ranked.select(
+        (F.col("doc_id") / 10000).cast("bigint").alias("doc_id"),
+        (F.col("doc_id") % 10000).cast("bigint").alias("chunk_id"),
+        "score",
+        "rnk",
+    )
