@@ -4762,3 +4762,120 @@ def q_maxsim_pruned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("doc_id").cast("bigint").alias("n_hits"),
         (F.count("doc_id").cast("double") / F.lit(float(_K))).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift between windows (round 8): the retrain trigger
+# ---------------------------------------------------------------------------
+# A serving stack watches whether NEW embeddings still look like the
+# ones the index/quantizer was built on — centroid shift between two
+# windows is the cheap first-order signal (the embedding-space analogue
+# of drift_psi_doc_lengths; the quantizer-occupancy PSI face is
+# sim_ivf_quantizer_drift).  Windows here: vec_id parity, the
+# deterministic stand-in for before/after (testdata has no embedding
+# timestamps).
+
+_EDRIFT_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+el AS (
+    SELECT vec_id % 2 AS w, unnest(v) AS val,
+           generate_subscripts(v, 1) AS pos
+    FROM e
+),
+m AS (
+    SELECT w, pos,
+           CAST(SUM(CAST(FLOOR(val * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1099511627776.0) AS mu
+    FROM el GROUP BY w, pos
+),
+mv AS (
+    SELECT w, list(mu ORDER BY pos) AS mvec FROM m GROUP BY w
+),
+wide AS (
+    SELECT a.mvec AS m0, b.mvec AS m1
+    FROM mv a JOIN mv b ON a.w = 0 AND b.w = 1
+),
+l1 AS (
+    SELECT CAST(SUM(CAST(FLOOR(ABS(p.m1 - p.m0) * 1048576.0) AS BIGINT))
+               AS BIGINT) AS l1_q,
+           CAST(COUNT(*) AS BIGINT) AS dims
+    FROM (
+        SELECT unnest(m0) AS m0, unnest(m1) AS m1 FROM wide
+    ) p
+)
+SELECT l1.dims, l1.l1_q,
+       CAST(l1.l1_q AS DOUBLE) / (l1.dims * 1048576.0) AS mean_abs_shift,
+       list_dot_product(w.m0, w.m1)
+           / (sqrt(list_dot_product(w.m0, w.m0))
+              * sqrt(list_dot_product(w.m1, w.m1))) AS centroid_cosine
+FROM l1 CROSS JOIN wide w
+"""
+
+
+@register("drift_embedding_centroid_shift", _EDRIFT_SQL)
+def q_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order embedding drift between two windows: per-dimension
+    means over FLOOR(·2^40)-quantized integer sums (order-free — and
+    immune to the decimal rounding-mode divergence a DECIMAL cast hits
+    on half-ulp ties; a running double sum would be
+    partitioning-dependent), the mean
+    absolute per-dim shift as a quantized integer sum, and the cosine
+    between the two window centroids.  Near-identical windows read
+    cosine ≈ 1 / shift ≈ 0; an embedding-model change moves both —
+    the cheap gate a serving stack checks before trusting a frozen
+    quantizer on new vectors.  One posexplode scan + one hash agg per
+    window; the ordered parts of the readout are all integer or
+    fixed-expression doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        (F.col("vec_id") % 2).alias("w"),
+        F.posexplode(similarity.as_double_array("embedding")),
+    )
+    m = el.groupBy("w", "pos").agg(
+        (
+            F.sum(
+                F.floor(F.col("col") * F.lit(1099511627776.0)).cast("bigint")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1099511627776.0))
+        ).alias("mu")
+    )
+    mv = m.groupBy("w").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "mu"))),
+            lambda st: st.mu,
+        ).alias("mvec")
+    )
+    wide = (
+        mv.filter(F.col("w") == 0)
+        .select(F.col("mvec").alias("m0"))
+        .crossJoin(
+            mv.filter(F.col("w") == 1).select(F.col("mvec").alias("m1"))
+        )
+    )
+    l1q = F.aggregate(
+        F.zip_with(
+            F.col("m0"),
+            F.col("m1"),
+            lambda a, b: F.floor(
+                F.abs(b - a) * F.lit(1048576.0)
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return wide.select(
+        F.size("m0").cast("bigint").alias("dims"),
+        l1q.alias("l1_q"),
+        F.col("m0").alias("_m0"),
+        F.col("m1").alias("_m1"),
+    ).select(
+        "dims",
+        "l1_q",
+        (F.col("l1_q").cast("double") / (F.col("dims") * F.lit(1048576.0))).alias(
+            "mean_abs_shift"
+        ),
+        (
+            similarity.dot(F.col("_m0"), F.col("_m1"))
+            / (similarity.norm(F.col("_m0")) * similarity.norm(F.col("_m1")))
+        ).alias("centroid_cosine"),
+    )
