@@ -363,6 +363,7 @@ _BENCH_EXTRA: set[str] = {
     "retrieval_maxsim_pruned_recall",
     "rag_chunk_attribution",
     "drift_embedding_centroid_shift",
+    "dedup_simhash_threshold_curve",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

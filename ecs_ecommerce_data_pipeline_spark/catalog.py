@@ -291,6 +291,7 @@ _PRIORITY = [
     "retrieval_maxsim_pruned_recall",
     "rag_chunk_attribution",
     "drift_embedding_centroid_shift",
+    "dedup_simhash_threshold_curve",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

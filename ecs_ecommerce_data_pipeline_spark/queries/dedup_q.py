@@ -1538,3 +1538,137 @@ def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.sum("node").cast("bigint").alias("sum_members"),
     )
+
+
+_SIMHAM_SWEEP = [2, 4, 6, 8]
+
+_SIMHASH_CURVE_SQL = f"""
+WITH {_SIMHASH_BANDS_CTES},
+sham AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(SUM(bit_count(xor(ba.band_val, bb.band_val))) AS BIGINT)
+               AS hamming
+    FROM scand c
+    JOIN sbands ba ON ba.doc_id = c.doc_a
+    JOIN sbands bb ON bb.doc_id = c.doc_b AND bb.band_idx = ba.band_idx
+    GROUP BY 1, 2
+),
+strue AS (
+    SELECT ba.doc_id AS da, bb.doc_id AS db,
+           CAST(SUM(bit_count(xor(ba.band_val, bb.band_val))) AS BIGINT)
+               AS hamming
+    FROM sbands ba
+    JOIN sbands bb ON bb.band_idx = ba.band_idx AND ba.doc_id < bb.doc_id
+    WHERE ba.doc_id < {_RECALL_MAX_ID} AND bb.doc_id < {_RECALL_MAX_ID}
+    GROUP BY 1, 2
+)
+{" UNION ALL ".join(f'''
+SELECT {h} AS max_hamming,
+       CAST((SELECT COUNT(*) FROM sham WHERE hamming <= {h}) AS BIGINT)
+           AS n_pairs_wide,
+       CAST((SELECT COUNT(*) FROM strue WHERE hamming <= {h}) AS BIGINT)
+           AS n_truth,
+       CAST((SELECT COUNT(*) FROM sham
+             WHERE hamming <= {h}
+               AND doc_a < {_RECALL_MAX_ID} AND doc_b < {_RECALL_MAX_ID})
+            AS BIGINT) AS n_caught,
+       CASE WHEN (SELECT COUNT(*) FROM strue WHERE hamming <= {h}) > 0
+            THEN CAST((SELECT COUNT(*) FROM sham
+                       WHERE hamming <= {h}
+                         AND doc_a < {_RECALL_MAX_ID}
+                         AND doc_b < {_RECALL_MAX_ID}) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM strue WHERE hamming <= {h})
+       END AS recall''' for h in _SIMHAM_SWEEP)}
+"""
+
+
+@register("dedup_simhash_threshold_curve", _SIMHASH_CURVE_SQL)
+def q_simhash_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash distance-threshold sweep — the family's parameter
+    curve next to the LSH (bands × rows) tuning curve and the nprobe
+    sweep: ONE banding + Hamming pass serves every threshold (the
+    candidate set and the exact audit-slice truth are computed once at
+    the widest radius; each rung is a COUNT at its cutoff).  Reads as
+    the S-curve an operator consults before picking max_hamming: the
+    pigeonhole radius (≤ 3 with 4 fused bands) is exact by
+    construction, and recall decays measurably beyond it."""
+    doc = load_table(spark, sf_dir, "documents")
+    bands = dedup.simhash_bands(doc).persist()
+    from ..operators.multimodal import fuse_bands
+
+    blocks = fuse_bands(bands, 16)
+    ca = blocks.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
+    cb = blocks.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
+    cand = (
+        ca.join(cb, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx",
+        F.col("band_val").alias("va"),
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx",
+        F.col("band_val").alias("vb"),
+    )
+    sham = (
+        cand.join(ba, "doc_a")
+        .join(bb, ["doc_b", "band_idx"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))))
+            .cast("bigint").alias("hamming")
+        )
+        .persist()
+    )
+    sub = bands.filter(F.col("doc_id") < _RECALL_MAX_ID)
+    ta = sub.select(
+        F.col("doc_id").alias("da"), "band_idx", F.col("band_val").alias("va")
+    )
+    tb = sub.select(
+        F.col("doc_id").alias("db"), "band_idx", F.col("band_val").alias("vb")
+    )
+    strue = (
+        ta.join(tb, "band_idx")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(
+            F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))))
+            .cast("bigint").alias("hamming")
+        )
+        .persist()
+    )
+    outs = []
+    for h in _SIMHAM_SWEEP:
+        wide = sham.filter(F.col("hamming") <= h)
+        truth = strue.filter(F.col("hamming") <= h)
+        caught = wide.filter(
+            (F.col("doc_a") < _RECALL_MAX_ID) & (F.col("doc_b") < _RECALL_MAX_ID)
+        )
+        outs.append(
+            wide.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_wide"))
+            .crossJoin(
+                truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+            )
+            .crossJoin(
+                caught.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_caught")
+                )
+            )
+            .select(
+                F.lit(h).cast("bigint").alias("max_hamming"),
+                "n_pairs_wide",
+                "n_truth",
+                "n_caught",
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("n_caught").cast("double") / F.col("n_truth"),
+                ).alias("recall"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
