@@ -364,6 +364,7 @@ _BENCH_EXTRA: set[str] = {
     "rag_chunk_attribution",
     "drift_embedding_centroid_shift",
     "dedup_simhash_threshold_curve",
+    "graph_ppr_purchases",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

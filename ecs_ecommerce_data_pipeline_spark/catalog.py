@@ -292,6 +292,7 @@ _PRIORITY = [
     "rag_chunk_attribution",
     "drift_embedding_centroid_shift",
     "dedup_simhash_threshold_curve",
+    "graph_ppr_purchases",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

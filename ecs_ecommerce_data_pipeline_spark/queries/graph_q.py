@@ -13,6 +13,7 @@ operands in the SQL. One ulp here shifts ranks after two iterations.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import register
@@ -222,3 +223,103 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
     )
     return n_tri.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_parts))
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (round 8): seed-anchored affinity
+# ---------------------------------------------------------------------------
+
+_PPR_SEEDS = 3
+_PPR_TOP = 50
+
+
+def _ppr_iter_sql(prev: str, c: str, nxt: str) -> str:
+    return f"""{c} AS (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(FLOOR((r.rank / CAST(d.outdeg AS DOUBLE))
+                               * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+               / 1099511627776.0 AS in_mass
+    FROM edges e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY 1
+),
+{nxt} AS (
+    SELECT b.node,
+           (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * b.r
+               + 0.85 * COALESCE({c}.in_mass, 0.0) AS rank
+    FROM pbase b LEFT JOIN {c} ON {c}.node = b.node
+)"""
+
+
+_PPR_SQL = f"""
+WITH pairs AS (
+    SELECT DISTINCT 'u:' || o_custkey AS u, 'p:' || l_partkey AS p
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+    SELECT u AS src, p AS dst FROM pairs
+    UNION ALL
+    SELECT p AS src, u AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+pseeds AS (
+    SELECT DISTINCT u AS node FROM pairs ORDER BY u LIMIT {_PPR_SEEDS}
+),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_seeds FROM pseeds),
+pbase AS (
+    SELECT nodes.node,
+           CASE WHEN pseeds.node IS NOT NULL THEN 1.0 / n_seeds
+                ELSE CAST(0.0 AS DOUBLE) END AS r
+    FROM nodes LEFT JOIN pseeds ON pseeds.node = nodes.node CROSS JOIN ns
+),
+pr0 AS (SELECT node, r AS rank FROM pbase),
+{_ppr_iter_sql("pr0", "pc1", "pr1")},
+{_ppr_iter_sql("pr1", "pc2", "pr2")}
+SELECT node, rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rnk FROM pr2
+) WHERE rnk <= {_PPR_TOP}
+"""
+
+
+@register("graph_ppr_purchases", _PPR_SQL)
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the three smallest customers over the
+    mirrored purchase graph — the recommendation form of the global
+    PageRank: restart mass returns to the seed set, so high-rank
+    products are those reachable through the seeds' purchase
+    neighborhood, not the globally popular ones.  Same per-iteration
+    plan (one edges⨝ranks join + one combinable dst-agg), same 2^40
+    integer-scaled contribution sums, same explicit DOUBLE-subtraction
+    damping term the global oracle needs — the seed restart is one
+    extra broadcast-joined column."""
+    from ..operators.graph import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("u:"), F.col("o_custkey")).alias("u"),
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("p"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("p").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("p").alias("src"), F.col("u").alias("dst"))
+    )
+    seeds = (
+        pairs.select(F.col("u").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(_PPR_SEEDS)
+    )
+    ranks = personalized_pagerank(
+        edges, seeds, iters=_ITERS, distinct_edges=False
+    )
+    w = W.orderBy(F.desc("rank"), F.asc("node"))
+    return ranks.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _PPR_TOP
+    ).select("node", "rank")
