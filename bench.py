@@ -365,6 +365,7 @@ _BENCH_EXTRA: set[str] = {
     "drift_embedding_centroid_shift",
     "dedup_simhash_threshold_curve",
     "graph_ppr_purchases",
+    "reco_cooccur_hitrate",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

@@ -293,6 +293,7 @@ _PRIORITY = [
     "drift_embedding_centroid_shift",
     "dedup_simhash_threshold_curve",
     "graph_ppr_purchases",
+    "reco_cooccur_hitrate",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

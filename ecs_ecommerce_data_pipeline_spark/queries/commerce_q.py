@@ -981,3 +981,172 @@ def q_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sxd / 100.0).alias("total_revenue"),
         (2.0 * srxd / (nd * sxd) - (nd + 1.0) / nd).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence recommender evaluation (round 8)
+# ---------------------------------------------------------------------------
+# The dataset side of a recommender: leave-LAST-order-out per customer,
+# build the item co-occurrence matrix from the train orders only, score
+# candidates by summed co-occurrence with the customer's train items,
+# and measure hit-rate@k against the held-out basket — the offline eval
+# every retrieval/reco pipeline runs before shipping a model.
+
+_RECO_K = 10
+_RECO_NEIGH = 10
+
+_RECO_SQL = f"""
+WITH lastord AS (
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+    FROM orders
+),
+train_items AS (
+    SELECT DISTINCT lo.o_custkey AS custkey, l.l_partkey AS item
+    FROM lastord lo JOIN lineitem l ON l.l_orderkey = lo.o_orderkey
+    WHERE lo.rk > 1
+),
+test_items AS (
+    SELECT DISTINCT lo.o_custkey AS custkey, l.l_partkey AS item
+    FROM lastord lo JOIN lineitem l ON l.l_orderkey = lo.o_orderkey
+    WHERE lo.rk = 1
+),
+train_baskets AS (
+    SELECT DISTINCT lo.o_orderkey AS ok, l.l_partkey AS item
+    FROM lastord lo JOIN lineitem l ON l.l_orderkey = lo.o_orderkey
+    WHERE lo.rk > 1
+),
+cooc AS (
+    SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS n
+    FROM train_baskets a JOIN train_baskets b
+      ON b.ok = a.ok AND b.item <> a.item
+    GROUP BY 1, 2
+),
+neigh AS (
+    SELECT ia, ib, n FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY ia ORDER BY n DESC, ib) AS rk
+        FROM cooc
+    ) WHERE rk <= {_RECO_NEIGH}
+),
+cand AS (
+    SELECT t.custkey, g.ib AS item, CAST(SUM(g.n) AS BIGINT) AS score
+    FROM train_items t JOIN neigh g ON g.ia = t.item
+    LEFT JOIN train_items own
+      ON own.custkey = t.custkey AND own.item = g.ib
+    WHERE own.item IS NULL
+    GROUP BY 1, 2
+),
+recs AS (
+    SELECT custkey, item FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY custkey ORDER BY score DESC, item) AS rk
+        FROM cand
+    ) WHERE rk <= {_RECO_K}
+),
+evald AS (
+    SELECT tt.custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(COUNT(r.item) AS BIGINT) AS n_hits
+    FROM test_items tt
+    LEFT JOIN recs r ON r.custkey = tt.custkey AND r.item = tt.item
+    WHERE tt.custkey IN (SELECT custkey FROM train_items)
+    GROUP BY tt.custkey
+)
+SELECT custkey, n_test, n_hits,
+       CAST(n_hits AS DOUBLE) / LEAST(n_test, {_RECO_K}) AS hit_rate
+FROM evald
+"""
+
+
+@register("reco_cooccur_hitrate", _RECO_SQL)
+def q_reco_cooccur_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender eval, leave-last-order-out: co-occurrence
+    neighbors (top-10 per item by train-basket pair counts, capped like
+    ``basket_pair_affinity``) score candidates per customer; hit-rate@10
+    against the held-out final basket, per customer.  All ranking keys
+    are integer counts with lexicographic ties — the eval is exactly
+    reproducible, which offline reco evals in practice rarely are.
+    Scale: co-occurrence is the Σ basket² stage SCALING already prices;
+    everything downstream joins bounded top-N/ per-customer frames."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    lastord = o.select(
+        "o_orderkey", "o_custkey", F.row_number().over(w).alias("rk")
+    )
+    joined = lastord.join(
+        li.select("l_orderkey", "l_partkey"),
+        lastord["o_orderkey"] == li["l_orderkey"],
+    )
+    train_items = (
+        joined.filter(F.col("rk") > 1)
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    test_items = (
+        joined.filter(F.col("rk") == 1)
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    train_baskets = (
+        joined.filter(F.col("rk") > 1)
+        .select(F.col("o_orderkey").alias("ok"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    a = train_baskets.select("ok", F.col("item").alias("ia"))
+    b = train_baskets.select("ok", F.col("item").alias("ib"))
+    cooc = (
+        a.join(b, "ok")
+        .filter(F.col("ia") != F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wn = W.partitionBy("ia").orderBy(F.desc("n"), F.asc("ib"))
+    neigh = cooc.withColumn("rk", F.row_number().over(wn)).filter(
+        F.col("rk") <= _RECO_NEIGH
+    ).select("ia", "ib", "n")
+    cand = (
+        train_items.join(neigh, train_items["item"] == neigh["ia"])
+        .join(
+            train_items.select(
+                F.col("custkey").alias("ck2"), F.col("item").alias("own")
+            ),
+            (F.col("custkey") == F.col("ck2")) & (F.col("ib") == F.col("own")),
+            "left_anti",
+        )
+        .groupBy("custkey", F.col("ib").alias("item"))
+        .agg(F.sum("n").cast("bigint").alias("score"))
+    )
+    wr = W.partitionBy("custkey").orderBy(F.desc("score"), F.asc("item"))
+    recs = cand.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= _RECO_K
+    ).select("custkey", "item")
+    evald = (
+        test_items.join(
+            train_items.select("custkey").distinct(), "custkey", "left_semi"
+        )
+        .join(
+            recs.withColumnRenamed("item", "ritem"),
+            (test_items["custkey"] == recs["custkey"])
+            & (test_items["item"] == F.col("ritem")),
+            "left",
+        )
+        .groupBy(test_items["custkey"].alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.count("ritem").cast("bigint").alias("n_hits"),
+        )
+    )
+    return evald.select(
+        "custkey",
+        "n_test",
+        "n_hits",
+        (
+            F.col("n_hits").cast("double")
+            / F.least(F.col("n_test"), F.lit(_RECO_K)).cast("double")
+        ).alias("hit_rate"),
+    )
