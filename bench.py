@@ -366,6 +366,7 @@ _BENCH_EXTRA: set[str] = {
     "dedup_simhash_threshold_curve",
     "graph_ppr_purchases",
     "reco_cooccur_hitrate",
+    "curation_label_noise",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

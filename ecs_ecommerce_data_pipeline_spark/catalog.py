@@ -294,6 +294,7 @@ _PRIORITY = [
     "dedup_simhash_threshold_curve",
     "graph_ppr_purchases",
     "reco_cooccur_hitrate",
+    "curation_label_noise",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

@@ -362,3 +362,143 @@ def q_quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("edge").alias("norm_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-noise audit (round 8): k-NN majority-vote disagreement
+# ---------------------------------------------------------------------------
+# Training-data label QA (confident-learning-lite): a point whose
+# nearest neighbors overwhelmingly carry a DIFFERENT label is a
+# mislabel candidate.  All-pairs k-NN is n²; the audit rides the
+# hyperplane-LSH buckets (the sim_lsh_topk corpus machinery) — exact
+# cosine WITHIN the bucket, every vector a query, one bucket self-join.
+
+_LN_K = 10
+_LN_MIN_NEIGH = 5
+
+_LN_PROJ = ",\n       ".join(
+    "list_sum(list_transform(range(1, 65),"
+    f" i -> CAST(FLOOR((v[i] * "
+    f"(('0x' || substr(md5({p} || ':' || (i - 1)), 1, 15))::BIGINT"
+    f" / 1152921504606846976.0 * 2.0 - 1.0)"
+    f") * 1099511627776.0) AS BIGINT))) AS proj_{p}"
+    for p in range(8)
+)
+_LN_BUCKET = " + ".join(
+    f"(CASE WHEN proj_{p} > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+    for p in range(8)
+)
+
+_LABEL_NOISE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+proj AS (
+    SELECT vec_id, v, label,
+       {_LN_PROJ}
+    FROM e
+),
+lb AS (
+    SELECT vec_id, v, label, CAST({_LN_BUCKET} AS BIGINT) AS bucket
+    FROM proj
+),
+nn AS (
+    SELECT vec_id, nlabel FROM (
+        SELECT a.vec_id, b.label AS nlabel,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))) DESC,
+                   b.vec_id) AS rk
+        FROM lb a JOIN lb b
+          ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+    ) WHERE rk <= {_LN_K}
+),
+votes AS (
+    SELECT vec_id, nlabel, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM nn GROUP BY 1, 2
+),
+verdict AS (
+    SELECT vec_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_neighbors,
+           CAST(MAX(cnt) AS BIGINT) AS n_majority,
+           CAST(-(MAX(struct_pack(c := cnt, n := -nlabel))).n AS BIGINT) AS majority_label
+    FROM votes GROUP BY vec_id
+)
+SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+       v.n_neighbors, v.majority_label, v.n_majority,
+       v.n_neighbors >= {_LN_MIN_NEIGH}
+       AND v.majority_label <> e.label
+       AND v.n_majority * 2 > v.n_neighbors AS flagged
+FROM e JOIN verdict v ON v.vec_id = e.vec_id
+"""
+
+
+@register("curation_label_noise", _LABEL_NOISE_SQL)
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel candidates by k-NN majority vote: for every vector, its
+    10 nearest same-bucket neighbors (exact cosine inside the
+    hyperplane-LSH bucket — the corpus-side sim_lsh_topk machinery with
+    EVERY vector as a query), the neighbor-label majority
+    (smallest-label ties via the struct-max idiom), and a flag when a
+    strict majority of ≥ {_LN_MIN_NEIGH} neighbors disagrees with the
+    point's own label.  On the near-uniform testdata labels are
+    ~independent of geometry, so flags are the calibration floor a real
+    corpus is compared against; every count is an integer and the flag
+    is pure integer arithmetic."""
+    from ..operators.similarity import _with_buckets, dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lb = _with_buckets(emb, 8).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "label",
+        "bucket",
+    ).withColumn("nrm", norm(F.col("v")))
+    a = lb.select(
+        F.col("vec_id").alias("aid"), F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"), "bucket",
+    )
+    b = lb.select(
+        F.col("vec_id").alias("bid"), F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"), F.col("label").alias("nlabel"), "bucket",
+    )
+    w = W.partitionBy("aid").orderBy(F.desc("cos"), F.asc("bid"))
+    nn = (
+        a.join(b, "bucket")
+        .filter(F.col("aid") != F.col("bid"))
+        .select(
+            "aid",
+            "bid",
+            "nlabel",
+            (dot(F.col("av"), F.col("bv")) / (F.col("anrm") * F.col("bnrm")))
+            .alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _LN_K)
+    )
+    votes = nn.groupBy("aid", "nlabel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    verdict = votes.groupBy("aid").agg(
+        F.sum("cnt").cast("bigint").alias("n_neighbors"),
+        F.max("cnt").cast("bigint").alias("n_majority"),
+        (
+            -F.max(F.struct(F.col("cnt"), (-F.col("nlabel")).alias("nl")))
+            .getField("nl")
+        ).cast("bigint").alias("majority_label"),
+    )
+    return (
+        emb.select("vec_id", F.col("label").cast("bigint").alias("label"))
+        .join(verdict, F.col("vec_id") == F.col("aid"))
+        .select(
+            "vec_id",
+            "label",
+            "n_neighbors",
+            "majority_label",
+            "n_majority",
+            (
+                (F.col("n_neighbors") >= _LN_MIN_NEIGH)
+                & (F.col("majority_label") != F.col("label"))
+                & (F.col("n_majority") * 2 > F.col("n_neighbors"))
+            ).alias("flagged"),
+        )
+    )
