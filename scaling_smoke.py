@@ -199,6 +199,19 @@ STAGES = {
     # embedding row, ONE corpus-token scan vs the broadcast query-token
     # set, two hash aggs — must stay linear in corpus tokens
     "retrieval_maxsim_topk": "embeddings",
+    # round-8 final batch, shapes already covered: graph_ppr_purchases
+    # is the timed pagerank plan plus one broadcast restart column;
+    # rag_chunk_attribution explodes 200/150 chunk windows through the
+    # timed BM25 shape; reco_cooccur_hitrate's Σ basket² co-occurrence
+    # is the timed basket_pair_affinity stage, everything downstream
+    # bounded top-N frames; curation_label_noise is the timed
+    # dedup_semantic_clusters bucket self-join with every vector as a
+    # query; dedup_simhash_threshold_curve runs ONE pass of the timed
+    # simhash pair stage and counts at four cutoffs;
+    # drift_embedding_centroid_shift is one posexplode scan + two hash
+    # aggs; retrieval_maxsim_pruned_topk's candidate join is bounded by
+    # bucket co-occupancy (the sim_lsh_topk class) and its exact stage
+    # is a subset of the timed maxsim scan.
 }
 
 
