@@ -367,6 +367,8 @@ _BENCH_EXTRA: set[str] = {
     "graph_ppr_purchases",
     "reco_cooccur_hitrate",
     "curation_label_noise",
+    "text_tfidf_keyterms",
+    "events_next_event_eval",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

@@ -295,6 +295,8 @@ _PRIORITY = [
     "graph_ppr_purchases",
     "reco_cooccur_hitrate",
     "curation_label_noise",
+    "text_tfidf_keyterms",
+    "events_next_event_eval",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

@@ -2669,3 +2669,110 @@ def q_cusum_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum_q",
         (F.col("cusum_q") >= F.lit(_CUSUM_T) * F.col("hh")).alias("alarm"),
     )
+
+
+# --- next-event prediction eval (round 8) -----------------------------------
+
+_NE_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+),
+pairs AS (
+    SELECT a.user_id, a.event_type AS prior_type, b.event_type AS next_type,
+           b.rn = b.n AS is_test
+    FROM seq a JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+),
+matrix AS (
+    SELECT prior_type, next_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs WHERE NOT is_test GROUP BY 1, 2
+),
+pred AS (
+    SELECT prior_type, next_type AS predicted FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY prior_type ORDER BY cnt DESC, next_type) AS rk
+        FROM matrix
+    ) WHERE rk = 1
+),
+test AS (
+    SELECT user_id, prior_type, next_type FROM pairs WHERE is_test
+),
+evald AS (
+    SELECT t.prior_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN p.predicted = t.next_type THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct
+    FROM test t JOIN pred p ON p.prior_type = t.prior_type
+    GROUP BY t.prior_type
+)
+SELECT prior_type, n_users, n_correct,
+       CAST(n_correct AS DOUBLE) / n_users AS accuracy
+FROM evald
+"""
+
+
+@register("events_next_event_eval", _NE_SQL)
+def q_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event prediction, leave-LAST-event-out:
+    the transition matrix trains on every per-user transition except
+    the final one, predicts argmax(next | prior) (count ties to the
+    lexicographically smaller type), and scores accuracy against each
+    user's held-out last event, grouped by prior type.  The sequence
+    sibling of ``reco_cooccur_hitrate`` — the eval a session-based
+    model is baselined against; the transition machinery is
+    ``events_transition_matrix``'s (timed per-user window pass), all
+    counts integer, one double division per row."""
+    e = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n"),
+    )
+    a = seq.select(
+        "user_id", F.col("event_type").alias("prior_type"),
+        F.col("rn").alias("ra"),
+    )
+    b = seq.select(
+        "user_id", F.col("event_type").alias("next_type"),
+        F.col("rn").alias("rb"), "n",
+    )
+    pairs = a.join(
+        b, (a["user_id"] == b["user_id"]) & (F.col("rb") == F.col("ra") + 1)
+    ).select(
+        a["user_id"], "prior_type", "next_type",
+        (F.col("rb") == F.col("n")).alias("is_test"),
+    )
+    matrix = (
+        pairs.filter(~F.col("is_test"))
+        .groupBy("prior_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wp = W.partitionBy("prior_type").orderBy(F.desc("cnt"), F.asc("next_type"))
+    pred = (
+        matrix.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("prior_type", F.col("next_type").alias("predicted"))
+    )
+    test = pairs.filter(F.col("is_test")).select("prior_type", "next_type")
+    return (
+        test.join(F.broadcast(pred), "prior_type")
+        .groupBy("prior_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("next_type"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "prior_type",
+            "n_users",
+            "n_correct",
+            (F.col("n_correct").cast("double") / F.col("n_users")).alias(
+                "accuracy"
+            ),
+        )
+    )

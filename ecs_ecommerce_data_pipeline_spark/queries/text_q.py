@@ -1139,3 +1139,74 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.col("curriculum_rank").cast("bigint").alias("curriculum_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyterms (round 8)
+# ---------------------------------------------------------------------------
+
+_KT_K = 5
+
+_KEYTERMS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM ex GROUP BY 1, 2
+),
+dfx AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+    FROM (SELECT DISTINCT doc_id, term FROM ex) GROUP BY 1
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM t),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+           CAST(tf.tf * (n_docs - dfx.df) AS BIGINT) AS score_q
+    FROM tf JOIN dfx USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, df, score_q, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_q DESC, term) AS rnk
+    FROM scored
+) WHERE rnk <= {_KT_K}
+"""
+
+
+@register("text_tfidf_keyterms", _KEYTERMS_SQL)
+def q_tfidf_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyterm extraction: top-5 terms by the ALL-INTEGER
+    tf·(N − df) rational-idf surrogate — monotone in tf·idf for fixed
+    N (idf = log(N/df) is monotone decreasing in df; so is N − df),
+    chosen so ranking needs no transcendental and both engines agree
+    bit-for-bit with lexicographic ties (the ``bm25_retrieval``
+    rational-idf discipline).  The doc-level summarization/tagging
+    primitive a corpus pipeline materializes next to quality scores:
+    one token explode, two hash aggs, one per-doc window."""
+    from ..functions.textfn import tokens as _tokens
+
+    doc = load_table(spark, sf_dir, "documents")
+    ex = doc.select("doc_id", F.explode(_tokens("text")).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfx = (
+        ex.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    nd = doc.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = tf.join(dfx, "term").crossJoin(F.broadcast(nd)).select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * (F.col("n_docs") - F.col("df"))).cast("bigint").alias(
+            "score_q"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("term"))
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= _KT_K)
