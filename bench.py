@@ -369,6 +369,7 @@ _BENCH_EXTRA: set[str] = {
     "curation_label_noise",
     "text_tfidf_keyterms",
     "events_next_event_eval",
+    "geo_hotspot_clusters",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

@@ -297,6 +297,7 @@ _PRIORITY = [
     "curation_label_noise",
     "text_tfidf_keyterms",
     "events_next_event_eval",
+    "geo_hotspot_clusters",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

@@ -277,3 +277,105 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(d2).alias("min_d2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial hotspot clusters (round 8): DBSCAN-lite over dense grid cells
+# ---------------------------------------------------------------------------
+
+_HS_GRID = 30      # finer than the 10x10 join grid: ~1.7 customers/cell
+_HS_MIN = 4        # dense-cell threshold (>= 4 customers)
+
+_HOTSPOT_SQL = f"""
+WITH RECURSIVE pos AS (
+    SELECT c_custkey,
+           ('0x' || substr(md5('x' || CAST(c_custkey AS STRING)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS x,
+           ('0x' || substr(md5('y' || CAST(c_custkey AS STRING)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS y
+    FROM customer
+),
+cells AS (
+    SELECT CAST(FLOOR(x * {_HS_GRID}) AS BIGINT) AS cx,
+           CAST(FLOOR(y * {_HS_GRID}) AS BIGINT) AS cy,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pos GROUP BY 1, 2
+),
+dense AS (
+    SELECT cx * {_HS_GRID} + cy AS cell, cx, cy, n
+    FROM cells WHERE n >= {_HS_MIN}
+),
+adj AS (
+    SELECT a.cell AS u, b.cell AS v
+    FROM dense a JOIN dense b
+      ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1
+     AND a.cell <> b.cell
+),
+reach(node, r) AS (
+    SELECT cell, cell FROM dense
+    UNION
+    SELECT e.v, r.r FROM reach r JOIN adj e ON e.u = r.node
+),
+labeled AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT l.component,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(d.n) AS BIGINT) AS n_customers,
+       CAST(MIN(l.node) AS BIGINT) AS min_cell
+FROM labeled l JOIN dense d ON d.cell = l.node
+GROUP BY l.component
+"""
+
+
+@register("geo_hotspot_clusters", _HOTSPOT_SQL)
+def q_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot detection, DBSCAN-lite: grid cells above a
+    density threshold merged across 8-neighbor adjacency by the shared
+    star-contraction connected components — per hotspot, its cell
+    count, customer mass, and canonical min-cell id.  The grid-bucket
+    trick that made the radius join an equi-join makes density
+    clustering one groupBy + a bounded dense-cell self-join (the dense
+    subset is a small fraction of cells by construction); the oracle
+    states the same fixpoint as a recursive closure."""
+    from ..functions.textfn import md5_bigint
+    from ..operators.dedup import connected_components
+
+    cust = load_table(spark, sf_dir, "customer")
+    x = _coord(F.col("c_custkey"), "x")
+    y = _coord(F.col("c_custkey"), "y")
+    cells = (
+        cust.select(
+            F.floor(x * _HS_GRID).cast("bigint").alias("cx"),
+            F.floor(y * _HS_GRID).cast("bigint").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    dense = cells.filter(F.col("n") >= _HS_MIN).select(
+        (F.col("cx") * _HS_GRID + F.col("cy")).alias("cell"), "cx", "cy", "n"
+    ).persist()
+    a = dense.select(
+        F.col("cell").alias("doc_a"), F.col("cx").alias("ax"),
+        F.col("cy").alias("ay"),
+    )
+    b = dense.select(
+        F.col("cell").alias("doc_b"), F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+    )
+    adj = a.join(
+        b,
+        (F.abs(F.col("ax") - F.col("bx")) <= 1)
+        & (F.abs(F.col("ay") - F.col("by")) <= 1)
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).select("doc_a", "doc_b")
+    labels = connected_components(adj, src="doc_a", dst="doc_b")
+    # isolated dense cells form their own singleton hotspots
+    labeled = dense.join(
+        labels, dense["cell"] == labels["node"], "left"
+    ).select(
+        "cell", "n", F.coalesce("component", F.col("cell")).alias("component")
+    )
+    return labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n").cast("bigint").alias("n_customers"),
+        F.min("cell").cast("bigint").alias("min_cell"),
+    )
