@@ -134,3 +134,53 @@ def psi_drift_monitor(
         .foreachBatch(_monitor)
         .start()
     )
+
+
+def cusum_from_status(
+    spark,
+    status_path: str,
+    k_q: int,
+    h_q: int,
+) -> DataFrame:
+    """Page's CUSUM over the per-batch PSI series — the PERSISTENT-shift
+    readout the per-batch ``drifted`` flag can't give (a threshold flag
+    flickers on noisy batches; CUSUM accumulates evidence and stays up
+    once a real shift lands).  The sequential-detector pair now serves
+    streaming end-to-end: SPRT over the preference store
+    (``sprt_monitor_from_stats``), CUSUM over the drift store (here).
+
+    x_b = FLOOR(psi_b·2^20) − ``k_q`` (the quantized allowance — drift
+    smaller than k_q/2^20 PSI per batch is absorbed);
+    C_b = Σx − min(0, running-min Σx) (the ``events_cusum_hourly``
+    cumsum−running-min identity); alarm when C_b ≥ ``h_q``.
+
+    Reads O(batches) status rows; two windows over that bounded frame.
+    Returns (batch_id, n_rows, psi, cusum_q, alarm) in batch order.
+    """
+    from pyspark.sql import Window as W
+
+    raw = spark.read.parquet(status_path).select(
+        F.col("batch_id").cast("bigint").alias("batch_id"),
+        "n_rows",
+        "psi",
+        (
+            F.floor(F.col("psi") * F.lit(1048576.0)).cast("bigint")
+            - F.lit(int(k_q))
+        ).alias("xq"),
+    )
+    w = W.orderBy("batch_id")
+    cum = raw.withColumn("s", F.sum("xq").over(w).cast("bigint"))
+    cc = cum.withColumn(
+        "cusum_q",
+        (
+            F.col("s")
+            - F.least(F.lit(0).cast("bigint"), F.min("s").over(w))
+        ).cast("bigint"),
+    )
+    return cc.select(
+        "batch_id",
+        "n_rows",
+        "psi",
+        "cusum_q",
+        (F.col("cusum_q") >= F.lit(int(h_q))).alias("alarm"),
+    )

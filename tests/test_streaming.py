@@ -1158,3 +1158,70 @@ def test_decontamination_stream_equals_batch_operator(spark, tmp_path):
         ).collect()
     }
     assert again == expect
+
+
+def test_streaming_cusum_over_drift_status(spark, tmp_path):
+    """CUSUM over the per-batch PSI series: quiet batches keep the
+    statistic at ~0, a persistent shift accumulates past the alarm and
+    STAYS up on later shifted batches (the persistence a per-batch
+    threshold flag doesn't have), and the reference python fold agrees
+    exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ecs_ecommerce_data_pipeline_spark.streaming.drift_stream import (
+        cusum_from_status,
+        psi_drift_monitor,
+        reference_histogram,
+    )
+
+    ref_df = spark.range(10_000).select((F.col("id") % 1000).alias("v"))
+    ref = reference_histogram(ref_df, "v", n_bins=10)
+
+    src = str(tmp_path / "src")
+    # two quiet batches, then three persistently shifted ones
+    for _ in range(2):
+        spark.range(5_000).select((F.col("id") % 1000).alias("v")).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    for _ in range(3):
+        spark.range(5_000).select(
+            (F.col("id") % 100 + 900).alias("v")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    status = str(tmp_path / "status")
+    q = psi_drift_monitor(
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        ref,
+        "v",
+        status,
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    k_q = math.floor(0.05 * (1 << 20))   # absorb 0.05 PSI/batch
+    h_q = math.floor(0.5 * (1 << 20))    # alarm at 0.5 accumulated PSI
+    rows = sorted(
+        cusum_from_status(spark, status, k_q=k_q, h_q=h_q).collect(),
+        key=lambda r: r["batch_id"],
+    )
+    assert len(rows) == 5
+    # quiet prefix: no alarm; shifted suffix: alarm fires and stays
+    assert not rows[0]["alarm"] and not rows[1]["alarm"]
+    assert rows[2]["alarm"] or rows[3]["alarm"]
+    assert rows[4]["alarm"]
+    first_alarm = min(i for i, r in enumerate(rows) if r["alarm"])
+    assert all(r["alarm"] for r in rows[first_alarm:])
+    # exact python fold over the stored psi values
+    cum, mn, expect = 0, 0, []
+    for r in rows:
+        cum += math.floor(r["psi"] * (1 << 20)) - k_q
+        mn = min(mn, cum)
+        expect.append(cum - min(0, mn))
+    assert [r["cusum_q"] for r in rows] == expect
