@@ -370,6 +370,7 @@ _BENCH_EXTRA: set[str] = {
     "text_tfidf_keyterms",
     "events_next_event_eval",
     "geo_hotspot_clusters",
+    "retrieval_pooled_cluster_hit",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",

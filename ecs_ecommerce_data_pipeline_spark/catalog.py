@@ -298,6 +298,7 @@ _PRIORITY = [
     "text_tfidf_keyterms",
     "events_next_event_eval",
     "geo_hotspot_clusters",
+    "retrieval_pooled_cluster_hit",
     # round-7 head carries below (all already green — harmless)
     "sim_clustered_embeddings",
     "sim_ivfpq_trained_topk",

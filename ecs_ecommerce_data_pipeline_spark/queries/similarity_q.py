@@ -4879,3 +4879,125 @@ def q_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (similarity.norm(F.col("_m0")) * similarity.norm(F.col("_m1")))
         ).alias("centroid_cosine"),
     )
+
+
+# pooled single-vector baseline for the multi-vector fixture: mean of
+# the 4 token vectors via order-free quantized-integer sums, then plain
+# cosine top-k — what MaxSim is judged against
+_MV_POOL_SCALE = 1099511627776.0  # 2^40
+
+_MV_POOLED = f"""{_MV_TOK},
+mpe AS (
+    SELECT doc_id, unnest(tvec) AS val, generate_subscripts(tvec, 1) AS pos
+    FROM mtok
+),
+mpq AS (
+    SELECT doc_id, pos,
+           CAST(SUM(CAST(FLOOR(val * {_MV_POOL_SCALE}) AS BIGINT)) AS DOUBLE)
+               / ({_MV_T} * {_MV_POOL_SCALE}) AS mu
+    FROM mpe GROUP BY doc_id, pos
+),
+mpv AS (
+    SELECT doc_id, list(mu ORDER BY pos) AS pv FROM mpq GROUP BY doc_id
+),
+mpb AS (
+    SELECT doc_id, pv, sqrt(list_dot_product(pv, pv)) AS nrm FROM mpv
+),
+mpk AS (
+    SELECT query_id, doc_id FROM (
+        SELECT q.doc_id AS query_id, b.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY q.doc_id ORDER BY
+                   list_dot_product(q.pv, b.pv) / (q.nrm * b.nrm) DESC,
+                   b.doc_id) AS rnk
+        FROM mpb q JOIN mpb b ON b.doc_id <> q.doc_id
+        WHERE q.doc_id IN ({_qids})
+    ) WHERE rnk <= {_K}
+)"""
+
+_MV_POOLED_HIT_SQL = f"""
+WITH {_MV_POOLED},
+mcl AS (SELECT DISTINCT doc_id, cluster_true FROM mtok)
+SELECT t.query_id,
+       CAST(ANY_VALUE(qc.cluster_true) AS BIGINT) AS query_cluster,
+       CAST(SUM(CASE WHEN dc.cluster_true = qc.cluster_true
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_same_cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_results
+FROM mpk t
+JOIN mcl qc ON qc.doc_id = t.query_id
+JOIN mcl dc ON dc.doc_id = t.doc_id
+GROUP BY t.query_id
+"""
+
+
+@register("retrieval_pooled_cluster_hit", _MV_POOLED_HIT_SQL)
+def q_pooled_cluster_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-vector BASELINE for the multi-vector fixture: mean-
+    pool the 4 token vectors (order-free quantized-integer sums — the
+    centroid-shift discipline), plain cosine top-10, scored on the same
+    true-cluster readout as ``retrieval_maxsim_cluster_hit``.  The
+    comparison states honestly what late interaction buys on THIS
+    corpus: token vectors share a document-level center, so pooling
+    recovers the cluster as well as MaxSim does here — the gap opens on
+    heterogeneous token sets (multi-topic documents), which is exactly
+    when a real pipeline reaches for ColBERT.  Plumbing, costs, and
+    exactness of both paths are what this pair certifies."""
+    fx = similarity.synth_token_embeddings(
+        load_table(spark, sf_dir, "embeddings").select("vec_id"),
+        n_tokens=_MV_T, dims=_MV_DIMS,
+    )
+    el = fx.select(
+        "doc_id", F.posexplode(F.col("tvec")).alias("pos", "val")
+    )
+    mu = el.groupBy("doc_id", "pos").agg(
+        (
+            F.sum(
+                F.floor(F.col("val") * F.lit(_MV_POOL_SCALE)).cast("bigint")
+            ).cast("double")
+            / F.lit(float(_MV_T) * _MV_POOL_SCALE)
+        ).alias("mu")
+    )
+    pooled = mu.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "mu"))),
+            lambda s: s.mu,
+        ).alias("pv")
+    ).withColumn("nrm", similarity.norm(F.col("pv")))
+    qv = pooled.filter(F.col("doc_id").isin(_QUERY_IDS)).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("pv").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    topk = (
+        pooled.join(F.broadcast(qv), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                similarity.dot(F.col("qv"), F.col("pv"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _K)
+        .select("query_id", "doc_id")
+    )
+    cl = fx.select("doc_id", "cluster_true").distinct()
+    return (
+        topk.join(
+            cl.select(
+                F.col("doc_id").alias("query_id"),
+                F.col("cluster_true").alias("qcl"),
+            ),
+            "query_id",
+        )
+        .join(cl.select("doc_id", F.col("cluster_true").alias("dcl")), "doc_id")
+        .groupBy("query_id")
+        .agg(
+            F.first("qcl").cast("bigint").alias("query_cluster"),
+            F.sum(
+                F.when(F.col("dcl") == F.col("qcl"), 1).otherwise(0)
+            ).cast("bigint").alias("n_same_cluster"),
+            F.count(F.lit(1)).cast("bigint").alias("n_results"),
+        )
+    )
