@@ -254,17 +254,25 @@ def _load_all() -> None:
 #
 # Names whose SEMANTICS changed this round: their existing green rows
 # verified the old behavior, so they sort ahead of everything until the
-# next correctness run re-greens them (round 8: none — the
-# farthest_point_seeds running-max rewrite is bit-identical by max
-# associativity, re-confirmed by a fresh sf0.001 oracle drive of all
-# three round-7 FPS queries).
-_REVERIFY: list = []
+# next correctness run re-greens them.  Round 9:
+# ``curation_label_noise`` is re-registered on OR-amplified 4×16-bit
+# band blocking (the round-8 verdict's top task — the old single
+# 8-plane bucket self-join was the n²/256 quadratic shape); neighbor
+# sets, and therefore flags, legitimately differ from the round-8 rows,
+# and the oracle changed in the same commit.
+_REVERIFY: list = ["curation_label_noise"]
 
 # Round-8 head: the round-8 additions, in build order — every round-7
 # query already holds a green hash row (CORRECTNESS_r07 was all-green,
 # cumulative backlog 0), so these are the only unverified entries and
 # the external sampler's first-50 window covers them all.
 _PRIORITY = [
+    # -- round-9 additions (never verified yet): front of the window --
+    "rag_chunk_dense_topk",
+    "rag_chunk_hybrid_rrf",
+    "rag_chunk_channel_agreement",
+    # -- round-8 head below (all green in r08 — they sort to the
+    #    verified tail anyway; kept for the no-artifacts fallback) --
     "sim_fps_seeds_k64",
     "sim_ivf_fps64_recall",
     "sim_ivfpq_filtered_topk",

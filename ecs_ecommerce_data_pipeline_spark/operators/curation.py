@@ -266,3 +266,117 @@ def mad_outliers(
         .withColumn("is_outlier", F.col("dev") > F.lit(k) * F.col("_mad"))
         .drop("_mad")
     )
+
+
+def knn_label_noise_audit(
+    embeddings: DataFrame,
+    k: int = 10,
+    min_neighbors: int = 5,
+    n_bands: int = 4,
+    band_bits: int = 16,
+    exact: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote label audit (confident-learning-lite): per
+    point, rank its candidate neighbors by exact cosine, take the top
+    ``k``, and flag the point when ≥ ``min_neighbors`` neighbors exist
+    AND a strict majority of them carries a different label.  Returns
+    (vec_id, label, n_neighbors, majority_label, n_majority, flagged).
+
+    Candidate generation is the scale knob: the default blocks on
+    ``n_bands`` × ``band_bits``-plane OR-amplified LSH bands
+    (:func:`operators.similarity.multiband_bucket_rows` — candidates
+    are pairs sharing ANY band, n²/2^band_bits collision floor per
+    band), so no all-pairs stage exists anywhere; ``exact=True`` ranks
+    ALL pairs instead — the quadratic reference the regression test
+    compares the banded audit against on clustered fixtures (where
+    true neighbors are genuinely close and band recall is ~1).
+
+    Shape: the band self-join shuffles 2-integer rows; the distinct
+    (aid, bid) set joins the feature frame twice BY ID (vector payload
+    never rides the blocking join); one per-point window over the
+    bounded candidate list; integer votes throughout."""
+    from pyspark.sql.window import Window as W
+
+    from .similarity import as_double_array, dot, multiband_bucket_rows, norm
+
+    feats = embeddings.select(
+        F.col(id_col).alias("_vid"),
+        as_double_array(vec_col).alias("v"),
+        F.col(label_col).alias("_label"),
+    ).withColumn("nrm", norm(F.col("v")))
+    if exact:
+        cand = (
+            feats.select(F.col("_vid").alias("aid"))
+            .crossJoin(feats.select(F.col("_vid").alias("bid")))
+            .filter(F.col("aid") != F.col("bid"))
+        )
+    else:
+        bnd = multiband_bucket_rows(
+            embeddings, n_bands=n_bands, band_bits=band_bits,
+            id_col=id_col, vec_col=vec_col,
+        )
+        cand = (
+            bnd.select(F.col(id_col).alias("aid"), "band_idx", "bucket")
+            .join(
+                bnd.select(F.col(id_col).alias("bid"), "band_idx", "bucket"),
+                ["band_idx", "bucket"],
+            )
+            .filter(F.col("aid") != F.col("bid"))
+            .select("aid", "bid")
+            .distinct()
+        )
+    fa = feats.select(
+        F.col("_vid").alias("aid"), F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+    fb = feats.select(
+        F.col("_vid").alias("bid"), F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"), F.col("_label").alias("nlabel"),
+    )
+    w = W.partitionBy("aid").orderBy(F.desc("cos"), F.asc("bid"))
+    nn = (
+        cand.join(fa, "aid")
+        .join(fb, "bid")
+        .select(
+            "aid",
+            "bid",
+            "nlabel",
+            (dot(F.col("av"), F.col("bv")) / (F.col("anrm") * F.col("bnrm")))
+            .alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+    votes = nn.groupBy("aid", "nlabel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    verdict = votes.groupBy("aid").agg(
+        F.sum("cnt").cast("bigint").alias("n_neighbors"),
+        F.max("cnt").cast("bigint").alias("n_majority"),
+        (
+            -F.max(F.struct(F.col("cnt"), (-F.col("nlabel")).alias("nl")))
+            .getField("nl")
+        ).cast("bigint").alias("majority_label"),
+    )
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).cast("bigint").alias("label"),
+        )
+        .join(verdict, F.col("vec_id") == F.col("aid"))
+        .select(
+            "vec_id",
+            "label",
+            "n_neighbors",
+            "majority_label",
+            "n_majority",
+            (
+                (F.col("n_neighbors") >= min_neighbors)
+                & (F.col("majority_label") != F.col("label"))
+                & (F.col("n_majority") * 2 > F.col("n_neighbors"))
+            ).alias("flagged"),
+        )
+    )

@@ -164,7 +164,15 @@ def personalized_pagerank(
     edges⨝ranks join + one combinable dst-agg per iteration, the same
     2^40 integer-scaled contribution sums, the same persist discipline.
     Dangling-node leakage is acceptable here for the same reason.
+
+    ``seeds`` is deduplicated before use (duplicate seed rows would fan
+    out the base join and double-count restart mass).  Seeds absent
+    from the edge set carry no node to restart INTO, so their 1/|S|
+    share of restart mass is dropped and Σ r < 1 — documented contract
+    (the caller decides whether an out-of-graph seed is an error; the
+    engine stays total).
     """
+    seeds = seeds.select("node").distinct()
     edges = edges.select("src", "dst")
     if distinct_edges:
         edges = edges.distinct()

@@ -236,3 +236,116 @@ def repetition_stats(
             )
         ).alias("is_repetitive"),
     )
+
+
+def _feature_hash_py(term: str, dims: int) -> tuple[int, int]:
+    """(bucket, sign) for a token under the md5 feature-hash: bucket =
+    first 4 hex chars mod ``dims``, sign = parity of the 5th hex char.
+    Oracle-SQL equivalent (DuckDB):
+    ``('0x' || substr(md5('fh:' || term), 1, 4))::BIGINT % dims`` and
+    ``CASE WHEN ('0x' || substr(md5('fh:' || term), 5, 1))::BIGINT % 2
+    = 0 THEN 1 ELSE -1 END``."""
+    import hashlib
+
+    h = hashlib.md5(f"fh:{term}".encode()).hexdigest()
+    return int(h[:4], 16) % dims, (1 if int(h[4], 16) % 2 == 0 else -1)
+
+
+def hashed_dense_scores(
+    doc: DataFrame,
+    query_terms: list[str],
+    dims: int = 32,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by cosine in a ``dims``-dimensional
+    FEATURE-HASHED embedding space (Weinberger et al.'s hashing trick —
+    the deterministic, trainless stand-in for a learned dense encoder):
+    every token occurrence adds ±1 to the md5-assigned bucket of a
+    ``dims``-wide vector, the query embeds the same way, and candidates
+    are ranked by exact cosine.  Unlike BM25 there is no idf and no tf
+    saturation, so the two channels genuinely disagree — which is what
+    makes their RRF fusion and the three-way agreement readout
+    (``rag_chunk_channel_agreement``) informative.
+
+    Scale shape — the embedding is never materialized as an array:
+
+    * corpus side: one token explode → one hash-agg to sparse
+      (doc, bucket, weight) rows → one hash-agg for per-doc norm²;
+    * query side: the ≤|terms| nonzero (bucket, qweight) entries are
+      computed DRIVER-side (bit-identical md5 formula, the
+      ``_hyperplane_weights_py`` precedent) and broadcast;
+    * candidates = docs holding weight in ANY nonzero query bucket (an
+      inverted-index probe, not a corpus scan⁻ranking); dot and norms
+      are exact integers, cosine is two IEEE ops on both engines.
+
+    Returns (doc_id, score DOUBLE, rnk BIGINT), ties (score, doc_id).
+    """
+    import math
+
+    from pyspark.sql.window import Window as W
+
+    from ..functions.textfn import tokens
+
+    qw: dict[int, int] = {}
+    for t in query_terms:
+        d, s = _feature_hash_py(t, dims)
+        qw[d] = qw.get(d, 0) + s
+    qw = {d: w for d, w in qw.items() if w != 0}
+    if not qw:
+        # fully self-cancelling query: empty result, stable schema
+        return doc.select(
+            F.col("doc_id"),
+            F.lit(0.0).alias("score"),
+            F.lit(0).cast("bigint").alias("rnk"),
+        ).limit(0)
+    qnrm = math.sqrt(sum(w * w for w in qw.values()))
+    spark = doc.sparkSession
+    qdf = spark.createDataFrame(
+        sorted(qw.items()), "bucket bigint, qweight bigint"
+    )
+
+    ex = doc.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+    h = F.md5(F.concat(F.lit("fh:"), F.col("term")))
+    hashed = ex.select(
+        "doc_id",
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % dims)
+        .alias("bucket"),
+        F.when(
+            F.conv(F.substring(h, 5, 1), 16, 10).cast("bigint") % 2 == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)).cast("bigint").alias("sign"),
+    )
+    tw = hashed.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").cast("bigint").alias("w")
+    )
+    # the sparse weight rows feed BOTH the norm agg and the dot probe —
+    # persist so the token explode + hash runs once
+    tw = tw.persist()
+    try:
+        norms = tw.groupBy("doc_id").agg(
+            F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")
+        )
+        dots = (
+            tw.join(F.broadcast(qdf), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("w") * F.col("qweight")).cast("bigint").alias("dp"))
+        )
+        # n2 = 0 is possible (every bucket's signs cancelled): no
+        # direction to rank — excluded on both engines
+        scored = dots.join(norms, "doc_id").filter(F.col("n2") > 0).select(
+            "doc_id",
+            (
+                F.col("dp").cast("double")
+                / (F.sqrt(F.col("n2").cast("double")) * F.lit(qnrm))
+            ).alias("score"),
+        )
+        w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+        out = (
+            scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= k)
+            .localCheckpoint()
+        )
+    finally:
+        tw.unpersist()
+    return out

@@ -537,8 +537,30 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RAG_CHUNK = 200
 _RAG_STRIDE = 150
 
-_RAG_SQL = f"""
-WITH c AS (
+# (doc, chunk) rides one BIGINT so BM25's tie rule stays lexicographic:
+# pseudo_id = doc_id * 2^20 + chunk_id.  2^20 chunks @ stride 150 covers
+# documents to ~157 MB of text; the packer FAILS LOUDLY beyond that — a
+# silent wrap would corrupt attribution and tie-order (round-8 advice).
+_PACK_BASE = 1 << 20
+
+
+def _pack_chunk_id(doc_id, chunk_id):
+    from pyspark.sql import functions as F
+
+    return F.when(
+        chunk_id < _PACK_BASE, doc_id * _PACK_BASE + chunk_id
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"chunk_id >= {_PACK_BASE} overflows the packed "),
+                F.lit("(doc_id, chunk_id) key for doc "),
+                doc_id.cast("string"),
+            )
+        )
+    )
+
+# chunking + tokenization CTEs shared by every chunk-level channel
+_RAG_C_T = f"""c AS (
     SELECT doc_id, CAST(s // {_RAG_STRIDE} AS BIGINT) AS chunk_id,
            substring(text, s + 1, {_RAG_CHUNK}) AS text
     FROM (
@@ -547,8 +569,10 @@ WITH c AS (
         FROM documents
     )
 ),
-t AS (SELECT doc_id, chunk_id, {_TOKS} AS toks FROM c),
-ex AS (SELECT doc_id, chunk_id, unnest(toks) AS term FROM t),
+t AS (SELECT doc_id, chunk_id, {_TOKS} AS toks FROM c)"""
+
+# chunk-level BM25 CTEs (end in ``per_chunk``: doc_id, chunk_id, score)
+_RAG_BM25_CTES = f"""ex AS (SELECT doc_id, chunk_id, unnest(toks) AS term FROM t),
 hits AS (
     SELECT doc_id, chunk_id, term FROM ex WHERE term IN ({_terms_sql})
 ),
@@ -580,7 +604,11 @@ scored AS (
 per_chunk AS (
     SELECT doc_id, chunk_id, CAST(SUM(term_score) AS DOUBLE) AS score
     FROM scored GROUP BY 1, 2
-)
+)"""
+
+_RAG_SQL = f"""
+WITH {_RAG_C_T},
+{_RAG_BM25_CTES}
 SELECT doc_id, chunk_id, score, CAST(rnk AS BIGINT) AS rnk
 FROM (
     SELECT *, ROW_NUMBER() OVER (
@@ -612,14 +640,338 @@ def q_rag_chunk_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = doc.select(
         "doc_id", "text", F.explode(starts).alias("s")
     ).select(
-        (F.col("doc_id") * 10000 + (F.col("s") / _RAG_STRIDE).cast("bigint"))
-        .alias("pseudo_id"),
+        _pack_chunk_id(
+            F.col("doc_id"), (F.col("s") / _RAG_STRIDE).cast("bigint")
+        ).alias("pseudo_id"),
         F.col("text").substr(F.col("s") + 1, F.lit(_RAG_CHUNK)).alias("text"),
     ).select(F.col("pseudo_id").alias("doc_id"), "text")
     ranked = bm25_scores(chunks, _QUERY_TERMS, k=_TOP_K)
     return ranked.select(
-        (F.col("doc_id") / 10000).cast("bigint").alias("doc_id"),
-        (F.col("doc_id") % 10000).cast("bigint").alias("chunk_id"),
+        (F.col("doc_id") / _PACK_BASE).cast("bigint").alias("doc_id"),
+        (F.col("doc_id") % _PACK_BASE).cast("bigint").alias("chunk_id"),
         "score",
         "rnk",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dense + hybrid RAG at chunk granularity (round 9)
+# ---------------------------------------------------------------------------
+# The round-8 chunks get a DENSE face: a feature-hashed (hashing-trick)
+# embedding per chunk — every token occurrence adds ±1 to an
+# md5-assigned bucket of a 32-wide vector, queries embed the same way,
+# exact cosine ranks.  Trainless and bit-deterministic, yet genuinely
+# text-derived (unlike the synthetic fixtures), so the lexical-vs-dense
+# disagreement the hybrid fusion resolves is real: BM25 has idf + tf
+# saturation, the hashed cosine has neither.
+
+_FH_DIMS = 32
+
+_FH_BUCKET = "('0x' || substr(md5('fh:' || term), 1, 4))::BIGINT % " + str(
+    _FH_DIMS
+)
+_FH_SIGN = (
+    "CASE WHEN ('0x' || substr(md5('fh:' || term), 5, 1))::BIGINT % 2 = 0"
+    " THEN 1 ELSE -1 END"
+)
+
+# dense-channel CTEs over the shared chunk/token block (end in
+# ``dscore``: doc_id, chunk_id, score) — mirrors
+# operators.retrieval.hashed_dense_scores value for value
+_RAG_DENSE_CTES = f"""fh AS (
+    SELECT doc_id, chunk_id, {_FH_BUCKET} AS bucket, {_FH_SIGN} AS sign
+    FROM (SELECT doc_id, chunk_id, unnest(toks) AS term FROM t)
+),
+tw AS (
+    SELECT doc_id, chunk_id, bucket, CAST(SUM(sign) AS BIGINT) AS w
+    FROM fh GROUP BY 1, 2, 3
+),
+qfh AS (
+    SELECT {_FH_BUCKET} AS bucket, {_FH_SIGN} AS sign
+    FROM (SELECT unnest([{_terms_sql}]) AS term)
+),
+qw AS (
+    SELECT bucket, CAST(SUM(sign) AS BIGINT) AS qweight
+    FROM qfh GROUP BY 1 HAVING SUM(sign) <> 0
+),
+qn AS (
+    SELECT sqrt(CAST(SUM(qweight * qweight) AS DOUBLE)) AS qnrm FROM qw
+),
+cnorm AS (
+    SELECT doc_id, chunk_id, CAST(SUM(w * w) AS BIGINT) AS n2
+    FROM tw GROUP BY 1, 2
+),
+cdot AS (
+    SELECT tw.doc_id, tw.chunk_id,
+           CAST(SUM(tw.w * q.qweight) AS BIGINT) AS dp
+    FROM tw JOIN qw q USING (bucket) GROUP BY 1, 2
+),
+dscore AS (
+    SELECT d.doc_id, d.chunk_id,
+           CAST(d.dp AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * qn.qnrm)
+               AS score
+    FROM cdot d JOIN cnorm n USING (doc_id, chunk_id) CROSS JOIN qn
+    WHERE n.n2 > 0
+)"""
+
+_RAG_DENSE_SQL = f"""
+WITH {_RAG_C_T},
+{_RAG_DENSE_CTES}
+SELECT doc_id, chunk_id, score, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        ORDER BY score DESC, doc_id, chunk_id) AS rnk
+    FROM dscore
+) WHERE rnk <= {_TOP_K}
+"""
+
+
+def _chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 200/150 chunk windows as packed pseudo-documents (the
+    ``rag_chunk_attribution`` frame, factored for the channel family)."""
+    doc = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_chars") - 1, F.lit(0)),
+        F.lit(_RAG_STRIDE),
+    )
+    return doc.select(
+        "doc_id", "text", F.explode(starts).alias("s")
+    ).select(
+        _pack_chunk_id(
+            F.col("doc_id"), (F.col("s") / _RAG_STRIDE).cast("bigint")
+        ).alias("doc_id"),
+        F.col("text").substr(F.col("s") + 1, F.lit(_RAG_CHUNK)).alias("text"),
+    )
+
+
+def _unpack_chunk(df: DataFrame) -> DataFrame:
+    return df.select(
+        (F.col("doc_id") / _PACK_BASE).cast("bigint").alias("doc_id"),
+        (F.col("doc_id") % _PACK_BASE).cast("bigint").alias("chunk_id"),
+        *[c for c in df.columns if c != "doc_id"],
+    )
+
+
+@register("rag_chunk_dense_topk", _RAG_DENSE_SQL)
+def q_rag_chunk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense passage retrieval: top-k chunks by exact cosine in the
+    32-dim feature-hashed embedding space
+    (``operators.retrieval.hashed_dense_scores``).  The chunk embedding
+    is never materialized as an array — the corpus side is sparse
+    (chunk, bucket, weight) rows from one token explode + one hash agg,
+    the query side is a broadcast ≤3-entry bucket map, candidates are
+    an inverted-index probe (docs holding weight in any nonzero query
+    bucket), and dot/norm are exact integers with cosine as two IEEE
+    ops — bit-reproducible cross-engine, and the serving shape a 100 TB
+    chunk store would run (probe buckets, never scan-and-rank)."""
+    from ..operators.retrieval import hashed_dense_scores
+
+    return _unpack_chunk(
+        hashed_dense_scores(
+            _chunk_frame(spark, sf_dir), _QUERY_TERMS, dims=_FH_DIMS,
+            k=_TOP_K,
+        )
+    )
+
+
+_RAG_HYBRID_SQL = f"""
+WITH {_RAG_C_T},
+{_RAG_BM25_CTES},
+{_RAG_DENSE_CTES},
+rb AS (
+    SELECT doc_id, chunk_id, rnk AS rb FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY score DESC, doc_id, chunk_id) AS rnk
+        FROM per_chunk
+    ) WHERE rnk <= {_RRF_SHORT}
+),
+rd AS (
+    SELECT doc_id, chunk_id, rnk AS rd FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY score DESC, doc_id, chunk_id) AS rnk
+        FROM dscore
+    ) WHERE rnk <= {_RRF_SHORT}
+),
+fused AS (
+    SELECT COALESCE(rb.doc_id, rd.doc_id) AS doc_id,
+           COALESCE(rb.chunk_id, rd.chunk_id) AS chunk_id,
+           COALESCE(1.0 / ({_RRF_K0} + rb.rb), 0.0)
+             + COALESCE(1.0 / ({_RRF_K0} + rd.rd), 0.0) AS rrf_score
+    FROM rb FULL OUTER JOIN rd
+      ON rd.doc_id = rb.doc_id AND rd.chunk_id = rb.chunk_id
+)
+SELECT doc_id, chunk_id, rrf_score, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        ORDER BY rrf_score DESC, doc_id, chunk_id) AS rnk
+    FROM fused
+) WHERE rnk <= {_TOP_K}
+"""
+
+
+def _chunk_channel_shortlists(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(bm25 shortlist, dense shortlist) over the packed chunk frame,
+    both depth ``_RRF_SHORT``, unpacked to (doc_id, chunk_id, rnk)."""
+    from ..operators.retrieval import bm25_scores, hashed_dense_scores
+
+    chunks = _chunk_frame(spark, sf_dir)
+    rb = _unpack_chunk(
+        bm25_scores(chunks, _QUERY_TERMS, k=_RRF_SHORT)
+    ).select("doc_id", "chunk_id", F.col("rnk").alias("rb"))
+    rd = _unpack_chunk(
+        hashed_dense_scores(chunks, _QUERY_TERMS, dims=_FH_DIMS, k=_RRF_SHORT)
+    ).select("doc_id", "chunk_id", F.col("rnk").alias("rd"))
+    return rb, rd
+
+
+def _fuse_rrf(rb: DataFrame, rd: DataFrame) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    fused = rb.join(rd, ["doc_id", "chunk_id"], "full_outer").select(
+        "doc_id",
+        "chunk_id",
+        (
+            F.coalesce(1.0 / (F.lit(_RRF_K0) + F.col("rb")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K0) + F.col("rd")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    w = W.orderBy(F.desc("rrf_score"), F.asc("doc_id"), F.asc("chunk_id"))
+    return fused.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= _TOP_K)
+
+
+@register("rag_chunk_hybrid_rrf", _RAG_HYBRID_SQL)
+def q_rag_chunk_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid passage retrieval: RRF fusion (the verified
+    ``retrieval_hybrid_rrf`` rule, k0=60) of the chunk-level BM25
+    shortlist and the chunk-level feature-hashed dense shortlist, both
+    depth 50 — the production RAG serving stack (sparse + dense +
+    rank fusion) now closed at the granularity a generator actually
+    cites.  Both channels are their already-verified pipelines; the
+    fusion is a full-outer join of two 50-row shortlists with
+    all-integer ranks in and two exact divisions out."""
+    rb, rd = _chunk_channel_shortlists(spark, sf_dir)
+    return _fuse_rrf(rb, rd)
+
+
+_RAG_AGREE_SQL = f"""
+WITH {_RAG_C_T},
+{_RAG_BM25_CTES},
+{_RAG_DENSE_CTES},
+rb AS (
+    SELECT doc_id, chunk_id, rnk AS rb FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY score DESC, doc_id, chunk_id) AS rnk
+        FROM per_chunk
+    ) WHERE rnk <= {_RRF_SHORT}
+),
+rd AS (
+    SELECT doc_id, chunk_id, rnk AS rd FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY score DESC, doc_id, chunk_id) AS rnk
+        FROM dscore
+    ) WHERE rnk <= {_RRF_SHORT}
+),
+fused AS (
+    SELECT COALESCE(rb.doc_id, rd.doc_id) AS doc_id,
+           COALESCE(rb.chunk_id, rd.chunk_id) AS chunk_id,
+           COALESCE(1.0 / ({_RRF_K0} + rb.rb), 0.0)
+             + COALESCE(1.0 / ({_RRF_K0} + rd.rd), 0.0) AS rrf_score
+    FROM rb FULL OUTER JOIN rd
+      ON rd.doc_id = rb.doc_id AND rd.chunk_id = rb.chunk_id
+),
+top_b AS (SELECT doc_id, chunk_id FROM rb WHERE rb <= {_TOP_K}),
+top_d AS (SELECT doc_id, chunk_id FROM rd WHERE rd <= {_TOP_K}),
+top_h AS (
+    SELECT doc_id, chunk_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY rrf_score DESC, doc_id, chunk_id) AS rnk
+        FROM fused
+    ) WHERE rnk <= {_TOP_K}
+),
+tagged AS (
+    SELECT 'bm25' AS channel, doc_id, chunk_id FROM top_b
+    UNION ALL SELECT 'dense', doc_id, chunk_id FROM top_d
+    UNION ALL SELECT 'hybrid', doc_id, chunk_id FROM top_h
+),
+names AS (SELECT unnest(['bm25', 'dense', 'hybrid']) AS channel),
+cpairs AS (
+    SELECT a.channel AS channel_a, b.channel AS channel_b
+    FROM names a JOIN names b ON a.channel < b.channel
+),
+overlap AS (
+    SELECT a.channel AS channel_a, b.channel AS channel_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM tagged a JOIN tagged b
+      ON a.doc_id = b.doc_id AND a.chunk_id = b.chunk_id
+     AND a.channel < b.channel
+    GROUP BY 1, 2
+)
+SELECT p.channel_a, p.channel_b,
+       COALESCE(o.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
+         / CAST({2 * _TOP_K} - COALESCE(o.n_overlap, 0) AS DOUBLE)
+           AS jaccard
+FROM cpairs p LEFT JOIN overlap o
+  ON o.channel_a = p.channel_a AND o.channel_b = p.channel_b
+"""
+
+
+@register("rag_chunk_channel_agreement", _RAG_AGREE_SQL)
+def q_rag_chunk_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three-way read over the chunk channels: top-10 overlap (and
+    Jaccard) for each pair of {{bm25, dense, hybrid}} — the attribution
+    agreement measure that tells an operator whether the hybrid is
+    actually arbitrating (bm25∩dense small, hybrid overlapping both) or
+    one channel dominates.  All three shortlists are the verified
+    channel pipelines; the readout is a 30-row tag union self-joined —
+    bounded driver-free work whatever the corpus size."""
+    rb, rd = _chunk_channel_shortlists(spark, sf_dir)
+    rb = rb.localCheckpoint()
+    rd = rd.localCheckpoint()
+    hybrid = _fuse_rrf(rb, rd)
+    top_b = rb.filter(F.col("rb") <= _TOP_K).select("doc_id", "chunk_id")
+    top_d = rd.filter(F.col("rd") <= _TOP_K).select("doc_id", "chunk_id")
+    top_h = hybrid.select("doc_id", "chunk_id")
+    tagged = (
+        top_b.select(F.lit("bm25").alias("channel"), "doc_id", "chunk_id")
+        .unionByName(
+            top_d.select(F.lit("dense").alias("channel"), "doc_id", "chunk_id")
+        )
+        .unionByName(
+            top_h.select(F.lit("hybrid").alias("channel"), "doc_id", "chunk_id")
+        )
+    )
+    names = spark.createDataFrame(
+        [("bm25",), ("dense",), ("hybrid",)], "channel string"
+    )
+    cpairs = names.select(F.col("channel").alias("channel_a")).crossJoin(
+        names.select(F.col("channel").alias("channel_b"))
+    ).filter(F.col("channel_a") < F.col("channel_b"))
+    a = tagged.select(
+        F.col("channel").alias("channel_a"), "doc_id", "chunk_id"
+    )
+    b = tagged.select(
+        F.col("channel").alias("channel_b"), "doc_id", "chunk_id"
+    )
+    overlap = (
+        a.join(b, ["doc_id", "chunk_id"])
+        .filter(F.col("channel_a") < F.col("channel_b"))
+        .groupBy("channel_a", "channel_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return cpairs.join(overlap, ["channel_a", "channel_b"], "left").select(
+        "channel_a",
+        "channel_b",
+        F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+        (
+            F.coalesce("n_overlap", F.lit(0)).cast("double")
+            / (F.lit(2 * _TOP_K) - F.coalesce("n_overlap", F.lit(0))).cast(
+                "double"
+            )
+        ).alias("jaccard"),
     )

@@ -281,7 +281,11 @@ def compact_band_store(spark: SparkSession, state_path: str) -> dict:
         if not _os.path.isdir(spath):
             continue
         raw = spark.read.parquet(spath)
-        max_bid = int(raw.agg(F.max("_batch_id")).first()[0])
+        # a store directory can exist with zero rows (e.g. every batch
+        # tombstoned then compacted) — max() is NULL there, and the
+        # compaction of an empty store is still well-defined at bid 0
+        row = raw.agg(F.max("_batch_id").alias("m")).first()
+        max_bid = int(row["m"]) if row["m"] is not None else 0
         kept = _mask_doc_tombstones(
             spark, state_path, raw.drop("_batch_id").distinct(), cols
         )
@@ -298,8 +302,18 @@ def compact_band_store(spark: SparkSession, state_path: str) -> dict:
 
         stats[f"{store}_files_before"] = _files(spath)
         stats[f"{store}_files_after"] = _files(tmp)
-        _shutil.rmtree(spath)
+        # swap order keeps the store reachable at every instant: the old
+        # generation is renamed ASIDE (not deleted) before the new one
+        # takes its name — a crash leaves either the old store in place,
+        # or the new store live with a stale __old sibling to sweep, but
+        # never a moment with NO store on disk (rmtree-then-rename had
+        # exactly that window)
+        old = f"{spath}__old"
+        if _os.path.isdir(old):
+            _shutil.rmtree(old)  # stale sibling from a prior crash
+        _os.rename(spath, old)
         _os.rename(tmp, spath)
+        _shutil.rmtree(old)
     return stats
 
 

@@ -432,8 +432,15 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
 
         stats[f"{store}_files_before"] = _files(spath)
         stats[f"{store}_files_after"] = _files(tmp)
-        _shutil.rmtree(spath)
+        # rename the old generation ASIDE before promoting the new one:
+        # a crash leaves either the old store live or the new store live
+        # with a stale __old sibling — never a window with no store
+        old = f"{spath}__old"
+        if _os.path.isdir(old):
+            _shutil.rmtree(old)
+        _os.rename(spath, old)
         _os.rename(tmp, spath)
+        _shutil.rmtree(old)
     return stats
 
 
@@ -494,8 +501,14 @@ def rebalance_store_cell(
     ).parquet(tmp)
     import shutil as _shutil
 
-    _shutil.rmtree(cpath)
+    # old table aside first — the centroid table must exist at every
+    # instant (probes resolve against it); see compact_index swap note
+    old = f"{cpath}__old"
+    if _os.path.isdir(old):
+        _shutil.rmtree(old)
+    _os.rename(cpath, old)
     _os.rename(tmp, cpath)
+    _shutil.rmtree(old)
 
     # 2. re-routed assignment rows under a fresh batch id (latest-wins
     #    supersedes the fat cell's old rows; replay of any earlier batch

