@@ -271,6 +271,8 @@ _PRIORITY = [
     "rag_chunk_dense_topk",
     "rag_chunk_hybrid_rrf",
     "rag_chunk_channel_agreement",
+    "sim_ivfpq_kpar64_trained_recall",
+    "sim_ivfpq_kpar64_trained_rerank_recall",
     # -- round-8 head below (all green in r08 — they sort to the
     #    verified tail anyway; kept for the no-artifacts fallback) --
     "sim_fps_seeds_k64",
