@@ -273,6 +273,8 @@ _PRIORITY = [
     "rag_chunk_channel_agreement",
     "sim_ivfpq_kpar64_trained_recall",
     "sim_ivfpq_kpar64_trained_rerank_recall",
+    "stream_retrain_psi_trace",
+    "stream_retrain_occupancy_profile",
     # -- round-8 head below (all green in r08 — they sort to the
     #    verified tail anyway; kept for the no-artifacts fallback) --
     "sim_fps_seeds_k64",

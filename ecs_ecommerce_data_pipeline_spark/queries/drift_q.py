@@ -200,3 +200,318 @@ def q_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         tgt.alias("target_share"),
         (tgt / F.col("share")).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: the closed drift loop, batch-verified (alarm -> re-seed ->
+# re-train).  The STREAM face (vector_index_stream(retrain_psi_threshold),
+# retrain_quantizer) is pinned fold-equals-batch by
+# tests/test_round9_retrain.py; these two queries hash-verify the SAME
+# math cross-engine on a deterministic drift-adversarial fixture — the
+# established two-legged verification for streaming operators.
+# ---------------------------------------------------------------------------
+
+_DR9_DIMS = 8
+_DR9_NC = 8
+_DR9_BATCHES = 4
+_DR9_THRESH = 0.25
+
+_DR9_U_DK = (
+    "(('0x' || substr(md5({s}), 1, 15))::BIGINT"
+    " / 1152921504606846976.0 * 2.0 - 1.0)"
+)
+_DR9_U_SP = (
+    "(CAST(CONV(SUBSTRING(MD5({s}), 1, 15), 16, 10) AS DOUBLE)"
+    " / 1152921504606846976.0D * 2.0D - 1.0D)"
+)
+
+# fixture: triggers 0..2 uniform, trigger 3 a tight cluster at a fixed
+# md5 direction — the mid-stream distribution shift
+_DR9_E_DK = f"""e AS (
+    SELECT vec_id, vec_id % {_DR9_BATCHES} AS batch,
+           list_transform(range(0, {_DR9_DIMS}), d ->
+               CASE WHEN vec_id % {_DR9_BATCHES} < {_DR9_BATCHES - 1}
+                    THEN {_DR9_U_DK.format(s="'du:' || vec_id || ':' || d")}
+                    ELSE {_DR9_U_DK.format(s="'dc9:' || d")}
+                         + 0.05 * {_DR9_U_DK.format(s="'ds:' || vec_id || ':' || d")}
+               END) AS v
+    FROM embeddings
+)"""
+
+_DR9_FZ_DK = f"""fz AS (
+    SELECT vec_id AS cluster_id, v AS centroid
+    FROM e WHERE batch = 0 ORDER BY vec_id LIMIT {_DR9_NC}
+)"""
+
+_DR9_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+_DR9_ASG_DK = f"""afz AS (
+    SELECT vec_id, cluster_id FROM (
+        SELECT e.vec_id, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_DR9_COS.format(a="e.v", b="c.centroid")} DESC,
+                            c.cluster_id) AS rk
+        FROM e CROSS JOIN fz c
+    ) WHERE rk = 1
+),
+asgb AS (
+    SELECT a.cluster_id AS cell, e.batch FROM afz a JOIN e USING (vec_id)
+)"""
+
+
+def _dr9_psi_block(t: int) -> str:
+    """Per-trigger PSI CTEs: reference = triggers < t, current = t,
+    Laplace +1 / (+n_cells) smoothing, FLOOR(term·2^40) quantization —
+    the quantizer_drift_psi math."""
+    return f"""ref{t} AS (
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM asgb
+    WHERE batch < {t} GROUP BY 1
+),
+cur{t} AS (
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM asgb
+    WHERE batch = {t} GROUP BY 1
+),
+cells{t} AS (
+    SELECT cell FROM ref{t} UNION SELECT cell FROM cur{t}
+),
+tot{t} AS (
+    SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM ref{t}) AS n_ref,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM cur{t}) AS n_cur
+),
+psi{t} AS (
+    SELECT CAST(SUM(CAST(FLOOR((p_cur - p_ref) * ln(p_cur / p_ref)
+               * 1099511627776.0) AS BIGINT)) AS BIGINT) AS psi_q
+    FROM (
+        SELECT CAST(COALESCE(r.n, 0) + 1 AS DOUBLE)
+                   / (CAST(t.n_ref AS DOUBLE) + {float(_DR9_NC)}) AS p_ref,
+               CAST(COALESCE(u.n, 0) + 1 AS DOUBLE)
+                   / (CAST(t.n_cur AS DOUBLE) + {float(_DR9_NC)}) AS p_cur
+        FROM cells{t} c
+        LEFT JOIN ref{t} r USING (cell)
+        LEFT JOIN cur{t} u USING (cell)
+        CROSS JOIN tot{t} t
+    )
+)"""
+
+
+_DR9_THRESH_Q = int(_DR9_THRESH * (2**40))
+
+_DR9_TRACE_SQL = (
+    f"WITH {_DR9_E_DK},\n{_DR9_FZ_DK},\n{_DR9_ASG_DK},\n"
+    + ",\n".join(_dr9_psi_block(t) for t in range(1, _DR9_BATCHES))
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"""SELECT {t} AS trigger,
+       (SELECT n_ref FROM tot{t}) AS n_ref,
+       (SELECT n_cur FROM tot{t}) AS n_cur,
+       (SELECT psi_q FROM psi{t}) AS psi_total_q,
+       (SELECT psi_q FROM psi{t}) > {_DR9_THRESH_Q} AS alarm"""
+        for t in range(1, _DR9_BATCHES)
+    )
+)
+
+
+def _drift_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, batch, v): the drift-adversarial stream fixture in batch
+    form — md5-analytic, bit-reproduced by the oracle CTE."""
+    u_du = _DR9_U_SP.format(
+        s="CONCAT('du:', CAST(vec_id AS STRING), ':', CAST(d AS STRING))"
+    )
+    u_c = _DR9_U_SP.format(s="CONCAT('dc9:', CAST(d AS STRING))")
+    u_ds = _DR9_U_SP.format(
+        s="CONCAT('ds:', CAST(vec_id AS STRING), ':', CAST(d AS STRING))"
+    )
+    vec_sql = (
+        f"transform(sequence(0, {_DR9_DIMS - 1}), d -> "
+        f"CASE WHEN vec_id % {_DR9_BATCHES} < {_DR9_BATCHES - 1} "
+        f"THEN {u_du} ELSE {u_c} + 0.05D * {u_ds} END)"
+    )
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            (F.col("vec_id") % _DR9_BATCHES).cast("bigint").alias("batch"),
+        )
+        .withColumn("v", F.expr(vec_sql))
+    )
+
+
+def _dr9_frozen_and_assigned(spark: SparkSession, sf_dir: str):
+    """Frozen smallest-id quantizer over trigger 0 + every row assigned
+    against it (the stream's freeze-then-assign behavior in batch
+    form), as (fixture, centroids, assigned-with-batch)."""
+    from ..operators.similarity import ivf_index_add_batch, norm
+
+    fx = _drift_fixture(spark, sf_dir).localCheckpoint()
+    frozen = (
+        fx.filter(F.col("batch") == 0)
+        .orderBy("vec_id")
+        .limit(_DR9_NC)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("v").alias("cvec"),
+            norm(F.col("v")).alias("cnrm"),
+        )
+        .localCheckpoint()
+    )
+    asg = ivf_index_add_batch(frozen, fx, id_col="vec_id", vec_col="v").join(
+        fx.select(F.col("vec_id").alias("vid"), "batch"), "vid"
+    )
+    return fx, frozen, asg.localCheckpoint()
+
+
+@register("stream_retrain_psi_trace", _DR9_TRACE_SQL)
+def q_stream_retrain_psi_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift loop's ALARM leg, hash-verified: per stream trigger,
+    the Laplace-smoothed quantized PSI between the store's occupancy
+    (all earlier triggers, latest-wins) and the arriving batch's, under
+    the frozen smallest-id quantizer — exactly what
+    ``vector_index_stream(retrain_psi_threshold=…)`` computes before
+    deciding to retrain (``_drift_check_and_retrain``), on a fixture
+    whose last trigger is a genuine distribution shift.  Measured
+    (sf0.01): uniform triggers sit orders of magnitude under the 0.25
+    threshold, the shifted trigger crosses it — the alarm fires exactly
+    once, at the right place.  The retrain leg this alarm triggers is
+    verified by ``stream_retrain_occupancy_profile`` and the
+    fold-equals-batch stream test."""
+    from ..streaming.vector_index_stream import quantizer_drift_psi
+
+    _fx, _frozen, asg = _dr9_frozen_and_assigned(spark, sf_dir)
+    rows = []
+    for t in range(1, _DR9_BATCHES):
+        ref_occ = (
+            asg.filter(F.col("batch") < t)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        cur_occ = (
+            asg.filter(F.col("batch") == t)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        n_ref = asg.filter(F.col("batch") < t).count()
+        n_cur = asg.filter(F.col("batch") == t).count()
+        psi_q, _terms = quantizer_drift_psi(ref_occ, cur_occ, _DR9_NC)
+        rows.append(
+            (t, n_ref, n_cur, psi_q, psi_q > _DR9_THRESH_Q)
+        )
+    return spark.createDataFrame(
+        rows,
+        "trigger BIGINT, n_ref BIGINT, n_cur BIGINT, "
+        "psi_total_q BIGINT, alarm BOOLEAN",
+    )
+
+
+# The retrain-effect leg: sorted per-cell occupancy profile of the
+# frozen quantizer vs the k-means||-retrained one over the SAME drifted
+# corpus.  The oracle re-derives the ENTIRE retrain chain (sampling
+# decisions, max-min reduction, Lloyd means, final assignment) from the
+# generators the kpar queries verified — a hash match pins the retrain
+# the stream runs, value for value, independent of the streaming
+# harness.
+
+
+def _dr9_profile_sql() -> str:
+    from .similarity_q import (
+        _fps_run_ctes,
+        _km_assign_cte,
+        _km_recompute_cte,
+        _kpar_ctes,
+    )
+
+    return f"""
+WITH {_DR9_E_DK},
+el AS (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+{_DR9_FZ_DK},
+{_DR9_ASG_DK},
+{_kpar_ctes(2 * _DR9_NC, 3)},
+ke9 AS (SELECT cand_vid AS vec_id, cvec AS v FROM kcands),
+{_fps_run_ctes(_DR9_NC, base="ke9", pfx="d9")},
+c9s AS (SELECT sid AS cluster_id, v AS centroid FROM d9fseeds),
+{_km_assign_cte("a9a", "c9s")},
+{_km_recompute_cte("c9b", "a9a")},
+{_km_assign_cte("a9b", "c9b")},
+{_km_recompute_cte("c9c", "a9b")},
+{_km_assign_cte("a9c", "c9c")},
+occ_f AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, cluster_id) AS occ_rank
+    FROM afz GROUP BY cluster_id
+),
+occ_r AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, cluster_id) AS occ_rank
+    FROM a9c GROUP BY cluster_id
+)
+SELECT COALESCE(f.occ_rank, r.occ_rank) AS occ_rank,
+       COALESCE(f.n, 0) AS n_frozen,
+       COALESCE(r.n, 0) AS n_retrained
+FROM occ_f f FULL OUTER JOIN occ_r r ON r.occ_rank = f.occ_rank
+"""
+
+
+@register("stream_retrain_occupancy_profile", _dr9_profile_sql())
+def q_stream_retrain_occupancy_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The drift loop's RETRAIN leg, hash-verified: sorted per-cell
+    occupancy of the drifted corpus under (a) the frozen smallest-id
+    quantizer the stream trained on trigger 0 and (b) the
+    k-means||-retrained quantizer ``retrain_quantizer`` builds when the
+    PSI alarm fires (oversample l=2k → max-min reduce → 1 Lloyd
+    iteration → final recompute → re-assign — every stage re-derived by
+    the oracle).  Measured (sf0.01, head of each profile): frozen
+    124/102/55…, retrained 174/61/54… — the fixture's shift is ONE
+    tight cluster, so a fat head is the Lloyd-OPTIMAL steady state on
+    both sides; the difference is that the retrained head is the drift
+    family plus its true nearest uniforms (a deliberate dedicated
+    list), where the frozen head is whichever trigger-0 vector happened
+    to sit closest.  This query's job is pinning the retrain chain
+    cross-engine value-for-value; the semantic effects (alarm placement,
+    cell purity, exact recall at nprobe=2, replay convergence) are
+    pinned by ``stream_retrain_psi_trace`` and
+    tests/test_round9_retrain.py."""
+    from ..operators.similarity import (
+        assign_to_centroids,
+        farthest_point_seeds,
+        kmeans_parallel_oversample,
+        kmeans_refine,
+        recompute_centroids,
+    )
+    from pyspark.sql.window import Window as W
+
+    fx, _frozen, asg = _dr9_frozen_and_assigned(spark, sf_dir)
+    cands, _ = kmeans_parallel_oversample(
+        fx, l=2 * _DR9_NC, rounds=3, id_col="vec_id", vec_col="v"
+    )
+    init = farthest_point_seeds(
+        cands, k=_DR9_NC, id_col="vid", vec_col="vec"
+    ).select("cluster_id", "centroid")
+    assignment = kmeans_refine(
+        fx, k=_DR9_NC, iters=1, id_col="vec_id", vec_col="v",
+        init_centroids=init,
+    )
+    cents = recompute_centroids(fx, assignment, "vec_id", "v")
+    final = assign_to_centroids(fx, cents, "vec_id", "v")
+    w = W.orderBy(F.desc("n"), F.asc("cell"))
+    occ_f = (
+        asg.groupBy(F.col("cell"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("occ_rank", F.row_number().over(w).cast("bigint"))
+        .select("occ_rank", F.col("n").alias("n_frozen"))
+    )
+    wr = W.orderBy(F.desc("n"), F.asc("cluster_id"))
+    occ_r = (
+        final.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("occ_rank", F.row_number().over(wr).cast("bigint"))
+        .select("occ_rank", F.col("n").alias("n_retrained"))
+    )
+    return occ_f.join(occ_r, "occ_rank", "full_outer").select(
+        "occ_rank",
+        F.coalesce("n_frozen", F.lit(0)).cast("bigint").alias("n_frozen"),
+        F.coalesce("n_retrained", F.lit(0)).cast("bigint").alias("n_retrained"),
+    )

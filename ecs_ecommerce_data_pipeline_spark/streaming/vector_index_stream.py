@@ -39,6 +39,29 @@ from ..operators.similarity import (
 from ..plans.incremental import BatchLedger
 
 
+def _stream_bid(batch_id: int) -> int:
+    """Stream triggers stamp EVEN ``_batch_id`` (2·trigger); maintenance
+    appends (rebalance / retrain) stamp the next ODD id above the max
+    seen (:func:`_next_maintenance_bid`).  The two id spaces are
+    DISJOINT — before this (round 9) a maintenance op after trigger t
+    stamped max+1 = t+1, which is exactly the NEXT trigger's id, so
+    that trigger's dynamic overwrite silently clobbered the maintenance
+    rows cell-by-cell (re-routed/re-assigned rows bounced back to their
+    pre-maintenance cells).  Relative order is preserved: maintenance
+    after trigger t gets 2t+1 < 2(t+1), so later stream rows still
+    supersede by latest-wins, and earlier replays still fold under."""
+    return 2 * batch_id
+
+
+def _next_maintenance_bid(raw: DataFrame) -> int:
+    """Next ODD ``_batch_id`` strictly above the store's max — see
+    :func:`_stream_bid` for why maintenance ids must be odd."""
+    row = raw.agg(F.max("_batch_id").alias("m")).first()
+    m = int(row["m"]) if row["m"] is not None else 0
+    nxt = m + 1
+    return nxt if nxt % 2 == 1 else nxt + 1
+
+
 def vector_index_stream(
     emb_stream: DataFrame,
     index_path: str,
@@ -51,6 +74,7 @@ def vector_index_stream(
     pq_k: int = 16,
     rebalance_factor: float | None = None,
     rebalance_max_splits: int = 8,
+    retrain_psi_threshold: float | None = None,
 ):
     """Maintain a persisted IVF index from a stream of embedding rows.
 
@@ -85,6 +109,24 @@ def vector_index_stream(
     unchanged: splits re-route rows through the store's own
     latest-wins rule, so ``load_stream_index`` still hash-equals the
     batch operator on content.
+
+    With ``retrain_psi_threshold`` set, every trigger (once the
+    quantizer is full) ends with the DRIFT check — the round-8 verdict's
+    "close the drift loop" task: Laplace-smoothed PSI between the
+    store's per-cell occupancy (reference = everything before this
+    trigger) and this batch's occupancy (:func:`quantizer_drift_psi`,
+    the ``sim_ivf_quantizer_drift`` math), appended to
+    ``{index_path}/drift_log`` as an idempotent per-trigger dynamic
+    overwrite.  When quantized PSI exceeds the threshold the trigger
+    escalates to :func:`retrain_quantizer` — k-means|| re-seed +
+    Lloyd re-train over the store's current vectors, every row
+    re-assigned, codes re-routed — inside the ledger window: a crash
+    before ``mark_done`` replays the trigger, whose batch write is
+    idempotent, whose PSI recomputes against the (possibly already
+    retrained) store, and whose retrain — if it fires again — derives
+    identical centroids from the unchanged vector set (convergent, the
+    rebalance discipline).  Rebalance is skipped on a retrain trigger
+    (every row was just re-routed).
     """
     if pq_m is not None and pq_k > n_centroids:
         raise ValueError("pq_k must be <= n_centroids (codebook derives "
@@ -170,7 +212,7 @@ def vector_index_stream(
             centroids, batch_df, id_col=id_col, vec_col=vec_col
         )
         (
-            assigned.withColumn("_batch_id", F.lit(batch_id))
+            assigned.withColumn("_batch_id", F.lit(_stream_bid(batch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id", "cell")
@@ -180,9 +222,28 @@ def vector_index_stream(
             _maintain_pq_codes(
                 spark, index_path, centroids, batch_id, pq_m, pq_k, n_centroids
             )
-        if rebalance_factor is not None and centroids.count() >= n_centroids:
+        retrained = False
+        if (
+            retrain_psi_threshold is not None
+            and centroids.count() >= n_centroids
+        ):
+            retrained = _drift_check_and_retrain(
+                spark,
+                index_path,
+                assigned,
+                batch_id,
+                n_centroids,
+                retrain_psi_threshold,
+            )
+        if (
+            rebalance_factor is not None
+            and not retrained
+            and centroids.count() >= n_centroids
+        ):
             # quantizer full → occupancy is meaningful; the check is one
             # per-cell count aggregate and a no-op when within bound
+            # (skipped on a retrain trigger: the retrain just re-routed
+            # every row — measure the NEW layout next trigger)
             rebalance_overful_cells(
                 spark,
                 index_path,
@@ -263,9 +324,9 @@ def _maintain_pq_codes(
             .select("vid", "vec", "cell", "_batch_id")
         )
     else:
-        rows = store.filter(F.col("_batch_id") == batch_id).select(
-            "vid", "vec", "cell", "_batch_id"
-        )
+        rows = store.filter(
+            F.col("_batch_id") == _stream_bid(batch_id)
+        ).select("vid", "vec", "cell", "_batch_id")
     coded = _pq_assign(rows.select("vid", "vec"), codebook, m, sub).select(
         "vid", "s", "code"
     )
@@ -514,7 +575,7 @@ def rebalance_store_cell(
     #    supersedes the fat cell's old rows; replay of any earlier batch
     #    cannot resurrect them)
     raw = spark.read.parquet(f"{index_path}/assignments")
-    next_bid = int(raw.agg(F.max("_batch_id")).first()[0]) + 1
+    next_bid = _next_maintenance_bid(raw)
     (
         moved.withColumn("_batch_id", F.lit(next_bid))
         .write.mode("append")
@@ -641,3 +702,243 @@ def vector_store_erasure_audit(
             seen.agg(F.count(F.lit(1)).cast("bigint").alias("n_visible"))
         )
     )
+
+
+def quantizer_drift_psi(
+    store_occ: DataFrame,
+    batch_occ: DataFrame,
+    n_centroids: int,
+) -> tuple[int, DataFrame]:
+    """Laplace-smoothed PSI between the store's per-cell occupancy
+    (reference) and one batch's occupancy (current), quantized
+    FLOOR(term·2^40) exactly like ``sim_ivf_quantizer_drift`` — the
+    RETRAIN alarm for a frozen coarse quantizer, computed from counts
+    only (two hash aggregates; no vectors move).  Inputs are
+    (cell, n) frames; cells absent from either side smooth to +1.
+    Returns (psi_total_q, per_cell_terms)."""
+    from ..operators.drift import PSI_SCALE
+
+    cells = store_occ.select("cell").unionByName(
+        batch_occ.select("cell")
+    ).distinct()
+    j = (
+        cells.join(store_occ.withColumnRenamed("n", "c_ref"), "cell", "left")
+        .join(batch_occ.withColumnRenamed("n", "c_cur"), "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("c_ref", F.lit(0)).cast("bigint").alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).cast("bigint").alias("c_cur"),
+        )
+    )
+    tot = j.agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    p_ref = (F.col("c_ref") + 1).cast("double") / (
+        F.col("n_ref").cast("double") + F.lit(float(n_centroids))
+    )
+    p_cur = (F.col("c_cur") + 1).cast("double") / (
+        F.col("n_cur").cast("double") + F.lit(float(n_centroids))
+    )
+    terms = (
+        j.crossJoin(F.broadcast(tot))
+        .withColumn("p_ref", p_ref)
+        .withColumn("p_cur", p_cur)
+        .withColumn(
+            "psi_term_q",
+            F.floor(
+                (F.col("p_cur") - F.col("p_ref"))
+                * F.log(F.col("p_cur") / F.col("p_ref"))
+                * F.lit(PSI_SCALE)
+            ).cast("bigint"),
+        )
+    )
+    row = terms.agg(F.sum("psi_term_q").alias("s")).first()
+    return (int(row["s"]) if row["s"] is not None else 0), terms
+
+
+def retrain_quantizer(
+    spark: SparkSession,
+    index_path: str,
+    coarse_iters: int = 1,
+    rounds: int = 3,
+) -> dict:
+    """Full coarse-quantizer RETRAIN of the stream-maintained store —
+    the escalation rung above :func:`rebalance_overful_cells` (which
+    repairs LOCAL skew but cannot fix a globally drifted quantizer):
+    k-means|| oversampling over the store's CURRENT latest-wins vectors
+    (l = 2k, ``rounds`` scans — cost independent of k, the only seeding
+    a production-size retrain can afford) → max-min reduction over the
+    bounded candidates → ``coarse_iters`` Lloyd iterations + final
+    recompute — exactly the ``build_ivfpq_index(coarse_seed=
+    "kmeans_par", coarse_iters=…)`` batch chain, so the streaming
+    retrain equals an offline rebuild on the same vector set
+    (test-pinned fold-equals-batch).
+
+    Write order (crash-safe by reachability, the rebalance discipline):
+
+    1. ALL current rows re-assigned under a fresh ``_batch_id``
+       (latest-wins supersedes every older row; cell ids stay 0..k−1 so
+       even mid-crash every row remains a valid probe target under the
+       OLD table);
+    2. centroid table sibling-swapped;
+    3. PQ code rows re-routed (cell only — the stream's codebook is
+       raw-vector, independent of cells; codes are copied, never
+       re-encoded).
+
+    Replay-safe by CONVERGENCE: the vector SET is invariant under
+    re-assignment, so a ledger-replayed trigger that retrains again
+    derives the identical centroids and folds to the same store.
+    Returns {n_vectors, n_cells, batch_id}."""
+    from ..operators.similarity import (
+        farthest_point_seeds,
+        kmeans_parallel_oversample,
+        kmeans_refine,
+        norm,
+        recompute_centroids,
+    )
+
+    centroids, assignments = load_stream_index(spark, index_path)
+    n_centroids = centroids.count()
+    vecs = assignments.select("vid", "vec").localCheckpoint()
+    cands, _ = kmeans_parallel_oversample(
+        vecs, l=2 * n_centroids, rounds=rounds, id_col="vid", vec_col="vec"
+    )
+    init = farthest_point_seeds(
+        cands, k=n_centroids, id_col="vid", vec_col="vec"
+    ).select("cluster_id", "centroid")
+    assignment = kmeans_refine(
+        vecs, k=n_centroids, iters=coarse_iters,
+        id_col="vid", vec_col="vec", init_centroids=init,
+    )
+    new_c = (
+        recompute_centroids(vecs, assignment, "vid", "vec")
+        .select(
+            F.col("cluster_id").alias("cell"),
+            F.col("centroid").alias("cvec"),
+        )
+        .withColumn("cnrm", norm(F.col("cvec")))
+    )
+    cent_rows = new_c.collect()  # bounded: k rows of quantizer metadata
+    new_cdf = spark.createDataFrame(cent_rows, new_c.schema).localCheckpoint()
+
+    # 1. re-assign every current row against the retrained centroids
+    reassigned = ivf_index_add_batch(
+        new_cdf, vecs, id_col="vid", vec_col="vec"
+    ).localCheckpoint()
+    raw = spark.read.parquet(f"{index_path}/assignments")
+    next_bid = _next_maintenance_bid(raw)
+    (
+        reassigned.withColumn("_batch_id", F.lit(next_bid))
+        .write.mode("append")
+        .partitionBy("_batch_id", "cell")
+        .parquet(f"{index_path}/assignments")
+    )
+
+    # 2. centroid table, sibling swap (old aside first — see
+    #    compact_index)
+    import os as _os
+    import shutil as _shutil
+
+    cpath = f"{index_path}/centroids"
+    tmp = f"{cpath}__retraining"
+    new_cdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = f"{cpath}__old"
+    if _os.path.isdir(old):
+        _shutil.rmtree(old)
+    _os.rename(cpath, old)
+    _os.rename(tmp, cpath)
+    _shutil.rmtree(old)
+
+    # 3. PQ codes follow their vectors (cell re-route, codes untouched)
+    if _os.path.isdir(f"{index_path}/pq_codes"):
+        from pyspark.sql import Window as W
+
+        raw_codes = _mask_tombstones(
+            spark, index_path, spark.read.parquet(f"{index_path}/pq_codes")
+        )
+        ws = W.partitionBy("vid", "s").orderBy(F.desc("_batch_id"))
+        latest = (
+            raw_codes.withColumn("_rn", F.row_number().over(ws))
+            .filter(F.col("_rn") == 1)
+            .select("vid", "s", "code")
+        )
+        routed = latest.join(
+            reassigned.select("vid", "cell"), "vid"
+        ).localCheckpoint()
+        (
+            routed.withColumn("_batch_id", F.lit(next_bid))
+            .write.mode("append")
+            .partitionBy("_batch_id", "cell")
+            .parquet(f"{index_path}/pq_codes")
+        )
+
+    return {
+        "n_vectors": int(reassigned.count()),
+        "n_cells": int(n_centroids),
+        "batch_id": next_bid,
+    }
+
+
+def _drift_check_and_retrain(
+    spark: SparkSession,
+    index_path: str,
+    assigned: DataFrame,
+    batch_id: int,
+    n_centroids: int,
+    psi_threshold: float,
+) -> bool:
+    """The per-trigger drift gate: PSI(store-before-this-trigger vs
+    this batch) → one ``drift_log`` row (idempotent per-trigger dynamic
+    overwrite) → :func:`retrain_quantizer` when the quantized PSI
+    crosses ``psi_threshold``.  Returns whether a retrain ran.
+
+    The reference EXCLUDES this trigger's own (already written) rows by
+    batch id, so a ledger replay — which re-enters after its writes
+    landed — measures the same reference a clean run did."""
+    from pyspark.sql import Window as W
+
+    from ..operators.drift import PSI_SCALE
+
+    sbid = _stream_bid(batch_id)
+    raw = _mask_tombstones(
+        spark,
+        index_path,
+        spark.read.parquet(f"{index_path}/assignments").filter(
+            F.col("_batch_id") != sbid
+        ),
+    )
+    w = W.partitionBy("vid").orderBy(F.desc("_batch_id"))
+    ref_occ = (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    n_ref_row = ref_occ.agg(F.sum("n").alias("t")).first()
+    n_ref = int(n_ref_row["t"]) if n_ref_row["t"] is not None else 0
+    cur_occ = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    n_cur = int(assigned.count())
+    alarm = False
+    psi_q = 0
+    if n_ref > 0:
+        psi_q, _terms = quantizer_drift_psi(ref_occ, cur_occ, n_centroids)
+        alarm = psi_q > int(psi_threshold * PSI_SCALE)
+    retrained = False
+    if alarm:
+        retrain_quantizer(spark, index_path)
+        retrained = True
+    (
+        spark.createDataFrame(
+            [(sbid, n_ref, n_cur, psi_q, alarm, retrained)],
+            "_batch_id bigint, n_ref bigint, n_cur bigint, "
+            "psi_total_q bigint, alarm boolean, retrained boolean",
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(f"{index_path}/drift_log")
+    )
+    return retrained

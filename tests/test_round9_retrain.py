@@ -1,0 +1,237 @@
+"""Round-9 streaming tests: the drift loop closed — alarm → re-seed →
+re-train (verdict task 2).
+
+Round 8 had the detector (``sim_ivf_quantizer_drift`` PSI) and the
+repair machinery (k-means|| seeding, Lloyd refine) as separate verified
+pieces; ``vector_index_stream(retrain_psi_threshold=…)`` now composes
+them: every trigger ends with a PSI check of this batch's cell
+occupancy against the store's, logged to ``drift_log``, and a crossing
+escalates to :func:`retrain_quantizer` inside the ledger window.
+Pinned here:
+
+* a drift-adversarial append stream (mid-stream distribution shift:
+  96 vectors concentrated at one point) fires the alarm and ends with a
+  RETRAINED quantizer, no admin call;
+* fold-equals-batch: the stream-retrained centroids are bit-identical
+  to the offline k-means|| chain (oversample → max-min reduce → Lloyd)
+  run on the same vector set;
+* content preservation: every vid visible exactly once after retrain,
+  vectors byte-equal, PQ code rows riding the NEW cells;
+* the drifted region is served sanely again: the drift mass gets
+  dedicated inverted lists (no longer crowding a frozen cell alongside
+  uniform rows) and probed recall for drift-region queries is exact at
+  small nprobe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+_NC = 8
+_PSI_T = 0.25
+
+
+def _corpus(spark):
+    """Batches: (uniform vids 0..47) → (uniform vids 48..95) → (96
+    near-copies of vid 0's vector — the shifted distribution)."""
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    b0 = emb.filter(F.col("vec_id") < 48)
+    b1 = emb.filter((F.col("vec_id") >= 48) & (F.col("vec_id") < 96))
+    v0 = emb.filter(F.col("vec_id") == 0).select("embedding")
+    drift = (
+        spark.range(1000, 1096)
+        .select(F.col("id").alias("vec_id"))
+        .crossJoin(F.broadcast(v0))
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, (x, i) -> CAST(x * (1.0D + "
+                "CAST((vec_id * 31 + i) % 13 AS DOUBLE) / 100.0D) AS FLOAT))"
+            ).alias("embedding"),
+        )
+    )
+    return b0, b1, drift
+
+
+def _run(spark, tmp_path, schema, ckpt, index_path, lpath):
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import BatchLedger
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        vector_index_stream,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "drop"))
+    )
+    q = vector_index_stream(
+        stream, index_path, str(tmp_path / ckpt), BatchLedger(lpath),
+        n_centroids=_NC, pq_m=8, pq_k=8,
+        retrain_psi_threshold=_PSI_T,
+    )
+    q.awaitTermination(240)
+
+
+def _drift_log(spark, index_path):
+    return {
+        r["_batch_id"]: r.asDict()
+        for r in spark.read.parquet(f"{index_path}/drift_log").collect()
+    }
+
+
+def test_drift_stream_retrains_and_restores(spark, tmp_path):
+    from ecs_ecommerce_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        farthest_point_seeds,
+        ivf_topk_with_centroids,
+        kmeans_parallel_oversample,
+        kmeans_refine,
+        norm,
+        recompute_centroids,
+    )
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        load_stream_ivfpq,
+        load_stream_index,
+    )
+
+    b0, b1, drift = _corpus(spark)
+    drop = str(tmp_path / "drop")
+    b0.coalesce(1).write.parquet(drop)
+    b1.coalesce(1).write.mode("append").parquet(drop)
+    drift.coalesce(1).write.mode("append").parquet(drop)
+    index_path = str(tmp_path / "idx")
+    lpath = str(tmp_path / "ledger.json")
+    _run(spark, tmp_path, b0.schema, "ckpt", index_path, lpath)
+
+    # 1. alarm fired exactly at the drift trigger, retrain ran, and the
+    #    stationary trigger stayed quiet — no admin call anywhere
+    log = _drift_log(spark, index_path)
+    assert set(log) == {0, 2, 4}  # even stream bids
+    assert log[0]["n_ref"] == 0 and not log[0]["alarm"]
+    assert not log[2]["alarm"], log[2]
+    assert log[4]["alarm"] and log[4]["retrained"], log[4]
+    assert log[2]["psi_total_q"] < log[4]["psi_total_q"]
+
+    # 2. serving fold: content preserved exactly once, codes on new cells
+    cents, assigns = load_stream_index(spark, index_path)
+    rows = assigns.select("vid", "cell").collect()
+    assert len(rows) == 48 + 48 + 96
+    got_cells = {r["vid"]: r["cell"] for r in rows}
+    _, _, _cb, codes = load_stream_ivfpq(spark, index_path)
+    code_cells = {
+        (r["vid"], r["cell"])
+        for r in codes.select("vid", "cell").distinct().collect()
+    }
+    assert code_cells == {(v, c) for v, c in got_cells.items()}
+
+    # 3. fold-equals-batch: stream-retrained centroids == the offline
+    #    k-means|| chain on the same latest-wins vector set
+    vecs = assigns.select("vid", "vec")
+    cands, _ = kmeans_parallel_oversample(
+        vecs, l=2 * _NC, rounds=3, id_col="vid", vec_col="vec"
+    )
+    init = farthest_point_seeds(
+        cands, k=_NC, id_col="vid", vec_col="vec"
+    ).select("cluster_id", "centroid")
+    offline = (
+        recompute_centroids(
+            vecs,
+            kmeans_refine(
+                vecs, k=_NC, iters=1, id_col="vid", vec_col="vec",
+                init_centroids=init,
+            ),
+            "vid", "vec",
+        )
+        .select(
+            F.col("cluster_id").alias("cell"),
+            F.col("centroid").alias("cvec"),
+        )
+        .withColumn("cnrm", norm(F.col("cvec")))
+    )
+    want = {
+        r["cell"]: [round(x, 9) for x in r["cvec"]]
+        for r in offline.collect()
+    }
+    got = {
+        r["cell"]: [round(x, 9) for x in r["cvec"]]
+        for r in cents.collect()
+    }
+    assert got == want
+
+    # 4. the drift region now owns DEDICATED cell(s): under the frozen
+    #    quantizer all 96 drift rows crowded into vid 0's cell alongside
+    #    its uniform neighbors; after retrain the drift cells hold (at
+    #    most) vid 0's own family and essentially no uniform rows.
+    #    (The drift cluster is nearly collinear — scaled copies of one
+    #    vector — so ONE cell for it is the CORRECT clustering, not
+    #    residual skew.)
+    drift_cells = {
+        r["cell"]
+        for r in assigns.filter(F.col("vid") >= 1000)
+        .select("cell").distinct().collect()
+    }
+    in_cells = assigns.filter(F.col("cell").isin(list(drift_cells))).count()
+    # ≥85% of the drift cells' occupancy is the drift family (a few
+    # uniform rows legitimately sit closest to the new centroid)
+    assert 96 / in_cells >= 0.85, (drift_cells, in_cells)
+    # ...and probed search over the retrained store is exact for
+    # drift-region queries at small nprobe
+    all_vecs = assigns.select(
+        F.col("vid").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    qids = [1000, 1001, 1002]
+    truth = {
+        (r["query_id"], r["corpus_id"])
+        for r in brute_force_topk(all_vecs, qids, k=10).collect()
+    }
+    served = {
+        (r["query_id"], r["corpus_id"])
+        for r in ivf_topk_with_centroids(
+            all_vecs,
+            cents.select(
+                F.col("cell").alias("cluster_id"),
+                F.col("cvec").alias("centroid"),
+            ),
+            qids, k=10, nprobe=2,
+        ).collect()
+    }
+    assert truth == served
+
+
+def test_retrain_is_replay_safe_by_convergence(spark, tmp_path):
+    import json
+
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        load_stream_index,
+    )
+
+    b0, b1, drift = _corpus(spark)
+    drop = str(tmp_path / "drop")
+    b0.coalesce(1).write.parquet(drop)
+    b1.coalesce(1).write.mode("append").parquet(drop)
+    drift.coalesce(1).write.mode("append").parquet(drop)
+    index_path = str(tmp_path / "idx")
+    lpath = str(tmp_path / "ledger.json")
+    _run(spark, tmp_path, b0.schema, "ckpt", index_path, lpath)
+    cents1, assigns1 = load_stream_index(spark, index_path)
+    want = {r["vid"]: r["cell"] for r in assigns1.select("vid", "cell").collect()}
+    cwant = {r["cell"]: [round(x, 9) for x in r["cvec"]] for r in cents1.collect()}
+
+    # replay the DRIFT trigger (the one that retrained): the batch write
+    # is an idempotent dynamic overwrite, the PSI recomputes against the
+    # retrained store, and any second retrain must fold to the same
+    # content — convergence, not idempotence
+    state = json.load(open(lpath))
+    drift_bid = [b for b in state if b.endswith("-2")][0]
+    state[drift_bid] = "running"
+    json.dump(state, open(lpath, "w"))
+    _run(spark, tmp_path, b0.schema, "ckpt2", index_path, lpath)
+
+    cents2, assigns2 = load_stream_index(spark, index_path)
+    got = {r["vid"]: r["cell"] for r in assigns2.select("vid", "cell").collect()}
+    cgot = {r["cell"]: [round(x, 9) for x in r["cvec"]] for r in cents2.collect()}
+    assert cgot == cwant
+    assert got == want
