@@ -371,6 +371,18 @@ _BENCH_EXTRA: set[str] = {
     "events_next_event_eval",
     "geo_hotspot_clusters",
     "retrieval_pooled_cluster_hit",
+    # round-9 serving shapes: the chunk-level dense channel (inverted
+    # bucket probe) and its RRF fusion, plus the drift-alarm trace
+    # (occupancy aggregates + PSI — the per-trigger cost the stream
+    # pays).  rag_chunk_channel_agreement stays OUT (a three-way
+    # diagnostic that re-runs both channels; the sf0.01 hash gate
+    # grades it), sim_ivfpq_kpar64_trained_* stay OUT (fresh trained
+    # k=64 builds per session — build experiments, the
+    # sim_ivf_kpar64_recall policy), stream_retrain_occupancy_profile
+    # stays OUT (runs the full kpar retrain chain — a build experiment).
+    "rag_chunk_dense_topk",
+    "rag_chunk_hybrid_rrf",
+    "stream_retrain_psi_trace",
     "sim_ivf_cell_sizes",
     "sim_ivf_cell_split",
     "sim_ivfpq_cell_split",
