@@ -275,6 +275,7 @@ _PRIORITY = [
     "sim_ivfpq_kpar64_trained_rerank_recall",
     "stream_retrain_psi_trace",
     "stream_retrain_occupancy_profile",
+    "sim_kmeanspar_weighted_purity",
     # -- round-8 head below (all green in r08 — they sort to the
     #    verified tail anyway; kept for the no-artifacts fallback) --
     "sim_fps_seeds_k64",

@@ -2954,3 +2954,69 @@ def maxsim_pruned_topk(
     return pair.withColumn(
         "rnk", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rnk") <= k)
+
+
+def recompute_centroids_weighted(
+    cands: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "vid",
+    vec_col: str = "vec",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Per-cluster WEIGHTED element-wise mean — the recompute step of
+    Bahmani's recluster: centroid[d] = Σ w·v[d] / Σ w over the bounded
+    candidate frame.  Same exact-decimal discipline as
+    :func:`recompute_centroids` (each w·v[d] product is one IEEE double
+    op identical on both engines, summed as DECIMAL(25,12) so the fold
+    is order-free)."""
+    el = (
+        cands.select(
+            id_col, weight_col, F.posexplode(as_double_array(vec_col))
+        )
+        .join(assignment, id_col)
+        .select("cluster_id", weight_col, "pos", "col")
+    )
+    dims = el.groupBy("cluster_id", "pos").agg(
+        (
+            F.sum(
+                (F.col("col") * F.col(weight_col).cast("double")).cast(
+                    "decimal(25,12)"
+                )
+            ).cast("double")
+            / F.sum(F.col(weight_col)).cast("double")
+        ).alias("mean_val")
+    )
+    return dims.groupBy("cluster_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "mean_val"))),
+            lambda s: s.mean_val,
+        ).alias("centroid")
+    )
+
+
+def weighted_candidate_reduce(
+    cands: DataFrame,
+    k: int,
+    iters: int = 1,
+) -> DataFrame:
+    """Bahmani's WEIGHTED recluster of the k-means|| candidate set —
+    the textbook reduction the engine's default (unweighted max-min,
+    see :func:`kmeans_parallel_oversample`) deliberately diverges from:
+    drop zero-weight candidates (they attracted no point, so they carry
+    no recluster mass), seed with deterministic max-min over the
+    survivors, then run ``iters`` WEIGHTED Lloyd iterations + a final
+    weighted recompute on the bounded (≈ R·l-row) candidate frame —
+    all driver-free, all decimal-exact, cost independent of corpus
+    size.  Returns (cluster_id, centroid).  The two reductions are
+    priced against each other by ``sim_kmeanspar_weighted_purity``
+    (measured: equal purity on the clustered fixture — the engine's
+    divergence costs nothing where it is measurable)."""
+    live = cands.filter(F.col("weight") > 0)
+    init = farthest_point_seeds(
+        live, k=k, id_col="vid", vec_col="vec"
+    ).select("cluster_id", "centroid")
+    assignment = assign_to_centroids(live, init, "vid", "vec")
+    for _ in range(iters):
+        cents = recompute_centroids_weighted(live, assignment)
+        assignment = assign_to_centroids(live, cents, "vid", "vec")
+    return recompute_centroids_weighted(live, assignment)

@@ -5179,3 +5179,117 @@ def q_ivfpq_kpar64_trained_rerank_recall(
             "recall"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: Bahmani's WEIGHTED k-means|| reduction, priced against the
+# engine's unweighted max-min default (the round-8 advice thread)
+# ---------------------------------------------------------------------------
+
+_KW_COS = (
+    "list_dot_product(b.v, c.centroid)"
+    " / (sqrt(list_dot_product(b.v, b.v))"
+    " * sqrt(list_dot_product(c.centroid, c.centroid)))"
+)
+
+
+def _kw_assign_cte(name: str, cents: str) -> str:
+    """Assign the LIVE candidate rows (kwc) to ``cents`` — the
+    candidate-frame twin of _km_assign_cte (which scans the fixture)."""
+    return f"""{name} AS (
+    SELECT vec_id, cluster_id FROM (
+        SELECT b.vec_id, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                   ORDER BY {_KW_COS} DESC, c.cluster_id) AS rk
+        FROM kwc b CROSS JOIN {cents} c
+    ) WHERE rk = 1
+)"""
+
+
+def _kw_recompute_cte(name: str, assign: str) -> str:
+    """Weighted per-cluster mean over the candidate elements — mirrors
+    operators.similarity.recompute_centroids_weighted value for value
+    (each w·v[d] is ONE double op, summed as DECIMAL(25,12), VARCHAR
+    roundtrip on the decimal→double edge)."""
+    return f"""{name} AS (
+    SELECT cluster_id, list(mean_val ORDER BY pos) AS centroid FROM (
+        SELECT a.cluster_id, el.pos,
+               CAST(CAST(SUM(CAST(el.val * el.wt AS DECIMAL(25,12)))
+                    AS VARCHAR) AS DOUBLE)
+                   / CAST(SUM(el.wt) AS DOUBLE) AS mean_val
+        FROM kel el JOIN {assign} a USING (vec_id)
+        GROUP BY a.cluster_id, el.pos
+    ) GROUP BY cluster_id
+)"""
+
+
+_KW_PURITY_SQL = f"""
+WITH {_CL_BASE},
+{_kpar_ctes(_KPAR_L, _KPAR_ROUNDS)},
+kwc AS (
+    SELECT c.cand_vid AS vec_id, c.cvec AS v,
+           COALESCE(w.weight, 0) AS wt
+    FROM kcands c LEFT JOIN kweights w ON w.cand_vid = c.cand_vid
+    WHERE COALESCE(w.weight, 0) > 0
+),
+kel AS (
+    SELECT vec_id, wt, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+    FROM kwc
+),
+{_fps_run_ctes(_KPAR_K, base="kwc", pfx="kw")},
+c0s AS (SELECT sid AS cluster_id, v AS centroid FROM kwfseeds),
+{_kw_assign_cte("wa0", "c0s")},
+{_kw_recompute_cte("wc1", "wa0")},
+{_kw_assign_cte("wa1", "wc1")},
+{_kw_recompute_cte("wc2", "wa1")},
+{_km_assign_cte("a0w", "wc2")},
+{_km_recompute_cte("c1w", "a0w")},
+{_km_assign_cte("a1w", "c1w")},
+joinedw AS (
+    SELECT a1w.cluster_id, ce.cluster_true
+    FROM a1w JOIN ce ON ce.vec_id = a1w.vec_id
+),
+cellsw AS (
+    SELECT cluster_id, cluster_true, COUNT(*) AS n
+    FROM joinedw GROUP BY 1, 2
+)
+SELECT cluster_id,
+       CAST(SUM(n) AS BIGINT) AS n_members,
+       CAST(MAX(n) AS BIGINT) AS n_majority,
+       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS purity
+FROM cellsw
+GROUP BY cluster_id
+"""
+
+
+@register("sim_kmeanspar_weighted_purity", _KW_PURITY_SQL)
+def q_kmeanspar_weighted_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bahmani's TEXTBOOK reduction — weighted Lloyd over the k-means||
+    candidate set (``weighted_candidate_reduce``: zero-weight
+    candidates dropped, max-min init, one weighted Lloyd iteration +
+    final weighted recompute) — priced at the same full-fixture Lloyd
+    budget as the engine's unweighted max-min default
+    (``sim_kmeanspar_purity``).  Closes the round-8 advice thread: the
+    weights the oversampler returns now HAVE a verified consumer, and
+    the two reductions are measured head-to-head (purity 1.0 on all 16
+    cells for both at sf0.01 — the engine's deterministic divergence
+    costs nothing where it is measurable, which is why it stays the
+    default).  Every stage — sampling decisions, weighted means,
+    argmax ties — is hash-pinned by the oracle."""
+    fx = _clustered_fx(spark, sf_dir)
+    cands, _ = similarity.kmeans_parallel_oversample(
+        fx, l=_KPAR_L, rounds=_KPAR_ROUNDS
+    )
+    seeds = similarity.weighted_candidate_reduce(cands, k=_KPAR_K, iters=1)
+    assignment = similarity.kmeans_refine(
+        fx, k=_KPAR_K, iters=1, init_centroids=seeds
+    )
+    joined = assignment.join(fx.select("vec_id", "cluster_true"), "vec_id")
+    cells = joined.groupBy("cluster_id", "cluster_true").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cells.groupBy("cluster_id").agg(
+        F.sum("n").cast("bigint").alias("n_members"),
+        F.max("n").cast("bigint").alias("n_majority"),
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias("purity"),
+    )
