@@ -276,6 +276,7 @@ _PRIORITY = [
     "stream_retrain_psi_trace",
     "stream_retrain_occupancy_profile",
     "sim_kmeanspar_weighted_purity",
+    "sim_ivfpq_kpar64_filtered_recall",
     # -- round-8 head below (all green in r08 — they sort to the
     #    verified tail anyway; kept for the no-artifacts fallback) --
     "sim_fps_seeds_k64",

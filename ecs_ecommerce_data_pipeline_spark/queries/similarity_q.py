@@ -5019,6 +5019,9 @@ def q_pooled_cluster_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Lloyd means, codebook training, integer ADC — so a hash match pins
 # every stage.
 
+_KP64_ATTR_MOD = 7
+_KP64_ATTR_VAL = 3
+
 _KP64_CENTS = f"""{_kpar_ctes(_KPAR64_L, _KPAR_ROUNDS)},
 ke9 AS (SELECT cand_vid AS vec_id, cvec AS v FROM kcands),
 {_fps_run_ctes(_FPS64_K, base="ke9", pfx="k9")},
@@ -5061,8 +5064,14 @@ def _clustered_index64_cached(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), "kp64")
     hit = _CL_CACHE.get(key)
     if hit is None:
+        # the filter attribute (geometry-UNcorrelated id hash — the
+        # IDSelector sweet spot) rides the codes store via keep_cols,
+        # so the filtered query masks the pruned codes scan directly
+        fx = _clustered_fx(spark, sf_dir).withColumn(
+            "attr", (F.col("vec_id") % _KP64_ATTR_MOD).cast("bigint")
+        )
         hit = similarity.build_ivfpq_index(
-            _clustered_fx(spark, sf_dir),
+            fx,
             n_centroids=_FPS64_K,
             m=_CL_M,
             pq_k=_CL_PQK,
@@ -5071,6 +5080,7 @@ def _clustered_index64_cached(spark: SparkSession, sf_dir: str):
             train_iters=1,
             coarse_iters=1,
             coarse_seed="kmeans_par",
+            keep_cols=["attr"],
         )
         _CL_CACHE[key] = hit
     return hit
@@ -5292,4 +5302,114 @@ def q_kmeanspar_weighted_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_members"),
         F.max("n").cast("bigint").alias("n_majority"),
         (F.max("n").cast("double") / F.sum("n").cast("double")).alias("purity"),
+    )
+
+
+_KP64_FILTERED_RECALL_SQL = f"""
+WITH {_CL_BASE},
+{_KP64_CENTS},
+{_cl_chain("t9", "c9c", trained=True, nprobe=_FPS64_NPROBE)},
+f9 AS (SELECT vec_id FROM e WHERE vec_id % {_KP64_ATTR_MOD} = {_KP64_ATTR_VAL}),
+fsc9 AS (
+    SELECT s.query_id, s.corpus_id, s.adc_q
+    FROM t9scored s JOIN f9 ON f9.vec_id = s.corpus_id
+),
+fq9 AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_q ASC, corpus_id ASC) AS rnk
+        FROM fsc9
+    ) WHERE rnk <= {_K}
+),
+fb9 AS (
+    SELECT vec_id AS vid, v, sqrt(list_dot_product(v, v)) AS nrm FROM ce
+),
+ftsc9 AS (
+    SELECT q.vid AS query_id, b.vid AS corpus_id,
+           list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cosine_sim
+    FROM fb9 q JOIN fb9 b ON b.vid <> q.vid
+    JOIN f9 ON f9.vec_id = b.vid
+    WHERE q.vid IN ({_qids})
+),
+ftk9 AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rnk
+        FROM ftsc9
+    ) WHERE rnk <= {_K}
+)
+SELECT ftk9.query_id,
+       CAST(COUNT(fq9.corpus_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(ftk9.corpus_id) AS BIGINT) AS n_truth,
+       CAST(COUNT(fq9.corpus_id) AS DOUBLE)
+           / GREATEST(COUNT(ftk9.corpus_id), 1) AS recall
+FROM ftk9
+LEFT JOIN fq9
+  ON fq9.query_id = ftk9.query_id AND fq9.corpus_id = ftk9.corpus_id
+GROUP BY ftk9.query_id
+"""
+
+
+@register("sim_ivfpq_kpar64_filtered_recall", _KP64_FILTERED_RECALL_SQL)
+def q_ivfpq_kpar64_filtered_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filtered serving on the k=64 PRODUCTION build — the third rung
+    completing the verdict's "filtered + rerank serving" at scale
+    cells: the geometry-uncorrelated attribute (vec_id % 7, the
+    IDSelector sweet spot) is stored WITH the codes (keep_cols) and
+    masks the pruned codes scan of the kmeans||-seeded Lloyd-trained
+    residual index; recall is read against the pre-filter exact truth.
+    Same plan as the k=16 rung (`sim_ivfpq_filtered_topk`) at 4x the
+    cells — cell pruning intact, cost independent of selectivity, no
+    second corpus join.  Measured (sf0.01, nprobe=8): mean recall 0.82
+    vs pre-filter exact truth — above the unfiltered ADC 0.70 (a ~14%
+    selectivity leaves fewer quantization-error competitors inside the
+    probed cells)."""
+    qids = _QUERY_IDS
+    fx = _clustered_fx(spark, sf_dir)
+    fcorp = fx.filter(F.col("vec_id") % _KP64_ATTR_MOD == _KP64_ATTR_VAL)
+    qvecs = fx.filter(F.col("vec_id").isin(qids))
+    # brute truth among qualifying corpus rows only.  The query vectors
+    # must be IN the frame (brute_force_topk draws them by id), so ask
+    # for k + |qids| rows, drop the unqualified query vectors that may
+    # have ranked, and re-rank to a contiguous top-k — identical to the
+    # oracle's rank-over-filtered-corpus
+    truth = similarity.brute_force_topk(
+        fcorp.unionByName(qvecs).distinct(), qids, k=_K + len(qids)
+    ).filter(
+        (F.col("corpus_id") % _KP64_ATTR_MOD == _KP64_ATTR_VAL)
+    )
+    from pyspark.sql.window import Window as W
+
+    truth = (
+        truth.withColumn(
+            "rnk2",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc("cosine_sim"), F.asc("corpus_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk2") <= _K)
+        .select(F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc"))
+    )
+    cents, assigns, cb, codes = _clustered_index64_cached(spark, sf_dir)
+    pk = similarity.ivfpq_filtered_topk(
+        cents, assigns, cb, codes, qids,
+        pred=(F.col("attr") == _KP64_ATTR_VAL),
+        k=_K, nprobe=_FPS64_NPROBE, m=_CL_M, residual=True,
+    ).select("query_id", "corpus_id")
+    joined = truth.join(
+        pk,
+        (F.col("bq") == F.col("query_id")) & (F.col("bc") == F.col("corpus_id")),
+        "left",
+    )
+    return joined.groupBy(F.col("bq").alias("query_id")).agg(
+        F.count("corpus_id").cast("bigint").alias("n_hits"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        (
+            F.count("corpus_id").cast("double")
+            / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double")
+        ).alias("recall"),
     )
