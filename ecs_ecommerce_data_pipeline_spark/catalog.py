@@ -277,6 +277,7 @@ _PRIORITY = [
     "stream_retrain_occupancy_profile",
     "sim_kmeanspar_weighted_purity",
     "sim_ivfpq_kpar64_filtered_recall",
+    "sim_ivfpq_kpar64_filtered_rerank_recall",
     # -- round-8 head below (all green in r08 — they sort to the
     #    verified tail anyway; kept for the no-artifacts fallback) --
     "sim_fps_seeds_k64",
