@@ -873,11 +873,61 @@ def retrain_quantizer(
             .parquet(f"{index_path}/pq_codes")
         )
 
+    # 4. open a new drift-monitoring EPOCH: the baseline generation is
+    #    the full re-assignment's per-cell occupancy (already in hand —
+    #    O(cells) rows), so the monitor compares future batches against
+    #    the RETRAINED layout instead of the drifted history
+    _write_occupancy(
+        spark,
+        index_path,
+        reassigned.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ),
+        _current_epoch(spark, index_path) + 1,
+        next_bid,
+    )
+
     return {
         "n_vectors": int(reassigned.count()),
         "n_cells": int(n_centroids),
         "batch_id": next_bid,
     }
+
+
+def _write_occupancy(
+    spark: SparkSession,
+    index_path: str,
+    occ: DataFrame,
+    epoch: int,
+    bid: int,
+) -> None:
+    """One (epoch, _batch_id, cell, n) occupancy generation — dynamic
+    per-``_batch_id`` overwrite, so replays rewrite exactly their own
+    rows."""
+    (
+        occ.select(
+            F.lit(int(epoch)).cast("bigint").alias("epoch"),
+            "cell",
+            "n",
+        )
+        .withColumn("_batch_id", F.lit(int(bid)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(f"{index_path}/occupancy")
+    )
+
+
+def _current_epoch(spark: SparkSession, index_path: str) -> int:
+    try:
+        row = (
+            spark.read.parquet(f"{index_path}/occupancy")
+            .agg(F.max("epoch").alias("m"))
+            .first()
+        )
+        return int(row["m"]) if row["m"] is not None else 0
+    except AnalysisException:
+        return 0
 
 
 def _drift_check_and_retrain(
@@ -893,39 +943,73 @@ def _drift_check_and_retrain(
     overwrite) → :func:`retrain_quantizer` when the quantized PSI
     crosses ``psi_threshold``.  Returns whether a retrain ran.
 
-    The reference EXCLUDES this trigger's own (already written) rows by
-    batch id, so a ledger replay — which re-enters after its writes
-    landed — measures the same reference a clean run did."""
-    from pyspark.sql import Window as W
+    The reference occupancy is INCREMENTAL state, never a store rescan:
+    every trigger appends its own batch's per-cell counts to the
+    ``occupancy`` store (O(cells) rows — the counts were just computed
+    for the write anyway), and the reference is the SUM of the current
+    EPOCH's earlier generations — O(cells × triggers-per-epoch) rows
+    read per trigger, where the first version of this gate re-derived
+    latest-wins occupancy from the FULL assignments store every trigger
+    (O(store) — the rescan this module exists to avoid).  A retrain
+    opens a new epoch with a fresh baseline generation (written from
+    the re-assignment it already computed), so the monitor compares
+    against the RETRAINED layout afterwards, not the drifted history.
+    Documented approximation: a re-embedded vid keeps counting at its
+    old cell (and a rebalance's moves are not folded) until the next
+    retrain resets the baseline — occupancy monitoring tolerates this;
+    serving reads never use these counts.
 
+    Replay contract: the reference takes epoch generations with
+    ``_batch_id`` strictly below this trigger's, and this trigger's own
+    occupancy/log rows are per-``_batch_id`` dynamic overwrites — a
+    ledger replay measures the same reference a clean run did (or the
+    post-retrain epoch's, which converges)."""
     from ..operators.drift import PSI_SCALE
 
     sbid = _stream_bid(batch_id)
-    raw = _mask_tombstones(
-        spark,
-        index_path,
-        spark.read.parquet(f"{index_path}/assignments").filter(
-            F.col("_batch_id") != sbid
-        ),
-    )
-    w = W.partitionBy("vid").orderBy(F.desc("_batch_id"))
-    ref_occ = (
-        raw.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-    n_ref_row = ref_occ.agg(F.sum("n").alias("t")).first()
-    n_ref = int(n_ref_row["t"]) if n_ref_row["t"] is not None else 0
+    epoch = _current_epoch(spark, index_path)
     cur_occ = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    n_cur = int(assigned.count())
+    ).localCheckpoint()
+    n_cur_row = cur_occ.agg(F.sum("n").alias("t")).first()
+    n_cur = int(n_cur_row["t"]) if n_cur_row["t"] is not None else 0
+    try:
+        ref_occ = (
+            spark.read.parquet(f"{index_path}/occupancy")
+            .filter(
+                (F.col("epoch") == epoch) & (F.col("_batch_id") < sbid)
+            )
+            .groupBy("cell")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+        n_ref_row = ref_occ.agg(F.sum("n").alias("t")).first()
+        n_ref = int(n_ref_row["t"]) if n_ref_row["t"] is not None else 0
+    except AnalysisException:
+        ref_occ = None
+        n_ref = 0
     alarm = False
     psi_q = 0
     if n_ref > 0:
         psi_q, _terms = quantizer_drift_psi(ref_occ, cur_occ, n_centroids)
         alarm = psi_q > int(psi_threshold * PSI_SCALE)
+    # replay-after-retrain guard: if the current epoch already holds a
+    # LATER generation (the retrain baseline, whose odd maintenance bid
+    # exceeds this trigger's), this trigger's mass is already inside
+    # that baseline — writing it again would double-count the batch in
+    # every later reference
+    already_folded = False
+    try:
+        later = (
+            spark.read.parquet(f"{index_path}/occupancy")
+            .filter((F.col("epoch") == epoch) & (F.col("_batch_id") > sbid))
+            .limit(1)
+            .count()
+        )
+        already_folded = later > 0
+    except AnalysisException:
+        pass
+    if not already_folded:
+        _write_occupancy(spark, index_path, cur_occ, epoch, sbid)
     retrained = False
     if alarm:
         retrain_quantizer(spark, index_path)

@@ -115,6 +115,24 @@ def test_drift_stream_retrains_and_restores(spark, tmp_path):
     assert log[4]["alarm"] and log[4]["retrained"], log[4]
     assert log[2]["psi_total_q"] < log[4]["psi_total_q"]
 
+    # 1b. the drift monitor's reference is INCREMENTAL state, and the
+    #     retrain opened a fresh epoch whose baseline is the full
+    #     re-assignment (epoch 0: one generation per pre-retrain
+    #     trigger; epoch 1: the 192-row baseline)
+    occ = spark.read.parquet(f"{index_path}/occupancy")
+    by_epoch = {
+        r["epoch"]: r["t"]
+        for r in occ.groupBy("epoch").agg(F.sum("n").alias("t")).collect()
+    }
+    assert set(by_epoch) == {0, 1}
+    assert by_epoch[1] == 48 + 48 + 96  # baseline = whole store
+    bids0 = {
+        r["_batch_id"]
+        for r in occ.filter(F.col("epoch") == 0)
+        .select("_batch_id").distinct().collect()
+    }
+    assert bids0 == {0, 2, 4}  # one generation per trigger, even bids
+
     # 2. serving fold: content preserved exactly once, codes on new cells
     cents, assigns = load_stream_index(spark, index_path)
     rows = assigns.select("vid", "cell").collect()
