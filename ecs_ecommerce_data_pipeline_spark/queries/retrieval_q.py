@@ -817,7 +817,10 @@ def _chunk_channel_shortlists(
     both depth ``_RRF_SHORT``, unpacked to (doc_id, chunk_id, rnk)."""
     from ..operators.retrieval import bm25_scores, hashed_dense_scores
 
-    chunks = _chunk_frame(spark, sf_dir)
+    # the chunk frame feeds two channels × several consumers each — pin
+    # it once so the explode+substr derivation doesn't re-run per
+    # consumer (the prefix_filter_join discipline)
+    chunks = _chunk_frame(spark, sf_dir).localCheckpoint()
     rb = _unpack_chunk(
         bm25_scores(chunks, _QUERY_TERMS, k=_RRF_SHORT)
     ).select("doc_id", "chunk_id", F.col("rnk").alias("rb"))

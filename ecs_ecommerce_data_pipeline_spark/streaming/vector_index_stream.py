@@ -502,6 +502,34 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
         _os.rename(spath, old)
         _os.rename(tmp, spath)
         _shutil.rmtree(old)
+
+    # occupancy monitor state: fold each epoch's generations into ONE
+    # per-cell-summed generation at the epoch's max bid — the reference
+    # SUM is associative, so the fold is invisible to the drift gate and
+    # the store stays O(epochs × cells) instead of O(triggers × cells)
+    opath = f"{index_path}/occupancy"
+    if _os.path.isdir(opath):
+        occ = spark.read.parquet(opath)
+        folded = (
+            occ.groupBy("epoch", "cell")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+            .join(
+                occ.groupBy("epoch").agg(
+                    F.max("_batch_id").alias("_batch_id")
+                ),
+                "epoch",
+            )
+            .select("epoch", "cell", "n", "_batch_id")
+            .localCheckpoint()
+        )
+        tmp = f"{opath}__compacting"
+        folded.write.mode("overwrite").partitionBy("_batch_id").parquet(tmp)
+        old = f"{opath}__old"
+        if _os.path.isdir(old):
+            _shutil.rmtree(old)
+        _os.rename(opath, old)
+        _os.rename(tmp, opath)
+        _shutil.rmtree(old)
     return stats
 
 

@@ -253,3 +253,37 @@ def test_retrain_is_replay_safe_by_convergence(spark, tmp_path):
     cgot = {r["cell"]: [round(x, 9) for x in r["cvec"]] for r in cents2.collect()}
     assert cgot == cwant
     assert got == want
+
+
+def test_occupancy_compaction_preserves_reference_sums(spark, tmp_path):
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        compact_index,
+    )
+
+    b0, b1, drift = _corpus(spark)
+    drop = str(tmp_path / "drop")
+    b0.coalesce(1).write.parquet(drop)
+    b1.coalesce(1).write.mode("append").parquet(drop)
+    drift.coalesce(1).write.mode("append").parquet(drop)
+    index_path = str(tmp_path / "idx")
+    _run(spark, tmp_path, b0.schema, "ckpt", index_path,
+         str(tmp_path / "ledger.json"))
+
+    occ = spark.read.parquet(f"{index_path}/occupancy")
+    want = {
+        (r["epoch"], r["cell"]): r["t"]
+        for r in occ.groupBy("epoch", "cell")
+        .agg(F.sum("n").alias("t")).collect()
+    }
+    compact_index(spark, index_path)
+    occ2 = spark.read.parquet(f"{index_path}/occupancy")
+    got = {
+        (r["epoch"], r["cell"]): r["t"]
+        for r in occ2.groupBy("epoch", "cell")
+        .agg(F.sum("n").alias("t")).collect()
+    }
+    assert got == want  # the associative fold is invisible to the gate
+    # one generation per epoch remains
+    gens = occ2.select("epoch", "_batch_id").distinct().count()
+    epochs = occ2.select("epoch").distinct().count()
+    assert gens == epochs
