@@ -376,10 +376,14 @@ _BENCH_EXTRA: set[str] = {
     # (occupancy aggregates + PSI — the per-trigger cost the stream
     # pays).  rag_chunk_channel_agreement stays OUT (a three-way
     # diagnostic that re-runs both channels; the sf0.01 hash gate
-    # grades it), sim_ivfpq_kpar64_trained_* stay OUT (fresh trained
-    # k=64 builds per session — build experiments, the
-    # sim_ivf_kpar64_recall policy), stream_retrain_occupancy_profile
-    # stays OUT (runs the full kpar retrain chain — a build experiment).
+    # grades it), the sim_ivfpq_kpar64_* family (trained/rerank/
+    # filtered/filtered_rerank recalls) stays OUT (fresh trained k=64
+    # builds per session — build experiments, the sim_ivf_kpar64_recall
+    # policy), sim_kmeanspar_weighted_purity stays OUT for the same
+    # reason (kpar build + weighted Lloyd on the fixture; its finding —
+    # purity parity with the unweighted default — is the point), and
+    # stream_retrain_occupancy_profile stays OUT (runs the full kpar
+    # retrain chain — a build experiment).
     "rag_chunk_dense_topk",
     "rag_chunk_hybrid_rrf",
     "stream_retrain_psi_trace",
