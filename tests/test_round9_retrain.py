@@ -287,3 +287,74 @@ def test_occupancy_compaction_preserves_reference_sums(spark, tmp_path):
     gens = occ2.select("epoch", "_batch_id").distinct().count()
     epochs = occ2.select("epoch").distinct().count()
     assert gens == epochs
+
+
+def test_maintenance_rows_survive_the_next_trigger(spark, tmp_path):
+    """Round-9 regression: maintenance appends stamp ODD batch ids so
+    the NEXT trigger's dynamic overwrite can no longer clobber them.
+    Before the fix, a rebalance after trigger t wrote max+1 = t+1 —
+    exactly trigger t+1's id — and any cell that trigger touched threw
+    away the re-routed rows (they bounced back to the fat cell by
+    latest-wins).  Here: trigger 1 is skew-adversarial (rebalance
+    splits), trigger 2 appends MORE rows into the same region; the
+    bound must still hold afterwards."""
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import BatchLedger
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        load_stream_index,
+        vector_index_stream,
+    )
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 60)
+    v0 = emb.filter(F.col("vec_id") == 0).select("embedding")
+
+    def _skew(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("vec_id"))
+            .crossJoin(F.broadcast(v0))
+            .select(
+                "vec_id",
+                F.expr(
+                    "transform(embedding, (x, i) -> CAST(x * (1.0D + "
+                    "CAST((vec_id * 31 + i) % 13 AS DOUBLE) / 100.0D)"
+                    " AS FLOAT))"
+                ).alias("embedding"),
+            )
+        )
+
+    drop = str(tmp_path / "drop")
+    base.coalesce(1).write.parquet(drop)
+    _skew(1000, 1120).coalesce(1).write.mode("append").parquet(drop)
+    _skew(2000, 2040).coalesce(1).write.mode("append").parquet(drop)
+    index_path = str(tmp_path / "idx")
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = vector_index_stream(
+        stream, index_path, str(tmp_path / "ckpt"),
+        BatchLedger(str(tmp_path / "ledger.json")),
+        n_centroids=16, rebalance_factor=2.0, rebalance_max_splits=16,
+    )
+    q.awaitTermination(240)
+
+    _, assigns = load_stream_index(spark, index_path)
+    sizes = {
+        r["cell"]: r["n"]
+        for r in assigns.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(sizes.values()) == 60 + 120 + 40
+    mean = sum(sizes.values()) / len(sizes)
+    assert max(sizes.values()) <= 2.0 * mean, sizes
+    # the stream stamped even ids, maintenance odd ones — both present
+    bids = {
+        r["_batch_id"]
+        for r in spark.read.parquet(f"{index_path}/assignments")
+        .select("_batch_id").distinct().collect()
+    }
+    assert {0, 2, 4} <= bids
+    assert any(b % 2 == 1 for b in bids), bids
