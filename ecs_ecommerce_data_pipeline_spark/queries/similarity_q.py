@@ -3033,8 +3033,13 @@ def q_ivf_quantizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows).  Completes the maintenance loop: appends route against a
     frozen quantizer (``ivf_index_add_batch``), THIS detects when
     routing has drifted from the build-time distribution, cell split
-    repairs local skew, and a full retrain (``kmeans_refine``) is the
-    escalation.  One broadcast-scored scan + two hash aggregates."""
+    repairs local skew, and a full retrain is the escalation — since
+    round 9 an AUTOMATIC one: ``vector_index_stream(
+    retrain_psi_threshold=…)`` runs this PSI per trigger from
+    incremental occupancy state and escalates to
+    ``streaming.vector_index_stream.retrain_quantizer`` (k-means||
+    re-seed + Lloyd re-train) when it crosses.  One broadcast-scored
+    scan + two hash aggregates."""
     from ..operators.drift import PSI_SCALE
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
