@@ -544,16 +544,21 @@ _RAG_STRIDE = 150
 _PACK_BASE = 1 << 20
 
 
+_PACK_DOC_MAX = 1 << 43  # doc_id * 2^20 must stay inside int64
+
+
 def _pack_chunk_id(doc_id, chunk_id):
     from pyspark.sql import functions as F
 
     return F.when(
-        chunk_id < _PACK_BASE, doc_id * _PACK_BASE + chunk_id
+        (chunk_id < _PACK_BASE) & (doc_id < _PACK_DOC_MAX),
+        doc_id * _PACK_BASE + chunk_id,
     ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit(f"chunk_id >= {_PACK_BASE} overflows the packed "),
-                F.lit("(doc_id, chunk_id) key for doc "),
+                F.lit(f"(doc_id, chunk_id) outside the packed key range "),
+                F.lit(f"(chunk_id < {_PACK_BASE}, doc_id < {_PACK_DOC_MAX})"),
+                F.lit(" for doc "),
                 doc_id.cast("string"),
             )
         )
@@ -646,12 +651,7 @@ def q_rag_chunk_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").substr(F.col("s") + 1, F.lit(_RAG_CHUNK)).alias("text"),
     ).select(F.col("pseudo_id").alias("doc_id"), "text")
     ranked = bm25_scores(chunks, _QUERY_TERMS, k=_TOP_K)
-    return ranked.select(
-        (F.col("doc_id") / _PACK_BASE).cast("bigint").alias("doc_id"),
-        (F.col("doc_id") % _PACK_BASE).cast("bigint").alias("chunk_id"),
-        "score",
-        "rnk",
-    )
+    return _unpack_chunk(ranked)
 
 
 # ---------------------------------------------------------------------------
@@ -746,9 +746,12 @@ def _chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _unpack_chunk(df: DataFrame) -> DataFrame:
+    # integer DIV, not float division: doc_id/2^20 via double loses
+    # mantissa bits past 2^53 and silently lands on a NEIGHBORING
+    # document — the corruption class the loud pack guard exists for
     return df.select(
-        (F.col("doc_id") / _PACK_BASE).cast("bigint").alias("doc_id"),
-        (F.col("doc_id") % _PACK_BASE).cast("bigint").alias("chunk_id"),
+        F.expr(f"doc_id DIV {_PACK_BASE}").cast("bigint").alias("doc_id"),
+        F.expr(f"doc_id % {_PACK_BASE}").cast("bigint").alias("chunk_id"),
         *[c for c in df.columns if c != "doc_id"],
     )
 
@@ -775,11 +778,7 @@ def q_rag_chunk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RAG_HYBRID_SQL = f"""
-WITH {_RAG_C_T},
-{_RAG_BM25_CTES},
-{_RAG_DENSE_CTES},
-rb AS (
+_RAG_CHANNELS_CTES = f"""rb AS (
     SELECT doc_id, chunk_id, rnk AS rb FROM (
         SELECT *, ROW_NUMBER() OVER (
             ORDER BY score DESC, doc_id, chunk_id) AS rnk
@@ -800,7 +799,16 @@ fused AS (
              + COALESCE(1.0 / ({_RRF_K0} + rd.rd), 0.0) AS rrf_score
     FROM rb FULL OUTER JOIN rd
       ON rd.doc_id = rb.doc_id AND rd.chunk_id = rb.chunk_id
-)
+)"""
+# ^ the channel shortlists + their RRF fusion, shared VERBATIM by the
+# hybrid query and the agreement readout (a drifted duplicate here
+# would let the two silently disagree about what "hybrid" means)
+
+_RAG_HYBRID_SQL = f"""
+WITH {_RAG_C_T},
+{_RAG_BM25_CTES},
+{_RAG_DENSE_CTES},
+{_RAG_CHANNELS_CTES}
 SELECT doc_id, chunk_id, rrf_score, CAST(rnk AS BIGINT) AS rnk
 FROM (
     SELECT *, ROW_NUMBER() OVER (
@@ -865,28 +873,7 @@ _RAG_AGREE_SQL = f"""
 WITH {_RAG_C_T},
 {_RAG_BM25_CTES},
 {_RAG_DENSE_CTES},
-rb AS (
-    SELECT doc_id, chunk_id, rnk AS rb FROM (
-        SELECT *, ROW_NUMBER() OVER (
-            ORDER BY score DESC, doc_id, chunk_id) AS rnk
-        FROM per_chunk
-    ) WHERE rnk <= {_RRF_SHORT}
-),
-rd AS (
-    SELECT doc_id, chunk_id, rnk AS rd FROM (
-        SELECT *, ROW_NUMBER() OVER (
-            ORDER BY score DESC, doc_id, chunk_id) AS rnk
-        FROM dscore
-    ) WHERE rnk <= {_RRF_SHORT}
-),
-fused AS (
-    SELECT COALESCE(rb.doc_id, rd.doc_id) AS doc_id,
-           COALESCE(rb.chunk_id, rd.chunk_id) AS chunk_id,
-           COALESCE(1.0 / ({_RRF_K0} + rb.rb), 0.0)
-             + COALESCE(1.0 / ({_RRF_K0} + rd.rd), 0.0) AS rrf_score
-    FROM rb FULL OUTER JOIN rd
-      ON rd.doc_id = rb.doc_id AND rd.chunk_id = rb.chunk_id
-),
+{_RAG_CHANNELS_CTES},
 top_b AS (SELECT doc_id, chunk_id FROM rb WHERE rb <= {_TOP_K}),
 top_d AS (SELECT doc_id, chunk_id FROM rd WHERE rd <= {_TOP_K}),
 top_h AS (
@@ -900,6 +887,9 @@ tagged AS (
     SELECT 'bm25' AS channel, doc_id, chunk_id FROM top_b
     UNION ALL SELECT 'dense', doc_id, chunk_id FROM top_d
     UNION ALL SELECT 'hybrid', doc_id, chunk_id FROM top_h
+),
+sizes AS (
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n FROM tagged GROUP BY 1
 ),
 names AS (SELECT unnest(['bm25', 'dense', 'hybrid']) AS channel),
 cpairs AS (
@@ -915,12 +905,18 @@ overlap AS (
     GROUP BY 1, 2
 )
 SELECT p.channel_a, p.channel_b,
+       COALESCE(sa.n, 0) AS n_a,
+       COALESCE(sb.n, 0) AS n_b,
        COALESCE(o.n_overlap, 0) AS n_overlap,
        CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
-         / CAST({2 * _TOP_K} - COALESCE(o.n_overlap, 0) AS DOUBLE)
+         / CAST(GREATEST(COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                         - COALESCE(o.n_overlap, 0), 1) AS DOUBLE)
            AS jaccard
-FROM cpairs p LEFT JOIN overlap o
+FROM cpairs p
+LEFT JOIN overlap o
   ON o.channel_a = p.channel_a AND o.channel_b = p.channel_b
+LEFT JOIN sizes sa ON sa.channel = p.channel_a
+LEFT JOIN sizes sb ON sb.channel = p.channel_b
 """
 
 
@@ -930,9 +926,13 @@ def q_rag_chunk_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard) for each pair of {{bm25, dense, hybrid}} — the attribution
     agreement measure that tells an operator whether the hybrid is
     actually arbitrating (bm25∩dense small, hybrid overlapping both) or
-    one channel dominates.  All three shortlists are the verified
-    channel pipelines; the readout is a 30-row tag union self-joined —
-    bounded driver-free work whatever the corpus size."""
+    one channel dominates.  Jaccard uses the channels' ACTUAL set sizes
+    (the dense inverted probe can return fewer than k candidates on a
+    sparse corpus — a hardcoded 2k denominator would understate
+    agreement exactly there; round-9 review find).  All three
+    shortlists are the verified channel pipelines; the readout is a
+    30-row tag union self-joined — bounded driver-free work whatever
+    the corpus size."""
     rb, rd = _chunk_channel_shortlists(spark, sf_dir)
     rb = rb.localCheckpoint()
     rd = rd.localCheckpoint()
@@ -967,14 +967,27 @@ def q_rag_chunk_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel_a", "channel_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
     )
-    return cpairs.join(overlap, ["channel_a", "channel_b"], "left").select(
-        "channel_a",
-        "channel_b",
-        F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
-        (
-            F.coalesce("n_overlap", F.lit(0)).cast("double")
-            / (F.lit(2 * _TOP_K) - F.coalesce("n_overlap", F.lit(0))).cast(
-                "double"
-            )
-        ).alias("jaccard"),
+    sizes = tagged.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    sa = sizes.select(F.col("channel").alias("channel_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("channel").alias("channel_b"), F.col("n").alias("n_b"))
+    nov = F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+    na = F.coalesce("n_a", F.lit(0)).cast("bigint")
+    nb = F.coalesce("n_b", F.lit(0)).cast("bigint")
+    return (
+        cpairs.join(overlap, ["channel_a", "channel_b"], "left")
+        .join(sa, "channel_a", "left")
+        .join(sb, "channel_b", "left")
+        .select(
+            "channel_a",
+            "channel_b",
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            nov.alias("n_overlap"),
+            (
+                nov.cast("double")
+                / F.greatest(na + nb - nov, F.lit(1)).cast("double")
+            ).alias("jaccard"),
+        )
     )

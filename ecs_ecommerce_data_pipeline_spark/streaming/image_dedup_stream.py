@@ -136,15 +136,21 @@ def band_dedup_stream(
             )
             .filter(F.col("hamming") <= max_hamming)
         )
+        # stream triggers stamp EVEN ids; compaction folds land on the
+        # next ODD id (the vector store's id-space split) so a replayed
+        # trigger's dynamic overwrite can never clobber a fold that
+        # carries OTHER batches' rows
+        from .vector_index_stream import _stream_bid
+
         (
-            pairs.withColumn("_batch_id", F.lit(batch_id))
+            pairs.withColumn("_batch_id", F.lit(_stream_bid(batch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")
             .parquet(f"{state_path}/pairs")
         )
         (
-            bands_b.withColumn("_batch_id", F.lit(batch_id))
+            bands_b.withColumn("_batch_id", F.lit(_stream_bid(batch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")
@@ -281,11 +287,13 @@ def compact_band_store(spark: SparkSession, state_path: str) -> dict:
         if not _os.path.isdir(spath):
             continue
         raw = spark.read.parquet(spath)
-        # a store directory can exist with zero rows (e.g. every batch
-        # tombstoned then compacted) — max() is NULL there, and the
-        # compaction of an empty store is still well-defined at bid 0
-        row = raw.agg(F.max("_batch_id").alias("m")).first()
-        max_bid = int(row["m"]) if row["m"] is not None else 0
+        # fold at the next ODD id above the max (handles the empty-store
+        # NULL too): later stream batches (even, higher) still layer on
+        # top, while a replayed pre-compaction trigger keeps a LOWER bid
+        # than the fold and can no longer clobber other batches' rows
+        from .vector_index_stream import _next_maintenance_bid
+
+        max_bid = _next_maintenance_bid(raw)
         kept = _mask_doc_tombstones(
             spark, state_path, raw.drop("_batch_id").distinct(), cols
         )
@@ -302,18 +310,10 @@ def compact_band_store(spark: SparkSession, state_path: str) -> dict:
 
         stats[f"{store}_files_before"] = _files(spath)
         stats[f"{store}_files_after"] = _files(tmp)
-        # swap order keeps the store reachable at every instant: the old
-        # generation is renamed ASIDE (not deleted) before the new one
-        # takes its name — a crash leaves either the old store in place,
-        # or the new store live with a stale __old sibling to sweep, but
-        # never a moment with NO store on disk (rmtree-then-rename had
-        # exactly that window)
-        old = f"{spath}__old"
-        if _os.path.isdir(old):
-            _shutil.rmtree(old)  # stale sibling from a prior crash
-        _os.rename(spath, old)
-        _os.rename(tmp, spath)
-        _shutil.rmtree(old)
+        # reachable-at-every-instant swap, shared with the vector store
+        from .vector_index_stream import _sibling_swap
+
+        _sibling_swap(spath, tmp)
     return stats
 
 

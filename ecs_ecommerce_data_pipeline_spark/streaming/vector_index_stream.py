@@ -62,6 +62,43 @@ def _next_maintenance_bid(raw: DataFrame) -> int:
     return nxt if nxt % 2 == 1 else nxt + 1
 
 
+def _sibling_swap(spath: str, tmp: str) -> None:
+    """Promote ``tmp`` over ``spath`` keeping the store reachable at
+    every instant: the old generation is renamed ASIDE (never deleted
+    first), then the new one takes its name, then the sibling is
+    dropped.  A crash leaves either the old store live, or the new
+    store live with a stale ``__old`` sibling swept on the next swap —
+    never a moment with NO store on disk.  The one crash-safety-critical
+    sequence, shared by every compaction/rebalance/retrain site (it was
+    copy-pasted six times before round 9's review pass)."""
+    import os as _os
+    import shutil as _shutil
+
+    old = f"{spath}__old"
+    if _os.path.isdir(old):
+        _shutil.rmtree(old)  # stale sibling from a prior crash
+    _os.rename(spath, old)
+    _os.rename(tmp, spath)
+    _shutil.rmtree(old)
+
+
+def _centroids_with_pending(spark: SparkSession, index_path: str) -> DataFrame:
+    """The served centroid table: the main generation UNION any pending
+    ``centroids_next`` bridge a mid-retrain crash left behind.  During
+    :func:`retrain_quantizer`'s window the re-assigned rows sit in the
+    NEW cells while the main table still holds the OLD ones — serving
+    the union keeps every latest-wins row rankable at every instant
+    (cell ids are globally fresh per retrain, so the two tables are
+    disjoint except for the final promote-then-delete window, where the
+    duplicate rows are identical and the cell-dedup collapses them)."""
+    main = spark.read.parquet(f"{index_path}/centroids")
+    try:
+        nxt = spark.read.parquet(f"{index_path}/centroids_next")
+    except AnalysisException:
+        return main
+    return main.unionByName(nxt).dropDuplicates(["cell"])
+
+
 def vector_index_stream(
     emb_stream: DataFrame,
     index_path: str,
@@ -208,6 +245,7 @@ def vector_index_stream(
             # overwrite a parquet path from a plan that reads it
             new_c.write.mode("overwrite").parquet(cpath)
             centroids = spark.read.parquet(cpath)
+            n_cents = len(kept)
         assigned = ivf_index_add_batch(
             centroids, batch_df, id_col=id_col, vec_col=vec_col
         )
@@ -222,11 +260,11 @@ def vector_index_stream(
             _maintain_pq_codes(
                 spark, index_path, centroids, batch_id, pq_m, pq_k, n_centroids
             )
+        # n_cents was read once at trigger start (and refreshed by the
+        # fill-up branch) — the maintenance gates reuse it instead of
+        # launching two more count jobs on the hot per-trigger path
         retrained = False
-        if (
-            retrain_psi_threshold is not None
-            and centroids.count() >= n_centroids
-        ):
+        if retrain_psi_threshold is not None and n_cents >= n_centroids:
             retrained = _drift_check_and_retrain(
                 spark,
                 index_path,
@@ -238,7 +276,7 @@ def vector_index_stream(
         if (
             rebalance_factor is not None
             and not retrained
-            and centroids.count() >= n_centroids
+            and n_cents >= n_centroids
         ):
             # quantizer full → occupancy is meaningful; the check is one
             # per-cell count aggregate and a no-op when within bound
@@ -377,7 +415,7 @@ def load_stream_index(
     surfaces, even if a ledger replay physically re-writes its rows."""
     from pyspark.sql import Window as W
 
-    centroids = spark.read.parquet(f"{index_path}/centroids")
+    centroids = _centroids_with_pending(spark, index_path)
     raw = _mask_tombstones(spark, index_path, spark.read.parquet(
         f"{index_path}/assignments"
     ))
@@ -441,15 +479,20 @@ def delete_vectors(
 def compact_index(spark: SparkSession, index_path: str) -> dict:
     """Rewrite the accumulated per-batch store files as ONE generation:
     the latest surviving row per vid, tombstones physically dropped,
-    ``partitionBy(cell)`` layout preserved under a single `_batch_id`
-    (the max seen, so later stream batches still supersede compacted
-    rows by the same latest-wins rule).  Returns before/after parquet
-    file counts per store — the collapse a serving index needs once
+    ``partitionBy(cell)`` layout preserved under a single `_batch_id` —
+    the next ODD maintenance id above the max seen, NOT the max itself:
+    later stream batches (even, strictly higher) still supersede by
+    latest-wins, while a ledger REPLAY of the last pre-compaction
+    trigger keeps a lower bid than the compacted generation, so its
+    dynamic overwrite can no longer clobber the fold (compacting AT the
+    max — an even trigger bid — let exactly that replay rewrite
+    (max_bid, cell) partitions holding the whole store's rows for its
+    cells; round-9 review find).  Returns before/after parquet file
+    counts per store — the collapse a serving index needs once
     accumulated trigger files dominate scan cost.
 
-    Swap discipline: the compacted generation is written to a sibling
-    directory and atomically renamed over the old one — never
-    overwriting a path the compaction plan is reading."""
+    Swap discipline: :func:`_sibling_swap` — the store is reachable at
+    every instant."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -463,8 +506,7 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
         if not _os.path.isdir(spath):
             continue
         raw = _mask_tombstones(spark, index_path, spark.read.parquet(spath))
-        max_bid_row = raw.agg(F.max("_batch_id").alias("m")).first()
-        max_bid = int(max_bid_row["m"]) if max_bid_row["m"] is not None else 0
+        fold_bid = _next_maintenance_bid(raw)
         if keyed:
             # pq_codes carries m rows per vid (one per subspace): the
             # latest batch wins per (vid, s)
@@ -482,7 +524,7 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
             )
         tmp = f"{spath}__compacting"
         (
-            latest.withColumn("_batch_id", F.lit(max_bid))
+            latest.withColumn("_batch_id", F.lit(fold_bid))
             .write.mode("overwrite")
             .partitionBy("_batch_id", "cell")
             .parquet(tmp)
@@ -493,30 +535,28 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
 
         stats[f"{store}_files_before"] = _files(spath)
         stats[f"{store}_files_after"] = _files(tmp)
-        # rename the old generation ASIDE before promoting the new one:
-        # a crash leaves either the old store live or the new store live
-        # with a stale __old sibling — never a window with no store
-        old = f"{spath}__old"
-        if _os.path.isdir(old):
-            _shutil.rmtree(old)
-        _os.rename(spath, old)
-        _os.rename(tmp, spath)
-        _shutil.rmtree(old)
+        _sibling_swap(spath, tmp)
 
     # occupancy monitor state: fold each epoch's generations into ONE
-    # per-cell-summed generation at the epoch's max bid — the reference
-    # SUM is associative, so the fold is invisible to the drift gate and
-    # the store stays O(epochs × cells) instead of O(triggers × cells)
+    # per-cell-summed generation — at the next ODD id above the epoch's
+    # max, for the same replay-clobber reason as above (a replayed
+    # trigger at the even max must not dynamic-overwrite the fold; it
+    # sees a LATER generation and skips via the already_folded guard).
+    # The reference SUM is associative, so the fold is invisible to the
+    # drift gate and the store stays O(epochs × cells) instead of
+    # O(triggers × cells)
     opath = f"{index_path}/occupancy"
     if _os.path.isdir(opath):
         occ = spark.read.parquet(opath)
+        fold_odd = (
+            (F.max("_batch_id") + 1)
+            + F.when((F.max("_batch_id") + 1) % 2 == 0, 1).otherwise(0)
+        ).cast("bigint")
         folded = (
             occ.groupBy("epoch", "cell")
             .agg(F.sum("n").cast("bigint").alias("n"))
             .join(
-                occ.groupBy("epoch").agg(
-                    F.max("_batch_id").alias("_batch_id")
-                ),
+                occ.groupBy("epoch").agg(fold_odd.alias("_batch_id")),
                 "epoch",
             )
             .select("epoch", "cell", "n", "_batch_id")
@@ -524,12 +564,7 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
         )
         tmp = f"{opath}__compacting"
         folded.write.mode("overwrite").partitionBy("_batch_id").parquet(tmp)
-        old = f"{opath}__old"
-        if _os.path.isdir(old):
-            _shutil.rmtree(old)
-        _os.rename(opath, old)
-        _os.rename(tmp, opath)
-        _shutil.rmtree(old)
+        _sibling_swap(opath, tmp)
     return stats
 
 
@@ -588,16 +623,9 @@ def rebalance_store_cell(
     spark.createDataFrame(cent_rows, c2.schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(tmp)
-    import shutil as _shutil
-
     # old table aside first — the centroid table must exist at every
-    # instant (probes resolve against it); see compact_index swap note
-    old = f"{cpath}__old"
-    if _os.path.isdir(old):
-        _shutil.rmtree(old)
-    _os.rename(cpath, old)
-    _os.rename(tmp, cpath)
-    _shutil.rmtree(old)
+    # instant (probes resolve against it)
+    _sibling_swap(cpath, tmp)
 
     # 2. re-routed assignment rows under a fresh batch id (latest-wins
     #    supersedes the fat cell's old rows; replay of any earlier batch
@@ -803,21 +831,37 @@ def retrain_quantizer(
     retrain equals an offline rebuild on the same vector set
     (test-pinned fold-equals-batch).
 
-    Write order (crash-safe by reachability, the rebalance discipline):
+    Write order (crash-safe by reachability, the rebalance discipline —
+    but unlike a cell split, a retrain replaces EVERY cell, so the new
+    cells get globally FRESH ids and a BRIDGE table keeps both
+    generations rankable through the window):
 
-    1. ALL current rows re-assigned under a fresh ``_batch_id``
-       (latest-wins supersedes every older row; cell ids stay 0..k−1 so
-       even mid-crash every row remains a valid probe target under the
-       OLD table);
-    2. centroid table sibling-swapped;
+    1. the retrained centroids — under fresh cell ids strictly above
+       every id either table has ever served — are committed to
+       ``centroids_next`` (a sibling-swapped bridge; every load path
+       serves main ∪ next via :func:`_centroids_with_pending`);
+    2. ALL current rows re-assigned into the NEW cells under a fresh
+       odd ``_batch_id`` (latest-wins supersedes every older row;
+       mid-crash, old-cell rows rank via the main table and new-cell
+       rows via the bridge — no row is ever unreachable.  The first
+       version appended re-assignments under recycled ids 0..k−1
+       BEFORE any centroid write, which served EMPTY results for the
+       whole window whenever the frozen quantizer's cell ids were not
+       exactly 0..k−1 — the review-pass find this order fixes);
     3. PQ code rows re-routed (cell only — the stream's codebook is
        raw-vector, independent of cells; codes are copied, never
-       re-encoded).
+       re-encoded);
+    4. the new-only table promoted over ``centroids``, the bridge
+       dropped, and a fresh drift-monitoring epoch baseline written.
 
     Replay-safe by CONVERGENCE: the vector SET is invariant under
     re-assignment, so a ledger-replayed trigger that retrains again
-    derives the identical centroids and folds to the same store.
-    Returns {n_vectors, n_cells, batch_id}."""
+    derives the same clustering under even-fresher ids and folds to
+    the same served content.
+    Returns {n_vectors, n_cells, base_cell, batch_id}."""
+    import os as _os
+    import shutil as _shutil
+
     from ..operators.similarity import (
         farthest_point_seeds,
         kmeans_parallel_oversample,
@@ -826,8 +870,16 @@ def retrain_quantizer(
         recompute_centroids,
     )
 
-    centroids, assignments = load_stream_index(spark, index_path)
-    n_centroids = centroids.count()
+    # k comes from the MAIN table only — during a crashed retrain's
+    # window the union view holds old + pending cells, which must not
+    # double the retrain size on replay
+    main_c = spark.read.parquet(f"{index_path}/centroids")
+    n_centroids = main_c.count()
+    served = _centroids_with_pending(spark, index_path)
+    base_row = served.agg(F.max("cell").alias("m")).first()
+    base_cell = int(base_row["m"]) + 1 if base_row["m"] is not None else 0
+
+    _, assignments = load_stream_index(spark, index_path)
     vecs = assignments.select("vid", "vec").localCheckpoint()
     cands, _ = kmeans_parallel_oversample(
         vecs, l=2 * n_centroids, rounds=rounds, id_col="vid", vec_col="vec"
@@ -842,7 +894,8 @@ def retrain_quantizer(
     new_c = (
         recompute_centroids(vecs, assignment, "vid", "vec")
         .select(
-            F.col("cluster_id").alias("cell"),
+            (F.col("cluster_id") + F.lit(base_cell)).cast("bigint")
+            .alias("cell"),
             F.col("centroid").alias("cvec"),
         )
         .withColumn("cnrm", norm(F.col("cvec")))
@@ -850,7 +903,17 @@ def retrain_quantizer(
     cent_rows = new_c.collect()  # bounded: k rows of quantizer metadata
     new_cdf = spark.createDataFrame(cent_rows, new_c.schema).localCheckpoint()
 
-    # 1. re-assign every current row against the retrained centroids
+    # 1. commit the BRIDGE: new cells rankable before any row moves
+    cpath = f"{index_path}/centroids"
+    npath = f"{index_path}/centroids_next"
+    tmp = f"{npath}__staging"
+    new_cdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if _os.path.isdir(npath):
+        _sibling_swap(npath, tmp)
+    else:
+        _os.rename(tmp, npath)
+
+    # 2. re-assign every current row against the retrained centroids
     reassigned = ivf_index_add_batch(
         new_cdf, vecs, id_col="vid", vec_col="vec"
     ).localCheckpoint()
@@ -862,21 +925,6 @@ def retrain_quantizer(
         .partitionBy("_batch_id", "cell")
         .parquet(f"{index_path}/assignments")
     )
-
-    # 2. centroid table, sibling swap (old aside first — see
-    #    compact_index)
-    import os as _os
-    import shutil as _shutil
-
-    cpath = f"{index_path}/centroids"
-    tmp = f"{cpath}__retraining"
-    new_cdf.coalesce(1).write.mode("overwrite").parquet(tmp)
-    old = f"{cpath}__old"
-    if _os.path.isdir(old):
-        _shutil.rmtree(old)
-    _os.rename(cpath, old)
-    _os.rename(tmp, cpath)
-    _shutil.rmtree(old)
 
     # 3. PQ codes follow their vectors (cell re-route, codes untouched)
     if _os.path.isdir(f"{index_path}/pq_codes"):
@@ -901,7 +949,15 @@ def retrain_quantizer(
             .parquet(f"{index_path}/pq_codes")
         )
 
-    # 4. open a new drift-monitoring EPOCH: the baseline generation is
+    # 4. promote the new-only table and drop the bridge (a crash
+    #    between the two leaves main = next = the same rows; the
+    #    cell-dedup in _centroids_with_pending collapses them)
+    tmp2 = f"{cpath}__promoting"
+    new_cdf.coalesce(1).write.mode("overwrite").parquet(tmp2)
+    _sibling_swap(cpath, tmp2)
+    _shutil.rmtree(npath)
+
+    # 5. open a new drift-monitoring EPOCH: the baseline generation is
     #    the full re-assignment's per-cell occupancy (already in hand —
     #    O(cells) rows), so the monitor compares future batches against
     #    the RETRAINED layout instead of the drifted history
@@ -918,6 +974,7 @@ def retrain_quantizer(
     return {
         "n_vectors": int(reassigned.count()),
         "n_cells": int(n_centroids),
+        "base_cell": int(base_cell),
         "batch_id": next_bid,
     }
 
@@ -1038,19 +1095,26 @@ def _drift_check_and_retrain(
         pass
     if not already_folded:
         _write_occupancy(spark, index_path, cur_occ, epoch, sbid)
+        # the log row is written BEFORE the retrain, and NOT rewritten
+        # on a replay-after-retrain (already_folded): a replayed alarm
+        # trigger recomputes psi against the fresh post-retrain epoch
+        # (empty reference → 0) and would otherwise dynamic-overwrite
+        # the only record of why the epoch changed with alarm=false.
+        # ``retrained`` therefore means "retrain TRIGGERED here" — its
+        # completion is the ledger's business (replay finishes it).
+        (
+            spark.createDataFrame(
+                [(sbid, n_ref, n_cur, psi_q, alarm, alarm)],
+                "_batch_id bigint, n_ref bigint, n_cur bigint, "
+                "psi_total_q bigint, alarm boolean, retrained boolean",
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{index_path}/drift_log")
+        )
     retrained = False
     if alarm:
         retrain_quantizer(spark, index_path)
         retrained = True
-    (
-        spark.createDataFrame(
-            [(sbid, n_ref, n_cur, psi_q, alarm, retrained)],
-            "_batch_id bigint, n_ref bigint, n_cur bigint, "
-            "psi_total_q bigint, alarm boolean, retrained boolean",
-        )
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_batch_id")
-        .parquet(f"{index_path}/drift_log")
-    )
     return retrained

@@ -169,8 +169,11 @@ def test_drift_stream_retrains_and_restores(spark, tmp_path):
         )
         .withColumn("cnrm", norm(F.col("cvec")))
     )
+    # the stream's retrained cells carry globally FRESH ids (base =
+    # 1 + max frozen cell = 8 here — the reachability fix), so the
+    # offline chain's 0..k-1 ids map up by that base
     want = {
-        r["cell"]: [round(x, 9) for x in r["cvec"]]
+        r["cell"] + _NC: [round(x, 9) for x in r["cvec"]]
         for r in offline.collect()
     }
     got = {
@@ -358,3 +361,71 @@ def test_maintenance_rows_survive_the_next_trigger(spark, tmp_path):
     }
     assert {0, 2, 4} <= bids
     assert any(b % 2 == 1 for b in bids), bids
+
+
+def test_retrain_reachable_when_ids_do_not_start_at_zero(spark, tmp_path):
+    """Round-9 review regression: retrain used to append re-assignments
+    under recycled cell ids 0..k−1 BEFORE any centroid write — with a
+    quantizer whose frozen cells are NOT 0..k−1 (any corpus whose
+    smallest ids aren't 0..k−1), every row was unreachable for the whole
+    window and a crash served an empty index.  Now the new cells get
+    globally fresh ids committed via the centroids_next bridge first.
+    Here the corpus ids start at 5000: the retrained store must serve
+    every row, with assignment cells ⊆ the served centroid table."""
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import BatchLedger
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        load_stream_index,
+        vector_index_stream,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+    )
+    b0 = emb.filter(F.col("vec_id") < 5048)
+    b1 = emb.filter((F.col("vec_id") >= 5048) & (F.col("vec_id") < 5096))
+    v0 = emb.filter(F.col("vec_id") == 5000).select("embedding")
+    drift = (
+        spark.range(9000, 9096)
+        .select(F.col("id").alias("vec_id"))
+        .crossJoin(F.broadcast(v0))
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, (x, i) -> CAST(x * (1.0D + "
+                "CAST((vec_id * 31 + i) % 13 AS DOUBLE) / 100.0D) AS FLOAT))"
+            ).alias("embedding"),
+        )
+    )
+    drop = str(tmp_path / "drop")
+    b0.coalesce(1).write.parquet(drop)
+    b1.coalesce(1).write.mode("append").parquet(drop)
+    drift.coalesce(1).write.mode("append").parquet(drop)
+    index_path = str(tmp_path / "idx")
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = vector_index_stream(
+        stream, index_path, str(tmp_path / "ckpt"),
+        BatchLedger(str(tmp_path / "ledger.json")),
+        n_centroids=_NC, retrain_psi_threshold=_PSI_T,
+    )
+    q.awaitTermination(240)
+
+    log = _drift_log(spark, index_path)
+    assert any(r["retrained"] for r in log.values())
+    cents, assigns = load_stream_index(spark, index_path)
+    cent_cells = {r["cell"] for r in cents.select("cell").collect()}
+    asg_cells = {
+        r["cell"] for r in assigns.select("cell").distinct().collect()
+    }
+    assert asg_cells <= cent_cells, (asg_cells, cent_cells)
+    # fresh ids sit ABOVE the frozen quantizer's id range
+    assert min(cent_cells) > 5007
+    assert assigns.count() == 48 + 48 + 96
+    # no bridge left behind after a clean retrain
+    import os
+
+    assert not os.path.isdir(f"{index_path}/centroids_next")
