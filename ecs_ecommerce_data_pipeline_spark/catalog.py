@@ -278,6 +278,7 @@ _PRIORITY = [
     "sim_kmeanspar_weighted_purity",
     "sim_ivfpq_kpar64_filtered_recall",
     "sim_ivfpq_kpar64_filtered_rerank_recall",
+    "stream_retrain_cusum",
     # -- round-8 head below (all green in r08 — they sort to the
     #    verified tail anyway; kept for the no-artifacts fallback) --
     "sim_fps_seeds_k64",

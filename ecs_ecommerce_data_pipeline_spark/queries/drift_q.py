@@ -515,3 +515,97 @@ def q_stream_retrain_occupancy_profile(
         F.coalesce("n_frozen", F.lit(0)).cast("bigint").alias("n_frozen"),
         F.coalesce("n_retrained", F.lit(0)).cast("bigint").alias("n_retrained"),
     )
+
+
+# Page's CUSUM over the retrain PSI trace — the persistent-shift
+# sequential detector on the vector store's drift series, completing
+# the pair the events/preference families already serve (SPRT + CUSUM):
+# a threshold flag flickers on noisy triggers; CUSUM accumulates
+# evidence and stays up once a real shift lands.
+
+_DR9_CUSUM_K = int(0.1 * (2**40))   # per-trigger allowance (0.1 PSI)
+_DR9_CUSUM_H = int(1.0 * (2**40))   # decision barrier (1.0 PSI)
+
+_DR9_CUSUM_SQL = (
+    f"WITH {_DR9_E_DK},\n{_DR9_FZ_DK},\n{_DR9_ASG_DK},\n"
+    + ",\n".join(_dr9_psi_block(t) for t in range(1, _DR9_BATCHES))
+    + f""",
+trace AS (
+    {" UNION ALL ".join(
+        f"SELECT {t} AS trigger, (SELECT psi_q FROM psi{t}) AS psi_total_q"
+        for t in range(1, _DR9_BATCHES)
+    )}
+),
+x AS (
+    SELECT trigger, psi_total_q,
+           CAST(psi_total_q - {_DR9_CUSUM_K} AS BIGINT) AS xq
+    FROM trace
+),
+c AS (
+    SELECT trigger, psi_total_q, xq,
+           CAST(SUM(xq) OVER (ORDER BY trigger) AS BIGINT) AS s
+    FROM x
+)
+SELECT trigger, psi_total_q, xq,
+       CAST(s - LEAST(CAST(0 AS BIGINT),
+                      MIN(s) OVER (ORDER BY trigger)) AS BIGINT) AS cusum_q,
+       (s - LEAST(CAST(0 AS BIGINT), MIN(s) OVER (ORDER BY trigger)))
+           >= {_DR9_CUSUM_H} AS alarm
+FROM c
+"""
+)
+
+
+@register("stream_retrain_cusum", _DR9_CUSUM_SQL)
+def q_stream_retrain_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM over the drift-adversarial PSI trace — the
+    persistent-shift form of the retrain alarm: x_t = psi_q − k_q (the
+    quantized allowance; drift under 0.1 PSI per trigger is absorbed),
+    C_t = Σx − min(0, running-min Σx) (the ``events_cusum_hourly``
+    cumsum−running-min identity), alarm at C_t ≥ 1.0 PSI.  On this
+    fixture the threshold flag and the CUSUM agree (one decisive
+    shift); on a slow-burn drift the CUSUM fires where the per-trigger
+    flag never crosses — the reason production monitors run both.  All
+    integer arithmetic over the already-verified trace; two windows
+    over an O(triggers) frame."""
+    from pyspark.sql.window import Window as W
+
+    _fx, _frozen, asg = _dr9_frozen_and_assigned(spark, sf_dir)
+    from ..streaming.vector_index_stream import quantizer_drift_psi
+
+    rows = []
+    for t in range(1, _DR9_BATCHES):
+        ref_occ = (
+            asg.filter(F.col("batch") < t)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        cur_occ = (
+            asg.filter(F.col("batch") == t)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        psi_q, _terms = quantizer_drift_psi(ref_occ, cur_occ, _DR9_NC)
+        rows.append((t, psi_q))
+    trace = spark.createDataFrame(rows, "trigger BIGINT, psi_total_q BIGINT")
+    w = W.orderBy("trigger")
+    x = trace.withColumn(
+        "xq", (F.col("psi_total_q") - F.lit(_DR9_CUSUM_K)).cast("bigint")
+    )
+    c = x.withColumn("s", F.sum("xq").over(w).cast("bigint"))
+    return c.select(
+        "trigger",
+        "psi_total_q",
+        "xq",
+        (
+            F.col("s")
+            - F.least(F.lit(0).cast("bigint"), F.min("s").over(w))
+        ).cast("bigint").alias("cusum_q"),
+        (
+            (
+                F.col("s")
+                - F.least(F.lit(0).cast("bigint"), F.min("s").over(w))
+            )
+            >= F.lit(_DR9_CUSUM_H)
+        ).alias("alarm"),
+    )
