@@ -383,7 +383,10 @@ _BENCH_EXTRA: set[str] = {
     # reason (kpar build + weighted Lloyd on the fixture; its finding —
     # purity parity with the unweighted default — is the point), and
     # stream_retrain_occupancy_profile stays OUT (runs the full kpar
-    # retrain chain — a build experiment).
+    # retrain chain — a build experiment).  stream_retrain_cusum stays
+    # OUT too: it recomputes the SAME per-trigger trace psi_trace times
+    # and adds two windows over a 3-row frame — the timed trace stage
+    # already prices its cost class.
     "rag_chunk_dense_topk",
     "rag_chunk_hybrid_rrf",
     "stream_retrain_psi_trace",
