@@ -66,6 +66,9 @@ def band_dedup_stream(
                 ledger.mark_done(bid)
             return
         spark = batch_df.sparkSession
+        from .vector_index_stream import _ensure_bid_format, _read_store
+
+        _ensure_bid_format(state_path)
         # batch fingerprints feed the block join (both orientations),
         # the verify joins, and the store write — pin once, release at
         # the end (the image_neardup_pairs discipline); a lazy frame
@@ -80,7 +83,7 @@ def band_dedup_stream(
             store = _mask_doc_tombstones(
                 spark,
                 state_path,
-                spark.read.parquet(bpath)
+                _read_store(spark, bpath)
                 .select("doc_id", "band_idx", "band_val")
                 .distinct(),
                 ["doc_id"],
@@ -136,10 +139,12 @@ def band_dedup_stream(
             )
             .filter(F.col("hamming") <= max_hamming)
         )
-        # stream triggers stamp EVEN ids; compaction folds land on the
-        # next ODD id (the vector store's id-space split) so a replayed
-        # trigger's dynamic overwrite can never clobber a fold that
-        # carries OTHER batches' rows
+        # stream triggers stamp shifted ids (trigger << 20); compaction
+        # folds land on maintenance ids INSIDE the same trigger window
+        # (the vector store's id-space contract, see _stream_bid) so a
+        # replayed trigger's dynamic overwrite can never clobber a fold
+        # that carries OTHER batches' rows — and no fold can outrank the
+        # next trigger's rows
         from .vector_index_stream import _stream_bid
 
         (
@@ -227,10 +232,12 @@ def load_image_dedup_pairs(spark: SparkSession, state_path: str) -> DataFrame:
     pinned by the equivalence test.  Tombstoned documents are masked on
     BOTH pair sides (a near-dup pair is derived data of both members —
     the erasure face, see :func:`delete_docs`)."""
+    from .vector_index_stream import _read_store
+
     return _mask_doc_tombstones(
         spark,
         state_path,
-        spark.read.parquet(f"{state_path}/pairs")
+        _read_store(spark, f"{state_path}/pairs")
         .select("doc_a", "doc_b", "hamming")
         .distinct(),
         ["doc_a", "doc_b"],
@@ -281,16 +288,21 @@ def compact_band_store(spark: SparkSession, state_path: str) -> dict:
     import os as _os
     import shutil as _shutil
 
+    from .vector_index_stream import _ensure_bid_format, _recover_store
+
+    _ensure_bid_format(state_path)
     stats: dict = {}
     for store, cols in (("bands", ["doc_id"]), ("pairs", ["doc_a", "doc_b"])):
         spath = f"{state_path}/{store}"
+        _recover_store(spath)
         if not _os.path.isdir(spath):
             continue
         raw = spark.read.parquet(spath)
-        # fold at the next ODD id above the max (handles the empty-store
-        # NULL too): later stream batches (even, higher) still layer on
-        # top, while a replayed pre-compaction trigger keeps a LOWER bid
-        # than the fold and can no longer clobber other batches' rows
+        # fold at the next MAINTENANCE id above the max (handles the
+        # empty-store NULL too): later stream batches (next trigger
+        # window, higher) still layer on top, while a replayed
+        # pre-compaction trigger keeps a LOWER bid than the fold and can
+        # no longer clobber other batches' rows
         from .vector_index_stream import _next_maintenance_bid
 
         max_bid = _next_maintenance_bid(raw)
@@ -329,7 +341,9 @@ def band_store_erasure_audit(spark: SparkSession, state_path: str) -> DataFrame:
         ).distinct()
     except AnalysisException:
         tomb = spark.createDataFrame([], "doc_id bigint")
-    raw_bands = spark.read.parquet(f"{state_path}/bands")
+    from .vector_index_stream import _read_store
+
+    raw_bands = _read_store(spark, f"{state_path}/bands")
     physical = raw_bands.join(F.broadcast(tomb), "doc_id", "left_semi")
     vis_bands = _mask_doc_tombstones(
         spark, state_path, raw_bands, ["doc_id"]

@@ -39,44 +39,169 @@ from ..operators.similarity import (
 from ..plans.incremental import BatchLedger
 
 
+_BID_SHIFT = 20  # 2^20 maintenance slots per trigger window
+
+# Store format version for the ``_batch_id`` numbering (v3 = shifted id
+# space below).  v1 (raw trigger ids, maintenance at max+1) and v2
+# (even/odd split) wrote ids a v3 reader would mis-order, so stores
+# carry a marker file and resume refuses without it.
+_BID_FORMAT = 3
+_BID_MARKER = "_bid_format"
+# data subdirs whose presence means "this store has written rows" (both
+# the vector store and the band-dedup store route ids through here)
+_STORE_DATA_DIRS = ("assignments", "pq_codes", "bands", "pairs", "occupancy")
+
+
 def _stream_bid(batch_id: int) -> int:
-    """Stream triggers stamp EVEN ``_batch_id`` (2·trigger); maintenance
-    appends (rebalance / retrain) stamp the next ODD id above the max
-    seen (:func:`_next_maintenance_bid`).  The two id spaces are
-    DISJOINT — before this (round 9) a maintenance op after trigger t
-    stamped max+1 = t+1, which is exactly the NEXT trigger's id, so
-    that trigger's dynamic overwrite silently clobbered the maintenance
-    rows cell-by-cell (re-routed/re-assigned rows bounced back to their
-    pre-maintenance cells).  Relative order is preserved: maintenance
-    after trigger t gets 2t+1 < 2(t+1), so later stream rows still
-    supersede by latest-wins, and earlier replays still fold under."""
-    return 2 * batch_id
+    """Stream triggers stamp ``trigger << 20``; maintenance appends
+    (rebalance / retrain / compaction) stamp max+1 within the same
+    trigger window (:func:`_next_maintenance_bid`) — up to 2^20
+    allocations before the window exhausts (raised loudly, never
+    silently reached).  The two id spaces are DISJOINT and maintenance
+    ids can NEVER reach the next trigger's stream id.
+
+    History: v1 stamped maintenance at max+1 = t+1 — exactly the NEXT
+    trigger's id, so that trigger's dynamic overwrite clobbered the
+    maintenance rows cell-by-cell.  v2 (round 9) split even/odd, which
+    fixed the FIRST maintenance id after a trigger but not the second:
+    a 2nd allocation between triggers returned 2t+3 >= 2(t+1), so a
+    multi-split rebalance, a compact-after-rebalance, or two
+    consecutive compactions produced ids ABOVE the next stream bid —
+    any vid re-embedded in the next trigger was permanently superseded
+    by the stale maintenance row under latest-wins, and the drift
+    gate's already_folded guard wrongly skipped that trigger's
+    occupancy/drift_log writes.  v3 (this) widens the window so every
+    maintenance id after trigger t satisfies
+    ``t<<20 < id < (t+1)<<20``: relative order is preserved, later
+    stream rows still supersede, earlier replays still fold under."""
+    return int(batch_id) << _BID_SHIFT
+
+
+def _maintenance_bid_above(max_bid: int) -> int:
+    """The next maintenance ``_batch_id`` strictly above ``max_bid``,
+    guaranteed to stay BELOW the next trigger's stream id — raises if
+    the 2^20-slot window is exhausted (a runaway-maintenance guard;
+    unreachable in practice)."""
+    nxt = int(max_bid) + 1
+    if nxt % (1 << _BID_SHIFT) == 0:
+        raise RuntimeError(
+            "maintenance _batch_id window exhausted: "
+            f"{nxt} would collide with the next stream trigger's id "
+            f"(2^{_BID_SHIFT} maintenance ops ran inside one trigger "
+            "window — compact the store and investigate)"
+        )
+    return nxt
 
 
 def _next_maintenance_bid(raw: DataFrame) -> int:
-    """Next ODD ``_batch_id`` strictly above the store's max — see
-    :func:`_stream_bid` for why maintenance ids must be odd."""
+    """Next maintenance ``_batch_id`` strictly above the store's max —
+    see :func:`_stream_bid` for the id-space contract."""
     row = raw.agg(F.max("_batch_id").alias("m")).first()
     m = int(row["m"]) if row["m"] is not None else 0
-    nxt = m + 1
-    return nxt if nxt % 2 == 1 else nxt + 1
+    return _maintenance_bid_above(m)
 
 
-def _sibling_swap(spath: str, tmp: str) -> None:
-    """Promote ``tmp`` over ``spath`` keeping the store reachable at
-    every instant: the old generation is renamed ASIDE (never deleted
-    first), then the new one takes its name, then the sibling is
-    dropped.  A crash leaves either the old store live, or the new
-    store live with a stale ``__old`` sibling swept on the next swap —
-    never a moment with NO store on disk.  The one crash-safety-critical
-    sequence, shared by every compaction/rebalance/retrain site (it was
-    copy-pasted six times before round 9's review pass)."""
+def _ensure_bid_format(path: str) -> None:
+    """Stamp a new store with the v3 id-space marker, or verify an
+    existing one.  A store holding data but NO marker predates the v3
+    shifted id space (its bids were written under the v1/v2 numbering,
+    which a v3 reader would mis-order under latest-wins) — resume is
+    refused rather than silently corrupting precedence.  Called on
+    every WRITE path (stream trigger + admin ops); read-only loads stay
+    permissive (a self-consistent old store reads fine in isolation)."""
+    import os as _os
+
+    marker = _os.path.join(path, _BID_MARKER)
+    if _os.path.isfile(marker):
+        with open(marker) as f:
+            v = f.read().strip()
+        if v != str(_BID_FORMAT):
+            raise ValueError(
+                f"store at {path} uses _batch_id format v{v}; this build "
+                f"writes v{_BID_FORMAT} — rebuild the store (replay the "
+                "source through a fresh checkpoint) before resuming"
+            )
+        return
+    if any(
+        _os.path.isdir(_os.path.join(path, d)) for d in _STORE_DATA_DIRS
+    ):
+        raise ValueError(
+            f"store at {path} holds data but no {_BID_MARKER} marker — it "
+            "predates the v3 shifted _batch_id space (even/odd or raw "
+            "trigger ids), whose bids interleave arbitrarily with v3 ids "
+            "and break latest-wins ordering.  Refusing to resume: rebuild "
+            "the store from source, or migrate bids offline and stamp the "
+            "marker"
+        )
+    _os.makedirs(path, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(str(_BID_FORMAT))
+
+
+# tmp-sibling suffixes every swap site uses; _recover_store scans these
+_TMP_SUFFIXES = ("__compacting", "__rebalancing", "__promoting", "__staging")
+
+
+def _recover_store(spath: str) -> None:
+    """Repair a store path a crashed :func:`_sibling_swap` left without
+    its canonical directory.
+
+    The swap's crash window is between ``rename(spath → __old)`` and
+    ``rename(tmp → spath)``: at that instant the fully-written tmp and
+    the old generation both exist but ``spath`` does not.  Recovery
+    rolls FORWARD when a complete tmp sibling exists (its ``_SUCCESS``
+    marker proves the write finished before the swap began), else rolls
+    BACK by restoring ``__old``; a stale ``__old`` next to a healthy
+    store is swept.  Idempotent, no-op on healthy stores — called at
+    every read/write site so neither serving nor the fill-up branch
+    ever observes "no store" mid-swap (the fill-up branch rebuilding
+    centroids over a recoverable store would orphan every row keyed to
+    the lost cells)."""
     import os as _os
     import shutil as _shutil
 
     old = f"{spath}__old"
-    if _os.path.isdir(old):
-        _shutil.rmtree(old)  # stale sibling from a prior crash
+    if not _os.path.isdir(spath):
+        promoted = False
+        for suf in _TMP_SUFFIXES:
+            tmp = f"{spath}{suf}"
+            if _os.path.isdir(tmp) and _os.path.isfile(
+                _os.path.join(tmp, "_SUCCESS")
+            ):
+                _os.rename(tmp, spath)
+                promoted = True
+                break
+        if not promoted and _os.path.isdir(old):
+            _os.rename(old, spath)
+    if _os.path.isdir(spath) and _os.path.isdir(old):
+        _shutil.rmtree(old)
+
+
+def _read_store(spark: SparkSession, spath: str) -> DataFrame:
+    """Read a swap-managed store, recovering a crashed swap first (the
+    plain ``spark.read.parquet`` would raise AnalysisException inside
+    the crash window and callers would mistake a recoverable store for
+    a missing one)."""
+    _recover_store(spath)
+    return spark.read.parquet(spath)
+
+
+def _sibling_swap(spath: str, tmp: str) -> None:
+    """Promote ``tmp`` over ``spath`` keeping the store recoverable at
+    every instant: the old generation is renamed ASIDE (never deleted
+    first), then the new one takes its name, then the sibling is
+    dropped.  A crash leaves the old store live, or the new store live
+    with a stale ``__old`` sibling, or — in the window between the two
+    renames — no canonical dir but both siblings on disk, which every
+    read/write site repairs via :func:`_recover_store` before
+    proceeding.  The one crash-safety-critical sequence, shared by
+    every compaction/rebalance/retrain site (it was copy-pasted six
+    times before round 9's review pass)."""
+    import os as _os
+    import shutil as _shutil
+
+    _recover_store(spath)  # heal any prior crashed swap first
+    old = f"{spath}__old"
     _os.rename(spath, old)
     _os.rename(tmp, spath)
     _shutil.rmtree(old)
@@ -91,9 +216,9 @@ def _centroids_with_pending(spark: SparkSession, index_path: str) -> DataFrame:
     (cell ids are globally fresh per retrain, so the two tables are
     disjoint except for the final promote-then-delete window, where the
     duplicate rows are identical and the cell-dedup collapses them)."""
-    main = spark.read.parquet(f"{index_path}/centroids")
+    main = _read_store(spark, f"{index_path}/centroids")
     try:
-        nxt = spark.read.parquet(f"{index_path}/centroids_next")
+        nxt = _read_store(spark, f"{index_path}/centroids_next")
     except AnalysisException:
         return main
     return main.unionByName(nxt).dropDuplicates(["cell"])
@@ -151,8 +276,9 @@ def vector_index_stream(
     quantizer is full) ends with the DRIFT check — the round-8 verdict's
     "close the drift loop" task: Laplace-smoothed PSI between the
     store's per-cell occupancy (reference = everything before this
-    trigger) and this batch's occupancy (:func:`quantizer_drift_psi`,
-    the ``sim_ivf_quantizer_drift`` math), appended to
+    trigger) and this batch's occupancy (:func:`quantizer_drift_psi` —
+    the ``sim_ivf_quantizer_drift`` smoothing/scale, restricted to
+    occupied cells; see its variant note), appended to
     ``{index_path}/drift_log`` as an idempotent per-trigger dynamic
     overwrite.  When quantized PSI exceeds the threshold the trigger
     escalates to :func:`retrain_quantizer` — k-means|| re-seed +
@@ -180,9 +306,10 @@ def vector_index_stream(
                 ledger.mark_done(bid)
             return
         spark = batch_df.sparkSession
+        _ensure_bid_format(index_path)
         cpath = f"{index_path}/centroids"
         try:
-            centroids = spark.read.parquet(cpath)
+            centroids = _read_store(spark, cpath)
             n_cents = centroids.count()
         except AnalysisException:
             centroids = None
@@ -351,7 +478,7 @@ def _maintain_pq_codes(
         backfill = True
     sub_row = codebook.select(F.size("cv").alias("s")).first()
     sub = int(sub_row["s"])
-    store = spark.read.parquet(f"{index_path}/assignments")
+    store = _read_store(spark, f"{index_path}/assignments")
     if backfill:
         # one-time: code the latest row per vid across everything
         # written so far (bounded by pre-freeze volume, runs once)
@@ -392,7 +519,7 @@ def load_stream_ivfpq(
     centroids, assignments = load_stream_index(spark, index_path)
     codebook = spark.read.parquet(f"{index_path}/pq_codebook")
     raw = _mask_tombstones(
-        spark, index_path, spark.read.parquet(f"{index_path}/pq_codes")
+        spark, index_path, _read_store(spark, f"{index_path}/pq_codes")
     )
     w = W.partitionBy("vid", "s").orderBy(F.desc("_batch_id"))
     codes = (
@@ -416,8 +543,8 @@ def load_stream_index(
     from pyspark.sql import Window as W
 
     centroids = _centroids_with_pending(spark, index_path)
-    raw = _mask_tombstones(spark, index_path, spark.read.parquet(
-        f"{index_path}/assignments"
+    raw = _mask_tombstones(spark, index_path, _read_store(
+        spark, f"{index_path}/assignments"
     ))
     w = W.partitionBy("vid").orderBy(F.desc("_batch_id"))
     assignments = (
@@ -480,29 +607,31 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     """Rewrite the accumulated per-batch store files as ONE generation:
     the latest surviving row per vid, tombstones physically dropped,
     ``partitionBy(cell)`` layout preserved under a single `_batch_id` —
-    the next ODD maintenance id above the max seen, NOT the max itself:
-    later stream batches (even, strictly higher) still supersede by
-    latest-wins, while a ledger REPLAY of the last pre-compaction
-    trigger keeps a lower bid than the compacted generation, so its
-    dynamic overwrite can no longer clobber the fold (compacting AT the
-    max — an even trigger bid — let exactly that replay rewrite
-    (max_bid, cell) partitions holding the whole store's rows for its
-    cells; round-9 review find).  Returns before/after parquet file
-    counts per store — the collapse a serving index needs once
-    accumulated trigger files dominate scan cost.
+    the next MAINTENANCE id above the max seen, NOT the max itself:
+    later stream batches (next trigger window, strictly higher) still
+    supersede by latest-wins, while a ledger REPLAY of the last
+    pre-compaction trigger keeps a lower bid than the compacted
+    generation, so its dynamic overwrite can no longer clobber the fold
+    (compacting AT the max — a stream trigger bid — let exactly that
+    replay rewrite (max_bid, cell) partitions holding the whole store's
+    rows for its cells; round-9 review find).  Returns before/after
+    parquet file counts per store — the collapse a serving index needs
+    once accumulated trigger files dominate scan cost.
 
-    Swap discipline: :func:`_sibling_swap` — the store is reachable at
-    every instant."""
+    Swap discipline: :func:`_sibling_swap` + :func:`_recover_store` —
+    the store is recoverable at every instant."""
     import glob as _glob
     import os as _os
-    import shutil as _shutil
+    import shutil as _shutil  # noqa: F401  (parity with other admin ops)
 
     from pyspark.sql import Window as W
 
+    _ensure_bid_format(index_path)
     stats: dict = {}
     w = W.partitionBy("vid").orderBy(F.desc("_batch_id"))
     for store, keyed in (("assignments", False), ("pq_codes", True)):
         spath = f"{index_path}/{store}"
+        _recover_store(spath)  # a crashed swap must be repaired, not skipped
         if not _os.path.isdir(spath):
             continue
         raw = _mask_tombstones(spark, index_path, spark.read.parquet(spath))
@@ -538,27 +667,33 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
         _sibling_swap(spath, tmp)
 
     # occupancy monitor state: fold each epoch's generations into ONE
-    # per-cell-summed generation — at the next ODD id above the epoch's
-    # max, for the same replay-clobber reason as above (a replayed
-    # trigger at the even max must not dynamic-overwrite the fold; it
-    # sees a LATER generation and skips via the already_folded guard).
-    # The reference SUM is associative, so the fold is invisible to the
-    # drift gate and the store stays O(epochs × cells) instead of
-    # O(triggers × cells)
+    # per-cell-summed generation — at the next MAINTENANCE id above the
+    # epoch's max, for the same replay-clobber reason as above (a
+    # replayed trigger at the stream max must not dynamic-overwrite the
+    # fold; it sees a LATER generation and skips via the already_folded
+    # guard).  The reference SUM is associative, so the fold is
+    # invisible to the drift gate and the store stays O(epochs × cells)
+    # instead of O(triggers × cells).  Fold ids are computed driver-side
+    # per epoch (epochs are few and bounded) through the SAME
+    # window-exhaustion guard every other maintenance id goes through.
     opath = f"{index_path}/occupancy"
+    _recover_store(opath)
     if _os.path.isdir(opath):
         occ = spark.read.parquet(opath)
-        fold_odd = (
-            (F.max("_batch_id") + 1)
-            + F.when((F.max("_batch_id") + 1) % 2 == 0, 1).otherwise(0)
-        ).cast("bigint")
+        epoch_max = {
+            int(r["epoch"]): int(r["m"])
+            for r in occ.groupBy("epoch")
+            .agg(F.max("_batch_id").alias("m"))
+            .collect()
+        }
+        fold_df = spark.createDataFrame(
+            [(e, _maintenance_bid_above(m)) for e, m in epoch_max.items()],
+            "epoch bigint, _batch_id bigint",
+        )
         folded = (
             occ.groupBy("epoch", "cell")
             .agg(F.sum("n").cast("bigint").alias("n"))
-            .join(
-                occ.groupBy("epoch").agg(fold_odd.alias("_batch_id")),
-                "epoch",
-            )
+            .join(F.broadcast(fold_df), "epoch")
             .select("epoch", "cell", "n", "_batch_id")
             .localCheckpoint()
         )
@@ -601,6 +736,7 @@ def rebalance_store_cell(
 
     from ..operators.similarity import split_ivf_cell
 
+    _ensure_bid_format(index_path)
     centroids, assignments = load_stream_index(spark, index_path)
     if new_cell is None:
         new_cell = int(centroids.agg(F.max("cell")).first()[0]) + 1
@@ -630,7 +766,7 @@ def rebalance_store_cell(
     # 2. re-routed assignment rows under a fresh batch id (latest-wins
     #    supersedes the fat cell's old rows; replay of any earlier batch
     #    cannot resurrect them)
-    raw = spark.read.parquet(f"{index_path}/assignments")
+    raw = _read_store(spark, f"{index_path}/assignments")
     next_bid = _next_maintenance_bid(raw)
     (
         moved.withColumn("_batch_id", F.lit(next_bid))
@@ -640,6 +776,7 @@ def rebalance_store_cell(
     )
 
     # 3. PQ code rows follow their vectors (cell re-route only)
+    _recover_store(f"{index_path}/pq_codes")
     if _os.path.isdir(f"{index_path}/pq_codes"):
         from pyspark.sql import Window as W
 
@@ -741,7 +878,7 @@ def vector_store_erasure_audit(
         ).distinct()
     except AnalysisException:
         tomb = spark.createDataFrame([], "vid bigint")
-    raw = spark.read.parquet(f"{index_path}/assignments")
+    raw = _read_store(spark, f"{index_path}/assignments")
     _, visible = load_stream_index(spark, index_path)
     physical = raw.join(F.broadcast(tomb), "vid", "left_semi")
     seen = visible.join(F.broadcast(tomb), "vid", "left_semi")
@@ -767,11 +904,22 @@ def quantizer_drift_psi(
 ) -> tuple[int, DataFrame]:
     """Laplace-smoothed PSI between the store's per-cell occupancy
     (reference) and one batch's occupancy (current), quantized
-    FLOOR(term·2^40) exactly like ``sim_ivf_quantizer_drift`` — the
-    RETRAIN alarm for a frozen coarse quantizer, computed from counts
-    only (two hash aggregates; no vectors move).  Inputs are
-    (cell, n) frames; cells absent from either side smooth to +1.
-    Returns (psi_total_q, per_cell_terms)."""
+    FLOOR(term·2^40) with the same smoothing and scale as
+    ``sim_ivf_quantizer_drift`` — the RETRAIN alarm for a frozen coarse
+    quantizer, computed from counts only (two hash aggregates; no
+    vectors move).  Inputs are (cell, n) frames; cells absent from
+    either side smooth to +1.  Returns (psi_total_q, per_cell_terms).
+
+    Variant note (deliberate, documented divergence): the term sum here
+    runs over cells OCCUPIED in ref ∪ cur only, while the batch
+    detector ``sim_ivf_quantizer_drift`` (similarity_q.py) enumerates
+    ALL centroid cells, so cells empty on both sides still contribute a
+    (tiny) nonzero smoothed term there.  This stream gate therefore
+    reads slightly LOWER than the batch query whenever some cells are
+    empty on both sides (common right after a retrain) — a threshold
+    calibrated on one does not transfer exactly to the other.  The
+    ``stream_retrain_*`` oracles mirror THIS occupied-cells variant, so
+    cross-engine hashes agree."""
     from ..operators.drift import PSI_SCALE
 
     cells = store_occ.select("cell").unionByName(
@@ -870,10 +1018,11 @@ def retrain_quantizer(
         recompute_centroids,
     )
 
+    _ensure_bid_format(index_path)
     # k comes from the MAIN table only — during a crashed retrain's
     # window the union view holds old + pending cells, which must not
     # double the retrain size on replay
-    main_c = spark.read.parquet(f"{index_path}/centroids")
+    main_c = _read_store(spark, f"{index_path}/centroids")
     n_centroids = main_c.count()
     served = _centroids_with_pending(spark, index_path)
     base_row = served.agg(F.max("cell").alias("m")).first()
@@ -917,7 +1066,7 @@ def retrain_quantizer(
     reassigned = ivf_index_add_batch(
         new_cdf, vecs, id_col="vid", vec_col="vec"
     ).localCheckpoint()
-    raw = spark.read.parquet(f"{index_path}/assignments")
+    raw = _read_store(spark, f"{index_path}/assignments")
     next_bid = _next_maintenance_bid(raw)
     (
         reassigned.withColumn("_batch_id", F.lit(next_bid))
@@ -927,6 +1076,7 @@ def retrain_quantizer(
     )
 
     # 3. PQ codes follow their vectors (cell re-route, codes untouched)
+    _recover_store(f"{index_path}/pq_codes")
     if _os.path.isdir(f"{index_path}/pq_codes"):
         from pyspark.sql import Window as W
 
@@ -989,6 +1139,7 @@ def _write_occupancy(
     """One (epoch, _batch_id, cell, n) occupancy generation — dynamic
     per-``_batch_id`` overwrite, so replays rewrite exactly their own
     rows."""
+    _recover_store(f"{index_path}/occupancy")
     (
         occ.select(
             F.lit(int(epoch)).cast("bigint").alias("epoch"),
@@ -1006,7 +1157,7 @@ def _write_occupancy(
 def _current_epoch(spark: SparkSession, index_path: str) -> int:
     try:
         row = (
-            spark.read.parquet(f"{index_path}/occupancy")
+            _read_store(spark, f"{index_path}/occupancy")
             .agg(F.max("epoch").alias("m"))
             .first()
         )
@@ -1060,7 +1211,7 @@ def _drift_check_and_retrain(
     n_cur = int(n_cur_row["t"]) if n_cur_row["t"] is not None else 0
     try:
         ref_occ = (
-            spark.read.parquet(f"{index_path}/occupancy")
+            _read_store(spark, f"{index_path}/occupancy")
             .filter(
                 (F.col("epoch") == epoch) & (F.col("_batch_id") < sbid)
             )
@@ -1085,7 +1236,7 @@ def _drift_check_and_retrain(
     already_folded = False
     try:
         later = (
-            spark.read.parquet(f"{index_path}/occupancy")
+            _read_store(spark, f"{index_path}/occupancy")
             .filter((F.col("epoch") == epoch) & (F.col("_batch_id") > sbid))
             .limit(1)
             .count()

@@ -108,12 +108,17 @@ def test_drift_stream_retrains_and_restores(spark, tmp_path):
 
     # 1. alarm fired exactly at the drift trigger, retrain ran, and the
     #    stationary trigger stayed quiet — no admin call anywhere
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        _stream_bid,
+    )
+
+    s0, s1, s2 = _stream_bid(0), _stream_bid(1), _stream_bid(2)
     log = _drift_log(spark, index_path)
-    assert set(log) == {0, 2, 4}  # even stream bids
-    assert log[0]["n_ref"] == 0 and not log[0]["alarm"]
-    assert not log[2]["alarm"], log[2]
-    assert log[4]["alarm"] and log[4]["retrained"], log[4]
-    assert log[2]["psi_total_q"] < log[4]["psi_total_q"]
+    assert set(log) == {s0, s1, s2}  # shifted stream bids
+    assert log[s0]["n_ref"] == 0 and not log[s0]["alarm"]
+    assert not log[s1]["alarm"], log[s1]
+    assert log[s2]["alarm"] and log[s2]["retrained"], log[s2]
+    assert log[s1]["psi_total_q"] < log[s2]["psi_total_q"]
 
     # 1b. the drift monitor's reference is INCREMENTAL state, and the
     #     retrain opened a fresh epoch whose baseline is the full
@@ -131,7 +136,7 @@ def test_drift_stream_retrains_and_restores(spark, tmp_path):
         for r in occ.filter(F.col("epoch") == 0)
         .select("_batch_id").distinct().collect()
     }
-    assert bids0 == {0, 2, 4}  # one generation per trigger, even bids
+    assert bids0 == {s0, s1, s2}  # one generation per trigger, stream bids
 
     # 2. serving fold: content preserved exactly once, codes on new cells
     cents, assigns = load_stream_index(spark, index_path)
@@ -293,7 +298,8 @@ def test_occupancy_compaction_preserves_reference_sums(spark, tmp_path):
 
 
 def test_maintenance_rows_survive_the_next_trigger(spark, tmp_path):
-    """Round-9 regression: maintenance appends stamp ODD batch ids so
+    """Round-9 regression (id scheme now v3-shifted, see _stream_bid):
+    maintenance appends stamp ids strictly inside their trigger window so
     the NEXT trigger's dynamic overwrite can no longer clobber them.
     Before the fix, a rebalance after trigger t wrote max+1 = t+1 —
     exactly trigger t+1's id — and any cell that trigger touched threw
@@ -353,14 +359,23 @@ def test_maintenance_rows_survive_the_next_trigger(spark, tmp_path):
     assert sum(sizes.values()) == 60 + 120 + 40
     mean = sum(sizes.values()) / len(sizes)
     assert max(sizes.values()) <= 2.0 * mean, sizes
-    # the stream stamped even ids, maintenance odd ones — both present
+    # stream ids at trigger<<20, maintenance ids inside the window —
+    # both present, and no maintenance id reaches the next stream bid
     bids = {
         r["_batch_id"]
         for r in spark.read.parquet(f"{index_path}/assignments")
         .select("_batch_id").distinct().collect()
     }
-    assert {0, 2, 4} <= bids
-    assert any(b % 2 == 1 for b in bids), bids
+    from ecs_ecommerce_data_pipeline_spark.streaming.vector_index_stream import (
+        _BID_SHIFT,
+        _stream_bid,
+    )
+
+    assert {_stream_bid(0), _stream_bid(1), _stream_bid(2)} <= bids
+    # maintenance ids live strictly INSIDE their trigger window
+    maint = [b for b in bids if b % (1 << _BID_SHIFT) != 0]
+    assert maint, bids
+    assert all(b < _stream_bid((b >> _BID_SHIFT) + 1) for b in maint), bids
 
 
 def test_retrain_reachable_when_ids_do_not_start_at_zero(spark, tmp_path):
