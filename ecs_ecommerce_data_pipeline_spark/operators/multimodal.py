@@ -480,26 +480,51 @@ def image_dhash_bands(payloads: DataFrame) -> DataFrame:
 
 def fuse_bands(bands: DataFrame, band_bits: int) -> DataFrame:
     """Blocking keys from dHash band rows: 8 → the bands themselves;
-    16 → adjacent band pairs fused into 4 little-endian 16-bit blocks
-    (no re-decode — one hash aggregation over the 3-integer rows).
-    Shared by the batch near-dup operator and the streaming face so the
-    two blockings are trivially bit-identical."""
+    16 / 32 → adjacent 8-bit bands fused little-endian into 4 / 2
+    wider blocks (no re-decode — one hash aggregation over the
+    3-integer rows).  Shared by the batch near-dup operator and the
+    streaming face so the two blockings are trivially bit-identical."""
     if band_bits == 8:
         return bands
-    if band_bits != 16:
-        raise ValueError(f"band_bits must be 8 or 16, got {band_bits}")
-    part = F.col("band_val") * F.when(
-        F.col("band_idx") % 2 == 1, F.lit(256)
-    ).otherwise(F.lit(1))
+    if band_bits not in (16, 32):
+        raise ValueError(f"band_bits must be 8, 16 or 32, got {band_bits}")
+    k = band_bits // 8
+    mult = F.lit(1)
+    for j in range(1, k):
+        mult = F.when(F.col("band_idx") % k == j, F.lit(256 ** j)).otherwise(
+            mult
+        )
+    part = F.col("band_val").cast("bigint") * mult.cast("bigint")
     return (
         bands.select(
             "doc_id",
-            (F.col("band_idx") / 2).cast("int").alias("blk"),
+            (F.col("band_idx") / k).cast("int").alias("blk"),
             part.alias("part"),
         )
         .groupBy("doc_id", F.col("blk").alias("band_idx"))
         .agg(F.sum("part").cast("bigint").alias("band_val"))
     )
+
+
+def dhash_band_policy(
+    n_rows: int, target_candidates_per_point: float = 8.0
+) -> int:
+    """The 64-bit dHash face of ``operators.similarity.band_policy``:
+    the fingerprint is fixed at 64 bits, so (n_bands, band_bits) moves
+    along the ladder (8×8) → (4×16) → (2×32) instead of widening
+    freely.  Picks the NARROWEST width whose random-collision floor
+    ``n_bands·n/2^w`` fits the per-point budget (narrower = more bands
+    = higher banding recall — pay for scale only when n demands it);
+    saturates at 32 (2 bands is the recall floor worth keeping —
+    a single 64-bit band would only match exact-duplicate hashes)."""
+    if target_candidates_per_point <= 0:
+        raise ValueError("target_candidates_per_point must be > 0")
+    n = max(1, int(n_rows))
+    for w in (8, 16, 32):
+        n_bands = 64 // w
+        if n_bands * n / float(1 << w) <= target_candidates_per_point:
+            return w
+    return 32
 
 
 def image_neardup_pairs(

@@ -309,6 +309,55 @@ def multiband_bucket_rows(
     )
 
 
+def band_policy(
+    n_rows: int,
+    n_bands: int = 4,
+    target_candidates_per_point: float = 8.0,
+    min_band_bits: int = 8,
+    max_band_bits: int = 30,
+) -> int:
+    """Pick the LSH band width from corpus size and a random-collision
+    budget — the round-10 scale-adaptive replacement for registering
+    band widths as constants (SCALING's own note recorded banded
+    candidate volume growing ~n² with density at FIXED widths:
+    ``label_noise_decomposition`` went 502 → 230k candidates at 10×).
+
+    Model: a band of width ``w`` hashes ``n`` near-uniform rows into
+    2^w buckets, so the expected RANDOM (non-near) candidates per point
+    per band is ~n/2^w, and with ``n_bands`` OR-amplified bands the
+    per-point random floor is ~``n_bands``·n/2^w.  Holding that at
+    ``target_candidates_per_point`` solves
+
+        w = ceil(log2(n_bands · n / target))
+
+    which makes total random candidate volume ~n·target — LINEAR in
+    corpus size — while genuinely-near pairs keep colliding through the
+    band union (a near pair needs only ONE intact band; widening w
+    lowers per-band recall smoothly rather than cliff-ing, so callers
+    fix ``n_bands`` for the recall they need and let w carry scale).
+    Clamped to [``min_band_bits``, ``max_band_bits``]: below 8 bits the
+    floor is never binding at any interesting n, and beyond ~30 bits
+    per-band recall decays with no collision-floor left to buy.
+
+    Cost to use: one ``count()`` of the corpus at plan-build time —
+    production would read the table statistics instead.  Used by the
+    SCALING harness's auto-width re-reads and available to every
+    multiband caller (:func:`multiband_bucket_rows` here, the image
+    family's ``fuse_bands`` ladder via
+    ``operators.multimodal.dhash_band_policy``)."""
+    import math
+
+    if n_bands < 1:
+        raise ValueError("n_bands must be >= 1")
+    if target_candidates_per_point <= 0:
+        raise ValueError("target_candidates_per_point must be > 0")
+    n = max(1, int(n_rows))
+    need = math.log2(
+        max(1.0, n_bands * n / float(target_candidates_per_point))
+    )
+    return max(min_band_bits, min(max_band_bits, int(math.ceil(need))))
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.3,
@@ -496,7 +545,7 @@ def ivf_topk(
     query_ids: list[int],
     k: int = 10,
     n_centroids: int = 16,
-    nprobe: int = 4,
+    nprobe: int | DataFrame = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -551,7 +600,7 @@ def ivf_filtered_topk(
     pred_cols: list[str],
     k: int = 10,
     n_centroids: int = 16,
-    nprobe: int = 4,
+    nprobe: int | DataFrame = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -676,7 +725,7 @@ def ivf_index_topk(
     assignments: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | DataFrame = 4,
 ) -> DataFrame:
     """Query a prebuilt IVF index: rank the query vectors against the
     (broadcast) centroid table, probe the top-``nprobe`` cells, run
@@ -1178,7 +1227,7 @@ def ivfpq_topk(
     codes: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | DataFrame = 4,
     m: int = 8,
     residual: bool = False,
 ) -> DataFrame:
@@ -1215,7 +1264,7 @@ def ivfpq_filtered_topk(
     query_ids: list[int],
     pred: Column,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | DataFrame = 4,
     m: int = 8,
     residual: bool = False,
 ) -> DataFrame:
@@ -1246,13 +1295,116 @@ def ivfpq_filtered_topk(
     )
 
 
+def auto_nprobe(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    query_ids: list[int],
+    target_num: int = 95,
+    target_den: int = 100,
+    margin_scale: float = 8.0,
+) -> DataFrame:
+    """(query_id, nprobe) — the per-query probe count estimated to reach
+    ``target_num/target_den`` neighbor-mass coverage, closing the
+    round-9 staircase's residual gap (BASELINE: the filtered+rerank
+    misses at k=64 are PROBE misses — "nprobe, not shortlist depth, is
+    the recovery knob" — but nprobe was a fixed constant).
+
+    Estimator (cell-occupancy × centroid-distance margin, over the
+    same query-vs-centroid ranking the search itself probes with):
+
+    * rank ALL cells per query by cosine (ties by cell id — bit-for-bit
+      the probe ordering in :func:`_ivfpq_adc_scored`, so "nprobe = p"
+      here means exactly "the first p probes there");
+    * weight cell j by ``occ_j / (1 + margin_scale·margin_j)²`` where
+      ``margin_j = cos_1 − cos_j`` — occupancy says how much corpus
+      mass the cell could contribute, the rational margin discount (one
+      squaring — no transcendental calls) says how unlikely that mass
+      is to contain true neighbors;
+    * coverage(p) = Σ_{j≤p} w_j / Σ_j w_j; nprobe = min p with
+      coverage ≥ target.
+
+    Calibration (measured on the k=64 clustered fixture, sf0.01,
+    attr-filtered + rerank serving): sharper discounts (power 8, or a
+    1/rank factor) under-probe — the queries whose qualifying
+    neighbors sit OUTSIDE the home cluster (the filter thins the home
+    cells, pushing true top-k into far cells) stay at recall 0.7-0.8;
+    the chosen (scale 8, power 2, target 0.95) form reads per-query
+    nprobe 19-45 of 64 with per-query recall 1.0 — vs the fixed-8
+    staircase's 0.86 mean — while still probing ~half the cells.
+
+    Cross-engine determinism (the oracle re-derives this in DuckDB):
+    weights are quantized FLOOR(w·2^30) BEFORE the cumulative sum, so
+    the running total is exact integer arithmetic (windowed FLOAT sums
+    are engine-ordering-dependent — the PSI-quantization discipline),
+    and the threshold test is the integer cross-multiplication
+    ``cum·den ≥ tot·num`` — no float comparison anywhere.
+
+    Cost: |Q| × n_centroids rows through one broadcast crossJoin + two
+    windows — the same asymptotic shape as the probe-selection step the
+    search already runs."""
+    occ = assignments.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    queries = assignments.filter(F.col("vid").isin(query_ids)).select(
+        "vid", "vec", "nrm"
+    )
+    scored = queries.crossJoin(F.broadcast(centroids)).select(
+        F.col("vid").alias("query_id"),
+        F.col("cell"),
+        (
+            dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+        ).alias("cosd"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cosd"), F.asc("cell"))
+    wall = W.partitionBy("query_id")
+    ranked = (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .withColumn("cos1", F.max("cosd").over(wall))
+        .join(occ, "cell", "left")
+        .withColumn("n_occ", F.coalesce("n_occ", F.lit(0)))
+    )
+    g = F.lit(1.0) + F.lit(float(margin_scale)) * (
+        F.col("cos1") - F.col("cosd")
+    )
+    denom = g * g
+    weighted = ranked.withColumn(
+        "wq",
+        F.floor(
+            (F.col("n_occ").cast("double") / denom) * F.lit(float(1 << 30))
+        ).cast("bigint"),
+    )
+    wcum = W.partitionBy("query_id").orderBy("rk")
+    cov = (
+        weighted.withColumn("cum", F.sum("wq").over(wcum))
+        .withColumn("tot", F.sum("wq").over(wall))
+        .withColumn("max_rk", F.max("rk").over(wall))
+    )
+    hit = cov.filter(
+        F.col("cum") * F.lit(int(target_den))
+        >= F.col("tot") * F.lit(int(target_num))
+    )
+    return (
+        cov.select("query_id", "max_rk")
+        .distinct()
+        .join(
+            hit.groupBy("query_id").agg(F.min("rk").alias("np_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("np_hit", "max_rk").cast("bigint").alias("nprobe"),
+        )
+    )
+
+
 def _ivfpq_adc_scored(
     centroids: DataFrame,
     assignments: DataFrame,
     codebook: DataFrame,
     codes: DataFrame,
     query_ids: list[int],
-    nprobe: int,
+    nprobe: int | DataFrame,
     m: int,
     residual: bool = False,
     codes_pred: Column | None = None,
@@ -1284,11 +1436,22 @@ def _ivfpq_adc_scored(
         ).alias("cos"),
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell"))
-    probes = (
-        scored_q.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "cell")
-    )
+    if isinstance(nprobe, DataFrame):
+        # per-query probe counts (the auto_nprobe face): same ranking,
+        # the cutoff joins in from the (query_id, nprobe) frame —
+        # bounded |Q| rows, broadcast
+        probes = (
+            scored_q.withColumn("rn", F.row_number().over(wq))
+            .join(F.broadcast(nprobe), "query_id")
+            .filter(F.col("rn") <= F.col("nprobe"))
+            .select("query_id", "cell")
+        )
+    else:
+        probes = (
+            scored_q.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= nprobe)
+            .select("query_id", "cell")
+        )
     # bounded driver collect: |queries| × nprobe cell ids → static
     # partition pruning on the on-disk compressed inverted lists
     probe_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
@@ -1361,7 +1524,7 @@ def ivfpq_rerank_topk(
     query_ids: list[int],
     k: int = 10,
     shortlist: int = 50,
-    nprobe: int = 4,
+    nprobe: int | DataFrame = 4,
     m: int = 8,
     residual: bool = False,
     codes_pred: Column | None = None,
@@ -2530,7 +2693,7 @@ def ivf_topk_with_centroids(
     centroids: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | DataFrame = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

@@ -724,30 +724,31 @@ def _image_neardup_decomposition(spark, src_dir: str, out_dir: str) -> dict:
         synth_png_images,
     )
 
+    from ecs_ecommerce_data_pipeline_spark.operators.multimodal import (
+        dhash_band_policy,
+        fuse_bands,
+    )
+
     out: dict = {}
     for label, d in (("base", src_dir), ("scaled", out_dir)):
         doc = load_table(spark, d, "documents").select("doc_id")
+        n_docs = doc.count()
         # same rate-constant family rule as the catalog query: base
         # count scales with the corpus, ~5 replicas per family
         bands = image_dhash_bands(
-            synth_png_images(doc, base_mod=max(1, doc.count() // 5))
+            synth_png_images(doc, base_mod=max(1, n_docs // 5))
         ).persist()
-        for bits, tag in ((8, "narrow8"), (16, "wide16")):
-            if bits == 8:
-                blocks = bands
-            else:
-                part = F.col("band_val") * F.when(
-                    F.col("band_idx") % 2 == 1, F.lit(256)
-                ).otherwise(F.lit(1))
-                blocks = (
-                    bands.select(
-                        "doc_id",
-                        (F.col("band_idx") / 2).cast("int").alias("blk"),
-                        part.alias("part"),
-                    )
-                    .groupBy("doc_id", F.col("blk").alias("band_idx"))
-                    .agg(F.sum("part").cast("bigint").alias("band_val"))
-                )
+        # round-10: the auto-picked width from the 64-bit ladder —
+        # 8→16→32 as n grows (dhash_band_policy); recorded alongside
+        # the two fixed widths so the policy's pick is auditable
+        w_auto = dhash_band_policy(n_docs)
+        out[f"band_bits_auto_{label}"] = w_auto
+        for bits, tag in (
+            (8, "narrow8"),
+            (16, "wide16"),
+            (w_auto, "auto"),
+        ):
+            blocks = fuse_bands(bands, bits)
             a = blocks.select(
                 F.col("doc_id").alias("da"), "band_idx", "band_val"
             )
@@ -765,7 +766,7 @@ def _image_neardup_decomposition(spark, src_dir: str, out_dir: str) -> dict:
                 bands, band_bits=bits
             ).count()
         bands.unpersist()
-    for tag in ("narrow8", "wide16"):
+    for tag in ("narrow8", "wide16", "auto"):
         out[f"candidates_ratio_{tag}"] = round(
             out[f"band_candidates_{tag}_scaled"]
             / max(out[f"band_candidates_{tag}_base"], 1),
@@ -792,7 +793,11 @@ def _image_neardup_decomposition(spark, src_dir: str, out_dir: str) -> dict:
         "candidates still grow superlinearly by duplication density "
         "(id-offset replicas align mod base_mod: family size 10 "
         "instead of 5), not plan shape — the band join shuffles "
-        "3-integer rows and the per-pair verify is 8 lookups"
+        "3-integer rows and the per-pair verify is 8 lookups.  "
+        "Round-10: band_bits_auto_* records dhash_band_policy's pick "
+        "from the 64-bit ladder (8→16→32 as n grows) and the auto_* "
+        "columns its measured candidate volume — the policy pays "
+        "banding recall for width only when the corpus size demands it"
     )
     return out
 
@@ -928,7 +933,35 @@ def _label_noise_decomposition(spark, src_dir: str, out_dir: str) -> dict:
             cand.select("aid").distinct().count()
         )
         cand.unpersist()
-    for tag in ("single8", "banded16"):
+        # round-10: the scale-ADAPTIVE width (band_policy) — w grows
+        # with n to hold the per-point random floor constant, so the
+        # candidate volume should grow ~linearly instead of ~n²
+        from ecs_ecommerce_data_pipeline_spark.operators.similarity import (
+            band_policy,
+        )
+
+        w_auto = band_policy(n)
+        out[f"band_bits_auto_{label}"] = w_auto
+        bnd_a = multiband_bucket_rows(emb, band_bits=w_auto)
+        cand_a = (
+            bnd_a.select(F.col("vec_id").alias("aid"), "band_idx", "bucket")
+            .join(
+                bnd_a.select(
+                    F.col("vec_id").alias("bid"), "band_idx", "bucket"
+                ),
+                ["band_idx", "bucket"],
+            )
+            .filter(F.col("aid") != F.col("bid"))
+            .select("aid", "bid")
+            .distinct()
+            .persist()
+        )
+        out[f"cand_auto_{label}"] = cand_a.count()
+        out[f"covered_points_auto_{label}"] = (
+            cand_a.select("aid").distinct().count()
+        )
+        cand_a.unpersist()
+    for tag in ("single8", "banded16", "auto"):
         out[f"cand_ratio_{tag}"] = round(
             out[f"cand_{tag}_scaled"] / max(out[f"cand_{tag}_base"], 1), 2
         )
@@ -951,7 +984,12 @@ def _label_noise_decomposition(spark, src_dir: str, out_dir: str) -> dict:
         "points (the gate needs >= 5 neighbors; uncovered points are absent "
         "from the output on BOTH engines).  Flag equivalence vs the exact "
         "all-pairs audit on clustered data is pinned by "
-        "tests/test_label_noise_banded.py."
+        "tests/test_label_noise_banded.py.  Round-10: the AUTO widths "
+        "(band_policy: w = ceil(log2(4n/8)) -> 10 bits at 2k, 14 bits at "
+        "20k) hold the per-point random floor constant; cand_ratio_auto "
+        "is the sub-quadratic readout (fixed widths measured ~459x at "
+        "10x rows — the auto widths should land near the ~10x linear "
+        "line plus true-pair growth from the perturbed replica families)."
     )
     return out
 
@@ -1145,6 +1183,7 @@ def main() -> None:
                 "kmeanspar_seeding_decomposition":
                     _kmeanspar_seeding_decomposition,
                 "label_noise_decomposition": _label_noise_decomposition,
+                "image_neardup_decomposition": _image_neardup_decomposition,
             }
             for dname in sorted(decomp_filter):
                 result[dname] = _DECOMPS[dname](_SPARK, src_dir, out_dir)
