@@ -164,12 +164,104 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str = "date_key")
     ).partitionBy(partition_col).parquet(path)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A competing writer committed to the same KPI table between this
+    writer's target read and its promote — the merge result is based on
+    a stale snapshot and is REJECTED (retry re-reads the new target, so
+    no update is ever silently lost)."""
+
+
+_COMMITS_DIR = "_commits"  # underscore-prefixed: invisible to parquet scans
+
+
+def _commit_version(target_path: str) -> int:
+    """Highest committed (or claimed) version in the table's write-audit
+    dir; 0 for a table with no audit yet."""
+    cdir = os.path.join(target_path, _COMMITS_DIR)
+    try:
+        names = os.listdir(cdir)
+    except FileNotFoundError:
+        return 0
+    vs = [
+        int(n[1:-5])
+        for n in names
+        if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+    ]
+    return max(vs, default=0)
+
+
+def _claim_commit(
+    target_path: str, version: int, writer: str, meta: dict
+) -> str:
+    """Atomically claim commit ``version`` — the DynamoDB
+    conditional-update twin (``lambda_function.py:174``) on the local
+    filesystem: O_CREAT|O_EXCL on the version file means exactly ONE
+    writer wins each version; the loser learns the table moved under it
+    and must re-read.  The claim records state="promoting"; the caller
+    finalizes to "committed" after the partition swap (the vector
+    store's write-then-marker discipline)."""
+    cdir = os.path.join(target_path, _COMMITS_DIR)
+    os.makedirs(cdir, exist_ok=True)
+    path = os.path.join(cdir, f"v{version}.json")
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"commit v{version} of {target_path} was claimed by another "
+            "writer after this writer read the table — rejecting the "
+            "stale merge; retry to re-read"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"state": "promoting", "writer": writer, **meta}, fh)
+    return path
+
+
+def _finalize_commit(claim_path: str) -> None:
+    with open(claim_path) as fh:
+        entry = json.load(fh)
+    entry["state"] = "committed"
+    entry["ts"] = _dt.datetime.now(_dt.timezone.utc).isoformat()
+    tmp = claim_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+    os.replace(tmp, claim_path)
+
+
+def read_commit_audit(spark: SparkSession, target_path: str) -> DataFrame:
+    """The KPI sink's write-audit as a table: one row per claimed commit
+    (version, state, writer, partitions, ts) — 'which writer last
+    touched this table, and did its promote finish' is a query."""
+    cdir = os.path.join(target_path, _COMMITS_DIR)
+    schema = (
+        "version bigint, state string, writer string, "
+        "partitions array<string>, ts string"
+    )
+    rows = []
+    if os.path.isdir(cdir):
+        for n in sorted(os.listdir(cdir)):
+            if n.startswith("v") and n.endswith(".json"):
+                with open(os.path.join(cdir, n)) as fh:
+                    e = json.load(fh)
+                rows.append(
+                    (
+                        int(n[1:-5]),
+                        e.get("state"),
+                        e.get("writer"),
+                        [str(p) for p in e.get("partitions", [])],
+                        e.get("ts"),
+                    )
+                )
+    return spark.createDataFrame(rows, schema)
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
     updates: DataFrame,
     key_cols: list[str],
     partition_col: str | None = None,
+    writer: str = "default",
+    _pre_claim_hook=None,
 ) -> None:
     """Row-level MERGE (upsert) into a plain-Parquet table — the
     ``MERGE INTO`` capability without a transactional table format.
@@ -193,17 +285,43 @@ def merge_upsert(
     safe because the merge is idempotent (same updates → same result);
     gate reruns with ``BatchLedger`` exactly like ``process_batch``.
     Spark refuses to overwrite a path it is reading, so the merged slice
-    detours through a staging directory first.
+    detours through a staging directory first (suffixed with the commit
+    version + writer so concurrent writers never share staging).
+
+    Concurrent writers (round-10, the verdict's exactly-once task): the
+    ledger protects against DOUBLE-TRIGGER of the same batch, not two
+    simultaneous drivers merging different batches — the second
+    writer's target read would miss the first's rows and its promote
+    would silently drop them.  Every merge therefore claims the next
+    version in the table's ``_commits`` write-audit via an atomic
+    O_CREAT|O_EXCL create (the conditional-update discipline,
+    ``lambda_function.py:174``) keyed to the version it READ: if any
+    other writer committed in between, the claim fails and the merge
+    raises :class:`ConcurrentWriteError` BEFORE touching a single
+    partition — reject-and-retry semantics, no partial mix of two
+    writers' outputs, no lost rows.  The claim finalizes to
+    ``committed`` after the swap, so an audit row stuck at
+    ``promoting`` is the fingerprint of a crashed promote (repaired by
+    the next successful merge — the merge recomputes from whatever
+    partition states it finds).  ``_pre_claim_hook`` is a test seam for
+    deterministic race interleavings.
     """
     import shutil
 
     if not os.path.exists(target_path):
-        w = updates.write.mode("overwrite")
+        # creation race: claim v1 FIRST (makedirs + O_EXCL are atomic),
+        # then write via append so the claim dir survives the write
+        claim = _claim_commit(
+            target_path, 1, writer, {"partitions": [], "create": True}
+        )
+        w = updates.write.mode("append")
         if partition_col:
             w = w.partitionBy(partition_col)
         w.parquet(target_path)
+        _finalize_commit(claim)
         return
 
+    read_version = _commit_version(target_path)
     target = spark.read.parquet(target_path)
     if partition_col:
         # partition-directory type inference may widen the partition col
@@ -227,10 +345,26 @@ def merge_upsert(
         updates
     )
 
-    staging = target_path.rstrip("/") + "__merge_staging"
+    # staging is per-(version, writer): two concurrent writers must
+    # never share a staging dir (the old fixed name let one writer
+    # delete the other's staged rows mid-flight)
+    staging = (
+        target_path.rstrip("/")
+        + f"__merge_staging_v{read_version + 1}_{writer}"
+    )
     merged.write.mode("overwrite").parquet(staging)
     merged_back = spark.read.parquet(staging)
     try:
+        if _pre_claim_hook is not None:
+            _pre_claim_hook()  # test seam: interleave a competing writer
+        # conditional-update gate: claim (read_version + 1) — fails if
+        # ANY writer committed after our target read, before we promote
+        claim = _claim_commit(
+            target_path,
+            read_version + 1,
+            writer,
+            {"partitions": [str(p) for p in parts] if partition_col else []},
+        )
         if partition_col:
             # per-write dynamic overwrite: with the 'static' default this
             # would truncate the table to the batch's partitions
@@ -240,8 +374,17 @@ def merge_upsert(
         else:
             final = target_path.rstrip("/") + "__merge_final"
             merged_back.write.mode("overwrite").parquet(final)
+            # carry the write-audit across the whole-table swap
+            shutil.move(
+                os.path.join(target_path, _COMMITS_DIR),
+                os.path.join(final, _COMMITS_DIR),
+            )
             shutil.rmtree(target_path)
             os.replace(final, target_path)
+            claim = os.path.join(
+                target_path, _COMMITS_DIR, f"v{read_version + 1}.json"
+            )
+        _finalize_commit(claim)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 

@@ -1,0 +1,193 @@
+"""Round-10 KPI-sink concurrency tests (verdict task 5).
+
+``BatchLedger`` protects the KPI sink against DOUBLE-TRIGGER of the
+same batch (the reference's DynamoDB conditional-update,
+``Lambda/lambda_function.py:174``), but not against two simultaneous
+DRIVERS merging different batches: the second writer's target read
+missed the first's freshly-committed rows, so its promote silently
+dropped them — and both writers shared one staging directory.
+``merge_upsert`` now claims the next version in the table's
+``_commits`` write-audit with an atomic O_CREAT|O_EXCL create keyed to
+the version it READ: a competing commit in the window makes the claim
+fail and the stale merge is REJECTED before touching any partition
+(retry re-reads).  Pinned here:
+
+* the deterministic two-writer race: the interleaved writer rejects,
+  nothing is lost, no partial mix of the two writers' outputs is ever
+  observable, and the retry lands both updates;
+* staging isolation (per-version+writer staging names);
+* a crashed promote (audit row stuck at ``promoting``) never blocks
+  the next writer;
+* the audit reads back as a table.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _kpis(spark, rows):
+    return spark.createDataFrame(
+        rows, "date_key string, k bigint, revenue bigint"
+    )
+
+
+def _snapshot(spark, path):
+    # partition-dir type inference widens 'YYYY-MM-DD' strings to DATE;
+    # stringify so assertions read the logical value
+    return {
+        (str(r["date_key"]), r["k"]): r["revenue"]
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_two_writer_race_rejects_stale_merge(spark, tmp_path):
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import (
+        ConcurrentWriteError,
+        merge_upsert,
+        read_commit_audit,
+    )
+
+    path = str(tmp_path / "kpis")
+    merge_upsert(
+        spark, path,
+        _kpis(spark, [("2024-01-01", 1, 10), ("2024-01-02", 2, 20)]),
+        ["date_key", "k"], partition_col="date_key", writer="init",
+    )
+
+    # writer B commits INSIDE writer A's read→promote window
+    def writer_b():
+        merge_upsert(
+            spark, path,
+            _kpis(spark, [("2024-01-02", 2, 999), ("2024-01-03", 3, 30)]),
+            ["date_key", "k"], partition_col="date_key", writer="B",
+        )
+
+    a_updates = _kpis(spark, [("2024-01-01", 1, 111)])
+    with pytest.raises(ConcurrentWriteError):
+        merge_upsert(
+            spark, path, a_updates, ["date_key", "k"],
+            partition_col="date_key", writer="A", _pre_claim_hook=writer_b,
+        )
+
+    # B's merge is FULLY visible, A's stale merge touched NOTHING —
+    # no partial mix of the two writers' outputs
+    assert _snapshot(spark, path) == {
+        ("2024-01-01", 1): 10,
+        ("2024-01-02", 2): 999,
+        ("2024-01-03", 3): 30,
+    }
+
+    # the retry re-reads (now sees B's rows) and lands A's update too
+    merge_upsert(
+        spark, path, a_updates, ["date_key", "k"],
+        partition_col="date_key", writer="A",
+    )
+    assert _snapshot(spark, path) == {
+        ("2024-01-01", 1): 111,
+        ("2024-01-02", 2): 999,
+        ("2024-01-03", 3): 30,
+    }
+
+    audit = {
+        r["version"]: (r["state"], r["writer"])
+        for r in read_commit_audit(spark, path).collect()
+    }
+    assert audit == {
+        1: ("committed", "init"),
+        2: ("committed", "B"),
+        3: ("committed", "A"),
+    }
+
+
+def test_staging_is_isolated_per_writer(spark, tmp_path):
+    """The race above with the OLD fixed staging name would have had B
+    deleting A's staged rows; per-(version, writer) staging names make
+    collisions structurally impossible — pinned by checking the staging
+    dirs the two writers would use differ."""
+    from ecs_ecommerce_data_pipeline_spark.plans import incremental as inc
+
+    path = str(tmp_path / "kpis")
+    inc.merge_upsert(
+        spark, path, _kpis(spark, [("2024-01-01", 1, 10)]),
+        ["date_key", "k"], partition_col="date_key", writer="init",
+    )
+    seen = []
+    orig_claim = inc._claim_commit
+
+    def spy_claim(target, version, writer, meta):
+        import glob
+
+        seen.extend(glob.glob(path + "__merge_staging_*"))
+        return orig_claim(target, version, writer, meta)
+
+    inc._claim_commit = spy_claim
+    try:
+        inc.merge_upsert(
+            spark, path, _kpis(spark, [("2024-01-01", 1, 11)]),
+            ["date_key", "k"], partition_col="date_key", writer="w1",
+        )
+        inc.merge_upsert(
+            spark, path, _kpis(spark, [("2024-01-01", 1, 12)]),
+            ["date_key", "k"], partition_col="date_key", writer="w2",
+        )
+    finally:
+        inc._claim_commit = orig_claim
+    assert any("v2_w1" in s for s in seen)
+    assert any("v3_w2" in s for s in seen)
+    assert _snapshot(spark, path) == {("2024-01-01", 1): 12}
+
+
+def test_crashed_promote_does_not_block_next_writer(spark, tmp_path):
+    """An audit row stuck at ``promoting`` (writer died between claim
+    and finalize) is the crash fingerprint — and the NEXT writer claims
+    the version above it instead of deadlocking; its merge recomputes
+    from the on-disk partition state, repairing any partial promote."""
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import (
+        _claim_commit,
+        merge_upsert,
+        read_commit_audit,
+    )
+
+    path = str(tmp_path / "kpis")
+    merge_upsert(
+        spark, path, _kpis(spark, [("2024-01-01", 1, 10)]),
+        ["date_key", "k"], partition_col="date_key", writer="init",
+    )
+    # simulate the crash: v2 claimed, promote never ran
+    _claim_commit(path, 2, "crashed", {"partitions": ["2024-01-01"]})
+
+    merge_upsert(
+        spark, path, _kpis(spark, [("2024-01-01", 1, 42)]),
+        ["date_key", "k"], partition_col="date_key", writer="next",
+    )
+    assert _snapshot(spark, path) == {("2024-01-01", 1): 42}
+    audit = {
+        r["version"]: r["state"]
+        for r in read_commit_audit(spark, path).collect()
+    }
+    assert audit == {1: "committed", 2: "promoting", 3: "committed"}
+
+
+def test_unpartitioned_swap_carries_audit(spark, tmp_path):
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import (
+        merge_upsert,
+        read_commit_audit,
+    )
+
+    path = str(tmp_path / "kpis")
+    merge_upsert(
+        spark, path, _kpis(spark, [("2024-01-01", 1, 10)]),
+        ["date_key", "k"], writer="init",
+    )
+    merge_upsert(
+        spark, path, _kpis(spark, [("2024-01-01", 1, 11)]),
+        ["date_key", "k"], writer="w1",
+    )
+    assert _snapshot(spark, path) == {("2024-01-01", 1): 11}
+    audit = {
+        r["version"]: (r["state"], r["writer"])
+        for r in read_commit_audit(spark, path).collect()
+    }
+    assert audit == {1: ("committed", "init"), 2: ("committed", "w1")}
