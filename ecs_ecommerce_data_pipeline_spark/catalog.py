@@ -276,6 +276,8 @@ _REVERIFY: list = [
 _PRIORITY = [
     # -- round-10 additions (never verified yet): front of the window --
     "sim_ivfpq_kpar64_autoprobe_recall",
+    "sim_autoband_neardup_degree",
+    "dedup_substring_anchored",
     # -- round-9 additions (all green in r09 — they sort to the
     #    verified tail; kept for the no-artifacts fallback) --
     "rag_chunk_dense_topk",

@@ -712,6 +712,137 @@ def exact_substring_spans(
     )
 
 
+def exact_substring_anchored(
+    doc: DataFrame,
+    k: int = 20,
+    anchor_mod: int = 4,
+    max_df: int = 20,
+    max_gap: int = 100,
+    min_anchors: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The PRODUCTION first pass for cross-document repeated-substring
+    detection — the stride-sampled-anchor design
+    :func:`exact_substring_spans`'s own cost note promises (hashing
+    EVERY position is the honest-but-quadratic-constant shape; suffix
+    arrays don't distribute).
+
+    Content-defined anchors: a position is an anchor iff its k-gram's
+    FIRST character code satisfies ``ascii % anchor_mod == 0`` — a
+    property of the TEXT, not the offset, so a substring shared by two
+    documents selects the SAME anchors in both copies regardless of
+    where it starts (the winnowing/MOSS fingerprinting insight; a
+    fixed-stride ``pos % s`` sample would misalign the copies and find
+    nothing).  Only anchored k-grams are md5-hashed and joined —
+    ~1/``anchor_mod`` of the full pass's hash volume AND join volume.
+
+    Matched anchors on one (pair, diagonal) are grouped into runs
+    wherever consecutive anchors sit ≤ ``max_gap`` apart (sum-of-new-
+    run-flags over a pair-bounded window); a run with ≥ ``min_anchors``
+    anchors is reported with its span estimate
+    ``last_anchor − first_anchor + k``.  Guarantee: any shared
+    substring containing ≥ ``min_anchors`` anchors with gaps ≤
+    ``max_gap`` IS found (anchors align by content); spans too short to
+    contain that many anchors are the recall trade — the exact
+    every-position pass (or a per-candidate re-check with it) is the
+    verify rung.  Returns (doc_a, doc_b, est_max_span, n_runs,
+    n_anchors).
+    """
+    from pyspark.sql import Window
+
+    n = F.length(F.col(text_col))
+    # Anchor DISCOVERY is split-based, not explode-per-position: rows
+    # out of the scan = number of ANCHORS (~1/anchor_mod of chars), not
+    # corpus characters — the difference between this pass and the
+    # every-position one is precisely that no per-character row ever
+    # exists.  Splitting on the anchor char class yields fragments;
+    # the i-th delimiter (= anchor) sits at cum(len+1)−1 over the
+    # fragment prefix (a doc-bounded window).  Anchor alphabet is
+    # ASCII (codepoints 1..127 with code % anchor_mod == 0) — the
+    # oracle's ascii()%mod formula restricted to ASCII input, which
+    # the documents corpus is; non-ASCII characters are never anchors.
+    cls = "[" + "".join(
+        f"\\x{c:02x}" for c in range(1, 128) if c % anchor_mod == 0
+    ) + "]"
+    frags = (
+        doc.filter(n >= k)
+        .select(
+            F.col(id_col).alias("d"),
+            F.col(text_col).alias("_t"),
+            F.posexplode(F.split(F.col(text_col), cls, -1)).alias(
+                "i", "frag"
+            ),
+        )
+    )
+    wf = Window.partitionBy("d").orderBy("i")
+    anchors = (
+        frags.withColumn(
+            "pos", F.sum(F.length("frag") + 1).over(wf) - 1
+        )
+        .withColumn("n_frag", F.max("i").over(Window.partitionBy("d")))
+        # the last fragment has no delimiter after it; grams must fit
+        .filter(
+            (F.col("i") < F.col("n_frag"))
+            & (F.col("pos") <= F.length("_t") - k)
+        )
+        .select(
+            "d",
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.expr(f"substring(_t, pos + 1, {k})")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    keep = (
+        anchors.groupBy("h")
+        .agg(F.count_distinct("d").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("h")
+    )
+    ak = anchors.join(keep, "h")
+    a = ak.select(F.col("d").alias("doc_a"), F.col("pos").alias("pa"), "h")
+    b = ak.select(F.col("d").alias("doc_b"), F.col("pos").alias("pb"), "h")
+    m = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+    base = m.select(
+        "doc_a",
+        "doc_b",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        "pa",
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    # two window stages (engines reject nested window calls): flag run
+    # breaks with lag, then a running sum of flags numbers the runs
+    gaps = base.withColumn(
+        "new_run",
+        F.when(F.col("pa") - F.lag("pa", 1).over(w) > max_gap, 1).otherwise(
+            0
+        ),
+    )
+    runs_src = gaps.withColumn("run_id", F.sum("new_run").over(w))
+    runs = (
+        runs_src.groupBy("doc_a", "doc_b", "diag", "run_id")
+        .agg(
+            (F.max("pa") - F.min("pa") + F.lit(k))
+            .cast("bigint")
+            .alias("span"),
+            F.count(F.lit(1)).cast("bigint").alias("n_anch"),
+        )
+        .filter(F.col("n_anch") >= min_anchors)
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.max("span").alias("est_max_span"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.sum("n_anch").cast("bigint").alias("n_anchors"),
+    )
+
+
 def prefix_filter_join(
     shingles: DataFrame, threshold: float = 0.5, materialize: bool = True
 ) -> DataFrame:

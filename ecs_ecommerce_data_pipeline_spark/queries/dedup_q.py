@@ -1672,3 +1672,89 @@ def q_simhash_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# --- anchored first-pass substring dedup (round 10) --------------------------
+#
+# The every-position pass above is honest but pays one md5 per corpus
+# CHARACTER (its own bench note: ~16 s at sf0.1 — production would
+# stride-sample).  exact_substring_anchored is that production first
+# pass: content-defined anchors (ascii of the gram's first char % 4 ==
+# 0 — a property of the TEXT, so shared substrings select the SAME
+# anchors in both copies; a fixed-stride pos % s sample would misalign
+# the copies) cut the hash AND join volume ~4x, runs of >= 2 matched
+# anchors within a 100-char gap on one diagonal report the candidate
+# pair with a span estimate.  The exact pass is the verify rung.
+
+_AN_K = 20
+_AN_MOD = 4
+_AN_DF = 20
+_AN_GAP = 100
+_AN_MIN = 2
+
+_SUBSTR_ANCHORED_SQL = f"""
+WITH anch AS (
+    SELECT d, pos,
+           ('0x' || substr(md5(substring(text, pos + 1, {_AN_K})), 1, 15))::BIGINT AS h
+    FROM (
+        SELECT doc_id AS d, text,
+               unnest(range(0, length(text) - {_AN_K} + 1)) AS pos
+        FROM documents WHERE length(text) >= {_AN_K}
+    )
+    WHERE ascii(substring(text, pos + 1, 1)) % {_AN_MOD} = 0
+),
+akeep AS (
+    SELECT h FROM (
+        SELECT h, COUNT(DISTINCT d) AS c FROM anch GROUP BY h
+    ) WHERE c <= {_AN_DF}
+),
+ak AS (SELECT anch.* FROM anch JOIN akeep USING (h)),
+am AS (
+    SELECT a.d AS doc_a, b.d AS doc_b, a.pos AS pa, b.pos AS pb
+    FROM ak a JOIN ak b ON a.h = b.h AND a.d < b.d
+),
+agaps AS (
+    SELECT doc_a, doc_b, pa - pb AS diag, pa,
+           CASE WHEN pa - LAG(pa) OVER (PARTITION BY doc_a, doc_b, pa - pb
+                ORDER BY pa) > {_AN_GAP} THEN 1 ELSE 0 END AS new_run
+    FROM am
+),
+arsrc AS (
+    SELECT doc_a, doc_b, diag, pa,
+           SUM(new_run) OVER (PARTITION BY doc_a, doc_b, diag
+               ORDER BY pa) AS run_id
+    FROM agaps
+),
+aruns AS (
+    SELECT doc_a, doc_b,
+           CAST(MAX(pa) - MIN(pa) + {_AN_K} AS BIGINT) AS span,
+           CAST(COUNT(*) AS BIGINT) AS n_anch
+    FROM arsrc GROUP BY doc_a, doc_b, diag, run_id
+    HAVING COUNT(*) >= {_AN_MIN}
+)
+SELECT doc_a, doc_b,
+       CAST(MAX(span) AS BIGINT) AS est_max_span,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(SUM(n_anch) AS BIGINT) AS n_anchors
+FROM aruns GROUP BY doc_a, doc_b
+"""
+
+
+@register("dedup_substring_anchored", _SUBSTR_ANCHORED_SQL)
+def q_substring_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored first-pass repeated-substring candidates — the
+    production shape the every-position pass's cost note promises
+    (``operators.dedup.exact_substring_anchored``): content-defined
+    anchors (offset-invariant, so copies align), md5 only at anchors
+    (~1/4 of the full pass's dominant cost), df-capped gram join,
+    anchor runs per (pair, diagonal) with span estimates.  A shared
+    substring with ≥ 2 anchors within 100-char gaps is ALWAYS found;
+    shorter spans are the recall trade the exact pass re-checks."""
+    return dedup.exact_substring_anchored(
+        load_table(spark, sf_dir, "documents"),
+        k=_AN_K,
+        anchor_mod=_AN_MOD,
+        max_df=_AN_DF,
+        max_gap=_AN_GAP,
+        min_anchors=_AN_MIN,
+    )

@@ -5722,3 +5722,150 @@ def q_ivfpq_kpar64_autoprobe_recall(
         .join(F.broadcast(np_df), "query_id")
         .select("query_id", "nprobe", "n_hits", "n_truth", "recall")
     )
+
+
+# --- scale-adaptive banding as a serving consumer (round 10) -----------------
+#
+# band_policy (operators.similarity) picks the band width from corpus
+# size; this query is its first CATALOG consumer: embedding near-dup
+# degree per vector with candidates blocked at the AUTO width.  The
+# oracle re-derives the policy (GREATEST/LEAST/CEIL(LOG2)) and the
+# dynamic-width banding (planes indexed b·w+j at RUNTIME w — md5-derived
+# weights are computable in SQL, so no static plane enumeration).
+
+_AUTOBAND_THRESH = "0.9"   # identical literal both engines
+_AUTOBAND_NB = 4
+_AUTOBAND_TARGET = "8.0"
+
+_AUTOBAND_SQL = f"""
+WITH {_CL_FIXTURE},
+wq AS (
+    SELECT GREATEST(8, LEAST(16, CAST(CEIL(LOG2({_AUTOBAND_NB}.0 * COUNT(*)
+        / {_AUTOBAND_TARGET})) AS INT))) AS w
+    FROM ce
+),
+apj AS (
+    SELECT ce.vec_id, b.b AS band_idx, j.j AS bit_idx,
+           list_sum(list_transform(range(1, {_CL_DIMS + 1}), i ->
+             CAST(FLOOR((v[i] *
+               (('0x' || substr(md5(CAST(b.b * wq.w + j.j AS VARCHAR)
+                   || ':' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT
+                / 1152921504606846976.0 * 2.0 - 1.0))
+               * 1099511627776.0) AS BIGINT))) AS pr
+    FROM ce
+    CROSS JOIN wq
+    CROSS JOIN range(0, {_AUTOBAND_NB}) AS b(b)
+    CROSS JOIN range(0, 16) AS j(j)
+    WHERE j.j < wq.w
+),
+abnd AS (
+    SELECT vec_id, band_idx,
+           CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << bit_idx)
+                         ELSE 0 END) AS BIGINT) AS bucket
+    FROM apj GROUP BY 1, 2
+),
+afeat AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ce),
+acand AS (
+    SELECT DISTINCT a.vec_id AS aid, b.vec_id AS bid
+    FROM abnd a JOIN abnd b
+      ON b.band_idx = a.band_idx AND b.bucket = a.bucket
+     AND b.vec_id <> a.vec_id
+),
+aver AS (
+    SELECT c.aid, c.bid,
+           list_dot_product(fa.v, fb.v) / (fa.nrm * fb.nrm) AS cos
+    FROM acand c
+    JOIN afeat fa ON fa.vec_id = c.aid
+    JOIN afeat fb ON fb.vec_id = c.bid
+)
+SELECT aid AS vec_id,
+       CAST((SELECT w FROM wq) AS BIGINT) AS band_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_neardup,
+       CAST(MAX(FLOOR(cos * 1048576.0)) AS BIGINT) AS best_cos_q
+FROM aver
+WHERE cos >= {_AUTOBAND_THRESH}
+GROUP BY aid
+"""
+
+
+@register("sim_autoband_neardup_degree", _AUTOBAND_SQL)
+def q_autoband_neardup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup degree at the POLICY-picked band width —
+    ``band_policy``'s first catalog consumer (round-10 verdict task 3
+    made the width scale-adaptive; this query serves it end-to-end):
+    w = clamp(ceil(log2(4n/8)), 8, 16) from the corpus count, 4
+    OR-amplified w-bit hyperplane bands block the candidates
+    (``multiband_bucket_rows``), exact cosine ≥ 0.9 verifies, and the
+    output pins the WIDTH cross-engine alongside each vector's verified
+    near-dup degree and quantized best cosine — so the policy pick
+    itself is hash-checked (w = 8 at sf0.001's 500 vectors, 10 at
+    sf0.01's 2000, 14 at sf0.1's 20000).  Shape: the band self-join
+    shuffles 2-integer rows; the vector payload enters only for the
+    verified-candidate cosine joins; everything else is the
+    ``curation_label_noise`` plan at an adaptive width."""
+    fx = _clustered_fx(spark, sf_dir)
+    n = fx.count()
+    w = similarity.band_policy(
+        n, n_bands=_AUTOBAND_NB,
+        target_candidates_per_point=float(_AUTOBAND_TARGET),
+        max_band_bits=16,
+    )
+    bnd = similarity.multiband_bucket_rows(
+        fx, n_bands=_AUTOBAND_NB, band_bits=w
+    )
+    cand = (
+        bnd.select(F.col("vec_id").alias("aid"), "band_idx", "bucket")
+        .join(
+            bnd.select(F.col("vec_id").alias("bid"), "band_idx", "bucket"),
+            ["band_idx", "bucket"],
+        )
+        .filter(F.col("aid") != F.col("bid"))
+        .select("aid", "bid")
+        .distinct()
+    )
+    v = similarity.as_double_array("embedding")
+    feats = fx.select(
+        "vec_id", v.alias("v")
+    ).withColumn("nrm", similarity.norm(F.col("v")))
+    ver = (
+        cand.join(
+            feats.select(
+                F.col("vec_id").alias("aid"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "aid",
+        )
+        .join(
+            feats.select(
+                F.col("vec_id").alias("bid"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "bid",
+        )
+        .select(
+            "aid",
+            "bid",
+            (
+                similarity.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
+    )
+    return (
+        ver.filter(F.col("cos") >= float(_AUTOBAND_THRESH))
+        .groupBy(F.col("aid").alias("vec_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_neardup"),
+            F.max(F.floor(F.col("cos") * F.lit(1048576.0)))
+            .cast("bigint")
+            .alias("best_cos_q"),
+        )
+        .select(
+            "vec_id",
+            F.lit(int(w)).cast("bigint").alias("band_bits"),
+            "n_neardup",
+            "best_cos_q",
+        )
+    )
