@@ -486,6 +486,10 @@ _BENCH_EXTRA: set[str] = {
     # md5 contract — the sf0.01 hash gate grades it.  The production
     # first pass it promised now exists and IS a headline entry:)
     "dedup_substring_anchored",
+    # (sim_bitext_margin_pairs stays OUT for the same corpus-property
+    # reason as autoband below: mutual-best mining over the clustered
+    # fixture's sibling candidates is pair-volume-bound at sf0.1; the
+    # sf0.01 hash gate grades it end-to-end)
     # (sim_autoband_neardup_degree stays OUT: at sf0.1 the clustered
     # fixture's 8 true clusters hold ~2500 siblings each, so the
     # verified near-dup pair set is genuinely ~10M rows — a corpus

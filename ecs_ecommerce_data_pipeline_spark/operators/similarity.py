@@ -3183,3 +3183,116 @@ def weighted_candidate_reduce(
         cents = recompute_centroids_weighted(live, assignment)
         assignment = assign_to_centroids(live, cents, "vid", "vec")
     return recompute_centroids_weighted(live, assignment)
+
+
+def bitext_margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    n_bands: int = 4,
+    band_bits: int = 16,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based parallel-pair mining between two embedding sets —
+    the bitext-mining score of Artetxe & Schwenk ('Margin-based
+    Parallel Corpus Mining with Multilingual Sentence Embeddings'),
+    the standard op for harvesting translation pairs from two
+    monolingual corpora at web scale.
+
+    score(x, y) = cos(x, y) / ((avg_k-NN-cos(x→tgt) +
+    avg_k-NN-cos(y→src)) / 2) — the RATIO margin: a pair counts only
+    relative to what each side's neighborhood offers, which kills the
+    hub vectors a raw-cosine threshold admits.  Mined pairs are the
+    MUTUAL best candidates (y is x's argmax and x is y's, ties by id).
+
+    Scale shape: candidates come from the OR-amplified multiband
+    blocking (:func:`multiband_bucket_rows` — never an all-pairs
+    src×tgt join); k-NN statistics are computed over the candidates.
+    Determinism: cosines quantize FLOOR(cos·2^20) BEFORE any
+    aggregation, so the k-NN sums are exact integers and the final
+    margin is ONE integer→double division —
+    ``cq·2·m_x·m_y / (sum_x·m_y + sum_y·m_x)`` with m = min(k,
+    |candidates|) handling short neighborhoods exactly (engines agree
+    bit-for-bit; the PSI-quantization discipline).
+
+    Returns (src_id, tgt_id, cos_q, margin_q) for mutual-best pairs,
+    margin_q = FLOOR(margin·2^20)."""
+    sb = multiband_bucket_rows(
+        src, n_bands=n_bands, band_bits=band_bits,
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col(id_col).alias("sid"), "band_idx", "bucket")
+    tb = multiband_bucket_rows(
+        tgt, n_bands=n_bands, band_bits=band_bits,
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col(id_col).alias("tid"), "band_idx", "bucket")
+    cand = sb.join(tb, ["band_idx", "bucket"]).select("sid", "tid").distinct()
+
+    v = as_double_array(vec_col)
+    sfe = src.select(
+        F.col(id_col).alias("sid"), v.alias("sv")
+    ).withColumn("sn", norm(F.col("sv")))
+    tfe = tgt.select(
+        F.col(id_col).alias("tid"), v.alias("tv")
+    ).withColumn("tn", norm(F.col("tv")))
+    scored = (
+        cand.join(sfe, "sid")
+        .join(tfe, "tid")
+        .select(
+            "sid",
+            "tid",
+            F.floor(
+                (dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn")))
+                * F.lit(1048576.0)
+            )
+            .cast("bigint")
+            .alias("cq"),
+        )
+    )
+
+    wf = W.partitionBy("sid").orderBy(F.desc("cq"), F.asc("tid"))
+    wb = W.partitionBy("tid").orderBy(F.desc("cq"), F.asc("sid"))
+    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    fstat = (
+        ranked.filter(F.col("rf") <= k)
+        .groupBy("sid")
+        .agg(
+            F.sum("cq").cast("bigint").alias("sum_f"),
+            F.count(F.lit(1)).cast("bigint").alias("m_f"),
+        )
+    )
+    bstat = (
+        ranked.filter(F.col("rb") <= k)
+        .groupBy("tid")
+        .agg(
+            F.sum("cq").cast("bigint").alias("sum_b"),
+            F.count(F.lit(1)).cast("bigint").alias("m_b"),
+        )
+    )
+    mutual = ranked.filter((F.col("rf") == 1) & (F.col("rb") == 1))
+    return (
+        mutual.join(fstat, "sid")
+        .join(bstat, "tid")
+        .select(
+            F.col("sid").alias("src_id"),
+            F.col("tid").alias("tgt_id"),
+            F.col("cq").alias("cos_q"),
+            F.floor(
+                (
+                    F.col("cq")
+                    * F.lit(2)
+                    * F.col("m_f")
+                    * F.col("m_b")
+                ).cast("double")
+                / (
+                    F.col("sum_f") * F.col("m_b")
+                    + F.col("sum_b") * F.col("m_f")
+                ).cast("double")
+                * F.lit(1048576.0)
+            )
+            .cast("bigint")
+            .alias("margin_q"),
+        )
+    )

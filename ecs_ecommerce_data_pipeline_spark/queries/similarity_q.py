@@ -5869,3 +5869,113 @@ def q_autoband_neardup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_cos_q",
         )
     )
+
+
+# --- margin-based bitext mining (round 10) -----------------------------------
+#
+# Artetxe & Schwenk's ratio-margin score — THE standard op for mining
+# translation pairs from two monolingual corpora.  Here the two "sides"
+# are the clustered fixture split by vec_id parity (cluster siblings
+# across the split are the genuine parallel pairs); candidates come
+# from the same OR-amplified 4x16 banding every vector-space consumer
+# uses, never an all-pairs src x tgt join.
+
+_BM_K = 4
+_BM_BITS = 16
+_BM_NB = 4
+
+_BM_PROJ = ",\n       ".join(
+    f"list_sum(list_transform(range(1, {_CL_DIMS + 1}),"
+    f" i -> CAST(FLOOR((v[i] * "
+    f"(('0x' || substr(md5('{p}:' || (i - 1)), 1, 15))::BIGINT"
+    f" / 1152921504606846976.0 * 2.0 - 1.0)"
+    f") * 1099511627776.0) AS BIGINT))) AS proj_{p}"
+    for p in range(_BM_NB * _BM_BITS)
+)
+
+
+def _bm_bucket(b: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN proj_{b * _BM_BITS + j} > 0"
+        f" THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(_BM_BITS)
+    )
+
+
+_BM_BANDS_UNION = "\n    UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band_idx,"
+    f" CAST({_bm_bucket(b)} AS BIGINT) AS bucket FROM bmproj"
+    for b in range(_BM_NB)
+)
+
+_BITEXT_SQL = f"""
+WITH {_CL_FIXTURE},
+bmproj AS (
+    SELECT vec_id, v,
+       {_BM_PROJ}
+    FROM ce
+),
+bmb AS (
+    {_BM_BANDS_UNION}
+),
+bmfeat AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ce),
+bmcand AS (
+    SELECT DISTINCT s.vec_id AS sid, t.vec_id AS tid
+    FROM bmb s JOIN bmb t
+      ON t.band_idx = s.band_idx AND t.bucket = s.bucket
+    WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+),
+bmscored AS (
+    SELECT c.sid, c.tid,
+           CAST(FLOOR((list_dot_product(fs.v, ft.v) / (fs.nrm * ft.nrm))
+               * 1048576.0) AS BIGINT) AS cq
+    FROM bmcand c
+    JOIN bmfeat fs ON fs.vec_id = c.sid
+    JOIN bmfeat ft ON ft.vec_id = c.tid
+),
+bmranked AS (
+    SELECT sid, tid, cq,
+           ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cq DESC, tid) AS rf,
+           ROW_NUMBER() OVER (PARTITION BY tid ORDER BY cq DESC, sid) AS rb
+    FROM bmscored
+),
+bmf AS (
+    SELECT sid, CAST(SUM(cq) AS BIGINT) AS sum_f,
+           CAST(COUNT(*) AS BIGINT) AS m_f
+    FROM bmranked WHERE rf <= {_BM_K} GROUP BY sid
+),
+bmbk AS (
+    SELECT tid, CAST(SUM(cq) AS BIGINT) AS sum_b,
+           CAST(COUNT(*) AS BIGINT) AS m_b
+    FROM bmranked WHERE rb <= {_BM_K} GROUP BY tid
+)
+SELECT r.sid AS src_id, r.tid AS tgt_id, r.cq AS cos_q,
+       CAST(FLOOR(CAST(r.cq * 2 * f.m_f * b.m_b AS DOUBLE)
+           / CAST(f.sum_f * b.m_b + b.sum_b * f.m_f AS DOUBLE)
+           * 1048576.0) AS BIGINT) AS margin_q
+FROM bmranked r
+JOIN bmf f ON f.sid = r.sid
+JOIN bmbk b ON b.tid = r.tid
+WHERE r.rf = 1 AND r.rb = 1
+"""
+
+
+@register("sim_bitext_margin_pairs", _BITEXT_SQL)
+def q_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk) over the clustered
+    fixture split by vec_id parity — the parallel-corpus-harvesting op
+    a multilingual training pipeline runs at web scale
+    (``operators.similarity.bitext_margin_mine``): candidates from the
+    4×16 OR-amplified banding (never all-pairs), ratio margin
+    cos / (mean of each side's k-NN cosines) computed on quantized
+    integer cosines with ONE final division (bit-deterministic
+    cross-engine), mutual-best pairs reported with quantized cosine and
+    margin.  The ratio margin is the point: it kills hub vectors a raw
+    cosine threshold admits, and short candidate neighborhoods are
+    handled exactly (m = min(k, |candidates|) on each side)."""
+    fx = _clustered_fx(spark, sf_dir)
+    src = fx.filter(F.col("vec_id") % 2 == 0)
+    tgt = fx.filter(F.col("vec_id") % 2 == 1)
+    return similarity.bitext_margin_mine(
+        src, tgt, n_bands=_BM_NB, band_bits=_BM_BITS, k=_BM_K
+    )
