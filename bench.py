@@ -461,6 +461,9 @@ _BENCH_EXTRA: set[str] = {
     "pref_annotator_agreement",
     "pref_cohen_kappa_pairs",
     "events_sprt_sequential",
+    # round-10: GRPO group-relative advantages (explode + two
+    # group-bounded aggs — O(prompts x G))
+    "pref_group_advantage",
     # (pref_bt_jackknife stays OUT of the headline set: a stability
     # DIAGNOSTIC — four leave-fold-out MM chains whose first execution
     # pays ~13 s of codegen for ~5 s of warm work; the sf0.01 hash gate

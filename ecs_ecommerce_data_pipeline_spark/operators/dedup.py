@@ -800,6 +800,10 @@ def exact_substring_anchored(
             .alias("h"),
         )
     )
+    # the anchor scan feeds the df-cap AND both join orientations — a
+    # lazy frame re-runs the split/window/md5 kernel once per consumer
+    # (the prefix_filter_join pin discipline); lineage-cut once
+    anchors = anchors.localCheckpoint()
     keep = (
         anchors.groupBy("h")
         .agg(F.count_distinct("d").alias("_df"))

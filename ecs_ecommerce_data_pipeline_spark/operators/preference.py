@@ -382,3 +382,55 @@ def sprt_pair_decisions(
             "crossing_cum_q"
         ),
     )
+
+
+def group_relative_advantage(
+    rewards: DataFrame,
+    group_col: str = "prompt_id",
+    reward_q_col: str = "reward_q",
+) -> DataFrame:
+    """Group-relative advantage baselines — the GRPO data-prep op
+    (Shao et al., 'DeepSeekMath: ... Group Relative Policy
+    Optimization'): per prompt, G sampled completions' rewards are
+    normalized against the GROUP's own mean and std,
+    ``adv_i = (r_i − mean(r)) / std(r)`` — the critic-free baseline a
+    preference/RL pipeline materializes for every training prompt.
+
+    Determinism contract: rewards arrive QUANTIZED (bigint, e.g.
+    FLOOR(r·2^20)) so the group sum is exact integer arithmetic;
+    centering uses ``d_i = G·rq_i − Σrq`` (exact), the variance
+    numerator ``Σd²`` is exact, and the advantage is computed from
+    those two integers in doubles — ``d_i · sqrt(G) / sqrt(Σd²)``
+    (algebraically (r_i−μ)/σ with σ the population std) — one sqrt and
+    one division per row, bit-reproducible cross-engine.  A
+    zero-variance group (all rewards equal) gets advantage 0.
+
+    Scale shape: one hash aggregation per group (G-bounded) broadcast
+    back onto the sample rows — O(rows), no window over the corpus.
+    Returns the input keys plus (d_num, adv_q = FLOOR(adv·2^20))."""
+    g = rewards.groupBy(group_col).agg(
+        F.sum(reward_q_col).cast("bigint").alias("_s"),
+        F.count(F.lit(1)).cast("bigint").alias("_g"),
+    )
+    centered = rewards.join(F.broadcast(g), group_col).withColumn(
+        "d_num",
+        (F.col("_g") * F.col(reward_q_col) - F.col("_s")).cast("bigint"),
+    )
+    var = centered.groupBy(group_col).agg(
+        F.sum(F.col("d_num") * F.col("d_num")).cast("bigint").alias("_v")
+    )
+    return (
+        centered.join(F.broadcast(var), group_col)
+        .withColumn(
+            "adv_q",
+            F.when(F.col("_v") == 0, F.lit(0).cast("bigint")).otherwise(
+                F.floor(
+                    F.col("d_num").cast("double")
+                    * F.sqrt(F.col("_g").cast("double"))
+                    / F.sqrt(F.col("_v").cast("double"))
+                    * F.lit(1048576.0)
+                ).cast("bigint")
+            ),
+        )
+        .drop("_s", "_g", "_v")
+    )

@@ -554,3 +554,79 @@ def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         q1=_SPQ1, q0=_SPQ0, qa=_SPQA, qb=_SPQB,
         order_col="doc_id",
     )
+
+
+# --- GRPO group-relative advantages (round 10) -------------------------------
+
+_GRP_G = 8  # sampled completions per prompt
+
+_GRPADV_SQL = f"""
+WITH samples AS (
+    SELECT doc_id AS prompt_id, s.s AS sample_idx,
+           CAST(FLOOR((
+               0.5 * {_U_DUCK.format(s="'grp:' || doc_id")}
+               + {_U_DUCK.format(s="'grs:' || doc_id || ':' || s.s")}
+           ) * 1048576.0) AS BIGINT) AS reward_q
+    FROM documents CROSS JOIN range(0, {_GRP_G}) AS s(s)
+),
+gstat AS (
+    SELECT prompt_id, CAST(SUM(reward_q) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS g
+    FROM samples GROUP BY prompt_id
+),
+cent AS (
+    SELECT sa.prompt_id, sa.sample_idx, sa.reward_q,
+           CAST(gs.g * sa.reward_q - gs.s AS BIGINT) AS d_num, gs.g
+    FROM samples sa JOIN gstat gs ON gs.prompt_id = sa.prompt_id
+),
+vstat AS (
+    SELECT prompt_id, CAST(SUM(d_num * d_num) AS BIGINT) AS v
+    FROM cent GROUP BY prompt_id
+)
+SELECT c.prompt_id, c.sample_idx, c.reward_q, c.d_num,
+       CASE WHEN vs.v = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR(CAST(c.d_num AS DOUBLE)
+                * sqrt(CAST(c.g AS DOUBLE))
+                / sqrt(CAST(vs.v AS DOUBLE))
+                * 1048576.0) AS BIGINT)
+       END AS adv_q
+FROM cent c JOIN vstat vs ON vs.prompt_id = c.prompt_id
+"""
+
+
+@register("pref_group_advantage", _GRPADV_SQL)
+def q_pref_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage baselines (GRPO, Shao et al.) — the
+    critic-free normalization an RL-from-preference pipeline
+    materializes per training prompt: G = 8 md5-analytic completion
+    rewards per document (doc-level base + per-sample noise, the
+    preference-fixture discipline), centered and scaled by the GROUP's
+    own mean/std (``operators.preference.group_relative_advantage``).
+    Rewards quantize before any aggregation, centering and the variance
+    numerator are exact integers, and the advantage is one sqrt + one
+    division from those integers — bit-deterministic cross-engine.
+    Output: (prompt_id, sample_idx, reward_q, d_num, adv_q)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    u_base = _U_SPARK.format(s="CONCAT('grp:', CAST(doc_id AS STRING))")
+    u_noise = _U_SPARK.format(
+        s="CONCAT('grs:', CAST(doc_id AS STRING), ':', CAST(s AS STRING))"
+    )
+    samples = (
+        docs.select(
+            F.col("doc_id").alias("prompt_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(_GRP_G - 1))).alias(
+                "sample_idx"
+            ),
+        )
+        .withColumn(
+            "reward_q",
+            F.expr(
+                f"CAST(FLOOR((0.5D * {u_base.replace('doc_id', 'prompt_id')}"
+                f" + {u_noise.replace('doc_id', 'prompt_id').replace('CAST(s AS STRING)', 'CAST(sample_idx AS STRING)')})"
+                " * 1048576.0D) AS BIGINT)"
+            ),
+        )
+    )
+    return preference.group_relative_advantage(
+        samples, group_col="prompt_id", reward_q_col="reward_q"
+    ).select("prompt_id", "sample_idx", "reward_q", "d_num", "adv_q")
