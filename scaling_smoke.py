@@ -36,6 +36,9 @@ from ecs_ecommerce_data_pipeline_spark.sources.testdata import load_table
 
 # stage name -> table whose row count drives the cost
 STAGES = {
+    # round-10: the anchored substring first pass — scan rows = anchors
+    # (split-based discovery), so wall must track corpus chars ~linearly
+    "dedup_substring_anchored": "documents",
     "dedup_minhash_candidates": "documents",
     "dedup_ngram_jaccard": "documents",
     "sim_lsh_buckets": "embeddings",
