@@ -91,11 +91,11 @@ def compact_preference_stats(
     folds (callers without replay semantics).  Returns before/after
     parquet file counts."""
     import glob as _glob
-    import os as _os
-    import shutil as _shutil
+
+    from .vector_index_stream import _read_store, _sibling_swap
 
     spath = f"{state_path}/pair_stats"
-    raw = spark.read.parquet(spath)
+    raw = _read_store(spark, spath)
     skip: list[int] = []
     if ledger is not None:
         state = ledger._load()
@@ -129,8 +129,11 @@ def compact_preference_stats(
         return len(_glob.glob(f"{p}/**/*.parquet", recursive=True))
 
     stats = {"files_before": _files(spath), "files_after": _files(tmp)}
-    _shutil.rmtree(spath)
-    _os.rename(tmp, spath)
+    # reachable-at-every-instant swap (shared with the vector store) —
+    # the old rmtree-then-rename here had a genuine no-store crash
+    # window despite the docstring's claim (round-10 review find);
+    # _recover_store at every read site heals a crash mid-swap
+    _sibling_swap(spath, tmp)
     return stats
 
 
@@ -139,8 +142,10 @@ def load_preference_stats(spark: SparkSession, state_path: str) -> DataFrame:
     matrix (sys_a, sys_b, n_comparisons, wins_a, winrate_a) — one SUM
     per pair; integer sums are order-free, so the fold equals the batch
     reduce over the concatenated log exactly."""
+    from .vector_index_stream import _read_store
+
     folded = (
-        spark.read.parquet(f"{state_path}/pair_stats")
+        _read_store(spark, f"{state_path}/pair_stats")
         .groupBy("sys_a", "sys_b")
         .agg(
             F.sum("n_comparisons").cast("bigint").alias("n_comparisons"),
@@ -182,7 +187,9 @@ def sprt_monitor_from_stats(
     crossing_batch, crossing_cum_q); crossing_batch = −1 while the pair
     is still in 'continue'.
     """
-    raw = spark.read.parquet(f"{state_path}/pair_stats").select(
+    from .vector_index_stream import _read_store
+
+    raw = _read_store(spark, f"{state_path}/pair_stats").select(
         "sys_a",
         "sys_b",
         "_batch_id",

@@ -166,3 +166,64 @@ def test_preference_compaction_folds_and_stays_replay_safe(spark, tmp_path):
         (r["sys_a"], r["sys_b"]): (r["n_comparisons"], r["wins_a"])
         for r in load_preference_stats(spark, state).collect()
     } == expect
+
+
+def test_preference_compaction_swap_is_crash_recoverable(spark, tmp_path):
+    """Round-10: compact_preference_stats moved from rmtree-then-rename
+    (a genuine no-store crash window, despite the docstring's
+    sibling-swap claim) to the shared _sibling_swap + _recover_store
+    discipline.  Simulate the crash window mid-swap and verify loads
+    and a second compaction heal it with the fold intact."""
+    import os
+    import shutil
+
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import BatchLedger
+    from ecs_ecommerce_data_pipeline_spark.streaming.preference_stream import (
+        compact_preference_stats,
+        load_preference_stats,
+        preference_stream,
+    )
+
+    comp = _comparisons(spark, n=60)
+    drop = str(tmp_path / "drop")
+    for k in range(2):
+        comp.filter(F.col("d") % 2 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(comp.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = preference_stream(
+        stream, state, str(tmp_path / "ckpt"),
+        BatchLedger(str(tmp_path / "ledger.json")),
+    )
+    q.awaitTermination(240)
+    want = {
+        (r["sys_a"], r["sys_b"]): (r["n_comparisons"], r["wins_a"])
+        for r in load_preference_stats(spark, state).collect()
+    }
+
+    compact_preference_stats(spark, state)
+    # simulate a crash inside the NEXT compaction's swap window
+    spath = f"{state}/pair_stats"
+    shutil.copytree(spath, spath + "__compacting")
+    os.rename(spath, spath + "__old")
+    assert not os.path.isdir(spath)
+
+    # (a) loads recover and serve the same fold
+    got = {
+        (r["sys_a"], r["sys_b"]): (r["n_comparisons"], r["wins_a"])
+        for r in load_preference_stats(spark, state).collect()
+    }
+    assert got == want
+    assert os.path.isdir(spath)
+    # (b) a fresh compaction over the healed store folds identically
+    compact_preference_stats(spark, state)
+    got2 = {
+        (r["sys_a"], r["sys_b"]): (r["n_comparisons"], r["wins_a"])
+        for r in load_preference_stats(spark, state).collect()
+    }
+    assert got2 == want
