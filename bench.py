@@ -464,6 +464,9 @@ _BENCH_EXTRA: set[str] = {
     # round-10: GRPO group-relative advantages (explode + two
     # group-bounded aggs — O(prompts x G))
     "pref_group_advantage",
+    # round-10: T5 span-corruption geometry (token explode + one
+    # doc-bounded window — the token_stats cost class)
+    "text_span_corruption",
     # (pref_bt_jackknife stays OUT of the headline set: a stability
     # DIAGNOSTIC — four leave-fold-out MM chains whose first execution
     # pays ~13 s of codegen for ~5 s of warm work; the sf0.01 hash gate

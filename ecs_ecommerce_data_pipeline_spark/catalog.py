@@ -280,6 +280,7 @@ _PRIORITY = [
     "dedup_substring_anchored",
     "sim_bitext_margin_pairs",
     "pref_group_advantage",
+    "text_span_corruption",
     # -- round-9 additions (all green in r09 — they sort to the
     #    verified tail; kept for the no-artifacts fallback) --
     "rag_chunk_dense_topk",

@@ -327,3 +327,94 @@ def gopher_rules(
     for name in rules:
         passes = F.col(name) if passes is None else passes & F.col(name)
     return out.withColumn("passes", passes)
+
+
+def span_corruption_stats(
+    doc: DataFrame,
+    mask_pct: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span-corruption prep (Raffel et al., 'Exploring the
+    Limits of Transfer Learning...'): per document, a deterministic
+    ~``mask_pct``% of whitespace tokens is masked, adjacent masked
+    tokens merge into SPANS, and each span is replaced by one sentinel
+    on the input side while the target carries sentinel + original
+    tokens — the denoising-objective example shape every
+    encoder-decoder (and UL2-style decoder) pipeline materializes from
+    its corpus.
+
+    Mask choice is md5-analytic per (doc, token index) — content- and
+    engine-independent, reproducible without any RNG state (the
+    preference-fixture discipline): token t masks iff
+    ``md5_60bit(doc_id:':'/t) % 100 < mask_pct``.  Spans via
+    gaps-and-islands (token_idx − rank over masked tokens is constant
+    within a run) — one doc-bounded window.
+
+    Emits the per-document example GEOMETRY (the part worth
+    hash-pinning cross-engine; the actual text assembly is a trivial
+    deterministic concat downstream): (doc_id, n_tokens, n_masked,
+    n_spans, input_len_tokens = kept + one sentinel per span,
+    target_len_tokens = masked + one sentinel per span + final EOS
+    sentinel, max_span_tokens)."""
+    toks = doc.select(
+        F.col(id_col).alias("d"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("t", "tok"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("d").cast("string"),
+                        F.col("t").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    flagged = toks.withColumn("masked", (u < mask_pct).cast("int"))
+    from pyspark.sql import Window
+
+    wm = Window.partitionBy("d").orderBy("t")
+    runs = (
+        flagged.filter(F.col("masked") == 1)
+        .withColumn("island", F.col("t") - F.row_number().over(wm))
+        .groupBy("d", "island")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("span_len"))
+    )
+    per_doc_tok = flagged.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("masked").cast("bigint").alias("n_masked"),
+    )
+    per_doc_span = runs.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.max("span_len").cast("bigint").alias("max_span_tokens"),
+    )
+    return (
+        per_doc_tok.join(per_doc_span, "d", "left")
+        .select(
+            F.col("d").alias(id_col),
+            "n_tokens",
+            "n_masked",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("max_span_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("max_span_tokens"),
+        )
+        .withColumn(
+            "input_len_tokens",
+            (F.col("n_tokens") - F.col("n_masked") + F.col("n_spans")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "target_len_tokens",
+            (F.col("n_masked") + F.col("n_spans") + F.lit(1)).cast("bigint"),
+        )
+    )

@@ -1210,3 +1210,65 @@ def q_tfidf_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "rnk", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rnk") <= _KT_K)
+
+
+# --- T5 span-corruption prep (round 10) --------------------------------------
+
+_SC_PCT = 15
+
+_SPAN_CORRUPT_SQL = f"""
+WITH toks AS (
+    SELECT doc_id AS d, generate_subscripts(string_split(text, ' '), 1) - 1 AS t
+    FROM documents
+),
+flagged AS (
+    SELECT d, t,
+           CASE WHEN ('0x' || substr(md5(d || ':' || t), 1, 15))::BIGINT
+                     % 100 < {_SC_PCT} THEN 1 ELSE 0 END AS masked
+    FROM toks
+),
+runs AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS span_len
+    FROM (
+        SELECT d, t,
+               t - ROW_NUMBER() OVER (PARTITION BY d ORDER BY t) AS island
+        FROM flagged WHERE masked = 1
+    ) GROUP BY d, island
+),
+per_tok AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(masked) AS BIGINT) AS n_masked
+    FROM flagged GROUP BY d
+),
+per_span AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(span_len) AS BIGINT) AS max_span_tokens
+    FROM runs GROUP BY d
+)
+SELECT pt.d AS doc_id, pt.n_tokens, pt.n_masked,
+       CAST(COALESCE(ps.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(ps.max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+       CAST(pt.n_tokens - pt.n_masked + COALESCE(ps.n_spans, 0) AS BIGINT)
+           AS input_len_tokens,
+       CAST(pt.n_masked + COALESCE(ps.n_spans, 0) + 1 AS BIGINT)
+           AS target_len_tokens
+FROM per_tok pt LEFT JOIN per_span ps ON ps.d = pt.d
+"""
+
+
+@register("text_span_corruption", _SPAN_CORRUPT_SQL)
+def q_text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption example geometry per document
+    (``operators.text.span_corruption_stats``): a deterministic
+    md5-analytic ~15% of whitespace tokens masks, adjacent masks merge
+    to spans (gaps-and-islands, one doc-bounded window), and the
+    emitted input/target token lengths are the denoising-objective
+    shapes (kept + sentinel-per-span / masked + sentinel-per-span +
+    EOS) a pretraining pipeline packs downstream.  No RNG state
+    anywhere — the mask is a pure function of (doc_id, token index),
+    so both engines derive identical geometry."""
+    from ..operators.text import span_corruption_stats
+
+    return span_corruption_stats(
+        load_table(spark, sf_dir, "documents"), mask_pct=_SC_PCT
+    )
