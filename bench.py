@@ -40,6 +40,22 @@ def _load_1m() -> float:
     except (OSError, ValueError, IndexError):
         return 0.0
 
+
+def _steal_iowait() -> tuple[int, int]:
+    """(steal, iowait) jiffies from /proc/stat — the interference
+    channels loadavg CANNOT see: CPU steal is the hypervisor running
+    some other guest, iowait is storage stalls.  Round-10 evidence for
+    needing this: two back-to-back quiet-loadavg runs each carried ONE
+    ~70 s slow window hitting a contiguous alphabetical segment (a
+    time window), fully recovered in the next run — host-level
+    interference, and this box's /proc/stat steal counter is nonzero."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]), int(parts[5])
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ecs_ecommerce_data_pipeline_spark import catalog
@@ -110,18 +126,28 @@ def main() -> None:
     timings: dict[str, float] = {}
     sentinel: dict[str, dict] = {}
     loads: list[float] = []
+    steal0, iowait0 = _steal_iowait()
     for name in names:
         runs: list[float] = []
         qloads: list[float] = []
+        s_before, w_before = _steal_iowait()
         for _ in range(2):  # best-of-2: see module docstring
             qloads.append(_load_1m())
             t0 = time.time()
             df = all_queries[name](spark, sf_dir)
             df.count()
             runs.append(round(time.time() - t0, 3))
+        s_after, w_after = _steal_iowait()
         timings[name] = min(runs)
         loads.extend(qloads)
-        sentinel[name] = {"runs": runs, "load_1m": qloads}
+        sentinel[name] = {
+            "runs": runs,
+            "load_1m": qloads,
+            # host-interference channels during this query's two runs
+            "steal_jiffies": s_after - s_before,
+            "iowait_jiffies": w_after - w_before,
+        }
+    steal1, iowait1 = _steal_iowait()
     total = round(time.time() - t_start, 3)
 
     # The final JSON line must ALWAYS print (the driver parses only it);
@@ -186,6 +212,11 @@ def main() -> None:
                 "load_1m_mean": (
                     round(sum(loads) / len(loads), 2) if loads else 0.0
                 ),
+                # hypervisor/storage interference over the whole run —
+                # loadavg-invisible; per-query deltas in the sentinel
+                # file localize WHICH window was hit
+                "steal_jiffies_total": steal1 - steal0,
+                "iowait_jiffies_total": iowait1 - iowait0,
             },
             separators=(",", ":"),
         ),
