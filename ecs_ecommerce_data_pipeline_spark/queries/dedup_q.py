@@ -118,23 +118,100 @@ candidates AS (
 )
 """
 
+# --- scale-adaptive MinHash banding (round 11) -------------------------------
+#
+# minhash_band_policy (operators.dedup) picks rows-per-band r from the
+# corpus count; the candidate generator and the precision gate register
+# the POLICY pick (round-10 verdict task 2), with the oracle re-deriving
+# the ladder in SQL and banding at RUNTIME r — signatures unpivot to
+# long format so the band key md5(slot_{b·r} || '|' || … ) is computable
+# for any r without static enumeration.  The picked r is pinned as an
+# output column, so the policy itself is hash-checked cross-engine
+# (r = 2 at ≤512 docs, 4 to ~2M, 8 beyond — the defaults' ladder).
+# Fixed-width variants stay where the oracle contract pins a sweep or
+# recall number: dedup_lsh_tuning_curve IS the r-sweep experiment,
+# dedup_recall_lsh_pairs prices recall at the documented (4×2, cap 50)
+# config, and the verify-stage families (ngram_jaccard / fuzzy_verify /
+# cc_clusters / incremental) pin verification semantics downstream of a
+# fixed candidate set.
+
+_MH_TARGET = "8.0"       # identical literal both engines
+_MH_SLOT_BITS = 4
+
+_MH_POLICY_CTE = f"""rq AS (
+    SELECT CASE
+        WHEN {_NUM_HASHES // 2}.0 * COUNT(*) / {1 << (_MH_SLOT_BITS * 2)}.0
+             <= {_MH_TARGET} THEN 2
+        WHEN {_NUM_HASHES // 4}.0 * COUNT(*) / {1 << (_MH_SLOT_BITS * 4)}.0
+             <= {_MH_TARGET} THEN 4
+        ELSE 8 END AS r
+    FROM documents
+)"""
+
+_sigl_selects = "\n    UNION ALL ".join(
+    f"SELECT doc_id, {i} AS i, sig_{i} AS sig FROM sigs"
+    for i in range(_NUM_HASHES)
+)
+
+_CAND_AUTO_CTES = f"""{_SIG_CTES},
+{_MH_POLICY_CTE},
+sigl AS (
+    {_sigl_selects}
+),
+abands AS (
+    SELECT doc_id, i // r AS band_idx,
+           md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY i)) AS band_key
+    FROM sigl CROSS JOIN rq
+    GROUP BY doc_id, i // r
+),
+abucket_counts AS (
+    SELECT band_idx, band_key, COUNT(*) AS n FROM abands GROUP BY 1, 2
+),
+akept AS (
+    SELECT b.doc_id, b.band_idx, b.band_key
+    FROM abands b JOIN abucket_counts c USING (band_idx, band_key)
+    WHERE c.n <= {_MAX_BUCKET}
+),
+candidates_auto AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM akept a JOIN akept b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+)
+"""
+
 _MINHASH_CAND_SQL = f"""
-WITH {_CANDIDATES_CTES}
-SELECT doc_a, doc_b FROM candidates
+WITH {_CAND_AUTO_CTES}
+SELECT doc_a, doc_b,
+       CAST((SELECT r FROM rq) AS BIGINT) AS band_size
+FROM candidates_auto
 """
 
 
 @register("dedup_minhash_candidates", _MINHASH_CAND_SQL)
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding candidates (4 bands × 2 rows, bucket cap 50): the
-    near-dup pair generator whose cost is Σ|bucket|², not n²."""
+    """LSH banding candidates at the POLICY-picked rows-per-band
+    (``minhash_band_policy``: smallest r on the {2,4,8} ladder whose
+    modeled random floor (8/r)·n·2^(-4r) fits 8 candidates/point —
+    round-11 migration from the fixed 4×2 registration), bucket cap 50:
+    the near-dup pair generator whose cost is Σ|bucket|² and whose
+    RANDOM component stays linear in corpus size by construction.  The
+    picked r is pinned as the ``band_size`` output column on every row,
+    so the policy evaluates identically cross-engine (2 at sf0.001/
+    sf0.01's 500 docs, 4 at sf0.1's 5000)."""
     doc = load_table(spark, sf_dir, "documents")
+    r = dedup.minhash_band_policy(
+        doc.count(),
+        num_hashes=_NUM_HASHES,
+        target_candidates_per_point=float(_MH_TARGET),
+        slot_match_bits=_MH_SLOT_BITS,
+    )
     sigs = dedup.minhash_signatures(
         dedup.shingle_docs(doc, k=_SHINGLE_K), num_hashes=_NUM_HASHES
     )
     return dedup.lsh_candidate_pairs(
-        sigs, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE, max_bucket=_MAX_BUCKET
-    )
+        sigs, num_hashes=_NUM_HASHES, band_size=r, max_bucket=_MAX_BUCKET
+    ).withColumn("band_size", F.lit(r).cast("bigint"))
 
 
 _JACCARD_SQL = f"""
@@ -1003,7 +1080,7 @@ def q_entity_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- LSH precision gate (companion to dedup_recall_lsh_pairs) ----------------
 
 _PRECISION_SQL = f"""
-WITH {_CANDIDATES_CTES},
+WITH {_CAND_AUTO_CTES},
 exh AS (
     SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h FROM ex
 ),
@@ -1011,7 +1088,7 @@ sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM exh GROUP BY doc_id),
 common AS (
     SELECT c.doc_a, c.doc_b,
            COUNT(eb.sh_h) AS n_common
-    FROM candidates c
+    FROM candidates_auto c
     JOIN exh ea ON ea.doc_id = c.doc_a
     LEFT JOIN exh eb ON eb.doc_id = c.doc_b AND eb.sh_h = ea.sh_h
     GROUP BY 1, 2
@@ -1024,7 +1101,8 @@ scored AS (
     JOIN sizes sa ON sa.doc_id = m.doc_a
     JOIN sizes sb ON sb.doc_id = m.doc_b
 )
-SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+SELECT CAST((SELECT r FROM rq) AS BIGINT) AS band_size,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
        CAST(SUM(CASE WHEN jaccard >= {_JACCARD_T} THEN 1 ELSE 0 END)
            AS BIGINT) AS n_true,
        CAST(SUM(CASE WHEN jaccard >= {_JACCARD_T} THEN 1 ELSE 0 END)
@@ -1040,6 +1118,11 @@ def q_dedup_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold — the companion number to ``dedup_recall_lsh_pairs``
     (recall says what banding MISSES; precision says how much verify
     work it WASTES — together they price a band/row configuration).
+    Round 11: the candidate stage runs at the POLICY-picked rows-per-
+    band (``minhash_band_policy`` — the registration default of the
+    banded family), pinned in the ``band_size`` output column; the
+    recall companion keeps the documented fixed config (its contract
+    pins a recall number at 4×2).
 
     Scale shape: the candidate pipeline executes ONCE — every candidate
     flows through one a-side shingle join, one LEFT b-side match join
@@ -1049,12 +1132,18 @@ def q_dedup_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.textfn import md5_bigint
 
     doc = load_table(spark, sf_dir, "documents")
+    r = dedup.minhash_band_policy(
+        doc.count(),
+        num_hashes=_NUM_HASHES,
+        target_candidates_per_point=float(_MH_TARGET),
+        slot_match_bits=_MH_SLOT_BITS,
+    )
     sh = dedup.shingle_docs(doc, k=_SHINGLE_K)
     sigs = dedup.minhash_signatures(sh, num_hashes=_NUM_HASHES)
     cands = dedup.lsh_candidate_pairs(
         sigs,
         num_hashes=_NUM_HASHES,
-        band_size=_BAND_SIZE,
+        band_size=r,
         max_bucket=_MAX_BUCKET,
     )
     exh = sh.select("doc_id", md5_bigint(F.col("shingle")).alias("sh_h"))
@@ -1104,6 +1193,11 @@ def q_dedup_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
         true_cnt.alias("n_true"),
         (true_cnt.cast("double") / F.count(F.lit(1))).alias("precision"),
+    ).select(
+        F.lit(r).cast("bigint").alias("band_size"),
+        "n_candidates",
+        "n_true",
+        "precision",
     )
 
 
@@ -1358,11 +1452,43 @@ scand AS (
       ON a.blk = b.blk AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 )"""
 
+# Ladder-policy blocking CTEs (round 11): the 64-bit fingerprint fuses
+# its 8-bit band rows at the width ``dhash_band_policy`` picks from the
+# corpus count — (8×8) → (4×16) → (2×32), narrowest width whose random
+# floor n_bands·n/2^w fits 8 candidates/point.  The oracle re-derives
+# the ladder in a CTE and fuses at RUNTIME k = w/8 (256^(band_idx % k)
+# weights via CASE), so no static width is registered anywhere in the
+# auto family and the pick itself is hash-checked via the pinned
+# ``band_bits`` column.  The recall gate and threshold curve keep the
+# documented fixed 16-bit contract (they PRICE a specific width).
+_SIMHASH_AUTO_CTES = f"""swq AS (
+    SELECT CASE WHEN 8.0 * COUNT(*) / 256.0 <= 8.0 THEN 8
+                WHEN 4.0 * COUNT(*) / 65536.0 <= 8.0 THEN 16
+                ELSE 32 END AS w
+    FROM documents
+),
+sauto AS (
+    SELECT doc_id, band_idx // (w // 8) AS blk,
+           CAST(SUM(band_val *
+                CASE WHEN band_idx % (w // 8) = 1 THEN 256
+                     WHEN band_idx % (w // 8) = 2 THEN 65536
+                     WHEN band_idx % (w // 8) = 3 THEN 16777216
+                     ELSE 1 END) AS BIGINT) AS band_val
+    FROM sbands CROSS JOIN swq GROUP BY doc_id, blk
+),
+scand_auto AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sauto a JOIN sauto b
+      ON a.blk = b.blk AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)"""
+
 _SIMHASH_PAIRS_SQL = f"""
-WITH {_SIMHASH_BANDS_CTES}
+WITH {_SIMHASH_BANDS_CTES},
+{_SIMHASH_AUTO_CTES}
 SELECT c.doc_a, c.doc_b,
-       CAST(SUM(bit_count(xor(ba.band_val, bb.band_val))) AS BIGINT) AS hamming
-FROM scand c
+       CAST(SUM(bit_count(xor(ba.band_val, bb.band_val))) AS BIGINT) AS hamming,
+       CAST((SELECT w FROM swq) AS BIGINT) AS band_bits
+FROM scand_auto c
 JOIN sbands ba ON ba.doc_id = c.doc_a
 JOIN sbands bb ON bb.doc_id = c.doc_b AND bb.band_idx = ba.band_idx
 GROUP BY 1, 2
@@ -1372,18 +1498,24 @@ HAVING CAST(SUM(bit_count(xor(ba.band_val, bb.band_val))) AS BIGINT) <= {_SIMHAM
 
 @register("dedup_simhash_pairs", _SIMHASH_PAIRS_SQL)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text near-dup pairs by 64-bit weighted SimHash at the scale-safe
-    wide banding (4 fused 16-bit bands → n²/2¹⁶ collision floor, exact
-    to Hamming 3 by pigeonhole, banding recall above — the trade
-    ``dedup_simhash_recall`` prices): candidates share a fused band,
-    verification is exact Hamming over the full signature.  Measured at
-    sf0.01: 56 pairs at distance ≤ 6 vs 78 exact (recall 0.72 past the
-    pigeonhole radius); the signature build is one md5-per-token scan +
-    one 64-sum hash aggregation — no shuffle grows with pair count."""
+    """Text near-dup pairs by 64-bit weighted SimHash at the
+    POLICY-picked band width (round 11: ``dhash_band_policy`` replaces
+    the fixed 16-bit registration — same 16 at the 500-5000-doc test
+    scales, 32 beyond ~2M docs, with the pick pinned cross-engine in
+    the ``band_bits`` column): candidates share a fused band,
+    verification is exact Hamming over the full signature (the trade
+    ``dedup_simhash_recall`` prices at the fixed documented width).
+    Measured at sf0.01: 56 pairs at distance ≤ 6 vs 78 exact (recall
+    0.72 past the pigeonhole radius); the signature build is one
+    md5-per-token scan + one 64-sum hash aggregation — no shuffle
+    grows with pair count."""
+    from ..operators.multimodal import dhash_band_policy
+
+    doc = load_table(spark, sf_dir, "documents")
+    w = dhash_band_policy(doc.count())
     return dedup.simhash_neardup_pairs(
-        load_table(spark, sf_dir, "documents"),
-        max_hamming=_SIMHAM, band_bits=16,
-    )
+        doc, max_hamming=_SIMHAM, band_bits=w,
+    ).withColumn("band_bits", F.lit(w).cast("bigint"))
 
 
 _SIMHASH_RECALL_SQL = f"""
@@ -1493,9 +1625,10 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_CLUSTERS_SQL = f"""
 WITH RECURSIVE {_SIMHASH_BANDS_CTES},
+{_SIMHASH_AUTO_CTES},
 spairs AS (
     SELECT c.doc_a, c.doc_b
-    FROM scand c
+    FROM scand_auto c
     JOIN sbands ba ON ba.doc_id = c.doc_a
     JOIN sbands bb ON bb.doc_id = c.doc_b AND bb.band_idx = ba.band_idx
     GROUP BY 1, 2
@@ -1515,7 +1648,8 @@ sreach(node, r) AS (
 slabeled AS (SELECT node, MIN(r) AS component FROM sreach GROUP BY node)
 SELECT component,
        CAST(COUNT(*) AS BIGINT) AS n_members,
-       CAST(SUM(node) AS BIGINT) AS sum_members
+       CAST(SUM(node) AS BIGINT) AS sum_members,
+       CAST((SELECT w FROM swq) AS BIGINT) AS band_bits
 FROM slabeled
 GROUP BY component
 """
@@ -1523,21 +1657,27 @@ GROUP BY component
 
 @register("dedup_simhash_clusters", _SIMHASH_CLUSTERS_SQL)
 def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash dedup SURVIVOR selection: wide-band near-dup pairs fed
-    through min-label connected components — component id = min doc_id,
-    the canonical keep-one per near-dup cluster.  Completes the SimHash
-    family (pairs → recall gate → clusters) exactly as the image family
-    reads, sharing the star-contraction CC operator; the oracle states
-    the same fixpoint as a recursive-CTE transitive closure."""
+    """SimHash dedup SURVIVOR selection: near-dup pairs at the
+    POLICY-picked band width (round 11 — see ``dedup_simhash_pairs``)
+    fed through min-label connected components — component id = min
+    doc_id, the canonical keep-one per near-dup cluster.  Completes the
+    SimHash family (pairs → recall gate → clusters) exactly as the
+    image family reads, sharing the star-contraction CC operator; the
+    oracle states the same fixpoint as a recursive-CTE transitive
+    closure, re-derives the width ladder, and the pick is pinned in
+    ``band_bits``."""
+    from ..operators.multimodal import dhash_band_policy
+
+    doc = load_table(spark, sf_dir, "documents")
+    w = dhash_band_policy(doc.count())
     pairs = dedup.simhash_neardup_pairs(
-        load_table(spark, sf_dir, "documents"),
-        max_hamming=_SIMHAM, band_bits=16,
+        doc, max_hamming=_SIMHAM, band_bits=w,
     )
     labels = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
     return labels.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.sum("node").cast("bigint").alias("sum_members"),
-    )
+    ).withColumn("band_bits", F.lit(w).cast("bigint"))
 
 
 _SIMHAM_SWEEP = [2, 4, 6, 8]
@@ -1702,6 +1842,7 @@ WITH anch AS (
         FROM documents WHERE length(text) >= {_AN_K}
     )
     WHERE ascii(substring(text, pos + 1, 1)) % {_AN_MOD} = 0
+      AND ascii(substring(text, pos + 1, 1)) BETWEEN 1 AND 127
 ),
 akeep AS (
     SELECT h FROM (

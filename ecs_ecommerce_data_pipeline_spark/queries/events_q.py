@@ -280,24 +280,41 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Wide-band (16-bit) blocking CTE: adjacent 8-bit band rows fuse into 4
-# 16-bit blocks — the n²/2¹⁶ collision floor is 256x below the 8-bit
-# n²/2⁸ floor (measured at 5k images: 776k collision candidates vs 10k
-# true pairs under 8-bit blocking).  Verification always runs on the
-# full 8-band 64-bit hash whatever the blocking width.
-_IMG_WBAND = """wband AS (
-    SELECT doc_id, CAST(band_idx // 2 AS INT) AS band_idx,
-           CAST(SUM(band_val * CASE WHEN band_idx % 2 = 1
-                                    THEN 256 ELSE 1 END) AS BIGINT) AS band_val
-    FROM bands GROUP BY 1, 2
+# Ladder-policy blocking (round 11): the registered near-dup family
+# fuses bands at the width ``dhash_band_policy`` picks from the corpus
+# count — (8×8) → (4×16) → (2×32); the oracle re-derives the ladder and
+# fuses at RUNTIME k = w/8, pinning the pick in ``band_bits`` — while
+# the narrowband companion keeps its documented fixed 8-bit contract
+# (it EXISTS to exhibit that width's collision floor).
+_IMG_WQ = """iwq AS (
+    SELECT CASE WHEN 8.0 * COUNT(*) / 256.0 <= 8.0 THEN 8
+                WHEN 4.0 * COUNT(*) / 65536.0 <= 8.0 THEN 16
+                ELSE 32 END AS w
+    FROM documents
+)"""
+
+_IMG_ABAND = """aband AS (
+    SELECT doc_id, CAST(band_idx // (w // 8) AS INT) AS band_idx,
+           CAST(SUM(band_val *
+                CASE WHEN band_idx % (w // 8) = 1 THEN 256
+                     WHEN band_idx % (w // 8) = 2 THEN 65536
+                     WHEN band_idx % (w // 8) = 3 THEN 16777216
+                     ELSE 1 END) AS BIGINT) AS band_val
+    FROM bands CROSS JOIN iwq GROUP BY doc_id, band_idx // (w // 8)
 )"""
 
 
 def _img_neardup_sql(blocks: str) -> str:
-    wband = f"{_IMG_WBAND}," if blocks == "wband" else ""
+    auto = blocks == "aband"
+    extra = f"{_IMG_WQ},\n{_IMG_ABAND}," if auto else ""
+    wcol = (
+        ",\n       CAST((SELECT w FROM iwq) AS BIGINT) AS band_bits"
+        if auto
+        else ""
+    )
     return f"""
 WITH {_IMG_PX},
-{wband}
+{extra}
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM {blocks} a JOIN {blocks} b
@@ -305,7 +322,7 @@ cand AS (
      AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
-       CAST(SUM(bit_count(xor(ba.band_val, bb.band_val))) AS BIGINT) AS hamming
+       CAST(SUM(bit_count(xor(ba.band_val, bb.band_val))) AS BIGINT) AS hamming{wcol}
 FROM cand c
 JOIN bands ba ON ba.doc_id = c.doc_a
 JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band_idx = ba.band_idx
@@ -314,28 +331,35 @@ HAVING CAST(SUM(bit_count(xor(ba.band_val, bb.band_val))) AS BIGINT) <= {_IMG_MA
 """
 
 
-@register("multimodal_image_neardup", _img_neardup_sql("wband"))
+@register("multimodal_image_neardup", _img_neardup_sql("aband"))
 def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs (the multimodal member of the dedup
-    family), registered at the SCALE-SAFE wide-band blocking (round-6
-    verdict: the 8-bit headline's n²/2⁸ random-collision floor is
-    quadratic in corpus size — 776k collision candidates vs ~10k true
-    pairs at just 5k images).  Four fused 16-bit bands block candidates
-    (floor cut 256x, exact to Hamming 3 by pigeonhole, LSH-recall
-    above); verification is exact Hamming over the full 64-bit hash.
-    The 8-bit exact-to-Hamming-7 form stays available as the bounded
-    high-recall companion (``multimodal_image_neardup_narrowband``)."""
+    family), registered at the POLICY-picked blocking width (round 11:
+    ``dhash_band_policy`` replaces the fixed 16-bit registration the
+    round-6 verdict introduced — the ladder still lands on 16 at the
+    500-5000-image test scales and moves to 32 beyond ~2M, with the
+    pick pinned cross-engine in ``band_bits``).  Fused bands block
+    candidates (n²/2^w floor, exact to Hamming 64/w−1 by pigeonhole,
+    LSH-recall above); verification is exact Hamming over the full
+    64-bit hash.  The 8-bit exact-to-Hamming-7 form stays available as
+    the bounded high-recall companion
+    (``multimodal_image_neardup_narrowband``)."""
     from ..operators.multimodal import (
+        dhash_band_policy,
         image_dhash_bands,
         image_neardup_pairs,
         synth_png_images,
     )
 
     doc = load_table(spark, sf_dir, "documents")
+    n = doc.count()
+    w = dhash_band_policy(n)
     bands = image_dhash_bands(
-        synth_png_images(doc, _img_base_mod(doc.count()), _IMG_NOISE_CUT)
+        synth_png_images(doc, _img_base_mod(n), _IMG_NOISE_CUT)
     )
-    return image_neardup_pairs(bands, _IMG_MAX_HAMMING, band_bits=16)
+    return image_neardup_pairs(
+        bands, _IMG_MAX_HAMMING, band_bits=w
+    ).withColumn("band_bits", F.lit(w).cast("bigint"))
 
 
 @register("multimodal_image_neardup_narrowband", _img_neardup_sql("bands"))
@@ -362,10 +386,11 @@ def q_image_neardup_narrowband(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IMG_CLUSTERS_SQL = f"""
 WITH RECURSIVE {_IMG_PX},
-{_IMG_WBAND},
+{_IMG_WQ},
+{_IMG_ABAND},
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM wband a JOIN wband b
+    FROM aband a JOIN aband b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
      AND a.doc_id < b.doc_id
 ),
@@ -391,7 +416,8 @@ reach(node, r) AS (
 labeled AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
 SELECT component,
        CAST(COUNT(*) AS BIGINT) AS n_members,
-       CAST(SUM(node) AS BIGINT) AS sum_members
+       CAST(SUM(node) AS BIGINT) AS sum_members,
+       CAST((SELECT w FROM iwq) AS BIGINT) AS band_bits
 FROM labeled
 GROUP BY component
 """
@@ -402,27 +428,31 @@ def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image dedup SURVIVOR selection: near-dup pairs fed through
     min-label connected components — component id = min doc_id, the
     canonical keep-one image per replica cluster (the multimodal twin
-    of dedup_semantic_clusters).  Pairs come from the scale-safe
-    wide-band (16-bit) blocking — see ``multimodal_image_neardup``.
-    The oracle states the same fixpoint as a recursive-CTE transitive
-    closure over the verified pairs."""
+    of dedup_semantic_clusters).  Pairs come from the POLICY-picked
+    blocking width (round 11 — see ``multimodal_image_neardup``),
+    pinned in ``band_bits``.  The oracle states the same fixpoint as a
+    recursive-CTE transitive closure over the verified pairs and
+    re-derives the width ladder."""
     from ..operators.dedup import connected_components
     from ..operators.multimodal import (
+        dhash_band_policy,
         image_dhash_bands,
         image_neardup_pairs,
         synth_png_images,
     )
 
     doc = load_table(spark, sf_dir, "documents")
+    n = doc.count()
+    w = dhash_band_policy(n)
     bands = image_dhash_bands(
-        synth_png_images(doc, _img_base_mod(doc.count()), _IMG_NOISE_CUT)
+        synth_png_images(doc, _img_base_mod(n), _IMG_NOISE_CUT)
     )
-    pairs = image_neardup_pairs(bands, _IMG_MAX_HAMMING, band_bits=16)
+    pairs = image_neardup_pairs(bands, _IMG_MAX_HAMMING, band_bits=w)
     labels = connected_components(pairs, src="doc_a", dst="doc_b")
     return labels.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.sum("node").cast("bigint").alias("sum_members"),
-    )
+    ).withColumn("band_bits", F.lit(w).cast("bigint"))
 
 
 _MAX_DIM = 256

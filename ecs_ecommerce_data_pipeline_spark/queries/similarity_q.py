@@ -5177,10 +5177,17 @@ def q_ivfpq_kpar64_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# coverage target for the auto-nprobe estimator (95/100) — the serving
+# family's registered default since round 11 (verdict task 3); the
+# explicit-experiment query sim_ivfpq_kpar64_autoprobe_recall reads the
+# same constants further down
+_KP64_AUTOPROBE_NUM, _KP64_AUTOPROBE_DEN = 95, 100
+
 _KP64_RERANK_RECALL_SQL = f"""
 WITH {_CL_BASE},
 {_KP64_CENTS},
-{_cl_chain("t9", "c9c", trained=True, nprobe=_FPS64_NPROBE)},
+{_cl_chain("t9", "c9c", trained=True, nprobe=0,
+           autoprobe=(_KP64_AUTOPROBE_NUM, _KP64_AUTOPROBE_DEN))},
 fb9 AS (
     SELECT vec_id AS vid, v, sqrt(list_dot_product(v, v)) AS nrm FROM ce
 ),
@@ -5207,9 +5214,11 @@ rk9 AS (
 ),
 {_CL_BF}
 SELECT bfk.query_id,
+       CAST(ANY_VALUE(np.nprobe) AS BIGINT) AS nprobe,
        CAST(COUNT(rk9.corpus_id) AS BIGINT) AS n_hits,
        CAST(COUNT(rk9.corpus_id) AS DOUBLE) / {_K} AS recall
 FROM bfk
+JOIN t9qnp np ON np.query_id = bfk.query_id
 LEFT JOIN rk9 ON rk9.query_id = bfk.query_id AND rk9.corpus_id = bfk.corpus_id
 GROUP BY bfk.query_id
 """
@@ -5220,20 +5229,28 @@ def q_ivfpq_kpar64_trained_rerank_recall(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The k=64 production build's staircase TOP step: trained ADC
-    shortlist (depth 50, nprobe 8) + exact cosine re-rank, scored
-    against brute-force truth — raw floats touched for |Q|·50 rows
-    only, fetched from probed partition-pruned cells, exactly the
-    serving economics of the k=16 rung (``sim_ivfpq_trained_rerank``)
-    at 4x the cell count.  Measured (sf0.01): mean recall 0.96 — the
-    staircase's 0.70 → ~1.0 rerank step holds at k=64."""
+    shortlist (depth 50) + exact cosine re-rank, scored against
+    brute-force truth — raw floats touched for |Q|·50 rows only,
+    fetched from probed partition-pruned cells, exactly the serving
+    economics of the k=16 rung (``sim_ivfpq_trained_rerank``) at 4x
+    the cell count.  Round 11: probes come from ``auto_nprobe`` (the
+    registered serving default — round-10 verdict task 3; the fixed-8
+    staircase remains readable via ``sim_ivfpq_trained_*``), with the
+    per-query probe count pinned in the ``nprobe`` column.  Measured
+    (sf0.01): mean recall 0.96 at fixed 8; the estimator's 19-45
+    probes hold ≥ that (tests assert ≥ 0.95 per query)."""
     qids = _QUERY_IDS
     truth = similarity.brute_force_topk(
         _clustered_fx(spark, sf_dir), qids, k=_K
     ).select(F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc"))
     cents, assigns, cb, codes = _clustered_index64_cached(spark, sf_dir)
+    np_df = similarity.auto_nprobe(
+        cents, assigns, qids,
+        target_num=_KP64_AUTOPROBE_NUM, target_den=_KP64_AUTOPROBE_DEN,
+    )
     rk = similarity.ivfpq_rerank_topk(
         cents, assigns, cb, codes, qids,
-        k=_K, shortlist=_CL_SHORTLIST, nprobe=_FPS64_NPROBE, m=_CL_M,
+        k=_K, shortlist=_CL_SHORTLIST, nprobe=np_df, m=_CL_M,
         residual=True,
     ).select("query_id", "corpus_id")
     joined = truth.join(
@@ -5241,11 +5258,16 @@ def q_ivfpq_kpar64_trained_rerank_recall(
         (F.col("bq") == F.col("query_id")) & (F.col("bc") == F.col("corpus_id")),
         "left",
     )
-    return joined.groupBy(F.col("bq").alias("query_id")).agg(
-        F.count("corpus_id").cast("bigint").alias("n_hits"),
-        (F.count("corpus_id").cast("double") / F.lit(float(_K))).alias(
-            "recall"
-        ),
+    return (
+        joined.groupBy(F.col("bq").alias("query_id"))
+        .agg(
+            F.count("corpus_id").cast("bigint").alias("n_hits"),
+            (F.count("corpus_id").cast("double") / F.lit(float(_K))).alias(
+                "recall"
+            ),
+        )
+        .join(F.broadcast(np_df), "query_id")
+        .select("query_id", "nprobe", "n_hits", "recall")
     )
 
 
@@ -5366,7 +5388,8 @@ def q_kmeanspar_weighted_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KP64_FILTERED_RECALL_SQL = f"""
 WITH {_CL_BASE},
 {_KP64_CENTS},
-{_cl_chain("t9", "c9c", trained=True, nprobe=_FPS64_NPROBE)},
+{_cl_chain("t9", "c9c", trained=True, nprobe=0,
+           autoprobe=(_KP64_AUTOPROBE_NUM, _KP64_AUTOPROBE_DEN))},
 f9 AS (SELECT vec_id FROM e WHERE vec_id % {_KP64_ATTR_MOD} = {_KP64_ATTR_VAL}),
 fsc9 AS (
     SELECT s.query_id, s.corpus_id, s.adc_q
@@ -5397,11 +5420,13 @@ ftk9 AS (
     ) WHERE rnk <= {_K}
 )
 SELECT ftk9.query_id,
+       CAST(ANY_VALUE(np.nprobe) AS BIGINT) AS nprobe,
        CAST(COUNT(fq9.corpus_id) AS BIGINT) AS n_hits,
        CAST(COUNT(ftk9.corpus_id) AS BIGINT) AS n_truth,
        CAST(COUNT(fq9.corpus_id) AS DOUBLE)
            / GREATEST(COUNT(ftk9.corpus_id), 1) AS recall
 FROM ftk9
+JOIN t9qnp np ON np.query_id = ftk9.query_id
 LEFT JOIN fq9
   ON fq9.query_id = ftk9.query_id AND fq9.corpus_id = ftk9.corpus_id
 GROUP BY ftk9.query_id
@@ -5420,10 +5445,11 @@ def q_ivfpq_kpar64_filtered_recall(
     residual index; recall is read against the pre-filter exact truth.
     Same plan as the k=16 rung (`sim_ivfpq_filtered_topk`) at 4x the
     cells — cell pruning intact, cost independent of selectivity, no
-    second corpus join.  Measured (sf0.01, nprobe=8): mean recall 0.82
-    vs pre-filter exact truth — above the unfiltered ADC 0.70 (a ~14%
-    selectivity leaves fewer quantization-error competitors inside the
-    probed cells)."""
+    second corpus join.  Round 11: probes come from ``auto_nprobe``
+    (the registered serving default), pinned in the ``nprobe`` column.
+    Measured (sf0.01): mean recall 0.82 at fixed nprobe=8; the
+    estimator probes deeper where margins are thin, lifting the ADC
+    rung while ``*_filtered_rerank_recall`` reads the ≥0.95 top step."""
     qids = _QUERY_IDS
     fx = _clustered_fx(spark, sf_dir)
     fcorp = fx.filter(F.col("vec_id") % _KP64_ATTR_MOD == _KP64_ATTR_VAL)
@@ -5453,30 +5479,40 @@ def q_ivfpq_kpar64_filtered_recall(
         .select(F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc"))
     )
     cents, assigns, cb, codes = _clustered_index64_cached(spark, sf_dir)
+    np_df = similarity.auto_nprobe(
+        cents, assigns, qids,
+        target_num=_KP64_AUTOPROBE_NUM, target_den=_KP64_AUTOPROBE_DEN,
+    )
     pk = similarity.ivfpq_filtered_topk(
         cents, assigns, cb, codes, qids,
         pred=(F.col("attr") == _KP64_ATTR_VAL),
-        k=_K, nprobe=_FPS64_NPROBE, m=_CL_M, residual=True,
+        k=_K, nprobe=np_df, m=_CL_M, residual=True,
     ).select("query_id", "corpus_id")
     joined = truth.join(
         pk,
         (F.col("bq") == F.col("query_id")) & (F.col("bc") == F.col("corpus_id")),
         "left",
     )
-    return joined.groupBy(F.col("bq").alias("query_id")).agg(
-        F.count("corpus_id").cast("bigint").alias("n_hits"),
-        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
-        (
-            F.count("corpus_id").cast("double")
-            / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double")
-        ).alias("recall"),
+    return (
+        joined.groupBy(F.col("bq").alias("query_id"))
+        .agg(
+            F.count("corpus_id").cast("bigint").alias("n_hits"),
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            (
+                F.count("corpus_id").cast("double")
+                / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double")
+            ).alias("recall"),
+        )
+        .join(F.broadcast(np_df), "query_id")
+        .select("query_id", "nprobe", "n_hits", "n_truth", "recall")
     )
 
 
 _KP64_FRR_SQL = f"""
 WITH {_CL_BASE},
 {_KP64_CENTS},
-{_cl_chain("t9", "c9c", trained=True, nprobe=_FPS64_NPROBE)},
+{_cl_chain("t9", "c9c", trained=True, nprobe=0,
+           autoprobe=(_KP64_AUTOPROBE_NUM, _KP64_AUTOPROBE_DEN))},
 f9 AS (SELECT vec_id FROM e WHERE vec_id % {_KP64_ATTR_MOD} = {_KP64_ATTR_VAL}),
 fsc9 AS (
     SELECT s.query_id, s.corpus_id, s.adc_q
@@ -5521,11 +5557,13 @@ ftk9 AS (
     ) WHERE rnk <= {_K}
 )
 SELECT ftk9.query_id,
+       CAST(ANY_VALUE(np.nprobe) AS BIGINT) AS nprobe,
        CAST(COUNT(frk9.corpus_id) AS BIGINT) AS n_hits,
        CAST(COUNT(ftk9.corpus_id) AS BIGINT) AS n_truth,
        CAST(COUNT(frk9.corpus_id) AS DOUBLE)
            / GREATEST(COUNT(ftk9.corpus_id), 1) AS recall
 FROM ftk9
+JOIN t9qnp np ON np.query_id = ftk9.query_id
 LEFT JOIN frk9
   ON frk9.query_id = ftk9.query_id AND frk9.corpus_id = ftk9.corpus_id
 GROUP BY ftk9.query_id
@@ -5540,11 +5578,12 @@ def q_ivfpq_kpar64_filtered_rerank_recall(
     kmeans||-seeded Lloyd-trained residual index, attribute mask on the
     pruned codes scan (so qualifying rows are never crowded out), ADC
     shortlist of 50 qualifying candidates, exact cosine re-rank — the
-    k=16 `sim_ivfpq_filtered_rerank` stack at 4x the cells.  Measured
-    (sf0.01, nprobe=8): mean recall 0.98 vs the pre-filter exact truth
-    — rerank closes the 0.82 filtered-ADC gap, completing the verdict's
-    "filtered + rerank serving" phrase end-to-end at production cell
-    count."""
+    k=16 `sim_ivfpq_filtered_rerank` stack at 4x the cells.  Round 11:
+    probes come from ``auto_nprobe`` (the registered serving default —
+    this query is now the serving twin of the
+    ``sim_ivfpq_kpar64_autoprobe_recall`` experiment that calibrated
+    it), pinned in ``nprobe``.  Measured (sf0.01): recall 0.98 at
+    fixed 8, per-query 1.0 under the estimator (tests assert ≥ 0.95)."""
     qids = _QUERY_IDS
     fx = _clustered_fx(spark, sf_dir)
     fcorp = fx.filter(F.col("vec_id") % _KP64_ATTR_MOD == _KP64_ATTR_VAL)
@@ -5568,9 +5607,13 @@ def q_ivfpq_kpar64_filtered_rerank_recall(
         .select(F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc"))
     )
     cents, assigns, cb, codes = _clustered_index64_cached(spark, sf_dir)
+    np_df = similarity.auto_nprobe(
+        cents, assigns, qids,
+        target_num=_KP64_AUTOPROBE_NUM, target_den=_KP64_AUTOPROBE_DEN,
+    )
     rk = similarity.ivfpq_rerank_topk(
         cents, assigns, cb, codes, qids,
-        k=_K, shortlist=_CL_SHORTLIST, nprobe=_FPS64_NPROBE, m=_CL_M,
+        k=_K, shortlist=_CL_SHORTLIST, nprobe=np_df, m=_CL_M,
         residual=True,
         codes_pred=(F.col("attr") == _KP64_ATTR_VAL),
     ).select("query_id", "corpus_id")
@@ -5579,17 +5622,20 @@ def q_ivfpq_kpar64_filtered_rerank_recall(
         (F.col("bq") == F.col("query_id")) & (F.col("bc") == F.col("corpus_id")),
         "left",
     )
-    return joined.groupBy(F.col("bq").alias("query_id")).agg(
-        F.count("corpus_id").cast("bigint").alias("n_hits"),
-        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
-        (
-            F.count("corpus_id").cast("double")
-            / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double")
-        ).alias("recall"),
+    return (
+        joined.groupBy(F.col("bq").alias("query_id"))
+        .agg(
+            F.count("corpus_id").cast("bigint").alias("n_hits"),
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            (
+                F.count("corpus_id").cast("double")
+                / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double")
+            ).alias("recall"),
+        )
+        .join(F.broadcast(np_df), "query_id")
+        .select("query_id", "nprobe", "n_hits", "n_truth", "recall")
     )
 
-
-_KP64_AUTOPROBE_NUM, _KP64_AUTOPROBE_DEN = 95, 100
 
 _KP64_AUTOPROBE_SQL = f"""
 WITH {_CL_BASE},

@@ -140,6 +140,7 @@ def _ensure_bid_format(path: str) -> None:
 
 # tmp-sibling suffixes every swap site uses; _recover_store scans these
 _TMP_SUFFIXES = ("__compacting", "__rebalancing", "__promoting", "__staging")
+_INTENT_SUFFIX = "__intent"
 
 
 def _recover_store(spath: str) -> None:
@@ -149,30 +150,62 @@ def _recover_store(spath: str) -> None:
     The swap's crash window is between ``rename(spath → __old)`` and
     ``rename(tmp → spath)``: at that instant the fully-written tmp and
     the old generation both exist but ``spath`` does not.  Recovery
-    rolls FORWARD when a complete tmp sibling exists (its ``_SUCCESS``
-    marker proves the write finished before the swap began), else rolls
-    BACK by restoring ``__old``; a stale ``__old`` next to a healthy
-    store is swept.  Idempotent, no-op on healthy stores — called at
-    every read/write site so neither serving nor the fill-up branch
-    ever observes "no store" mid-swap (the fill-up branch rebuilding
+    rolls FORWARD when the crashed swap's tmp is complete (its
+    ``_SUCCESS`` marker proves the write finished before the swap
+    began), else rolls BACK by restoring ``__old``; a stale ``__old``
+    next to a healthy store is swept.
+
+    WHICH tmp to roll forward is decided by the swap's intent marker —
+    :func:`_sibling_swap` records the tmp it is about to promote in
+    ``spath__intent`` before touching any directory, so a crashed swap
+    can never be confused with a STALE tmp an earlier op abandoned
+    before ever starting its swap (round-10 advice: a crashed retrain
+    promote next to a leftover ``__rebalancing`` sibling used to
+    promote the stale generation, silently reverting the store).  For
+    legacy crash states with no intent file, the NEWEST complete tmp by
+    ``_SUCCESS`` mtime wins — same tie-break, derived instead of
+    recorded.  Idempotent, no-op on healthy stores — called at every
+    read/write site so neither serving nor the fill-up branch ever
+    observes "no store" mid-swap (the fill-up branch rebuilding
     centroids over a recoverable store would orphan every row keyed to
     the lost cells)."""
     import os as _os
     import shutil as _shutil
 
     old = f"{spath}__old"
+    intent = f"{spath}{_INTENT_SUFFIX}"
     if not _os.path.isdir(spath):
-        promoted = False
+        candidates: list[str] = []
+        intended: str | None = None
+        if _os.path.isfile(intent):
+            with open(intent) as f:
+                name = f.read().strip()
+            intended = _os.path.join(_os.path.dirname(spath) or ".", name)
         for suf in _TMP_SUFFIXES:
             tmp = f"{spath}{suf}"
             if _os.path.isdir(tmp) and _os.path.isfile(
                 _os.path.join(tmp, "_SUCCESS")
             ):
-                _os.rename(tmp, spath)
-                promoted = True
-                break
-        if not promoted and _os.path.isdir(old):
+                candidates.append(tmp)
+        pick: str | None = None
+        if intended is not None and intended in candidates:
+            pick = intended
+        elif intended is None and candidates:
+            # legacy crash state (no intent recorded): newest completed
+            # write is the one whose swap crashed
+            pick = max(
+                candidates,
+                key=lambda t: _os.path.getmtime(_os.path.join(t, "_SUCCESS")),
+            )
+        if pick is not None:
+            _os.rename(pick, spath)
+        elif _os.path.isdir(old):
+            # intended tmp missing/incomplete (crash before its write
+            # finished — impossible after a real swap start, but cheap
+            # to tolerate): roll back to the old generation
             _os.rename(old, spath)
+        if _os.path.isfile(intent):
+            _os.remove(intent)
     if _os.path.isdir(spath) and _os.path.isdir(old):
         _shutil.rmtree(old)
 
@@ -188,13 +221,20 @@ def _read_store(spark: SparkSession, spath: str) -> DataFrame:
 
 def _sibling_swap(spath: str, tmp: str) -> None:
     """Promote ``tmp`` over ``spath`` keeping the store recoverable at
-    every instant: the old generation is renamed ASIDE (never deleted
-    first), then the new one takes its name, then the sibling is
-    dropped.  A crash leaves the old store live, or the new store live
-    with a stale ``__old`` sibling, or — in the window between the two
-    renames — no canonical dir but both siblings on disk, which every
+    every instant: the swap's INTENT (which tmp is being promoted) is
+    recorded first, then the old generation is renamed ASIDE (never
+    deleted first), then the new one takes its name, then the sibling
+    and the intent are dropped.  A crash leaves the old store live, or
+    the new store live with a stale ``__old`` sibling, or — in the
+    window between the two renames — no canonical dir but both siblings
+    on disk plus the intent naming which one to roll forward; every
     read/write site repairs via :func:`_recover_store` before
-    proceeding.  The one crash-safety-critical sequence, shared by
+    proceeding.  After a successful swap, any OTHER tmp sibling is
+    stale garbage from an op that crashed before its own swap started
+    (writers are sequential — a second writer only ever starts from
+    whatever on-disk state the first left) and is swept here, so a
+    stale generation can never accumulate to be mistaken for a crashed
+    promote later.  The one crash-safety-critical sequence, shared by
     every compaction/rebalance/retrain site (it was copy-pasted six
     times before round 9's review pass)."""
     import os as _os
@@ -202,9 +242,18 @@ def _sibling_swap(spath: str, tmp: str) -> None:
 
     _recover_store(spath)  # heal any prior crashed swap first
     old = f"{spath}__old"
+    intent = f"{spath}{_INTENT_SUFFIX}"
+    with open(intent + ".tmp", "w") as f:
+        f.write(_os.path.basename(tmp))
+    _os.replace(intent + ".tmp", intent)
     _os.rename(spath, old)
     _os.rename(tmp, spath)
     _shutil.rmtree(old)
+    _os.remove(intent)
+    for suf in _TMP_SUFFIXES:
+        stale = f"{spath}{suf}"
+        if _os.path.isdir(stale):
+            _shutil.rmtree(stale, ignore_errors=True)
 
 
 def _centroids_with_pending(spark: SparkSession, index_path: str) -> DataFrame:

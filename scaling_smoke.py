@@ -997,6 +997,55 @@ def _label_noise_decomposition(spark, src_dir: str, out_dir: str) -> dict:
     return out
 
 
+def _minhash_autoband_decomposition(spark, src_dir: str, out_dir: str) -> dict:
+    """Candidate growth of the MinHash LSH stage at the ROUND-11
+    registration default (``minhash_band_policy``) vs the old fixed
+    4×2 banding — the minhash face of the round-10 autoband re-read.
+    The policy moves rows-per-band r up the {2,4,8} ladder as the
+    corpus grows (r=2 to ~512 docs, r=4 to ~2M at the defaults), so
+    the RANDOM component of the candidate volume stays ~linear while
+    the fixed config's grows with bucket co-occupancy.  Records, at
+    base and 10× sizes: the policy pick, candidate counts under both
+    configs, and their growth ratios."""
+    from ecs_ecommerce_data_pipeline_spark.operators import dedup as D
+
+    out: dict = {}
+    for label, d in (("base", src_dir), ("scaled", out_dir)):
+        doc = load_table(spark, d, "documents")
+        n = doc.count()
+        r = D.minhash_band_policy(n)
+        sigs = D.minhash_signatures(D.shingle_docs(doc)).persist()
+        sigs.count()
+        row: dict = {"n_docs": n, "policy_band_size": r}
+        for tag, rr in (("fixed_r2", 2), ("policy", r)):
+            t0 = time.time()
+            row[f"candidates_{tag}"] = D.lsh_candidate_pairs(
+                sigs, band_size=rr
+            ).count()
+            row[f"wall_{tag}_sec"] = round(time.time() - t0, 3)
+        sigs.unpersist()
+        out[label] = row
+    for tag in ("fixed_r2", "policy"):
+        out[f"cand_ratio_{tag}"] = round(
+            out["scaled"][f"candidates_{tag}"]
+            / max(out["base"][f"candidates_{tag}"], 1),
+            2,
+        )
+    out["note"] = (
+        "round-11: dedup_minhash_candidates / dedup_lsh_precision_gate "
+        "register minhash_band_policy (smallest r in {2,4,8} with "
+        "(8/r)*n*2^(-4r) <= 8/point) instead of the fixed 4x2 banding; "
+        "the oracle re-derives the ladder and the pick is pinned in the "
+        "band_size output column (hash-green at sf0.001/sf0.01 r=2 and "
+        "sf0.1 r=4).  cand_ratio_policy vs cand_ratio_fixed_r2 is the "
+        "growth readout across the 10x window; stricter bands trade "
+        "blocking recall for the linear floor — recall at the documented "
+        "fixed config remains priced by dedup_recall_lsh_pairs, and the "
+        "r-sweep by dedup_lsh_tuning_curve."
+    )
+    return out
+
+
 def build_scaled(spark: SparkSession, src_dir: str, out_dir: str, factor: int) -> None:
     """Write FACTOR-x perturbed replicas of the stage input tables.
 
@@ -1187,6 +1236,8 @@ def main() -> None:
                     _kmeanspar_seeding_decomposition,
                 "label_noise_decomposition": _label_noise_decomposition,
                 "image_neardup_decomposition": _image_neardup_decomposition,
+                "minhash_autoband_decomposition":
+                    _minhash_autoband_decomposition,
             }
             for dname in sorted(decomp_filter):
                 result[dname] = _DECOMPS[dname](_SPARK, src_dir, out_dir)
@@ -1279,6 +1330,9 @@ def main() -> None:
         )
         result["label_noise_decomposition"] = _label_noise_decomposition(
             _SPARK, src_dir, out_dir
+        )
+        result["minhash_autoband_decomposition"] = (
+            _minhash_autoband_decomposition(_SPARK, src_dir, out_dir)
         )
         # the LSH precision gate's work is the SAME candidate pipeline +
         # verify as the jaccard stage — its growth drivers are the

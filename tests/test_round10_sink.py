@@ -140,10 +140,12 @@ def test_staging_is_isolated_per_writer(spark, tmp_path):
 
 
 def test_crashed_promote_does_not_block_next_writer(spark, tmp_path):
-    """An audit row stuck at ``promoting`` (writer died between claim
-    and finalize) is the crash fingerprint — and the NEXT writer claims
-    the version above it instead of deadlocking; its merge recomputes
-    from the on-disk partition state, repairing any partial promote."""
+    """An audit row stuck at ``promoting`` whose writer is DEAD (died
+    between claim and finalize) is the crash fingerprint — and the NEXT
+    writer claims the version above it instead of deadlocking; its
+    merge recomputes from the on-disk partition state, repairing any
+    partial promote.  (A promoting claim with a LIVE writer conflicts
+    instead — see test_round11_advice.)"""
     from ecs_ecommerce_data_pipeline_spark.plans.incremental import (
         _claim_commit,
         merge_upsert,
@@ -155,8 +157,9 @@ def test_crashed_promote_does_not_block_next_writer(spark, tmp_path):
         spark, path, _kpis(spark, [("2024-01-01", 1, 10)]),
         ["date_key", "k"], partition_col="date_key", writer="init",
     )
-    # simulate the crash: v2 claimed, promote never ran
-    _claim_commit(path, 2, "crashed", {"partitions": ["2024-01-01"]})
+    # simulate the crash: v2 claimed by a process that no longer exists
+    # (pid 0 reads as dead), promote never ran
+    _claim_commit(path, 2, "crashed", {"partitions": ["2024-01-01"], "pid": 0})
 
     merge_upsert(
         spark, path, _kpis(spark, [("2024-01-01", 1, 42)]),
