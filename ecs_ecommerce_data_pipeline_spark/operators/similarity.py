@@ -540,6 +540,30 @@ def ivf_centroid_scores(
     return scored.withColumn("rn", F.row_number().over(w))
 
 
+def _nprobe_cut(ranked: DataFrame, nprobe, rank_col: str = "rn") -> DataFrame:
+    """Apply the probe cutoff to a per-query centroid ranking: a static
+    int keeps ranks ≤ nprobe; a (query_id, nprobe) DataFrame — the
+    ``auto_nprobe`` face — joins the per-query cutoff in (broadcast:
+    |Q| rows), the ``_ivfpq_adc_scored`` discipline shared by every
+    exact-IVF search path.  ``ranked`` must carry the query id in
+    ``vid`` and the probe rank in ``rank_col``."""
+    if isinstance(nprobe, DataFrame):
+        return (
+            ranked.join(
+                F.broadcast(
+                    nprobe.select(
+                        F.col("query_id").alias("vid"),
+                        F.col("nprobe").alias("_np"),
+                    )
+                ),
+                "vid",
+            )
+            .filter(F.col(rank_col) <= F.col("_np"))
+            .drop("_np")
+        )
+    return ranked.filter(F.col(rank_col) <= nprobe)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -567,7 +591,7 @@ def ivf_topk(
         F.col("cid").alias("cell"),
     )
     probes = (
-        ranked.filter(F.col("vid").isin(query_ids) & (F.col("rn") <= nprobe))
+        _nprobe_cut(ranked.filter(F.col("vid").isin(query_ids)), nprobe)
         .select(
             F.col("vid").alias("query_id"),
             F.col("vec").alias("query_vec"),
@@ -638,7 +662,7 @@ def ivf_filtered_topk(
         )
     )
     probes = (
-        ranked.filter(F.col("vid").isin(query_ids) & (F.col("rn") <= nprobe))
+        _nprobe_cut(ranked.filter(F.col("vid").isin(query_ids)), nprobe)
         .select(
             F.col("vid").alias("query_id"),
             F.col("vec").alias("query_vec"),
@@ -754,10 +778,11 @@ def ivf_index_topk(
         ).alias("cos"),
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell"))
-    probes = (
-        scored_q.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "query_vec", "query_norm", "cell")
+    ranked_q = scored_q.withColumn("rn", F.row_number().over(wq)).withColumn(
+        "vid", F.col("query_id")
+    )
+    probes = _nprobe_cut(ranked_q, nprobe).select(
+        "query_id", "query_vec", "query_norm", "cell"
     )
     # bounded driver collect: |queries| × nprobe cell ids → static
     # partition pruning on the on-disk inverted lists

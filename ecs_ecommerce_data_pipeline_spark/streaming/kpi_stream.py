@@ -162,6 +162,84 @@ def kpi_state_stream(
     )
 
 
+def daily_kpi_commit_stream(
+    rows_stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    writer: str = "kpi-stream",
+    max_retries: int = 3,
+    _pre_claim_hook=None,
+) -> StreamingQuery:
+    """Running daily KPIs written through the AUDITED exactly-once sink
+    — the round-11 composition of the engine's two halves (round-10
+    verdict task 4): per-day state lives in the keyed state store
+    (``stateful.daily_kpi_running`` — no ledger, no ``_applied_batch``
+    stamps, no hand-rolled overwrite choreography), and every trigger's
+    updated day rows land via ``plans.incremental.merge_upsert``, i.e.
+    through the sibling ``__commits`` write-audit with the
+    version-claim conditional update.
+
+    Multi-writer discipline (what the hand-folded ``kpi_state_stream``
+    sink never had): a competing writer committing inside this
+    trigger's read→promote window makes the claim fail — the merge
+    rejects with :class:`ConcurrentWriteError` BEFORE touching any
+    partition, the sink re-reads and retries (bounded by
+    ``max_retries``), and both writers' rows land with no partial mix
+    ever observable.  Two concurrent streams should pass distinct
+    ``writer`` names (staging isolation is per (version, writer)).
+
+    Replay safety: the running totals are state-store-backed (the
+    streaming checkpoint replays the same emissions), and
+    ``merge_upsert`` REPLACES by ``date_key`` — a replayed trigger
+    re-lands identical day rows, so replays are idempotent without any
+    stamping.  ``_pre_claim_hook`` is the deterministic race seam
+    (first attempt only), as in the batch sink's tests.
+
+    Scale: per trigger the sink moves one row per TOUCHED day and
+    rewrites only those days' partitions — O(affected days), never
+    O(history); the state store carries O(days × users/day).
+    """
+    from ..plans.incremental import ConcurrentWriteError, merge_upsert
+    from .stateful import daily_kpi_running
+
+    updated = daily_kpi_running(rows_stream)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        rows = batch_df.persist()
+        try:
+            rows.count()  # materialize once; merge_upsert reads it twice
+            for attempt in range(max_retries + 1):
+                try:
+                    merge_upsert(
+                        spark,
+                        out_path,
+                        rows,
+                        ["date_key"],
+                        partition_col="date_key",
+                        writer=f"{writer}-t{batch_id}",
+                        _pre_claim_hook=(
+                            _pre_claim_hook if attempt == 0 else None
+                        ),
+                    )
+                    return
+                except ConcurrentWriteError:
+                    if attempt == max_retries:
+                        raise
+        finally:
+            rows.unpersist()
+
+    return (
+        updated.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def scd2_stream(
     updates_stream: DataFrame,
     dim_path: str,

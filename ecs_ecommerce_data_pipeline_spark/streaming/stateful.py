@@ -226,10 +226,40 @@ import importlib.util
 
 # transformWithStateInPandas speaks protobuf to the JVM state server;
 # absent the package, only the applyInPandasWithState transport works.
+# Round 11: the engine VENDORS a minimal pure-python protobuf runtime
+# (``_vendor/`` — wire format + descriptor parsing from the public
+# specs), so this gate now self-activates instead of permanently
+# falling back in protobuf-less environments.  A real protobuf install
+# on sys.path always wins over the vendored one.
+from ..protobuf_shim import ensure_protobuf as _ensure_protobuf
+
+_ensure_protobuf()
 try:  # find_spec raises if the parent "google" package is absent
     HAS_TWS_PROTO = importlib.util.find_spec("google.protobuf") is not None
 except ModuleNotFoundError:
     HAS_TWS_PROTO = False
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def _ensure_tws_store_conf(df: DataFrame) -> None:
+    """``transformWithStateInPandas`` requires the RocksDB state store
+    provider (Spark 4 bundles rocksdbjni); switch the session off the
+    HDFS default when a TWS operator is planned — the conf binds at
+    query START, so plan-build time is early enough.  An explicitly
+    user-configured provider is left alone."""
+    spark = df.sparkSession
+    try:
+        cur = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    except Exception:
+        cur = ""
+    if not cur or cur.endswith("HDFSBackedStateStoreProvider"):
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+        )
 
 TOPK_SCHEMA = StructType(
     [
@@ -258,15 +288,18 @@ def user_topk_events(events: DataFrame, k: int = 3) -> DataFrame:
     within the same event set.
 
     Environment gate: the transformWithState protocol serializes state
-    over protobuf; when ``google.protobuf`` is absent (this container
-    ships pyspark without it) the operator transparently falls back to
-    ``user_topk_events_legacy`` — same semantics, applyInPandasWithState
-    transport — and records which path ran in ``user_topk_events.api``.
+    over protobuf; since round 11 the engine VENDORS a minimal runtime
+    (``_vendor/``), so the primary transport executes even where no
+    protobuf distribution exists.  Should activation still fail, the
+    operator transparently falls back to ``user_topk_events_legacy`` —
+    same semantics, applyInPandasWithState transport — and records
+    which path ran in ``user_topk_events.api``.
     """
     if not HAS_TWS_PROTO:
         user_topk_events.api = "applyInPandasWithState"
         return user_topk_events_legacy(events, k)
     user_topk_events.api = "transformWithStateInPandas"
+    _ensure_tws_store_conf(events)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -435,14 +468,21 @@ def daily_kpi_running(rows: DataFrame) -> DataFrame:
     are exact integers, so equality is bitwise.
 
     Transport: ``transformWithStateInPandas`` (ValueState for the four
-    integers + ListState for the user-id set) when ``google.protobuf``
-    is available, else the semantically-identical
-    ``applyInPandasWithState`` fallback; ``daily_kpi_running.api``
-    records which path ran (the ``user_topk_events`` discipline)."""
+    integers + ListState for the user-id set; the user-id list is only
+    ``put`` when non-empty — the state server refuses empty list
+    writes, and an empty set means there is no user state to
+    overwrite).  ``google.protobuf`` resolves via the vendored runtime
+    (``_vendor/``) where no real distribution exists (round 11 — both
+    transports now execute; ``tests/test_round11_tws_transport.py``
+    pins their equality); the semantically-identical
+    ``applyInPandasWithState`` fallback remains, and
+    ``daily_kpi_running.api`` records which path ran (the
+    ``user_topk_events`` discipline)."""
     if not HAS_TWS_PROTO:
         daily_kpi_running.api = "applyInPandasWithState"
         return daily_kpi_running_legacy(rows)
     daily_kpi_running.api = "transformWithStateInPandas"
+    _ensure_tws_store_conf(rows)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -470,7 +510,9 @@ def daily_kpi_running(rows: DataFrame) -> DataFrame:
                 cur, pdfs
             )
             self._agg.update((orders, revenue, items, returned))
-            self._users.put([(u,) for u in sorted(users)])
+            if users:  # ListState refuses empty puts; the set only grows,
+                # so empty means no user state exists to overwrite
+                self._users.put([(u,) for u in sorted(users)])
             yield pd.DataFrame(
                 {
                     "date_key": [str(key[0])],
@@ -576,3 +618,284 @@ def daily_kpi_rows(orders: DataFrame, order_items: DataFrame) -> DataFrame:
         F.lit(0).cast("long").alias("returned"),
     )
     return order_rows.unionByName(item_rows)
+
+
+SPEND_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("category", StringType()),
+        StructField("orders", LongType()),
+        StructField("spend_cents", LongType()),
+    ]
+)
+
+_SPEND_STATE_SCHEMA = StructType(
+    [
+        StructField("categories", ArrayType(StringType())),
+        StructField("orders", ArrayType(LongType())),
+        StructField("cents", ArrayType(LongType())),
+    ]
+)
+
+
+def user_category_spend_running(
+    rows: DataFrame, emit_full_map: bool = False
+) -> DataFrame:
+    """Running per-(user, category) spend on keyed MAP state — the
+    MapState face of the engine's stateful family (round 11; unlocked
+    by the vendored protobuf runtime that makes the
+    ``transformWithStateInPandas`` transport executable here).
+
+    Why MapState and not a tuple: ``applyInPandasWithState`` carries ONE
+    typed struct per key, so a per-user map (category → totals) must be
+    shoehorned into parallel arrays rewritten wholesale every trigger;
+    TWS ``MapState`` gives the state store the MAP directly — per-entry
+    point reads/writes (``getValue``/``updateValue``), and the trigger
+    touches only the categories present in the batch, O(batch) state
+    I/O however many categories a user accumulates.  The fallback
+    transport (recorded in ``user_category_spend_running.api``) keeps
+    the parallel-array emulation for environments without the primary
+    path — semantics pinned identical in
+    ``tests/test_round11_tws_transport.py``.
+
+    Input grain: one row per purchased item/order line —
+    (user_id, category, spend_cents).  Emission (update mode): for
+    every (user, category) touched this trigger, that category's
+    current running (orders, spend_cents); with ``emit_full_map`` the
+    whole map re-emits per touched user (exercising the map-iterator
+    protocol — bounded by that user's category count).
+    """
+    if not HAS_TWS_PROTO:
+        user_category_spend_running.api = "applyInPandasWithState"
+        return _user_category_spend_legacy(rows, emit_full_map)
+    user_category_spend_running.api = "transformWithStateInPandas"
+    _ensure_tws_store_conf(rows)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    full = bool(emit_full_map)
+
+    class _Spend(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState(
+                "spend", "category string", "orders long, cents long"
+            )
+
+        def handleInputRows(self, key, pdfs, timerValues):
+            touched: dict[str, tuple[int, int]] = {}
+            for pdf in pdfs:
+                for cat, cents in zip(pdf["category"], pdf["spend_cents"]):
+                    o, c = touched.get(str(cat), (0, 0))
+                    touched[str(cat)] = (o + 1, c + int(cents))
+            for cat in sorted(touched):
+                do, dc = touched[cat]
+                prev = self._m.getValue((cat,))
+                po, pc = (
+                    (int(prev[0]), int(prev[1])) if prev is not None else (0, 0)
+                )
+                self._m.updateValue((cat,), (po + do, pc + dc))
+            uid = int(key[0])
+            if full:
+                snap = sorted(
+                    (str(k[0]), int(v[0]), int(v[1]))
+                    for k, v in self._m.iterator()
+                )
+            else:
+                snap = []
+                for cat in sorted(touched):
+                    cur = self._m.getValue((cat,))
+                    snap.append((cat, int(cur[0]), int(cur[1])))
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(snap),
+                    "category": [s[0] for s in snap],
+                    "orders": [s[1] for s in snap],
+                    "spend_cents": [s[2] for s in snap],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        rows.select("user_id", "category", "spend_cents")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _Spend(),
+            outputStructType=SPEND_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def _user_category_spend_legacy(
+    rows: DataFrame, emit_full_map: bool = False
+) -> DataFrame:
+    """applyInPandasWithState transport for
+    :func:`user_category_spend_running` — the per-user map emulated as
+    parallel sorted arrays in the single state struct (the whole map
+    rewrites every trigger: exactly the cost MapState removes)."""
+    full = bool(emit_full_map)
+
+    def update(key, pdfs, state: GroupState):
+        cur: dict[str, tuple[int, int]] = {}
+        if state.exists:
+            cats, orders, cents = state.get
+            for c, o, s in zip(cats, orders, cents):
+                cur[str(c)] = (int(o), int(s))
+        touched: dict[str, tuple[int, int]] = {}
+        for pdf in pdfs:
+            for cat, cents_v in zip(pdf["category"], pdf["spend_cents"]):
+                o, c = touched.get(str(cat), (0, 0))
+                touched[str(cat)] = (o + 1, c + int(cents_v))
+        for cat, (do, dc) in touched.items():
+            po, pc = cur.get(cat, (0, 0))
+            cur[cat] = (po + do, pc + dc)
+        cats_sorted = sorted(cur)
+        state.update(
+            (
+                cats_sorted,
+                [cur[c][0] for c in cats_sorted],
+                [cur[c][1] for c in cats_sorted],
+            )
+        )
+        emit = cats_sorted if full else sorted(touched)
+        uid = int(key[0])
+        yield pd.DataFrame(
+            {
+                "user_id": [uid] * len(emit),
+                "category": emit,
+                "orders": [cur[c][0] for c in emit],
+                "spend_cents": [cur[c][1] for c in emit],
+            }
+        )
+
+    return (
+        rows.select("user_id", "category", "spend_cents")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SPEND_SCHEMA,
+            stateStructType=_SPEND_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def user_sessions_tws(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessionizer on the TWS TIMER API — the event-time-timer
+    face of :func:`user_sessions_stateful` (round 11; executable here
+    because the vendored protobuf runtime unlocked the
+    ``transformWithStateInPandas`` transport, whose timer protocol —
+    register/list/delete + ``handleExpiredTimer`` — has no
+    ``applyInPandasWithState`` equivalent beyond the single
+    per-key timeout).
+
+    Semantics are the stateful sessionizer's, unchanged: every batch
+    emits the OPEN session per touched user (``closed = false``);
+    sessions split when a new event arrives ``gap`` after the last; the
+    watermark passing ``last + gap`` fires the key's event-time timer
+    and ``handleExpiredTimer`` emits the final ``closed = true`` row
+    and evicts the state — dormant keys cost nothing, state tracks
+    concurrent activity.  One timer per key at a time (the previous
+    registration is deleted via ``listTimers``— exercising the timer
+    list/delete protocol — before the new one lands).
+
+    Falls back to :func:`user_sessions_stateful` (identical output
+    contract) where the TWS transport is unavailable;
+    ``user_sessions_tws.api`` records which path ran.
+
+    Watermark contract: callers must ``withWatermark("ts", …)`` before
+    this operator — EventTime timeMode requires it.
+    """
+    if not HAS_TWS_PROTO:
+        user_sessions_tws.api = "applyInPandasWithState"
+        return user_sessions_stateful(events, gap)
+    user_sessions_tws.api = "transformWithStateInPandas"
+    _ensure_tws_store_conf(events)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = _parse_gap_ms(gap)
+
+    class _Sessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._s = handle.getValueState(
+                "sess", "start_ms long, last_ms long, n long"
+            )
+
+        def handleInputRows(self, key, pdfs, timerValues):
+            ts: list[int] = []
+            for pdf in pdfs:
+                ts.extend(int(v) for v in pdf["ts_ms"])
+            ts.sort()
+            if not ts and not self._s.exists():
+                return
+            rows = []
+            if self._s.exists():
+                start, last, n = (int(v) for v in self._s.get())
+            else:
+                start, last, n = ts[0], ts[0] - 1, 0
+            for t in ts:
+                if t <= last:
+                    # late arrival inside the open session: count it,
+                    # never move `last` backward (the stateful twin's
+                    # contract — a regressed last would split the
+                    # session and register a timer below the watermark)
+                    n += 1
+                    continue
+                if t - last > gap_ms and n > 0:
+                    rows.append((int(key[0]), start, last, n, True))
+                    start, n = t, 0
+                last = t
+                n += 1
+            self._s.update((start, last, n))
+            # one live timer per key: clear previous registrations
+            # (list+delete — the timer-protocol paths), then arm at
+            # last + gap, clamped above the current watermark
+            for t_old in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t_old)
+            self._handle.registerTimer(
+                max(last + gap_ms, timerValues.getCurrentWatermarkInMs() + 1)
+            )
+            rows.append((int(key[0]), start, last, n, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id", "session_start_ms", "session_end_ms",
+                    "n_events", "closed",
+                ],
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._s.exists():
+                return
+            start, last, n = (int(v) for v in self._s.get())
+            self._s.clear()
+            yield pd.DataFrame(
+                [(int(key[0]), start, last, n, True)],
+                columns=[
+                    "user_id", "session_start_ms", "session_end_ms",
+                    "n_events", "closed",
+                ],
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepared = events.select(
+        "user_id", "ts", F.unix_millis(F.col("ts")).alias("ts_ms")
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        _Sessions(),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime",
+    )

