@@ -366,3 +366,67 @@ def test_tws_timer_sessionizer_matches_stateful_twin(spark, tmp_path):
     assert tws_sess[(1, base + 2_000_000)] == (base + 2_000_000, 1)
     # at least one session closed (split mid-stream or timer-fired)
     assert tws_closed >= 1
+
+
+def test_vendored_runtime_property_roundtrip():
+    """Property check: arbitrary field assignments on the real
+    StateMessage types survive serialize→parse bit-exactly (values,
+    presence, oneof selection) — the wire paths the JVM exercises."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    from ecs_ecommerce_data_pipeline_spark.protobuf_shim import (
+        ensure_protobuf,
+    )
+
+    ensure_protobuf()
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    i64 = st_.integers(min_value=-(2**63), max_value=2**63 - 1)
+    i32 = st_.integers(min_value=-(2**31), max_value=2**31 - 1)
+    bts = st_.binary(max_size=64)
+    txt = st_.text(max_size=48)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        status=i32,
+        err=txt,
+        values=st_.lists(bts, max_size=6),
+        more=st_.booleans(),
+        ts=i64,
+        name=txt,
+        dur=i64,
+    )
+    def check(status, err, values, more, ts, name, dur):
+        r = sm.StateResponseWithListGet(
+            statusCode=status,
+            errorMessage=err,
+            value=values,
+            requireNextFetch=more,
+        )
+        r2 = sm.StateResponseWithListGet()
+        r2.ParseFromString(r.SerializeToString())
+        assert r2.statusCode == status
+        assert r2.errorMessage == err
+        assert list(r2.value) == values
+        assert r2.requireNextFetch == more
+
+        t = sm.TimerInfo(key=b"k" if more else None, timestampMs=ts)
+        t2 = sm.TimerInfo()
+        t2.ParseFromString(t.SerializeToString())
+        assert t2.timestampMs == ts
+        # proto3 optional presence survives the round trip
+        assert t2.HasField("key") == more
+
+        c = sm.StateCallCommand()
+        c.stateName = name
+        if dur >= 0:
+            c.ttl.durationMs = dur
+        c2 = sm.StateCallCommand()
+        c2.ParseFromString(c.SerializeToString())
+        assert c2.stateName == name
+        assert c2.HasField("ttl") == (dur >= 0)
+        if dur >= 0:
+            assert c2.ttl.durationMs == dur
+
+    check()
