@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from ..catalog import register
 from ..operators import dedup
 from ..operators.sampling import assign_split
-from ..sources.testdata import load_table
+from ..sources.testdata import cached_count, load_table
 
 _NUM_HASHES = 8
 _BAND_SIZE = 2
@@ -201,7 +201,7 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01's 500 docs, 4 at sf0.1's 5000)."""
     doc = load_table(spark, sf_dir, "documents")
     r = dedup.minhash_band_policy(
-        doc.count(),
+        cached_count(spark, sf_dir, "documents"),
         num_hashes=_NUM_HASHES,
         target_candidates_per_point=float(_MH_TARGET),
         slot_match_bits=_MH_SLOT_BITS,
@@ -1133,7 +1133,7 @@ def q_dedup_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load_table(spark, sf_dir, "documents")
     r = dedup.minhash_band_policy(
-        doc.count(),
+        cached_count(spark, sf_dir, "documents"),
         num_hashes=_NUM_HASHES,
         target_candidates_per_point=float(_MH_TARGET),
         slot_match_bits=_MH_SLOT_BITS,
@@ -1512,7 +1512,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import dhash_band_policy
 
     doc = load_table(spark, sf_dir, "documents")
-    w = dhash_band_policy(doc.count())
+    w = dhash_band_policy(cached_count(spark, sf_dir, "documents"))
     return dedup.simhash_neardup_pairs(
         doc, max_hamming=_SIMHAM, band_bits=w,
     ).withColumn("band_bits", F.lit(w).cast("bigint"))
@@ -1669,7 +1669,7 @@ def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import dhash_band_policy
 
     doc = load_table(spark, sf_dir, "documents")
-    w = dhash_band_policy(doc.count())
+    w = dhash_band_policy(cached_count(spark, sf_dir, "documents"))
     pairs = dedup.simhash_neardup_pairs(
         doc, max_hamming=_SIMHAM, band_bits=w,
     )

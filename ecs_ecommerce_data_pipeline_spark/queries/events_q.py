@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..functions.numeric import money_sum
-from ..sources.testdata import load_table
+from ..sources.testdata import cached_count, load_table
 
 _JSON_SQL = """
 SELECT event_id, event_type,
@@ -352,7 +352,7 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     doc = load_table(spark, sf_dir, "documents")
-    n = doc.count()
+    n = cached_count(spark, sf_dir, "documents")
     w = dhash_band_policy(n)
     bands = image_dhash_bands(
         synth_png_images(doc, _img_base_mod(n), _IMG_NOISE_CUT)
@@ -442,7 +442,7 @@ def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     doc = load_table(spark, sf_dir, "documents")
-    n = doc.count()
+    n = cached_count(spark, sf_dir, "documents")
     w = dhash_band_policy(n)
     bands = image_dhash_bands(
         synth_png_images(doc, _img_base_mod(n), _IMG_NOISE_CUT)

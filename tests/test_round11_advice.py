@@ -385,3 +385,17 @@ def test_dhash_band_policy_ladder():
     assert dhash_band_policy(131072) == 16  # 4·131072/65536 = 8
     assert dhash_band_policy(131073) == 32
     assert dhash_band_policy(10**9) == 32
+
+
+def test_cached_count_memoizes(spark):
+    from ecs_ecommerce_data_pipeline_spark.sources import testdata as td
+
+    td._COUNT_CACHE.clear()
+    n1 = td.cached_count(spark, "/root/testdata/sf0.001", "documents")
+    assert n1 == 500
+    key = ("/root/testdata/sf0.001", "documents")
+    assert td._COUNT_CACHE[key] == 500
+    # poison the cache: a second call must NOT rescan
+    td._COUNT_CACHE[key] = 123
+    assert td.cached_count(spark, "/root/testdata/sf0.001", "documents") == 123
+    td._COUNT_CACHE.clear()
