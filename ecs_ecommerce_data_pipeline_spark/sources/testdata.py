@@ -29,23 +29,33 @@ from pyspark.sql import functions as F
 from ..schemas import TESTDATA_TABLES
 
 
-_COUNT_CACHE: dict[tuple[str, str], int] = {}
-
-
 def cached_count(spark: SparkSession, sf_dir: str, name: str) -> int:
-    """Row count of a testdata table, cached per (sf_dir, table) for the
-    process lifetime — the band/probe POLICY queries read the corpus
-    count at plan-build time, and without the cache every invocation
-    (bench runs each query twice) pays a full count job for a number
-    that is a static property of the fixture.  Production reads table
-    statistics instead; this cache is the local-fixture stand-in.
-    Testdata directories are immutable per process, so no TTL."""
-    key = (str(sf_dir).rstrip("/"), name)
-    hit = _COUNT_CACHE.get(key)
-    if hit is None:
-        hit = load_table(spark, sf_dir, name).count()
-        _COUNT_CACHE[key] = hit
-    return hit
+    """Row count of a testdata table, read fresh from the parquet footers
+    on EVERY invocation — the band/probe POLICY queries need the corpus
+    count at plan-build time, and a full Spark count job prices ~0.1-0.3 s
+    of scheduler overhead per call for a number the file metadata already
+    holds.  Summing ``num_rows`` from the footers is the local stand-in
+    for reading table statistics in production; it is a recomputation
+    from the inputs each call (no memo), so a changed directory is always
+    seen.  Falls back to a Spark count for non-parquet layouts."""
+    import os as _os
+
+    root = _os.path.join(str(sf_dir), f"{name}.parquet")
+    try:
+        import pyarrow.parquet as _pq
+
+        if _os.path.isdir(root):
+            files = [
+                _os.path.join(dirpath, fn)
+                for dirpath, _dirs, fns in _os.walk(root)
+                for fn in fns
+                if fn.endswith(".parquet")
+            ]
+        else:
+            files = [root]
+        return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    except (ImportError, OSError):
+        return load_table(spark, sf_dir, name).count()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

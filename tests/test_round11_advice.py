@@ -387,15 +387,16 @@ def test_dhash_band_policy_ladder():
     assert dhash_band_policy(10**9) == 32
 
 
-def test_cached_count_memoizes(spark):
+def test_cached_count_matches_spark_count(spark):
+    """Footer-metadata count must equal the full Spark count and be
+    recomputed (no memo) on every call."""
     from ecs_ecommerce_data_pipeline_spark.sources import testdata as td
 
-    td._COUNT_CACHE.clear()
     n1 = td.cached_count(spark, "/root/testdata/sf0.001", "documents")
     assert n1 == 500
-    key = ("/root/testdata/sf0.001", "documents")
-    assert td._COUNT_CACHE[key] == 500
-    # poison the cache: a second call must NOT rescan
-    td._COUNT_CACHE[key] = 123
-    assert td.cached_count(spark, "/root/testdata/sf0.001", "documents") == 123
-    td._COUNT_CACHE.clear()
+    assert n1 == td.load_table(spark, "/root/testdata/sf0.001", "documents").count()
+    # no process-level memo of results keyed on the data dir
+    assert not hasattr(td, "_COUNT_CACHE")
+    assert td.cached_count(spark, "/root/testdata/sf0.001", "lineitem") == td.load_table(
+        spark, "/root/testdata/sf0.001", "lineitem"
+    ).count()
