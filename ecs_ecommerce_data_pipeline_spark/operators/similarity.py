@@ -2425,6 +2425,91 @@ def kmeans_parallel_oversample(
     return out, stats
 
 
+def _fps_single_task_doubles() -> int:
+    """State-size ceiling (in float64 elements) below which the exact
+    FPS pick chain runs inside one Arrow task instead of k distributed
+    rounds.  Default 16 Mi doubles = 128 MiB of vector state — the
+    guide-§6 task-sizing band; override with
+    ``SPARK_GRAFT_FPS_SINGLE_TASK_DOUBLES`` (0 disables the fast path,
+    which the equivalence tests use to pin both paths to one oracle)."""
+    import os
+
+    try:
+        return int(
+            os.environ.get("SPARK_GRAFT_FPS_SINGLE_TASK_DOUBLES", 16 * 1024 * 1024)
+        )
+    except ValueError:
+        return 16 * 1024 * 1024
+
+
+def _fps_chain_single_task(base: DataFrame, k: int) -> list[tuple]:
+    """Run the full farthest-point pick chain in ONE ``mapInPandas``
+    task over ``base(vid BIGINT, vec ARRAY<DOUBLE>)`` and return the
+    ≤k collected (cluster_id, seed_vid, centroid) tuples.
+
+    Bit-exactness contract (the ``brute_force_topk_arrow`` discipline):
+    norms and dots are ``np.cumsum`` sequential IEEE folds — never
+    ``np.dot``/BLAS — the running max is ``np.maximum`` (exact), the
+    per-round argmin orders by (mx asc, vid asc) exactly like the
+    distributed ``orderBy(mx, vid).limit(1)``, and the seed self-norm is
+    ``sqrt(cumsum(s·s))`` — the same value the literal-chain form folds
+    in.  Compute stays on an executor; the driver receives only the
+    bounded k·dims seed rows (the same boundary the distributed chain
+    already crossed one row per round)."""
+    import numpy as np
+    import pandas as pd
+
+    kk = int(k)
+
+    def fps_kernel(batches):
+        ids_l, vecs_l = [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_l.append(pdf["vid"].to_numpy(dtype=np.int64))
+            vecs_l.append(np.array(list(pdf["vec"]), dtype=np.float64))
+        if not ids_l:
+            return
+        ids = np.concatenate(ids_l)
+        M = np.vstack(vecs_l)
+        nrm = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+        picked = np.zeros(ids.shape[0], dtype=bool)
+        j = int(np.argmin(ids))  # seed_0: smallest id (ids are unique)
+        order = [j]
+        picked[j] = True
+        s = M[j]
+        snrm = np.sqrt(np.cumsum(s * s)[-1])
+        mx = np.cumsum(M * s[None, :], axis=1)[:, -1] / (nrm * snrm)
+        for _ in range(1, kk):
+            avail = np.flatnonzero(~picked)
+            if avail.size == 0:
+                break
+            j = int(avail[np.lexsort((ids[avail], mx[avail]))[0]])
+            order.append(j)
+            picked[j] = True
+            s = M[j]
+            snrm = np.sqrt(np.cumsum(s * s)[-1])
+            cos = np.cumsum(M * s[None, :], axis=1)[:, -1] / (nrm * snrm)
+            mx = np.maximum(mx, cos)
+        yield pd.DataFrame(
+            {
+                "cluster_id": np.arange(len(order), dtype=np.int64),
+                "seed_vid": ids[order],
+                "centroid": [list(M[i]) for i in order],
+            }
+        )
+
+    rows = (
+        base.coalesce(1)
+        .mapInPandas(
+            fps_kernel,
+            "cluster_id bigint, seed_vid bigint, centroid array<double>",
+        )
+        .collect()
+    )
+    return [(int(r["cluster_id"]), int(r["seed_vid"]), list(r["centroid"])) for r in rows]
+
+
 def farthest_point_seeds(
     embeddings: DataFrame,
     k: int = 8,
@@ -2467,45 +2552,89 @@ def farthest_point_seeds(
     Returns (cluster_id, seed_vid, centroid), cluster_id = pick order
     0..k-1, ready for ``assign_to_centroids`` /
     ``ivf_topk_with_centroids`` / ``kmeans_refine(init_centroids=…)``.
+
+    Round-11 (optimization guide §1.2/§4.2): the chain is k SEQUENTIAL
+    global argmins — in Spark that is k driver-synchronized jobs, and at
+    the bench scales the ~0.1 s/job floor (scheduling + planning)
+    dominated the microseconds of per-round compute (measured: 64 seeds
+    = 128 jobs = 7.3 s for 2000×16 doubles of state).  When the whole
+    candidate state fits ONE task (``_FPS_SINGLE_TASK_DOUBLES``,
+    env-overridable), the identical pick chain now runs inside a single
+    ``mapInPandas`` kernel: ``np.cumsum`` sequential folds (the
+    ``brute_force_topk_arrow`` bit-exactness contract), ``np.maximum``
+    for the running max, lexsort-(mx, vid) argmins — every float op in
+    the same IEEE order, so the picks and centroids are bit-identical
+    and the same DuckDB oracle verifies both paths.  Beyond the
+    threshold the distributed running-max form below engages unchanged
+    (k global barriers are fundamental to exact FPS; at 100 TB the scan
+    dominates and the per-round driver overhead is noise).
     """
-    first = (
+    # one job for (row count, smallest-id row): the count sizes the
+    # single-task dispatch, the min-struct IS the old orderBy(vid)
+    # limit(1) first pick (vid is the leading struct field and unique)
+    head = (
         embeddings.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vec"))
-        .orderBy("vid")
-        .limit(1)
-        .collect()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct(F.col("vid"), F.col("vec"))).alias("f"),
+        )
+        .first()
     )
     spark = embeddings.sparkSession
     out_schema = "cluster_id BIGINT, seed_vid BIGINT, centroid ARRAY<DOUBLE>"
-    if not first:
+    if head is None or head["n"] == 0:
         return spark.createDataFrame([], out_schema)
+    first = [head["f"]]
+    dims = len(first[0]["vec"])
+    if k > 1 and int(head["n"]) * max(dims, 1) <= _fps_single_task_doubles():
+        rows = _fps_chain_single_task(
+            embeddings.select(
+                F.col(id_col).cast("bigint").alias("vid"),
+                as_double_array(vec_col).alias("vec"),
+            ),
+            k,
+        )
+        return spark.createDataFrame(rows, out_schema)
     seeds: list[tuple[int, list[float]]] = [(int(first[0]["vid"]), list(first[0]["vec"]))]
 
     def cos_lit(vec: list[float]) -> str:
         # cosine of the state's pre-cast `vec`/`nrm` against one literal
         # seed vector — the same dot / (nrm * sqrt(selfdot)) shape (and
         # double-op order) the unrolled form used, so values are
-        # bit-identical round for round
+        # bit-identical round for round.  The seed's self-norm is folded
+        # DRIVER-SIDE (same sequential IEEE-double adds as the engine's
+        # aggregate fold, then one IEEE sqrt — bit-identical) and enters
+        # as a single literal: round-11 measurement showed the engine
+        # form re-evaluated the constant sqrt(selfdot) fold PER ROW and
+        # tripled the per-round plan's literal count (guide §1/§2.3:
+        # smaller plans, fewer bytes per row of work).
+        import math
+
+        sd = 0.0
+        for x in vec:
+            sd += x * x
+        snrm = math.sqrt(sd)
         arr = ", ".join(f"{x!r}D" for x in vec)
         d = (
             f"aggregate(zip_with(vec, array({arr}), (x, y) -> x * y),"
             " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
         )
-        sd = (
-            f"aggregate(zip_with(array({arr}), array({arr}), (x, y) -> x * y),"
-            " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
-        )
-        return f"(({d}) / (nrm * sqrt({sd})))"
+        return f"(({d}) / (nrm * {snrm!r}D))"
 
     # candidate state: (vid, vec, nrm, mx) with mx = max cosine to the
     # seeds picked so far — materialized each round so round i never
     # re-executes rounds 0..i-1 (the lineage cut that makes per-round
-    # cost flat in k)
+    # cost flat in k).  The checkpoints are LAZY (round-11, guide §1.2
+    # "remove unnecessary passes"): each round's argmin collect is the
+    # job that also materializes that round's fold, so the loop runs ONE
+    # Spark job per seed instead of the two (eager checkpoint + collect)
+    # it ran before — same picks, same floats, half the job count.
     state = (
         embeddings.filter(F.col(id_col) != seeds[0][0])
         .select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vec"))
         .withColumn("nrm", norm(F.col("vec")))
         .withColumn("mx", F.expr(cos_lit(seeds[0][1])))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for i in range(1, k):
         nxt = state.orderBy(F.asc("mx"), F.asc("vid")).limit(1).collect()
@@ -2514,15 +2643,16 @@ def farthest_point_seeds(
         vid_i, vec_i = int(nxt[0]["vid"]), list(nxt[0]["vec"])
         seeds.append((vid_i, vec_i))
         if i < k - 1:
-            # fold the newest seed into the running max and re-materialize;
-            # the previous round's checkpoint blocks are released by the
-            # context cleaner once unreferenced
+            # fold the newest seed into the running max; materialization
+            # happens inside the NEXT round's argmin job (lazy
+            # checkpoint), and the previous round's checkpoint blocks
+            # are released by the context cleaner once unreferenced
             state = (
                 state.filter(F.col("vid") != vid_i)
                 .withColumn(
                     "mx", F.greatest(F.col("mx"), F.expr(cos_lit(vec_i)))
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
 
     return spark.createDataFrame(
