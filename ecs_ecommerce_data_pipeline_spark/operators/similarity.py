@@ -2288,39 +2288,87 @@ def kmeans_parallel_oversample(
     sampled rows stay in the frame with cost 0, the textbook
     no-resample property, with no id-exclusion lists anywhere.
     """
+    # Round-11 job/shuffle diet (guide §1.2, §2.4): the old loop ran ~5
+    # jobs and 2 shuffles per round (eager picked-checkpoint, vids
+    # collect, cands union-checkpoint, crossJoin→groupBy(vid)→join fold).
+    # Candidates are BOUNDED quantizer metadata (~l rows/round, the same
+    # driver-boundary class as the FPS seed picks), so they now live in a
+    # driver-side list and re-enter each fold as a one-row broadcast
+    # array — the fold becomes greatest(mx, array_max(transform(...)))
+    # with NO exchange (max is exact and order-free, so the value is
+    # bit-identical to the groupBy-max form), and each round runs TWO
+    # jobs: the ψ aggregate (which also materializes the previous
+    # round's lazily-checkpointed fold) and the picked-rows collect.
     first = (
         embeddings.select(
             F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vec")
         )
         .orderBy("vid")
         .limit(1)
-        .localCheckpoint()
+        .collect()
     )
-    c0 = first.select(
-        F.col("vid").alias("cand_vid"),
-        F.col("vec").alias("cvec"),
-        norm(F.col("vec")).alias("cnrm"),
-    ).localCheckpoint()
+    spark = embeddings.sparkSession
+    cand_schema = "cand_vid BIGINT, cvec ARRAY<DOUBLE>, cnrm DOUBLE"
+    if not first:
+        # empty corpus: every round sees ψ=0 (the old loop's behavior)
+        return (
+            spark.createDataFrame(
+                [], "vid BIGINT, vec ARRAY<DOUBLE>, nrm DOUBLE, weight BIGINT"
+            ),
+            [
+                {"round": r, "psi_q": 0, "n_sampled": 0, "vids": []}
+                for r in range(1, rounds + 1)
+            ],
+        )
+    import math
+
+    def _seq_norm(vec: list[float]) -> float:
+        sd = 0.0
+        for x in vec:
+            sd += x * x
+        return math.sqrt(sd)
+
+    cand_rows: list[tuple[int, list[float], float]] = [
+        (int(first[0]["vid"]), list(first[0]["vec"]), _seq_norm(list(first[0]["vec"])))
+    ]
+
+    def _cand_arr(rows: list[tuple[int, list[float], float]]) -> F.Column:
+        # the newest picks as a literal array of (cvec, cnrm) structs —
+        # assembled as ONE SQL string (single JVM parse, the
+        # verify-skill Py4J lesson)
+        items = ", ".join(
+            "named_struct('cvec', array(%s), 'cnrm', %sD)"
+            % (", ".join(f"{x!r}D" for x in vec), repr(nrm))
+            for _vid, vec, nrm in rows
+        )
+        return F.expr(f"array({items})")
+
+    def _cand_arr_with_vid(rows: list[tuple[int, list[float], float]]) -> F.Column:
+        items = ", ".join(
+            "named_struct('cand_vid', %dL, 'cvec', array(%s), 'cnrm', %sD)"
+            % (vid, ", ".join(f"{x!r}D" for x in vec), repr(nrm))
+            for vid, vec, nrm in rows
+        )
+        return F.expr(f"array({items})")
+
     base = (
         embeddings.select(
             F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vec")
         )
         .withColumn("nrm", norm(F.col("vec")))
     )
-    state = (
-        base.crossJoin(F.broadcast(c0))
-        .select(
-            "vid",
-            "vec",
-            "nrm",
-            (
-                dot(F.col("vec"), F.col("cvec"))
-                / (F.col("nrm") * F.col("cnrm"))
-            ).alias("mx"),
-        )
-        .localCheckpoint()
-    )
-    cands = c0
+
+    def _fold_cos(p: F.Column) -> F.Column:
+        return dot(F.col("vec"), p["cvec"]) / (F.col("nrm") * p["cnrm"])
+
+    state = base.select(
+        "vid",
+        "vec",
+        "nrm",
+        F.array_max(
+            F.transform(_cand_arr(cand_rows), _fold_cos)
+        ).alias("mx"),
+    ).localCheckpoint(eager=False)
     stats: list[dict] = []
     for r in range(1, rounds + 1):
         # clamped at 0: cos(x, x) can exceed 1.0 by an ulp (nrm·nrm vs
@@ -2353,7 +2401,7 @@ def kmeans_parallel_oversample(
             16,
             10,
         ).cast("bigint")
-        picked = (
+        picked_rows = (
             scored.withColumn("u60", u60)
             .filter(
                 F.col("u60").cast("decimal(38,0)")
@@ -2362,65 +2410,62 @@ def kmeans_parallel_oversample(
                 * F.col("costq").cast("decimal(38,0)")
                 * F.lit(_KPAR_U_SCALE).cast("decimal(38,0)")
             )
-            .select(
-                F.col("vid").alias("cand_vid"),
-                F.col("vec").alias("cvec"),
-                F.col("nrm").alias("cnrm"),
-            )
-            .localCheckpoint()
+            .select("vid", "vec", "nrm")
+            .collect()
         )
-        vids = sorted(
-            int(x["cand_vid"]) for x in picked.select("cand_vid").collect()
-        )
+        new_rows = [
+            (int(x["vid"]), list(x["vec"]), float(x["nrm"])) for x in picked_rows
+        ]
+        vids = sorted(v for v, _vec, _nrm in new_rows)
         n_sampled = len(vids)
         stats.append(
             {"round": r, "psi_q": psi_q, "n_sampled": n_sampled, "vids": vids}
         )
         if n_sampled == 0:
             continue
-        cands = cands.unionByName(picked).localCheckpoint()
-        folded = (
-            state.crossJoin(F.broadcast(picked))
-            .groupBy("vid")
-            .agg(
-                F.max(
-                    dot(F.col("vec"), F.col("cvec"))
-                    / (F.col("nrm") * F.col("cnrm"))
-                ).alias("mc")
-            )
-        )
-        state = (
-            state.join(folded, "vid")
-            .select(
-                "vid",
-                "vec",
-                "nrm",
-                F.greatest(F.col("mx"), F.col("mc")).alias("mx"),
-            )
-            .localCheckpoint()
-        )
-    # attraction weights: one scan, argmax-cos with smallest-vid ties
-    scoredw = base.crossJoin(F.broadcast(cands)).select(
+        cand_rows.extend(new_rows)
+        state = state.select(
+            "vid",
+            "vec",
+            "nrm",
+            F.greatest(
+                F.col("mx"),
+                F.array_max(F.transform(_cand_arr(new_rows), _fold_cos)),
+            ).alias("mx"),
+        ).localCheckpoint(eager=False)
+    # attraction weights: one scan, argmax-cos with smallest-vid ties —
+    # the per-row argmax is an exact array fold over the bounded
+    # candidate array (struct max is lexicographic on (cos, -vid), the
+    # same tie-break the old groupBy-max-struct computed), so the only
+    # exchange left is the map-side-combinable count by winner
+    best = base.select(
         "vid",
-        "cand_vid",
         (
-            dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
-        ).alias("cos"),
+            -F.array_max(
+                F.transform(
+                    _cand_arr_with_vid(cand_rows),
+                    lambda p: F.struct(
+                        _fold_cos(p).alias("cos"),
+                        (-p["cand_vid"]).alias("nid"),
+                    ),
+                )
+            ).getField("nid")
+        ).cast("bigint").alias("cand_vid"),
     )
-    best = scoredw.groupBy("vid").agg(
-        (
-            -F.max(F.struct(F.col("cos"), (-F.col("cand_vid")).alias("nid")))
-            .getField("nid")
-        ).cast("bigint").alias("cand_vid")
-    )
-    weights = best.groupBy("cand_vid").agg(
-        F.count(F.lit(1)).cast("bigint").alias("weight")
-    )
-    out = cands.join(weights, "cand_vid", "left").select(
-        F.col("cand_vid").alias("vid"),
-        F.col("cvec").alias("vec"),
-        F.col("cnrm").alias("nrm"),
-        F.coalesce("weight", F.lit(0).cast("bigint")).alias("weight"),
+    # the per-winner counts are |candidates| bounded rows — collect them
+    # and emit the result as a pure LocalRelation: consumers (FPS
+    # reduce, Lloyd init, weighted recluster) re-execute the candidate
+    # frame several times, and a local row set costs them nothing
+    # (coalesce(weight, 0) of the old left join = dict default 0)
+    wmap = {
+        int(r["cand_vid"]): int(r["weight"])
+        for r in best.groupBy("cand_vid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+        .collect()
+    }
+    out = spark.createDataFrame(
+        [(vid, vec, nrm, wmap.get(vid, 0)) for vid, vec, nrm in cand_rows],
+        "vid BIGINT, vec ARRAY<DOUBLE>, nrm DOUBLE, weight BIGINT",
     )
     return out, stats
 
@@ -2499,8 +2544,13 @@ def _fps_chain_single_task(base: DataFrame, k: int) -> list[tuple]:
             }
         )
 
+    # repartition(1), NOT coalesce(1): a coalesced task evaluates each
+    # parent partition's Arrow conversion serially (~0.2 s apiece — a
+    # 32-partition LocalRelation cost ~6 s), while the one-partition
+    # exchange of a ≤threshold state is cheap; FPS is row-order
+    # independent, so the round-robin placement is semantics-free
     rows = (
-        base.coalesce(1)
+        base.repartition(1)
         .mapInPandas(
             fps_kernel,
             "cluster_id bigint, seed_vid bigint, centroid array<double>",
