@@ -512,6 +512,82 @@ def _small_star(E: DataFrame) -> DataFrame:
     return rewired.unionByName(parent).distinct()
 
 
+def _cc_single_task_edges() -> int:
+    """Edge-count ceiling below which connected components runs as one
+    union-find task (default 4 Mi edges ≈ 64 MB of id pairs; 0 disables
+    the fast path — the equivalence tests pin both paths)."""
+    import os
+
+    try:
+        return int(
+            os.environ.get("SPARK_GRAFT_CC_SINGLE_TASK_EDGES", 4 * 1024 * 1024)
+        )
+    except ValueError:
+        return 4 * 1024 * 1024
+
+
+def _cc_single_task(E: DataFrame) -> DataFrame:
+    """Exact connected components of the (materialized) canonical edge
+    list ``E(a, b)`` via union-find in ONE ``mapInPandas`` task.
+
+    The output contract — every edge endpoint labeled with the MINIMUM
+    node id reachable from it — is a pure connectivity fact with a
+    unique answer, so this is identical (not just equivalent) to the
+    star-contraction + min-label-propagation result for any input.
+    Node ids may be integers or strings; ``min`` is the column type's
+    own ordering (numeric / lexicographic), matching ``F.min``."""
+    import pandas as pd
+
+    node_t = E.schema["a"].dataType.simpleString()
+
+    def uf_kernel(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        def union(x, y):
+            if x not in parent:
+                parent[x] = x
+            if y not in parent:
+                parent[y] = y
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[rx] = ry
+
+        saw = False
+        for pdf in batches:
+            saw = True
+            for x, y in zip(pdf["a"], pdf["b"]):
+                union(x, y)
+        if not saw or not parent:
+            yield pd.DataFrame({"node": [], "component": []})
+            return
+        comp_min: dict = {}
+        for x in parent:
+            r = find(x)
+            m = comp_min.get(r)
+            if m is None or x < m:
+                comp_min[r] = x
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {"node": nodes, "component": [comp_min[find(x)] for x in nodes]}
+        )
+
+    return (
+        # coalesce, not repartition: one task reads the checkpointed
+        # blocks in place — no shuffle write/read, no pre-shuffle sort
+        E.coalesce(1)
+        .mapInPandas(uf_kernel, f"node {node_t}, component {node_t}")
+        .localCheckpoint()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
@@ -545,12 +621,29 @@ def connected_components(
     plan doesn't deepen with iterations.
 
     Returns (node, component) with component = min node id reachable.
+
+    Round-11 (optimization guide §1.2/§4.2, the ``farthest_point_seeds``
+    pattern): the star + propagation machinery is ~15 driver-
+    synchronized jobs / a dozen exchanges, which at small edge counts is
+    pure scheduling overhead.  Connected components has a UNIQUE answer
+    (component = min reachable node id — no floats, no order
+    sensitivity), so when the canonical edge list fits one task
+    (``SPARK_GRAFT_CC_SINGLE_TASK_EDGES``, default 4 Mi edges) it is
+    computed by an exact union-find kernel in a single ``mapInPandas``
+    pass over the once-materialized edge list — provably identical
+    labels, 3 jobs total.  Beyond the threshold the distributed
+    star-contraction + fixpoint propagation below runs unchanged (it is
+    the 100 TB shape; edge lists there dwarf any single task).
     """
     E = edges.select(
         F.greatest(F.col(src), F.col(dst)).alias("a"),
         F.least(F.col(src), F.col(dst)).alias("b"),
     ).filter(F.col("a") != F.col("b"))
-    prev_edges = -1
+    E = E.localCheckpoint(eager=False)
+    n_edges = E.count()  # materializes the upstream candidate pipeline ONCE
+    if n_edges <= _cc_single_task_edges():
+        return _cc_single_task(E)
+    prev_edges = n_edges
     for _ in range(star_rounds):
         # eager checkpoint per round: the star pipeline is 3-4 shuffles
         # deep per round and measured FASTER materialized stepwise than

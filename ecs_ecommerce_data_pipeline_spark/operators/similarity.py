@@ -2136,13 +2136,19 @@ def mmr_diversified_topk(
     argmax (the textbook convention); ties to the smaller corpus id.
 
     Shape: shortlist = one corpus scan (``brute_force_topk``); the
-    |Q|·S² within-shortlist similarity matrix and every greedy round
-    live on BOUNDED frames (|Q|·S rows, localCheckpoint per round — the
-    FPS running-state discipline), with per-query argmax as a window
-    rank, never a driver loop over queries.  k rounds of O(|Q|·S) work
-    after the single corpus-sized stage.
+    greedy chain is per-query-independent over a BOUNDED |Q|·S state,
+    so it runs as ONE grouped Arrow kernel (``applyInPandas`` by
+    query_id) — sequential-fold similarities and the identical score
+    expression in-kernel, one shuffle, one job after the corpus stage.
     """
+    import numpy as np
+    import pandas as pd
+
     one_minus = 1.0 - lam
+    kk = int(k)
+    # the |Q|·S shortlist feeds TWO subtrees (the distinct-corpus-id
+    # broadcast and the probe side) — checkpoint it so the corpus-sized
+    # brute_force_topk stage runs once, not once per subtree
     sl = brute_force_topk(
         embeddings, query_ids, k=shortlist, id_col=id_col, vec_col=vec_col
     ).select(
@@ -2150,90 +2156,80 @@ def mmr_diversified_topk(
     ).localCheckpoint()
     v = as_double_array(vec_col)
     cv = (
-        embeddings.select(F.col(id_col).alias("cid"), v.alias("cvec"))
+        embeddings.select(F.col(id_col).alias("corpus_id"), v.alias("cvec"))
         .join(
             F.broadcast(
-                sl.select(F.col("corpus_id").alias("cid")).distinct()
+                sl.select("corpus_id").distinct()
             ),
-            "cid",
+            "corpus_id",
         )
         .withColumn("cnrm", norm(F.col("cvec")))
     )
-    sa = sl.select("query_id", F.col("corpus_id").alias("ci")).join(
-        cv.select(
-            F.col("cid").alias("ci"),
-            F.col("cvec").alias("vi"),
-            F.col("cnrm").alias("ni"),
-        ),
-        "ci",
-    )
-    sb = sl.select("query_id", F.col("corpus_id").alias("cj")).join(
-        cv.select(
-            F.col("cid").alias("cj"),
-            F.col("cvec").alias("vj"),
-            F.col("cnrm").alias("nj"),
-        ),
-        "cj",
-    )
-    sims = (
-        sa.join(sb, "query_id")
-        .filter(F.col("ci") != F.col("cj"))
-        .select(
-            "query_id",
-            "ci",
-            "cj",
-            (dot(F.col("vi"), F.col("vj")) / (F.col("ni") * F.col("nj"))).alias(
-                "sim"
-            ),
+    enriched = sl.join(F.broadcast(cv), "corpus_id")
+
+    # Round-11 (guide §2.4 "remove shuffles outright", §4.2): the old
+    # form ran k greedy rounds as 2 eagerly-checkpointed jobs each over
+    # the BOUNDED |Q|·S state plus a |Q|S × |Q|S sims self-join — ~20
+    # driver-synchronized jobs and 4 shuffles for frames of a few
+    # hundred rows.  The per-query greedy chain is embarrassingly
+    # parallel across queries and bounded per query, so it now runs in
+    # ONE grouped Arrow kernel: the S×S similarities are computed
+    # in-kernel with np.cumsum sequential folds over the SAME engine-fed
+    # vectors and norms (bit-identical to the zip_with/aggregate sims
+    # the self-join produced), the score is the identical
+    # lam·rel − (1−lam)·ms float expression, the running max is
+    # np.maximum, and the argmax orders by (score desc, corpus_id asc)
+    # exactly like the old window rank.  One shuffle (groupBy query_id),
+    # one job, same rows.
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "corpus_id": [], "mmr_rank": [], "mmr_score": []}
+            )
+        qid = int(pdf["query_id"].iloc[0])
+        cid = pdf["corpus_id"].to_numpy(dtype=np.int64)
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        V = np.array(list(pdf["cvec"]), dtype=np.float64)
+        nr = pdf["cnrm"].to_numpy(dtype=np.float64)
+        n = cid.shape[0]
+        ms = np.zeros(n, dtype=np.float64)
+        avail = np.ones(n, dtype=bool)
+        out_q, out_c, out_r, out_s = [], [], [], []
+        for i in range(1, kk + 1):
+            idx = np.flatnonzero(avail)
+            if idx.size == 0:
+                break
+            score = lam * rel[idx] - one_minus * ms[idx]
+            j = int(idx[np.lexsort((cid[idx], -score))[0]])
+            out_q.append(qid)
+            out_c.append(int(cid[j]))
+            out_r.append(i)
+            out_s.append(lam * rel[j] - one_minus * ms[j])
+            avail[j] = False
+            if i < kk:
+                sim = np.cumsum(V * V[j][None, :], axis=1)[:, -1] / (nr * nr[j])
+                ms = np.maximum(ms, sim)
+        return pd.DataFrame(
+            {
+                "query_id": np.array(out_q, dtype=np.int64),
+                "corpus_id": np.array(out_c, dtype=np.int64),
+                "mmr_rank": np.array(out_r, dtype=np.int64),
+                "mmr_score": np.array(out_s, dtype=np.float64),
+            }
+        )
+
+    # eager checkpoint (the old per-round picks were all checkpointed):
+    # consumers self-join this |Q|·k frame — without it each subtree
+    # re-runs the corpus scan + kernel
+    return (
+        enriched.groupBy("query_id")
+        .applyInPandas(
+            greedy,
+            "query_id bigint, corpus_id bigint, mmr_rank bigint,"
+            " mmr_score double",
         )
         .localCheckpoint()
     )
-    state = sl.withColumn("ms", F.lit(0.0)).localCheckpoint()
-    score = F.lit(lam) * F.col("rel") - F.lit(one_minus) * F.col("ms")
-    picks = []
-    for i in range(1, k + 1):
-        w = W.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("corpus_id")
-        )
-        p = (
-            state.withColumn("score", score)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select(
-                "query_id",
-                "corpus_id",
-                F.lit(i).cast("bigint").alias("mmr_rank"),
-                F.col("score").alias("mmr_score"),
-            )
-            .localCheckpoint()
-        )
-        picks.append(p)
-        if i < k:
-            pk = p.select("query_id", F.col("corpus_id").alias("picked"))
-            state = (
-                state.join(F.broadcast(pk), "query_id")
-                .filter(F.col("corpus_id") != F.col("picked"))
-                .join(
-                    sims.select(
-                        "query_id",
-                        F.col("ci").alias("corpus_id"),
-                        F.col("cj").alias("picked"),
-                        "sim",
-                    ),
-                    ["query_id", "corpus_id", "picked"],
-                )
-                .select(
-                    "query_id",
-                    "corpus_id",
-                    "rel",
-                    F.greatest(F.col("ms"), F.col("sim")).alias("ms"),
-                )
-                .localCheckpoint()
-            )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out
 
 
 _KPAR_COST_SCALE = 1 << 20  # cost quantum: FLOOR((1 − maxcos)·2^20)
