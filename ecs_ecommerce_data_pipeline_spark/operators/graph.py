@@ -41,6 +41,99 @@ _DAMPING = 0.85
 _SCALE = 1099511627776.0  # 2^40 — exact binary scaling factor
 
 
+def _pr_single_task_edges() -> int:
+    """Edge-count ceiling below which PageRank runs as one exact kernel
+    task (default 4 Mi edges; 0 disables the fast path — the round-11
+    tests pin both paths)."""
+    import os
+
+    try:
+        return int(
+            os.environ.get("SPARK_GRAFT_PR_SINGLE_TASK_EDGES", 4 * 1024 * 1024)
+        )
+    except ValueError:
+        return 4 * 1024 * 1024
+
+
+def _pr_single_task(
+    E: DataFrame,
+    iters: int,
+    damping: float,
+    seeds: list | None = None,
+    n_seeds: int = 0,
+) -> DataFrame:
+    """Exact PageRank over the (materialized) edge list in ONE
+    ``mapInPandas`` task — bit-identical to the distributed loop.
+
+    Identity argument: the per-edge contribution ``floor((rank[src] /
+    outdeg[src]) · 2^40)`` is an elementwise IEEE double chain numpy
+    reproduces op-for-op; the per-dst sum is an exact int64 sum of
+    integers ≤ 2^40 (order-free by exactness); the rank update
+    ``(1−d)/N + d·(sum/2^40)`` (or the seeded ``(1−d)·r + …``) is again
+    elementwise IEEE with the same literals and the same
+    power-of-two-exact division.  No BLAS, no reassociation anywhere.
+
+    ``seeds``/``n_seeds`` select the personalized form: restart vector
+    r = 1/n_seeds on in-graph seed nodes, 0 elsewhere (n_seeds counts
+    ALL distinct seeds, matching the distributed base join)."""
+    import numpy as np
+    import pandas as pd
+
+    node_t = E.schema["src"].dataType.simpleString()
+    d = float(damping)
+    it = int(iters)
+
+    def pr_kernel(batches):
+        srcs: list = []
+        dsts: list = []
+        for pdf in batches:
+            srcs.append(pdf["src"])
+            dsts.append(pdf["dst"])
+        if not srcs or sum(len(s) for s in srcs) == 0:
+            yield pd.DataFrame({"node": [], "rank": []})
+            return
+        src = pd.concat(srcs, ignore_index=True)
+        dst = pd.concat(dsts, ignore_index=True)
+        m = len(src)
+        codes, nodes = pd.factorize(
+            pd.concat([src, dst], ignore_index=True), sort=False
+        )
+        src_c, dst_c = codes[:m], codes[m:]
+        n = len(nodes)
+        outdeg = np.zeros(n, dtype=np.int64)
+        np.add.at(outdeg, src_c, 1)
+        # every src has outdeg >= 1; pure sinks never appear as src
+        outdeg_f = np.where(outdeg == 0, 1, outdeg).astype(np.float64)
+        if seeds is None:
+            r = None
+            rank = np.full(n, 1.0 / float(n), dtype=np.float64)
+            base = (1.0 - d) / float(n)
+        else:
+            is_seed = pd.Index(nodes).isin(seeds)
+            # empty seed set: the distributed CASE never fires -> r = 0
+            rv = 1.0 / float(n_seeds) if n_seeds else 0.0
+            r = np.where(is_seed, rv, 0.0)
+            rank = r.copy()
+        for _ in range(it):
+            contrib = np.floor(
+                (rank[src_c] / outdeg_f[src_c]) * _SCALE
+            ).astype(np.int64)
+            acc = np.zeros(n, dtype=np.int64)
+            np.add.at(acc, dst_c, contrib)
+            in_mass = acc.astype(np.float64) / _SCALE
+            if seeds is None:
+                rank = base + d * in_mass
+            else:
+                rank = (1.0 - d) * r + d * in_mass
+        yield pd.DataFrame({"node": nodes, "rank": rank})
+
+    return (
+        E.coalesce(1)
+        .mapInPandas(pr_kernel, f"node {node_t}, rank double")
+        .localCheckpoint()
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 2,
@@ -73,6 +166,18 @@ def pagerank(
         # without a reuse point the upstream derivation (often a join
         # itself) re-executes per consumer
         edges = edges.persist()
+        # Round-11 (guide §1.2; the connected-components pattern): the
+        # distributed loop costs ~8 jobs / ~6 exchanges of setup plus 2
+        # per iteration — pure scheduling floor when the graph fits one
+        # task.  The 2^40 integer-scaled sums make the result
+        # order-free, so the single-task kernel is bit-identical; the
+        # gating count doubles as the materializing action the persist
+        # wanted anyway, and beyond the gate the distributed form below
+        # runs unchanged (the 100 TB shape) on the already-warm cache.
+        if edges.count() <= _pr_single_task_edges():
+            result = _pr_single_task(edges, iters, damping)
+            edges.unpersist()
+            return result
     # Pre-join the out-degree onto the edge list ONCE and pin the
     # result: each iteration then needs a single join (ranks) instead
     # of two. persist() — NOT localCheckpoint — is the reuse primitive
@@ -178,6 +283,18 @@ def personalized_pagerank(
         edges = edges.distinct()
     if checkpoint:
         edges = edges.persist()
+        # same single-task gate as :func:`pagerank`; the seed set is
+        # bounded (it IS the restart distribution's support — collected
+        # once, one small job) and n_seeds counts ALL distinct seeds,
+        # matching the distributed base join's out-of-graph drop
+        if edges.count() <= _pr_single_task_edges():
+            seed_vals = [r["node"] for r in seeds.collect()]
+            result = _pr_single_task(
+                edges, iters, damping, seeds=seed_vals,
+                n_seeds=len(seed_vals),
+            )
+            edges.unpersist()
+            return result
     wedges = edges.join(
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"
     )

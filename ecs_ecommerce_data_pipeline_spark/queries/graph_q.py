@@ -90,10 +90,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # mirror via ONE explode, not a union of two selects: Spark has no
+    # common-subexpression elimination across union branches, so the
+    # union form executed the join+distinct pipeline twice (the
+    # connected-components `und` lesson)
     edges = pairs.select(
-        F.col("u").alias("src"), F.col("p").alias("dst")
-    ).unionByName(pairs.select(F.col("p").alias("src"), F.col("u").alias("dst")))
-    # the mirrored union of a distinct pair set is structurally distinct
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("p").alias("dst")),
+                F.struct(F.col("p").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    # the mirrored image of a distinct pair set is structurally distinct
     # (even/odd namespacing) — skip the defensive dedup shuffle
     ranks = pagerank(edges, iters=_ITERS, distinct_edges=False)
     label = F.when(
@@ -304,12 +313,20 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("p:"), F.col("l_partkey")).alias("p"),
         )
         .distinct()
+        # pinned: pairs feeds BOTH the mirrored edge list and the seed
+        # pick — without the pin the join+distinct executes per consumer
+        .persist()
     )
+    # mirror via ONE explode (no CSE across union branches — see
+    # q_pagerank)
     edges = pairs.select(
-        F.col("u").alias("src"), F.col("p").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("p").alias("src"), F.col("u").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("p").alias("dst")),
+                F.struct(F.col("p").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     seeds = (
         pairs.select(F.col("u").alias("node"))
         .distinct()
@@ -319,6 +336,9 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = personalized_pagerank(
         edges, seeds, iters=_ITERS, distinct_edges=False
     )
+    # ranks is materialized (checkpointed) by the operator on both its
+    # paths, and the seed collect ran inside it — safe to release
+    pairs.unpersist()
     w = W.orderBy(F.desc("rank"), F.asc("node"))
     return ranks.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= _PPR_TOP
