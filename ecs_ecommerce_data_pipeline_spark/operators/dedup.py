@@ -337,20 +337,23 @@ def simhash(doc: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame
     # first 8 hex chars -> 32-bit non-negative int
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
     tok = tok.select("doc_id", h.alias("h"))
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+    # Round-11 (the verify-skill Py4J lesson): the per-bit aggregates
+    # and the packing are assembled as SQL strings (one JVM parse per
+    # expression) instead of ~6 Py4J round trips per bit — the Column-
+    # algebra form cost ~1 s of driver time PER CALL.  The ±1 sum is
+    # folded to the exact integer identity Σ±1 = 2·Σbit − n (no CASE in
+    # the per-row loop).
+    aggs = [F.expr("COUNT(1)").alias("n")] + [
+        F.expr(f"SUM(shiftright(h, {i}) & 1)").alias(f"s{i}")
         for i in range(bits)
     ]
-    agg = tok.groupBy("doc_id").agg(*bit_aggs)
-    packed = None
-    for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        packed = term if packed is None else packed + term
-    return agg.select("doc_id", packed.alias("simhash"))
+    agg = tok.groupBy("doc_id").agg(*aggs)
+    packed = " + ".join(
+        f"CASE WHEN 2 * s{i} - n > 0 THEN CAST({2 ** i} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    return agg.select("doc_id", F.expr(packed).alias("simhash"))
 
 
 def simhash_bands(doc: DataFrame, text_col: str = "text") -> DataFrame:
@@ -379,35 +382,34 @@ def simhash_bands(doc: DataFrame, text_col: str = "text") -> DataFrame:
         F.conv(F.substring(md, 16, 1), 16, 10).cast("bigint").alias("h2"),
     )
 
-    def bit(i: int) -> F.Column:
+    # Round-11 (the verify-skill Py4J lesson): measured 2.4 s of driver
+    # time PER CALL assembling the 64 aggregates + 8-band packing via
+    # Column algebra (~900 Py4J round trips) vs ~0.1 s as SQL strings
+    # (one JVM parse per expression); the per-row CASE is folded to the
+    # exact integer identity Σ±1 = 2·Σbit − n.
+    def bit_sql(i: int) -> str:
         if i < 60:
-            return F.shiftright(F.col("h1"), i).bitwiseAND(F.lit(1))
-        return F.shiftright(F.col("h2"), i - 60).bitwiseAND(F.lit(1))
+            return f"shiftright(h1, {i}) & 1"
+        return f"shiftright(h2, {i - 60}) & 1"
 
-    agg = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
-            for i in range(64)
-        ]
-    )
-    bands = []
-    for b in range(8):
-        val = None
-        for j in range(8):
-            term = F.when(
-                F.col(f"b{8 * b + j}") > 0, F.lit(2**j).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-            val = term if val is None else val + term
-        bands.append(
-            F.struct(
-                F.lit(b).cast("bigint").alias("band_idx"),
-                val.alias("band_val"),
-            )
+    aggs = [F.expr("COUNT(1)").alias("n")] + [
+        F.expr(f"SUM({bit_sql(i)})").alias(f"s{i}") for i in range(64)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*aggs)
+
+    def band_val_sql(b: int) -> str:
+        return " + ".join(
+            f"CASE WHEN 2 * s{8 * b + j} - n > 0 THEN CAST({2 ** j} AS"
+            f" BIGINT) ELSE CAST(0 AS BIGINT) END"
+            for j in range(8)
         )
-    return agg.select(
-        "doc_id", F.explode(F.array(*bands)).alias("bd")
-    ).select("doc_id", F.col("bd.band_idx").alias("band_idx"),
-             F.col("bd.band_val").alias("band_val"))
+
+    inline = ", ".join(
+        f"named_struct('band_idx', CAST({b} AS BIGINT),"
+        f" 'band_val', {band_val_sql(b)})"
+        for b in range(8)
+    )
+    return agg.selectExpr("doc_id", f"inline(array({inline}))")
 
 
 def simhash_neardup_pairs(

@@ -506,6 +506,38 @@ def fuse_bands(bands: DataFrame, band_bits: int) -> DataFrame:
     )
 
 
+def band_signature(bands: DataFrame) -> DataFrame:
+    """(doc_id, sig_lo, sig_hi): the full 64-bit fingerprint re-packed
+    from its 8 little-endian 8-bit band rows as two 32-bit halves
+    (bigint-safe — a single 64-bit pack would overflow LongType at
+    band 7 under ANSI).  One doc-sized aggregation; exact because the
+    bands partition the 64 bits:
+    Σ_bands bit_count(xor) == bit_count(xor(lo)) + bit_count(xor(hi))."""
+
+    def pack(base: int) -> F.Column:
+        val = None
+        for j in range(4):
+            term = F.when(
+                F.col("band_idx") == base + j,
+                F.col("band_val").cast("bigint") * F.lit(256 ** j).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            val = term if val is None else val + term
+        return F.sum(val).cast("bigint")
+
+    return bands.groupBy("doc_id").agg(
+        pack(0).alias("sig_lo"), pack(4).alias("sig_hi")
+    )
+
+
+def hamming64(lo_a, lo_b, hi_a, hi_b) -> F.Column:
+    """Hamming distance between two 64-bit signatures held as 32-bit
+    halves — bit-identical to summing per-band bit_count(xor)."""
+    return (
+        F.bit_count(F.col(lo_a).bitwiseXOR(F.col(lo_b)))
+        + F.bit_count(F.col(hi_a).bitwiseXOR(F.col(hi_b)))
+    ).cast("bigint")
+
+
 def dhash_band_policy(
     n_rows: int, target_candidates_per_point: float = 8.0
 ) -> int:
@@ -549,10 +581,11 @@ def image_neardup_pairs(
     within suspect shards.
 
     Shape: one self-equi-join on (band_idx, band_val) → distinct pairs →
-    re-join the 8 band rows per side → per-band bit_count(XOR) summed by
-    one hash aggregate. Everything shuffles 3-integer rows; no image
-    bytes move after the map-only hash stage; the verify always runs on
-    the full 64-bit hash whatever the blocking width.
+    join the packed two-half signature per side (``band_signature`` —
+    one doc-sized agg) → row-local bit_count(XOR). Everything shuffles
+    small integer rows; no image bytes move after the map-only hash
+    stage; the verify always runs on the full 64-bit hash whatever the
+    blocking width.
 
     The ``bands`` input feeds FOUR joins (both candidate sides, both
     verify sides) — a lazy input would re-run its derivation (the PNG
@@ -576,23 +609,31 @@ def image_neardup_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ba = bands.select(
+    # Round-11 (guide §2.3 "shuffle fewer bytes", §2.4): the verify used
+    # to re-join the 8 band rows per pair side and re-aggregate by pair
+    # (8 rows/pair through two exchanges plus a pair-keyed agg).  The
+    # full signature packed as two 32-bit halves is ONE doc-sized agg,
+    # after which the verify is two scalar joins and a row-local
+    # bit_count — 1 row/pair, no pair-keyed aggregation, bit-identical
+    # hamming (the bands partition the 64 bits).
+    sig = band_signature(bands)
+    sa = sig.select(
         F.col("doc_id").alias("doc_a"),
-        "band_idx",
-        F.col("band_val").alias("val_a"),
+        F.col("sig_lo").alias("lo_a"),
+        F.col("sig_hi").alias("hi_a"),
     )
-    bb = bands.select(
+    sb = sig.select(
         F.col("doc_id").alias("doc_b"),
-        "band_idx",
-        F.col("band_val").alias("val_b"),
+        F.col("sig_lo").alias("lo_b"),
+        F.col("sig_hi").alias("hi_b"),
     )
-    per_band = cand.join(ba, "doc_a").join(bb, ["doc_b", "band_idx"])
     result = (
-        per_band.groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(F.bit_count(F.col("val_a").bitwiseXOR(F.col("val_b"))))
-            .cast("bigint")
-            .alias("hamming")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming64("lo_a", "lo_b", "hi_a", "hi_b").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )

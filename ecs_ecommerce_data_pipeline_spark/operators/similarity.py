@@ -1281,6 +1281,53 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_nprobe_sweep_topk(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    query_ids: list[int],
+    nprobes: list[int],
+    k: int = 10,
+    m: int = 8,
+    residual: bool = False,
+) -> DataFrame:
+    """Per-rung top-``k`` of :func:`ivfpq_topk` for a LADDER of nprobe
+    values from ONE scoring pass: (nprobe, query_id, corpus_id, adc_q).
+
+    Round-11 (guide §1.2 "don't compute things you throw away"): a
+    corpus vector's ADC score never depends on nprobe — only its
+    CELL's rank in the query's probe ordering decides inclusion — so
+    scoring once at max(nprobes) with the probe rank carried, then
+    filtering ``probe_rn <= p`` per rung, reproduces every rung's
+    candidate set and scores exactly (the rung-p score is the same
+    Σdq over the same rows).  One chain + one bounded checkpoint
+    replaces |ladder| full scoring chains (each with its own
+    probe-cell collect and LUT build)."""
+    scored = _ivfpq_adc_scored(
+        centroids, assignments, codebook, codes, query_ids,
+        max(nprobes), m, residual=residual, carry_probe_rank=True,
+    )[0].localCheckpoint()
+    wt = W.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("corpus_id"))
+    outs = []
+    for p in sorted(nprobes):
+        outs.append(
+            scored.filter(F.col("probe_rn") <= p)
+            .withColumn("rnk", F.row_number().over(wt).cast("bigint"))
+            .filter(F.col("rnk") <= k)
+            .select(
+                F.lit(p).cast("bigint").alias("nprobe"),
+                "query_id",
+                "corpus_id",
+                "adc_q",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def ivfpq_filtered_topk(
     centroids: DataFrame,
     assignments: DataFrame,
@@ -1433,6 +1480,7 @@ def _ivfpq_adc_scored(
     m: int,
     residual: bool = False,
     codes_pred: Column | None = None,
+    carry_probe_rank: bool = False,
 ) -> tuple[DataFrame, list]:
     """Shared IVF-PQ scoring core: ((query_id, corpus_id, adc_q),
     probed cell list) — see :func:`ivfpq_topk` for the plan shape.
@@ -1475,7 +1523,11 @@ def _ivfpq_adc_scored(
         probes = (
             scored_q.withColumn("rn", F.row_number().over(wq))
             .filter(F.col("rn") <= nprobe)
-            .select("query_id", "cell")
+            .select(
+                "query_id",
+                "cell",
+                *(["rn"] if carry_probe_rank else []),
+            )
         )
     # bounded driver collect: |queries| × nprobe cell ids → static
     # partition pruning on the on-disk compressed inverted lists
@@ -1533,10 +1585,16 @@ def _ivfpq_adc_scored(
     else:
         lut = _pq_query_lut(queries.select("vid", "vec"), codebook, m, sub)
         join_keys = ["query_id", "s", "code"]
+    rank_aggs = (
+        # every row of one (query, corpus) group shares the corpus
+        # vector's single cell, so min() just carries that cell's
+        # probe rank through the agg
+        [F.min("rn").alias("probe_rn")] if carry_probe_rank else []
+    )
     scored = (
         cand.join(F.broadcast(lut), join_keys)
         .groupBy("query_id", F.col("vid").alias("corpus_id"))
-        .agg(F.sum("dq").cast("bigint").alias("adc_q"))
+        .agg(F.sum("dq").cast("bigint").alias("adc_q"), *rank_aggs)
     )
     return scored, probe_cells
 

@@ -1557,23 +1557,25 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     every blocking choice trades)."""
     doc = load_table(spark, sf_dir, "documents")
     bands = dedup.simhash_bands(doc).persist()
-    sub = bands.filter(F.col("doc_id") < _RECALL_MAX_ID)
-    ba = sub.select(
-        F.col("doc_id").alias("da"), "band_idx", F.col("band_val").alias("va")
+    # packed-signature exact truth over the bounded audit slice (round
+    # 11 — see multimodal.image_neardup_pairs): a broadcast product of
+    # the slice's two-half signatures replaces the band_idx-keyed join
+    # (the same product, 8 rows wide) + pair-keyed agg
+    from ..operators.multimodal import band_signature, hamming64
+
+    ssub = band_signature(bands.filter(F.col("doc_id") < _RECALL_MAX_ID))
+    ta = ssub.select(
+        F.col("doc_id").alias("da"),
+        F.col("sig_lo").alias("lo_a"), F.col("sig_hi").alias("hi_a"),
     )
-    bb = sub.select(
-        F.col("doc_id").alias("db"), "band_idx", F.col("band_val").alias("vb")
+    tb = ssub.select(
+        F.col("doc_id").alias("db"),
+        F.col("sig_lo").alias("lo_b"), F.col("sig_hi").alias("hi_b"),
     )
     truth = (
-        ba.join(bb, "band_idx")
+        ta.crossJoin(F.broadcast(tb))
         .filter(F.col("da") < F.col("db"))
-        .groupBy("da", "db")
-        .agg(
-            F.sum(
-                F.bit_count(F.col("va").bitwiseXOR(F.col("vb")))
-            ).alias("ham")
-        )
-        .filter(F.col("ham") <= _SIMHAM)
+        .filter(hamming64("lo_a", "lo_b", "hi_a", "hi_b") <= _SIMHAM)
         .select("da", "db")
     )
     from ..operators.multimodal import fuse_bands
@@ -1745,38 +1747,47 @@ def q_simhash_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ba = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_idx",
-        F.col("band_val").alias("va"),
+    # packed-signature verify (round 11 — see
+    # multimodal.image_neardup_pairs): one doc-sized agg, then scalar
+    # joins + row-local bit_count instead of 8 band rows per pair side
+    from ..operators.multimodal import band_signature, hamming64
+
+    sig = band_signature(bands).persist()
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig_lo").alias("lo_a"), F.col("sig_hi").alias("hi_a"),
     )
-    bb = bands.select(
-        F.col("doc_id").alias("doc_b"), "band_idx",
-        F.col("band_val").alias("vb"),
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig_lo").alias("lo_b"), F.col("sig_hi").alias("hi_b"),
     )
     sham = (
-        cand.join(ba, "doc_a")
-        .join(bb, ["doc_b", "band_idx"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))))
-            .cast("bigint").alias("hamming")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            hamming64("lo_a", "lo_b", "hi_a", "hi_b").alias("hamming"),
         )
         .persist()
     )
-    sub = bands.filter(F.col("doc_id") < _RECALL_MAX_ID)
-    ta = sub.select(
-        F.col("doc_id").alias("da"), "band_idx", F.col("band_val").alias("va")
+    # exact audit-slice truth: all pairs within the bounded slice
+    # (doc_id < 500) — a broadcast product over the slice's signatures
+    # (the old band_idx-keyed join was the same product, 8 rows wide)
+    ssub = sig.filter(F.col("doc_id") < _RECALL_MAX_ID)
+    ta = ssub.select(
+        F.col("doc_id").alias("da"),
+        F.col("sig_lo").alias("lo_a"), F.col("sig_hi").alias("hi_a"),
     )
-    tb = sub.select(
-        F.col("doc_id").alias("db"), "band_idx", F.col("band_val").alias("vb")
+    tb = ssub.select(
+        F.col("doc_id").alias("db"),
+        F.col("sig_lo").alias("lo_b"), F.col("sig_hi").alias("hi_b"),
     )
     strue = (
-        ta.join(tb, "band_idx")
+        ta.crossJoin(F.broadcast(tb))
         .filter(F.col("da") < F.col("db"))
-        .groupBy("da", "db")
-        .agg(
-            F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))))
-            .cast("bigint").alias("hamming")
+        .select(
+            "da", "db",
+            hamming64("lo_a", "lo_b", "hi_a", "hi_b").alias("hamming"),
         )
         .persist()
     )

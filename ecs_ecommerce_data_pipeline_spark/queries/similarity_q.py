@@ -1407,11 +1407,18 @@ def q_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=_K
     ).select(F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc"))
     total = float(len(_QUERY_IDS) * _K)
+    # round 11: ONE scoring pass at max nprobe with the probe rank
+    # carried serves every rung (scores are nprobe-independent; see
+    # similarity.ivfpq_nprobe_sweep_topk) — was one full chain per rung
+    allk = similarity.ivfpq_nprobe_sweep_topk(
+        cents, assigns, cb, codes, _QUERY_IDS,
+        nprobes=_SWEEP_NPROBES, k=_K, m=_PQ_M,
+    )
     outs = []
     for n in _SWEEP_NPROBES:
-        pqk = similarity.ivfpq_topk(
-            cents, assigns, cb, codes, _QUERY_IDS, k=_K, nprobe=n, m=_PQ_M
-        ).select("query_id", "corpus_id")
+        pqk = allk.filter(F.col("nprobe") == n).select(
+            "query_id", "corpus_id"
+        )
         hits = bfk.join(
             pqk,
             (F.col("bq") == F.col("query_id"))
@@ -2023,12 +2030,17 @@ def q_ivfpq_nprobe_sweep_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         _clustered_fx(spark, sf_dir), _QUERY_IDS, k=_K
     ).select(F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc"))
     total = float(len(_QUERY_IDS) * _K)
+    # round 11: one scoring pass serves every rung (see
+    # similarity.ivfpq_nprobe_sweep_topk)
+    allk = similarity.ivfpq_nprobe_sweep_topk(
+        cents, assigns, cb, codes, _QUERY_IDS,
+        nprobes=list(_CL_SWEEP), k=_K, m=_CL_M, residual=True,
+    )
     outs = []
     for n in _CL_SWEEP:
-        pqk = similarity.ivfpq_topk(
-            cents, assigns, cb, codes, _QUERY_IDS,
-            k=_K, nprobe=n, m=_CL_M, residual=True,
-        ).select("query_id", "corpus_id")
+        pqk = allk.filter(F.col("nprobe") == n).select(
+            "query_id", "corpus_id"
+        )
         hits = bfk.join(
             pqk,
             (F.col("bq") == F.col("query_id"))
