@@ -81,6 +81,13 @@ def two_phase_cummax_excl(
         df.crossJoin(F.broadcast(stats))
         .withColumn(_PID, pid)
         .drop("_vmin", "_vmax")
+        # round 11 (guide §2.4/§5): ``binned`` feeds BOTH the local
+        # window and the bucket-total aggregate, and ``stats`` is a
+        # third pass over ``df`` — without a lineage cut one physical
+        # plan executes the caller's upstream pipeline three times.
+        # A lazy localCheckpoint materializes the binned rows once
+        # (first consumer computes, the rest read the persisted blocks).
+        .localCheckpoint(eager=False)
     )
     order = order_cols or [value_col if isinstance(value_col, str) else v]
     wloc = (
@@ -158,6 +165,10 @@ def two_phase_cumsum(
         df.crossJoin(F.broadcast(stats))
         .withColumn(_PID, pid)
         .drop("_vmin", "_vmax")
+        # same lineage cut as two_phase_cummax_excl above: one
+        # materialization serves the window, the bucket totals and —
+        # through them — the offsets self-join
+        .localCheckpoint(eager=False)
     )
     order = order_cols or [value_col if isinstance(value_col, str) else v]
     wloc = (

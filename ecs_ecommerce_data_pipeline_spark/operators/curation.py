@@ -314,10 +314,15 @@ def knn_label_noise_audit(
             .filter(F.col("aid") != F.col("bid"))
         )
     else:
+        # round 11 (guide §2.4): the n_bands×band_bits projection sweep
+        # is the expensive map stage (64 quantized 64-dim dots per row at
+        # the defaults) and BOTH sides of the band self-join need it —
+        # materialize the (id, band_idx, bucket) rows once (3 integers
+        # per band row) instead of projecting the corpus twice
         bnd = multiband_bucket_rows(
             embeddings, n_bands=n_bands, band_bits=band_bits,
             id_col=id_col, vec_col=vec_col,
-        )
+        ).localCheckpoint(eager=False)
         cand = (
             bnd.select(F.col(id_col).alias("aid"), "band_idx", "bucket")
             .join(

@@ -86,9 +86,27 @@ def minhash_signatures(
     Max value h1 + 7·h2 < 8·2^60 = 2^63 — fits signed BIGINT exactly in
     both engines.
     """
+    return minhash_signatures_from_hashes(
+        shingle_hashes(shingles), num_hashes=num_hashes
+    )
+
+
+def shingle_hashes(shingles: DataFrame) -> DataFrame:
+    """(doc_id, h1, h2): the two independent 60-bit md5 halves per
+    shingle — ONE md5 per shingle, shared by the signature build
+    (h_i = h1 + i·h2) and the exact-Jaccard verify (whose
+    ``md5_bigint`` key IS h1), so a query running both stages can hash
+    the token stream once and checkpoint this frame."""
     h1 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
     h2 = F.conv(F.substring(F.md5(F.col("shingle")), 16, 15), 16, 10).cast("bigint")
-    hashed = shingles.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    return shingles.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+
+
+def minhash_signatures_from_hashes(
+    hashed: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signatures from a pre-built :func:`shingle_hashes` frame
+    — the groupBy half of :func:`minhash_signatures`."""
     aggs = [
         F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"sig_{i}")
         for i in range(num_hashes)
@@ -285,7 +303,10 @@ def incremental_lsh_candidates(
 
 
 def jaccard_pairs(
-    shingles: DataFrame, candidates: DataFrame, threshold: float = 0.5
+    shingles: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.5,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage after
     LSH blocking): |A ∩ B| / |A ∪ B| over distinct shingle sets.
@@ -301,7 +322,19 @@ def jaccard_pairs(
     """
     from ..functions.textfn import md5_bigint
 
-    sh = shingles.select("doc_id", md5_bigint(F.col("shingle")).alias("sh_h"))
+    # round 11 (guide §2.4): the hashed shingle rows feed the size agg
+    # AND both sides of the candidate join — cut the 16-byte (doc, hash)
+    # rows once instead of re-running tokenize+shingle+md5 three times
+    # (the frame `prefix_filter_join` pins for the same reason).  A
+    # caller that already built :func:`shingle_hashes` (whose h1 IS the
+    # ``md5_bigint`` key) passes it via ``hashes`` so the token stream
+    # is hashed exactly once across blocking AND verify.
+    if hashes is not None:
+        sh = hashes.select("doc_id", F.col("h1").alias("sh_h"))
+    else:
+        sh = shingles.select(
+            "doc_id", md5_bigint(F.col("shingle")).alias("sh_h")
+        ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh_h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh_h")
@@ -957,7 +990,9 @@ def exact_substring_anchored(
         .filter(F.col("_df") <= max_df)
         .select("h")
     )
-    ak = anchors.join(keep, "h")
+    # round 11: the df-capped anchor set feeds BOTH join orientations —
+    # cut it too, or the df-cap agg + join replays per side
+    ak = anchors.join(keep, "h").localCheckpoint(eager=False)
     a = ak.select(F.col("d").alias("doc_a"), F.col("pos").alias("pa"), "h")
     b = ak.select(F.col("d").alias("doc_b"), F.col("pos").alias("pb"), "h")
     m = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))

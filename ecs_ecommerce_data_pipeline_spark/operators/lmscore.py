@@ -71,7 +71,7 @@ def bigram_lm_scores(
     doc: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    materialize: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document bigram-LM quality score over the corpus itself.
 
@@ -93,9 +93,11 @@ def bigram_lm_scores(
     if materialize:
         # db feeds BOTH the frequency aggregation and the score join —
         # without a lineage cut Catalyst evaluates the tokenize+explode
-        # subtree twice. Values are unchanged (same oracle); pass True
-        # when the upstream is itself expensive (e.g. downstream of a
-        # dedup, as in the dataset-build pipeline).
+        # subtree twice. Values are unchanged (same oracle). Round 11:
+        # the cut is now the DEFAULT (guide §2.4) — the 24-byte
+        # (doc, hash, m) rows are cheaper to materialize once than the
+        # tokenize+md5 is to run twice at any scale; pass False only to
+        # inspect the fully lazy plan.
         db = db.localCheckpoint(eager=False)
     freq = db.groupBy("bg_h").agg(F.sum("m").cast("bigint").alias("c"))
     bits = F.length(F.bin(F.col("c"))).cast("bigint")

@@ -85,19 +85,32 @@ def bradley_terry(
     cross-engine.  Returns (system, strength, rnk), rank by strength
     descending (ties → smaller system id).
     """
-    pairs = comparisons.groupBy(
-        F.col(a_col).cast("bigint").alias("i"),
-        F.col(b_col).cast("bigint").alias("j"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_ij"))
+    # round 11 (guide §1.2/§2.3 "aggregate before you shuffle"): the log
+    # used to be scanned FOUR times (pair counts, win counts, and a
+    # two-branch union for the system universe).  One map-side-combinable
+    # aggregation reduces it to bounded (i, j, winner, n) groups —
+    # ≤ systems²·3 rows — and every downstream frame derives from that.
+    base = (
+        comparisons.groupBy(
+            F.col(a_col).cast("bigint").alias("i"),
+            F.col(b_col).cast("bigint").alias("j"),
+            F.col(winner_col).cast("bigint").alias("winner"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = base.groupBy("i", "j").agg(
+        F.sum("n").cast("bigint").alias("n_ij")
+    )
     wins = (
-        comparisons.select(F.col(winner_col).cast("bigint").alias("system"))
-        .groupBy("system")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        base.groupBy(F.col("winner").alias("system"))
+        .agg(F.sum("n").cast("bigint").alias("w"))
     )
     # systems that never win still need a strength row (w = 0)
     systems = (
-        comparisons.select(F.col(a_col).cast("bigint").alias("system"))
-        .union(comparisons.select(F.col(b_col).cast("bigint")))
+        base.select(
+            F.explode(F.array(F.col("i"), F.col("j"))).alias("system")
+        )
         .distinct()
     )
     return _bt_mm(pairs, wins, systems, iters)
@@ -167,9 +180,12 @@ def _bt_mm(
                 ).cast("bigint"),
             )
         )
+        # one explode instead of a two-branch union (no CSE across
+        # union branches — the joins above would run twice)
         terms = both.select(
-            F.col("i").alias("system"), "term_q"
-        ).union(both.select(F.col("j").alias("system"), "term_q"))
+            F.explode(F.array(F.col("i"), F.col("j"))).alias("system"),
+            "term_q",
+        )
         denom = terms.groupBy("system").agg(
             F.sum("term_q").cast("bigint").alias("d_q")
         )

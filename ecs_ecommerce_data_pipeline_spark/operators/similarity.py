@@ -2294,6 +2294,172 @@ _KPAR_COST_SCALE = 1 << 20  # cost quantum: FLOOR((1 − maxcos)·2^20)
 _KPAR_U_SCALE = 1 << 60     # md5-uniform resolution (15 hex chars)
 
 
+def _kpar_single_task_doubles() -> int:
+    """State-size ceiling (float64 elements) below which the k-means||
+    oversample chain runs inside one Arrow task — the
+    ``_fps_single_task_doubles`` dial for the kpar chain; override with
+    ``SPARK_GRAFT_KPAR_SINGLE_TASK_DOUBLES`` (0 disables the fast path,
+    which the equivalence tests use to pin both paths together)."""
+    import os
+
+    try:
+        return int(
+            os.environ.get(
+                "SPARK_GRAFT_KPAR_SINGLE_TASK_DOUBLES", 16 * 1024 * 1024
+            )
+        )
+    except ValueError:
+        return 16 * 1024 * 1024
+
+
+def _kpar_chain_single_task(
+    base: DataFrame, l: int, rounds: int, seed_tag: str
+) -> tuple[DataFrame, list[dict]]:
+    """The full k-means|| oversample chain in ONE ``mapInPandas`` task
+    over ``base(vid BIGINT, vec ARRAY<DOUBLE>)`` — bit-identical to the
+    distributed loop (the ``_fps_chain_single_task`` contract):
+
+    * norms / dots are ``np.cumsum`` sequential IEEE folds (never BLAS),
+      the running max-cos is ``np.maximum`` / per-candidate max — both
+      exact and order-free, matching ``greatest``/``array_max``;
+    * costq = FLOOR((1 − mx)·2^20) clamped at 0, ψ = exact int sum;
+    * the Bernoulli draw is the SAME exact integer comparison
+      u60·ψ < l·costq·2^60 with u60 from the identical md5 string;
+    * attraction weights argmax by (cos desc, vid asc) — the struct-max
+      tie-break of the distributed form.
+
+    Returns the same ``(candidates LocalRelation, stats)`` pair; only
+    the candidate ROW ORDER may differ from the distributed collect
+    order (every consumer aggregates, and stats vids are sorted)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    cost_scale = float(_KPAR_COST_SCALE)
+    ll = int(l)
+
+    def kpar_kernel(batches):
+        ids_l, vecs_l = [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_l.append(pdf["vid"].to_numpy(dtype=np.int64))
+            vecs_l.append(np.array(list(pdf["vec"]), dtype=np.float64))
+        if not ids_l:
+            return
+        ids = np.concatenate(ids_l)
+        M = np.vstack(vecs_l)
+        nrm = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+        j0 = int(np.argmin(ids))
+        cand_idx = [j0]
+        cnrm0 = nrm[j0]
+        # per-candidate cosine columns, kept for the final argmax
+        cos_cols = [
+            np.cumsum(M * M[j0][None, :], axis=1)[:, -1] / (nrm * cnrm0)
+        ]
+        mx = cos_cols[0].copy()
+        stat_rows = []
+        for r in range(1, rounds + 1):
+            costq = np.maximum(
+                np.floor((1.0 - mx) * cost_scale), 0.0
+            ).astype(np.int64)
+            psi = int(costq.sum())
+            if psi <= 0:
+                stat_rows.append((r, 0, 0, []))
+                continue
+            picked = []
+            for i in range(ids.shape[0]):
+                cq = int(costq[i])
+                if cq <= 0:
+                    continue
+                u60 = int(
+                    hashlib.md5(
+                        f"{seed_tag}:{r}:{int(ids[i])}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                if u60 * psi < ll * cq * _KPAR_U_SCALE:
+                    picked.append(i)
+            vids = sorted(int(ids[i]) for i in picked)
+            stat_rows.append((r, psi, len(picked), vids))
+            if not picked:
+                continue
+            newmax = None
+            for i in picked:
+                cos_i = (
+                    np.cumsum(M * M[i][None, :], axis=1)[:, -1]
+                    / (nrm * nrm[i])
+                )
+                cos_cols.append(cos_i)
+                newmax = cos_i if newmax is None else np.maximum(newmax, cos_i)
+            cand_idx.extend(picked)
+            mx = np.maximum(mx, newmax)
+        # attraction weights: per row, argmax over candidates of
+        # (cos, -cand_vid) — max cos, smallest candidate vid on ties
+        C = np.column_stack(cos_cols)
+        cvids = ids[np.array(cand_idx, dtype=np.int64)]
+        best = C.max(axis=1)
+        tie = np.where(C == best[:, None], cvids[None, :], np.int64(2**62))
+        winner = tie.min(axis=1)
+        uniq, cnt = np.unique(winner, return_counts=True)
+        wmap = dict(zip(uniq.tolist(), cnt.tolist()))
+        out = {
+            "cand_vid": [int(ids[i]) for i in cand_idx],
+            "cvec": [list(M[i]) for i in cand_idx],
+            "cnrm": [float(nrm[i]) for i in cand_idx],
+            "weight": [
+                int(wmap.get(int(ids[i]), 0)) for i in cand_idx
+            ],
+            "rnd": [None] * len(cand_idx),
+            "psi_q": [None] * len(cand_idx),
+            "n_sampled": [None] * len(cand_idx),
+            "picked_vids": [None] * len(cand_idx),
+        }
+        for r, psi, n_s, vids in stat_rows:
+            out["cand_vid"].append(None)
+            out["cvec"].append(None)
+            out["cnrm"].append(None)
+            out["weight"].append(None)
+            out["rnd"].append(r)
+            out["psi_q"].append(psi)
+            out["n_sampled"].append(n_s)
+            out["picked_vids"].append(vids)
+        yield pd.DataFrame(out)
+
+    rows = (
+        base.repartition(1)  # see the FPS kernel note: never coalesce(1)
+        .mapInPandas(
+            kpar_kernel,
+            "cand_vid bigint, cvec array<double>, cnrm double, "
+            "weight bigint, rnd bigint, psi_q bigint, n_sampled bigint, "
+            "picked_vids array<bigint>",
+        )
+        .collect()
+    )
+    spark = base.sparkSession
+    cands = [
+        (int(r["cand_vid"]), list(r["cvec"]), float(r["cnrm"]), int(r["weight"]))
+        for r in rows
+        if r["cand_vid"] is not None
+    ]
+    stats = [
+        {
+            "round": int(r["rnd"]),
+            "psi_q": int(r["psi_q"]),
+            "n_sampled": int(r["n_sampled"]),
+            "vids": [int(v) for v in (r["picked_vids"] or [])],
+        }
+        for r in rows
+        if r["rnd"] is not None
+    ]
+    stats.sort(key=lambda s: s["round"])
+    out = spark.createDataFrame(
+        cands, "vid BIGINT, vec ARRAY<DOUBLE>, nrm DOUBLE, weight BIGINT"
+    )
+    return out, stats
+
+
 def kmeans_parallel_oversample(
     embeddings: DataFrame,
     l: int = 32,
@@ -2353,14 +2519,28 @@ def kmeans_parallel_oversample(
     # bit-identical to the groupBy-max form), and each round runs TWO
     # jobs: the ψ aggregate (which also materializes the previous
     # round's lazily-checkpointed fold) and the picked-rows collect.
-    first = (
+    #
+    # Round-11 part 2 (the `farthest_point_seeds` single-task pattern):
+    # one fused head job gives (row count, smallest-id row); when the
+    # whole candidate state fits one task the ENTIRE oversample chain —
+    # all R rounds of cost/ψ/Bernoulli picks plus the attraction-weight
+    # argmax — runs inside a single ``mapInPandas`` kernel with the same
+    # IEEE op order (np.cumsum dots, np.maximum folds, exact-int
+    # sampling compares), so rounds cost one job instead of two each and
+    # the weights collect disappears.  Beyond the threshold the
+    # distributed loop below runs unchanged (the 100 TB shape: R corpus
+    # scans, bounded driver metadata).
+    head = (
         embeddings.select(
             F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vec")
         )
-        .orderBy("vid")
-        .limit(1)
-        .collect()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct(F.col("vid"), F.col("vec"))).alias("f"),
+        )
+        .first()
     )
+    first = [head["f"]] if head is not None and head["n"] > 0 else []
     spark = embeddings.sparkSession
     cand_schema = "cand_vid BIGINT, cvec ARRAY<DOUBLE>, cnrm DOUBLE"
     if not first:
@@ -2381,6 +2561,18 @@ def kmeans_parallel_oversample(
         for x in vec:
             sd += x * x
         return math.sqrt(sd)
+
+    dims = len(first[0]["vec"])
+    if int(head["n"]) * max(dims, 1) <= _kpar_single_task_doubles():
+        return _kpar_chain_single_task(
+            embeddings.select(
+                F.col(id_col).cast("bigint").alias("vid"),
+                as_double_array(vec_col).alias("vec"),
+            ),
+            l=l,
+            rounds=rounds,
+            seed_tag=seed_tag,
+        )
 
     cand_rows: list[tuple[int, list[float], float]] = [
         (int(first[0]["vid"]), list(first[0]["vec"]), _seq_norm(list(first[0]["vec"])))
@@ -3246,6 +3438,12 @@ def synth_token_embeddings(
             "tvec",
             "cluster_true",
         )
+        # round 11 (guide §2.4): consumers (the MaxSim family) reference
+        # the token corpus on several plan paths (query side, corpus
+        # side, exact + pruned channels) and each reference re-ran the
+        # n_tokens × dims md5 synthesis — materialize once per call
+        # (lazy; recomputed from the parquet inputs every invocation)
+        .localCheckpoint(eager=False)
     )
 
 

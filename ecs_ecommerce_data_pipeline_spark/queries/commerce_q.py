@@ -224,9 +224,17 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states the same semantics as the classic self-join.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("items")
-    ).filter(F.size("items") >= 2)  # single-item baskets yield no pairs
+    # round 11 (guide §1.2): ONE corpus groupBy builds the distinct-item
+    # baskets; the pair expansion filters to size ≥ 2 and the per-item
+    # order support is the explode of the SAME frame (count of baskets
+    # containing the part ≡ the old countDistinct(l_orderkey) second
+    # corpus pass), which also fed two join sides — cut once.
+    b0 = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .localCheckpoint(eager=False)
+    )
+    baskets = b0.filter(F.size("items") >= 2)  # single-item baskets yield no pairs
     # outer index stops at size-2 (sequence() runs DESCENDING when
     # start > stop — the i = size-1 inner sequence would wrap)
     pairs = baskets.select(
@@ -241,8 +249,10 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_cnt = pairs.groupBy("part_a", "part_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_both")
     ).filter(F.col("n_both") >= 3)
-    item_cnt = li.groupBy("l_partkey").agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    item_cnt = (
+        b0.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
     )
     a = item_cnt.select(F.col("l_partkey").alias("_ka"), F.col("n_orders").alias("_na"))
     b = item_cnt.select(F.col("l_partkey").alias("_kb"), F.col("n_orders").alias("_nb"))
@@ -579,7 +589,14 @@ def q_equidepth_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     v = F.col("l_extendedprice").cast("double")
-    vals = li.groupBy(v.alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    # round 11 (guide §2.4): the value-count histogram feeds the prefix
+    # sum AND the grand total — cut it once instead of re-running the
+    # corpus aggregation per consumer
+    vals = (
+        li.groupBy(v.alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     cum = (
         two_phase_cumsum(vals, "v", {"hi": "c"})
         .withColumn("lo", F.col("hi") - F.col("c"))

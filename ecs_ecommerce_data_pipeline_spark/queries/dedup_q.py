@@ -245,11 +245,15 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline). Set arithmetic on exploded shingles; int/int division."""
     doc = load_table(spark, sf_dir, "documents")
     shingles = dedup.shingle_docs(doc, k=_SHINGLE_K)
-    sigs = dedup.minhash_signatures(shingles, num_hashes=_NUM_HASHES)
+    # round 11: tokenize+shingle+md5 runs ONCE — the checkpointed
+    # (doc, h1, h2) frame feeds the signature build AND the verify
+    # (md5_bigint's key is exactly h1)
+    hashes = dedup.shingle_hashes(shingles).localCheckpoint(eager=False)
+    sigs = dedup.minhash_signatures_from_hashes(hashes, num_hashes=_NUM_HASHES)
     cands = dedup.lsh_candidate_pairs(
         sigs, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE, max_bucket=_MAX_BUCKET
     )
-    return dedup.jaccard_pairs(shingles, cands, threshold=_JACCARD_T)
+    return dedup.jaccard_pairs(shingles, cands, threshold=_JACCARD_T, hashes=hashes)
 
 
 _SIMHASH_SQL = """
@@ -588,7 +592,12 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the number grades what production would ship."""
     doc = load_table(spark, sf_dir, "documents")
     sh = dedup.shingle_docs(doc, k=_SHINGLE_K)
-    sub = sh.filter(F.col("doc_id") < _RECALL_MAX_ID)
+    # round 11 (guide §2.4): the audit slice feeds the self-join's BOTH
+    # sides plus the size agg — cut the bounded (doc_id < max) shingle
+    # rows once instead of re-tokenizing the slice three times
+    sub = sh.filter(F.col("doc_id") < _RECALL_MAX_ID).localCheckpoint(
+        eager=False
+    )
     sizes = sub.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a = sub.select(F.col("doc_id").alias("da"), "shingle")
     b = sub.select(F.col("doc_id").alias("db"), "shingle")
@@ -606,6 +615,8 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= _JACCARD_T
         )
         .select("da", "db")
+        # feeds both the semi-join and the truth count — one cut
+        .localCheckpoint(eager=False)
     )
     sigs = dedup.minhash_signatures(sh, num_hashes=_NUM_HASHES)
     cand = dedup.lsh_candidate_pairs(
@@ -719,7 +730,9 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _RECALL_MAX_ID
     )
-    sh = dedup.shingle_docs(doc, k=_SHINGLE_K)
+    # round 11 (guide §2.4): the slice's shingles feed the signature
+    # build, the size agg and both truth self-join sides — cut once
+    sh = dedup.shingle_docs(doc, k=_SHINGLE_K).localCheckpoint(eager=False)
     sigs = dedup.minhash_signatures(sh, num_hashes=_NUM_HASHES)
 
     band_structs = []
@@ -750,6 +763,8 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_b"),
         )
         .distinct()
+        # feeds the candidate count AND the caught join — one cut
+        .localCheckpoint(eager=False)
     )
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -773,6 +788,9 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= _JACCARD_T
         )
         .select("da", "db")
+        # the quadratic gold standard feeds the caught join AND the
+        # truth count — never run it twice
+        .localCheckpoint(eager=False)
     )
 
     ncand = pairs.groupBy("cfg").agg(
@@ -1139,14 +1157,18 @@ def q_dedup_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         slot_match_bits=_MH_SLOT_BITS,
     )
     sh = dedup.shingle_docs(doc, k=_SHINGLE_K)
-    sigs = dedup.minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    # round 11: hash the token stream ONCE — the checkpointed
+    # (doc, h1, h2) frame feeds the signature build, the verify's two
+    # join sides and the size agg (md5_bigint's key IS h1)
+    hashes = dedup.shingle_hashes(sh).localCheckpoint(eager=False)
+    sigs = dedup.minhash_signatures_from_hashes(hashes, num_hashes=_NUM_HASHES)
     cands = dedup.lsh_candidate_pairs(
         sigs,
         num_hashes=_NUM_HASHES,
         band_size=r,
         max_bucket=_MAX_BUCKET,
     )
-    exh = sh.select("doc_id", md5_bigint(F.col("shingle")).alias("sh_h"))
+    exh = hashes.select("doc_id", F.col("h1").alias("sh_h"))
     sizes = exh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )
@@ -1389,8 +1411,11 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = dedup.lsh_candidate_pairs(
         sigs, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE, max_bucket=_MAX_BUCKET
     )
-    und = cands.select(F.col("doc_a").alias("node")).unionByName(
-        cands.select(F.col("doc_b").alias("node"))
+    # round 11 (the graph.py union lesson): Spark has no CSE across
+    # union branches, so the two selects re-ran the whole candidate
+    # pipeline — ONE explode emits both endpoints in one pass
+    und = cands.select(
+        F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("node")
     )
     deg = (
         doc.select("doc_id")

@@ -377,31 +377,82 @@ def q_stream_retrain_psi_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, at the right place.  The retrain leg this alarm triggers is
     verified by ``stream_retrain_occupancy_profile`` and the
     fold-equals-batch stream test."""
-    from ..streaming.vector_index_stream import quantizer_drift_psi
+    from ..operators.drift import PSI_SCALE
 
     _fx, _frozen, asg = _dr9_frozen_and_assigned(spark, sf_dir)
-    rows = []
-    for t in range(1, _DR9_BATCHES):
-        ref_occ = (
-            asg.filter(F.col("batch") < t)
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # Round 11 (guide §1.2 step 1): the trigger loop used to run FOUR
+    # passes over ``asg`` per trigger (ref/cur occupancy aggregates plus
+    # two count() collects) and a driver-synchronized psi collect each —
+    # ~4(B−1) corpus passes and a dozen jobs for B=4.  Every per-trigger
+    # quantity derives from the ONE bounded (batch, cell) count matrix,
+    # so the whole trace is now a single plan over a single aggregation
+    # pass: ref/cur counts per (trigger, cell) via a broadcast non-equi
+    # join of the ≤ B·n_cells matrix against the trigger range, then the
+    # IDENTICAL smoothed-psi expression (`quantizer_drift_psi`'s Laplace
+    # +1 / +n_cells, FLOOR(term·2^40)) per occupied cell — same integer
+    # inputs, same Catalyst float ops, bit-identical terms — summed per
+    # trigger.  Zero collects; the alarm comparison runs in-plan.
+    occ = asg.groupBy("batch", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    trig = spark.range(1, _DR9_BATCHES).select(
+        F.col("id").cast("bigint").alias("trigger")
+    )
+    # occupied-cells variant: a (trigger, cell) row exists iff the cell
+    # holds any count at batch <= trigger — exactly ref ∪ cur occupancy
+    per = (
+        trig.join(F.broadcast(occ), F.col("batch") <= F.col("trigger"))
+        .groupBy("trigger", "cell")
+        .agg(
+            F.sum(
+                F.when(F.col("batch") < F.col("trigger"), F.col("n")).otherwise(0)
+            ).cast("bigint").alias("c_ref"),
+            F.sum(
+                F.when(F.col("batch") == F.col("trigger"), F.col("n")).otherwise(0)
+            ).cast("bigint").alias("c_cur"),
         )
-        cur_occ = (
-            asg.filter(F.col("batch") == t)
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        # feeds both the per-trigger totals and the term expression —
+        # cut once so the (tiny) matrix is not rebuilt per consumer
+        .localCheckpoint(eager=False)
+    )
+    tot = per.groupBy("trigger").agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    p_ref = (F.col("c_ref") + 1).cast("double") / (
+        F.col("n_ref").cast("double") + F.lit(float(_DR9_NC))
+    )
+    p_cur = (F.col("c_cur") + 1).cast("double") / (
+        F.col("n_cur").cast("double") + F.lit(float(_DR9_NC))
+    )
+    psis = (
+        per.join(tot, "trigger")
+        .withColumn("p_ref", p_ref)
+        .withColumn("p_cur", p_cur)
+        .withColumn(
+            "psi_term_q",
+            F.floor(
+                (F.col("p_cur") - F.col("p_ref"))
+                * F.log(F.col("p_cur") / F.col("p_ref"))
+                * F.lit(PSI_SCALE)
+            ).cast("bigint"),
         )
-        n_ref = asg.filter(F.col("batch") < t).count()
-        n_cur = asg.filter(F.col("batch") == t).count()
-        psi_q, _terms = quantizer_drift_psi(ref_occ, cur_occ, _DR9_NC)
-        rows.append(
-            (t, n_ref, n_cur, psi_q, psi_q > _DR9_THRESH_Q)
+        .groupBy("trigger")
+        .agg(F.sum("psi_term_q").cast("bigint").alias("psi_total_q"))
+    )
+    return (
+        trig.join(tot, "trigger", "left")
+        .join(psis, "trigger", "left")
+        .select(
+            "trigger",
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+            F.coalesce("psi_total_q", F.lit(0)).cast("bigint")
+            .alias("psi_total_q"),
+            (
+                F.coalesce("psi_total_q", F.lit(0)) > F.lit(_DR9_THRESH_Q)
+            ).alias("alarm"),
         )
-    return spark.createDataFrame(
-        rows,
-        "trigger BIGINT, n_ref BIGINT, n_cur BIGINT, "
-        "psi_total_q BIGINT, alarm BOOLEAN",
     )
 
 

@@ -300,7 +300,13 @@ def q_model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = gopher_rules(docs).select(
         "doc_id", F.col("passes").cast("int").alias("label")
     )
-    j = lm.join(g, "doc_id")
+    # round 11 (guide §2.4/§5): ``j`` feeds BOTH the broadcast min/max
+    # edge subtree and the binning scan — without a lineage cut the one
+    # physical plan contains the whole lm+gopher pipeline TWICE (Spark
+    # does not CSE across the broadcast boundary).  A lazy
+    # localCheckpoint materializes the bounded (doc_id, score, label)
+    # frame once; both consumers read the checkpointed blocks.
+    j = lm.join(g, "doc_id").localCheckpoint(eager=False)
     edges = j.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
     b = j.crossJoin(F.broadcast(edges)).select(
         F.least(

@@ -863,32 +863,35 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle covariance matrix of the embedding space — the
     sufficient statistic for whitening/PCA in embedding-dedup pipelines.
 
-    Spark path is MAP-ONLY until one hash aggregation: each row explodes
-    its dims²/2 upper-triangle products inline (no self-join, no second
-    scan); dim sums ride the same exploded stream. Shuffle = 2,080 pair
-    groups + 64 dim groups of BIGINT counters, independent of row count.
+    Round 11 (guide §4.2): the dims²/2-structs-PER-ROW Catalyst explode
+    this query used to run (scoring CPU grows rows·dims² one expression
+    node at a time) is replaced by the Arrow partial-sum kernel its twin
+    ``embedding_covariance_arrow`` proved across rounds — whole-batch
+    numpy outer products floored to the same 2^40 fixed point, ONE
+    d·(d+1)/2-row int64 partial per task, so the shuffle stays
+    O(tasks·dims²) and per-row work is a vectorized multiply instead of
+    2,080 Catalyst nodes.  Sufficient statistics (and the oracle) are
+    unchanged: floor((x_i·x_j)·2^40) per element, exact BIGINT sums —
+    order-free, so engine and kernel agree bit-for-bit.
     """
+    return _cov_query_arrow(spark, sf_dir)
+
+
+def _cov_query_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared body of both covariance entries: Arrow pair partials +
+    Catalyst d-wide dim sums + the common finalization."""
     e = load_table(spark, sf_dir, "embeddings")
     v = similarity.as_double_array("embedding")
     sc_lit = F.lit(float(2**40))
     base = e.select(F.col("vec_id").cast("bigint").alias("vec_id"), v.alias("v"))
-    pairs = base.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(v) - 1), i ->"
-                " transform(sequence(i, size(v) - 1), j -> struct("
-                " i AS i, j AS j,"
-                f" CAST(FLOOR((v[i] * v[j]) * {_COV_SCALE}D) AS BIGINT) AS p"
-                "))))"
-            )
-        ).alias("t")
-    ).select("t.i", "t.j", "t.p")
-    pair_sums = pairs.groupBy("i", "j").agg(
-        F.sum("p").cast("bigint").alias("s_ij"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    pair_sums = (
+        similarity.covariance_pair_partials_arrow(e)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("s_ij").cast("bigint").alias("s_ij"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
     )
-    # dim sums from a dims-sized explode (64/row), NOT the dims^2/2 pair
-    # stream — carrying x_i on every pair struct doubled the explode width
     dim_sums = (
         base.select(
             F.posexplode(
@@ -932,32 +935,12 @@ def _cov_finalize(pair_sums: DataFrame, dim_sums: DataFrame) -> DataFrame:
 @register("embedding_covariance_arrow", _COV_SQL)
 def q_embedding_covariance_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized twin of ``embedding_covariance`` — identical
-    sufficient statistics and oracle, but the dims²/2 pair products come
-    from whole-batch numpy outer products with ONE d·(d+1)/2-row partial
-    emitted per task (shuffle independent of row count). The per-dim
-    sums stay on the cheap Catalyst d-wide explode."""
-    e = load_table(spark, sf_dir, "embeddings")
-    v = similarity.as_double_array("embedding")
-    sc_lit = F.lit(float(2**40))
-    base = e.select(F.col("vec_id").cast("bigint").alias("vec_id"), v.alias("v"))
-    pair_sums = (
-        similarity.covariance_pair_partials_arrow(e)
-        .groupBy("i", "j")
-        .agg(
-            F.sum("s_ij").cast("bigint").alias("s_ij"),
-            F.sum("n").cast("bigint").alias("n"),
-        )
-    )
-    dim_sums = (
-        base.select(
-            F.posexplode(
-                F.transform("v", lambda x: F.floor(x * sc_lit).cast("bigint"))
-            ).alias("d", "xq")
-        )
-        .groupBy("d")
-        .agg(F.sum("xq").cast("bigint").alias("s"))
-    )
-    return _cov_finalize(pair_sums, dim_sums)
+    sufficient statistics and oracle; since round 11 the base entry runs
+    this same kernel (see ``q_embedding_covariance``), so both names
+    serve the production plan: whole-batch numpy outer products with ONE
+    d·(d+1)/2-row partial emitted per task (shuffle independent of row
+    count), per-dim sums on the cheap Catalyst d-wide explode."""
+    return _cov_query_arrow(spark, sf_dir)
 
 
 # --- semantic dedup: cosine near-dup pairs -> clusters ---------------------
@@ -1847,10 +1830,15 @@ _CL_CACHE: dict[tuple, tuple] = {}
 
 
 def _clustered_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 11 (guide §2.4): consumers reference the fixture several
+    # times per plan (Lloyd assign/recompute rounds, purity joins) and
+    # the md5-analytic synthesis costs dims md5-derived doubles per row
+    # per REFERENCE — materialize once per call (lazily; recomputed
+    # from the parquet inputs on every invocation, never memoized)
     return similarity.synth_clustered_embeddings(
         load_table(spark, sf_dir, "embeddings").select("vec_id"),
         dims=_CL_DIMS, k_true=_CL_K,
-    )
+    ).localCheckpoint(eager=False)
 
 
 def _clustered_index_cached(

@@ -109,28 +109,40 @@ def q_quantile_bins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch size; the exact anchor runs the same two-phase prefix sum the
     KS statistic uses (no corpus-sized ordered window anywhere)."""
     from ..functions.prefix import two_phase_cumsum
-    from ..operators.sketch import (
-        quantile_bin_state,
-        quantile_from_bins,
-        quantile_value_stats,
-    )
+    from ..operators.sketch import quantile_from_bins, quantile_value_stats
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("double").alias("v")
     )
-    stats = quantile_value_stats(orders, "v")
-    states = [
-        quantile_bin_state(
-            orders.filter(F.col("o_orderkey") % 3 == b), "v", stats, _QB_BINS
+    # round 11 (guide §1.2/§2.4): the (vmin, vmax) frame feeds the batch
+    # states, the bin interpolation AND the bound — checkpoint it once
+    # instead of re-aggregating the corpus per consumer
+    stats = quantile_value_stats(orders, "v").localCheckpoint(eager=False)
+    # the three per-batch states are built in ONE corpus pass keyed by
+    # batch id (was: three separate filtered scans) — each (b, bin, c)
+    # group IS the independent batch state ``quantile_bin_state`` built,
+    # and the merge below is the same associative count sum
+    vq = F.col("v").cast("double")
+    width = (F.col("_qvmax") - F.col("_qvmin")) / F.lit(float(_QB_BINS))
+    bin_id = F.when(F.col("_qvmax") == F.col("_qvmin"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(_QB_BINS - 1),
+            F.floor((vq - F.col("_qvmin")) / width).cast("int"),
         )
-        for b in range(3)
-    ]
+    )
+    states = (
+        orders.filter(vq.isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select((F.col("o_orderkey") % 3).alias("b"), bin_id.alias("bin"))
+        .groupBy("b", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
     merged = (
-        states[0]
-        .unionByName(states[1])
-        .unionByName(states[2])
-        .groupBy("bin")
+        states.groupBy("bin")
         .agg(F.sum("c").cast("bigint").alias("c"))
+        # feeds both the cumulative walk and the total inside
+        # quantile_from_bins — cut the (≤ n_bins)-row frame once
+        .localCheckpoint(eager=False)
     )
     est = quantile_from_bins(merged, stats, _QB_QS, _QB_BINS)
 
@@ -138,6 +150,8 @@ def q_quantile_bins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("v").isNotNull())
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # feeds the exact-anchor total AND the two-phase prefix sum
+        .localCheckpoint(eager=False)
     )
     totals = counts.agg(F.sum("c").cast("bigint").alias("_qn"))
     cdf = two_phase_cumsum(counts, "v", {"cum": "c"}).withColumn(

@@ -676,9 +676,14 @@ def q_text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_docs(docs, text_col="text", k=_NOV_K)
-    hashed = sh.join(
-        docs.select("doc_id", "source"), "doc_id"
-    ).select("doc_id", "source", md5_bigint(F.col("shingle")).alias("h"))
+    # round 11 (guide §2.4): the hashed gram stream feeds the first-seen
+    # aggregate AND the join probe — cut it once instead of running
+    # tokenize+shingle+md5 twice
+    hashed = (
+        sh.join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", md5_bigint(F.col("shingle")).alias("h"))
+        .localCheckpoint(eager=False)
+    )
     first_seen = hashed.groupBy("h").agg(
         F.min("doc_id").cast("bigint").alias("first_doc")
     )

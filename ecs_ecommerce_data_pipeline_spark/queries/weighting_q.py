@@ -216,10 +216,17 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % _DSIR_B
     )
+    # round 11 (guide §2.4/§5): ``b`` feeds BOTH the bucket-total /
+    # λ broadcast subtree and the per-doc weight join — one plan would
+    # otherwise run the explode + md5 over every gram TWICE (no CSE
+    # across the broadcast boundary).  ``b`` is bounded (≤ docs × 4096
+    # bucket rows of integers), so a lazy localCheckpoint materializes
+    # it once and both consumers read the checkpointed blocks.
     b = (
         g.select("doc_id", "lang", "tgt", bucket.alias("bucket"))
         .groupBy("doc_id", "lang", "tgt", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     bt = b.groupBy("bucket").agg(
         F.sum(F.when(F.col("tgt"), F.col("cnt")).otherwise(0))
