@@ -2975,10 +2975,24 @@ def kmeans_refine(
     Per iteration: one broadcast-scored scan + one explode-aggregate —
     both map-side-combinable shuffles of k·dims rows, O(n·k·dims) work,
     no state on the driver (centroids never leave the cluster)."""
+    import os as _os
+
+    # round 11 (guide §2.4/§5): without a cut, every later assign's
+    # broadcast re-executes the whole nested assign→recompute chain
+    # below it (depth² corpus passes by the last iteration).  Per-round
+    # lazy checkpoints of the BOUNDED k×dims centroid frames make the
+    # chain below each broadcast run exactly once.  Env-gated
+    # (SPARK_GRAFT_KMEANS_ROUND_CUTS=0 disables) so the A/B and the
+    # fully-lazy plan stay reachable.
+    cuts = _os.environ.get("SPARK_GRAFT_KMEANS_ROUND_CUTS", "1") != "0"
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if cuts else df
+
     if init_centroids is not None:
         centroids = init_centroids.select("cluster_id", "centroid")
     else:
-        centroids = (
+        centroids = _cut(
             embeddings.orderBy(id_col)
             .limit(k)
             .select(
@@ -2995,7 +3009,9 @@ def kmeans_refine(
         )
     assignment = assign_to_centroids(embeddings, centroids, id_col, vec_col)
     for _ in range(iters):
-        centroids = recompute_centroids(embeddings, assignment, id_col, vec_col)
+        centroids = _cut(
+            recompute_centroids(embeddings, assignment, id_col, vec_col)
+        )
         assignment = assign_to_centroids(embeddings, centroids, id_col, vec_col)
     return assignment
 
@@ -3392,6 +3408,7 @@ def synth_token_embeddings(
     k_true: int = 8,
     eps: float = 0.25,
     id_col: str = "vec_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """(doc_id, tok_idx, tvec, cluster_true): an md5-analytic
     MULTI-VECTOR corpus — every document carries ``n_tokens`` token
@@ -3423,7 +3440,7 @@ def synth_token_embeddings(
     vec_sql = (
         f"transform(sequence(0, {dims - 1}), d -> {ctr} + {eps!r}D * {noise})"
     )
-    return (
+    out = (
         ids.select(
             F.col(id_col).cast("bigint").alias("doc_id"),
             F.expr(cluster.replace(f"`{id_col}`", id_col)).cast("bigint").alias(
@@ -3438,13 +3455,17 @@ def synth_token_embeddings(
             "tvec",
             "cluster_true",
         )
-        # round 11 (guide §2.4): consumers (the MaxSim family) reference
-        # the token corpus on several plan paths (query side, corpus
-        # side, exact + pruned channels) and each reference re-ran the
-        # n_tokens × dims md5 synthesis — materialize once per call
-        # (lazy; recomputed from the parquet inputs every invocation)
-        .localCheckpoint(eager=False)
     )
+    if materialize:
+        # round 11 (guide §2.4): MaxSim consumers reference the token
+        # corpus on several plan paths (query side, corpus side, exact +
+        # pruned channels) and each reference re-ran the n_tokens × dims
+        # md5 synthesis — materialize once per call (lazy; recomputed
+        # from the parquet inputs every invocation).  Single-consumer
+        # callers (the fixture-dump query) pass False: for one pass the
+        # materialization job costs more than it saves.
+        out = out.localCheckpoint(eager=False)
+    return out
 
 
 def maxsim_topk(

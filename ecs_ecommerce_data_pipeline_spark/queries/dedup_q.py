@@ -1602,6 +1602,8 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("da") < F.col("db"))
         .filter(hamming64("lo_a", "lo_b", "hi_a", "hi_b") <= _SIMHAM)
         .select("da", "db")
+        # feeds the truth count AND the caught semi-join — one cut
+        .localCheckpoint(eager=False)
     )
     from ..operators.multimodal import fuse_bands
 
@@ -1647,6 +1649,11 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+    # materialize the 1-row result, then RELEASE the pins (they used to
+    # outlive the call and accumulate across bench invocations)
+    out = out.localCheckpoint()
+    cand.unpersist()
+    bands.unpersist()
     return out
 
 
@@ -1816,37 +1823,70 @@ def q_simhash_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    outs = []
-    for h in _SIMHAM_SWEEP:
-        wide = sham.filter(F.col("hamming") <= h)
-        truth = strue.filter(F.col("hamming") <= h)
-        caught = wide.filter(
-            (F.col("doc_a") < _RECALL_MAX_ID) & (F.col("doc_b") < _RECALL_MAX_ID)
-        )
-        outs.append(
-            wide.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_wide"))
-            .crossJoin(
-                truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-            )
-            .crossJoin(
-                caught.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_caught")
+    # round 11 (guide §1.2 "don't compute things you throw away"): the
+    # per-rung loop ran THREE one-row aggregates per threshold (12 scans
+    # of the persisted frames unioned into one plan).  Every rung is a
+    # conditional count over the SAME two frames — ONE aggregate over
+    # each (count(when(...)) ≡ the old filtered count, 0 on empty) and
+    # an explode emit the identical rows.
+    in_slice = (F.col("doc_a") < _RECALL_MAX_ID) & (
+        F.col("doc_b") < _RECALL_MAX_ID
+    )
+    wide_aggs = sham.agg(
+        *[
+            F.count(F.when(F.col("hamming") <= h, 1))
+            .cast("bigint")
+            .alias(f"_w{h}")
+            for h in _SIMHAM_SWEEP
+        ],
+        *[
+            F.count(F.when((F.col("hamming") <= h) & in_slice, 1))
+            .cast("bigint")
+            .alias(f"_c{h}")
+            for h in _SIMHAM_SWEEP
+        ],
+    )
+    true_aggs = strue.agg(
+        *[
+            F.count(F.when(F.col("hamming") <= h, 1))
+            .cast("bigint")
+            .alias(f"_t{h}")
+            for h in _SIMHAM_SWEEP
+        ]
+    )
+    res = (
+        wide_aggs.crossJoin(true_aggs)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(h).cast("bigint").alias("max_hamming"),
+                            F.col(f"_w{h}").alias("n_pairs_wide"),
+                            F.col(f"_t{h}").alias("n_truth"),
+                            F.col(f"_c{h}").alias("n_caught"),
+                        )
+                        for h in _SIMHAM_SWEEP
+                    ]
                 )
-            )
-            .select(
-                F.lit(h).cast("bigint").alias("max_hamming"),
-                "n_pairs_wide",
-                "n_truth",
-                "n_caught",
-                F.when(
-                    F.col("n_truth") > 0,
-                    F.col("n_caught").cast("double") / F.col("n_truth"),
-                ).alias("recall"),
-            )
+            ).alias("r")
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
+        .select(
+            "r.max_hamming",
+            "r.n_pairs_wide",
+            "r.n_truth",
+            "r.n_caught",
+            F.when(
+                F.col("r.n_truth") > 0,
+                F.col("r.n_caught").cast("double") / F.col("r.n_truth"),
+            ).alias("recall"),
+        )
+    )
+    # materialize the 4-row result, then RELEASE the pins — they used to
+    # outlive the call and accumulate across bench invocations
+    res = res.localCheckpoint()
+    for frame in (strue, sham, sig, bands):
+        frame.unpersist()
     return res
 
 

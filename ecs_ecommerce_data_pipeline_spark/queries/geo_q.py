@@ -350,9 +350,14 @@ def q_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cx", "cy")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+    # round 11: lazy localCheckpoint instead of an unreleased persist()
+    # — same one-materialization semantics for the three consumers
+    # (both adjacency sides + the label join), but the blocks are
+    # reclaimed by the context cleaner instead of leaking across bench
+    # invocations
     dense = cells.filter(F.col("n") >= _HS_MIN).select(
         (F.col("cx") * _HS_GRID + F.col("cy")).alias("cell"), "cx", "cy", "n"
-    ).persist()
+    ).localCheckpoint(eager=False)
     a = dense.select(
         F.col("cell").alias("doc_a"), F.col("cx").alias("ax"),
         F.col("cy").alias("ay"),

@@ -1523,9 +1523,11 @@ def q_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # bounded k×dims frame consumed by several search-side broadcasts —
+    # cut once (round 11, the kmeans_refine per-round discipline)
     cents_t = recompute_centroids(
         emb, kmeans_refine(emb, k=_TRK, iters=1)
-    )
+    ).localCheckpoint(eager=False)
     trained = ivf_topk_with_centroids(
         emb, cents_t, _QUERY_IDS, k=_K, nprobe=_NPROBE
     ).select("query_id", "corpus_id")
@@ -2997,14 +2999,19 @@ def q_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, assigns = similarity.build_ivf_index(
         fx, n_centroids=_CL_NC, path=_ivf_index_path(sf_dir)
     )
+    # round 11: ONE fused collect picks the fattest cell AND the next
+    # free id (was two driver-synchronized jobs over the tiny index
+    # metadata)
     top = (
         assigns.groupBy("cell")
         .count()
         .orderBy(F.desc("count"), F.asc("cell"))
+        .limit(1)
+        .crossJoin(F.broadcast(cents.agg(F.max("cell").alias("_mx"))))
         .first()
     )
     target = int(top["cell"])
-    new_cell = int(cents.agg(F.max("cell")).first()[0]) + 1
+    new_cell = int(top["_mx"]) + 1
     c2, a2 = similarity.split_ivf_cell(
         cents, assigns, target, new_cell=new_cell
     )
@@ -3276,14 +3283,19 @@ def q_ivfpq_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     id routing.  O(|cell|·m·k) work — every other inverted list, raw
     and compressed, is untouched bytes."""
     cents, assigns, cb, codes = _clustered_index_cached(spark, sf_dir, False)
+    # round 11: ONE fused collect picks the fattest cell AND the next
+    # free id (was two driver-synchronized jobs over the tiny index
+    # metadata)
     top = (
         assigns.groupBy("cell")
         .count()
         .orderBy(F.desc("count"), F.asc("cell"))
+        .limit(1)
+        .crossJoin(F.broadcast(cents.agg(F.max("cell").alias("_mx"))))
         .first()
     )
     target = int(top["cell"])
-    new_cell = int(cents.agg(F.max("cell")).first()[0]) + 1
+    new_cell = int(top["_mx"]) + 1
     c2, a2, _, codes2 = similarity.split_ivfpq_cell(
         cents, assigns, cb, codes, target, new_cell=new_cell
     )
@@ -4581,6 +4593,7 @@ def q_token_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx = similarity.synth_token_embeddings(
         load_table(spark, sf_dir, "embeddings").select("vec_id"),
         n_tokens=_MV_T, dims=_MV_DIMS,
+        materialize=False,  # single pass: the dump reads fx exactly once
     )
     q = F.transform(
         "tvec", lambda x: F.floor(x * F.lit(1048576.0)).cast("bigint")
