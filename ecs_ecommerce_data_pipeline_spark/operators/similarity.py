@@ -2963,6 +2963,7 @@ def kmeans_refine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init_centroids: DataFrame | None = None,
+    round_cuts: bool | None = None,
 ) -> DataFrame:
     """Lloyd's k-means for ``iters`` FIXED iterations (no convergence
     probe → no per-iteration driver boundary at all, and a deterministic
@@ -2981,10 +2982,15 @@ def kmeans_refine(
     # broadcast re-executes the whole nested assign→recompute chain
     # below it (depth² corpus passes by the last iteration).  Per-round
     # lazy checkpoints of the BOUNDED k×dims centroid frames make the
-    # chain below each broadcast run exactly once.  Env-gated
-    # (SPARK_GRAFT_KMEANS_ROUND_CUTS=0 disables) so the A/B and the
-    # fully-lazy plan stay reachable.
-    cuts = _os.environ.get("SPARK_GRAFT_KMEANS_ROUND_CUTS", "1") != "0"
+    # chain below each broadcast run exactly once.  ``round_cuts``
+    # overrides per call (a SHALLOW chain whose consumer also runs
+    # other full-corpus channels can lose more to the materialization
+    # barrier than the cut saves — measured on sim_ivf_trained_recall);
+    # default comes from SPARK_GRAFT_KMEANS_ROUND_CUTS (on).
+    if round_cuts is None:
+        cuts = _os.environ.get("SPARK_GRAFT_KMEANS_ROUND_CUTS", "1") != "0"
+    else:
+        cuts = bool(round_cuts)
 
     def _cut(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=False) if cuts else df

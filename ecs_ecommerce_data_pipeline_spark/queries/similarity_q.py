@@ -1523,11 +1523,15 @@ def q_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # bounded k×dims frame consumed by several search-side broadcasts —
-    # cut once (round 11, the kmeans_refine per-round discipline)
+    # round 11 note: this query runs THREE full-corpus channels
+    # (trained, fixed, brute force) that the engine overlaps inside one
+    # action; checkpoint barriers in the shallow 1-iteration Lloyd
+    # chain serialized that overlap and measured ~2x WORSE in the
+    # driver-shaped bench (1.61 s -> 3.30 s), so the cuts are disabled
+    # per call here — the fully lazy wave-1-verified plan
     cents_t = recompute_centroids(
-        emb, kmeans_refine(emb, k=_TRK, iters=1)
-    ).localCheckpoint(eager=False)
+        emb, kmeans_refine(emb, k=_TRK, iters=1, round_cuts=False)
+    )
     trained = ivf_topk_with_centroids(
         emb, cents_t, _QUERY_IDS, k=_K, nprobe=_NPROBE
     ).select("query_id", "corpus_id")
