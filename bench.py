@@ -163,6 +163,10 @@ def main() -> None:
     # Per-query sentinel detail (both runs + loadavg at each) — written
     # to a file so the tail-captured stdout stays small; the judge and
     # later rounds read it to adjudicate environment vs regression.
+    # Round 12 (VERDICT r11 item 3): the sentinel additionally carries
+    # the FLAT best-of-2 map under "queries_best" so per-query deltas
+    # can always be reconstructed from the committed file even when the
+    # stdout tail capture truncates the detail lines.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_SENTINEL.json"), "w") as f:
@@ -173,27 +177,47 @@ def main() -> None:
                     "sf": sf,
                     "cpus": cpus,
                     "queries": sentinel,
+                    "queries_best": timings,
                 },
                 f,
             )
     except OSError:
         pass  # sentinel is best-effort; the measurements must still print
 
-    # Two lines, per-query map FIRST, tiny summary LAST. The driver
-    # captures only the output TAIL and parses the FINAL line; rounds
+    # Per-query map FIRST, tiny summary LAST. The driver captures only
+    # the output TAIL (~2000 chars) and parses the FINAL line; rounds
     # 1-3 all recorded "parsed": null because the final line embedded
-    # the full per-query map (~2.5 KB) and its head — metric and total —
-    # was truncated out of the capture window. The final line must stay
+    # the full per-query map and its head — metric and total — was
+    # truncated out of the capture window. The final line must stay
     # tiny and self-contained: total + sf + cpus + n_queries, NO map.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_per_query",
-                "unit": "sec",
-                "queries": timings,
-            }
+    # Round 12 (VERDICT r11 item 3): one 225-query detail line is ~8 KB,
+    # so a 2000-char tail capture ALWAYS cut it mid-line and PERF_r11's
+    # per-query table came back empty.  The map is therefore printed as
+    # COMPACT CHUNKS of ~15 queries (part i/n), every one a complete
+    # self-contained JSON line: whatever suffix of the output survives a
+    # bounded tail capture still parses, and the committed
+    # BENCH_SENTINEL.json (path in the summary line) carries the full
+    # map.  Additions-only: all queries still appear on stdout, same
+    # values, same best-of-2 semantics.
+    _names = sorted(timings)
+    _chunk = 15
+    _parts = (len(_names) + _chunk - 1) // _chunk or 1
+    for _i in range(_parts):
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_query_wall_clock_per_query",
+                    "unit": "sec",
+                    "part": _i + 1,
+                    "parts": _parts,
+                    "queries": {
+                        n: timings[n]
+                        for n in _names[_i * _chunk:(_i + 1) * _chunk]
+                    },
+                },
+                separators=(",", ":"),
+            )
         )
-    )
     print(
         json.dumps(
             {
@@ -210,6 +234,10 @@ def main() -> None:
                 "cpus": cpus,
                 "n_queries": len(timings),
                 "runs_per_query": 2,
+                # committed per-query detail (full best-of-2 map under
+                # "queries_best" + per-query runs/steal/iowait): the
+                # always-available source for per-query deltas
+                "sentinel": "BENCH_SENTINEL.json",
                 "loop_wall_sec": total,
                 # load sentinel: >~ cpus/2 during a 32-core local bench
                 # means the box was shared and ratios are untrustworthy

@@ -47,6 +47,7 @@ def two_phase_cummax_excl(
     out_col: str,
     order_cols: list[str] | None = None,
     n_buckets: int | None = None,
+    cut: bool = True,
 ) -> DataFrame:
     """EXCLUSIVE running max of ``target_col`` in global ``value_col``
     order — each row gets max(target) over all STRICTLY EARLIER rows
@@ -81,14 +82,17 @@ def two_phase_cummax_excl(
         df.crossJoin(F.broadcast(stats))
         .withColumn(_PID, pid)
         .drop("_vmin", "_vmax")
-        # round 11 (guide §2.4/§5): ``binned`` feeds BOTH the local
-        # window and the bucket-total aggregate, and ``stats`` is a
-        # third pass over ``df`` — without a lineage cut one physical
-        # plan executes the caller's upstream pipeline three times.
-        # A lazy localCheckpoint materializes the binned rows once
-        # (first consumer computes, the rest read the persisted blocks).
-        .localCheckpoint(eager=False)
     )
+    # round 11 (guide §2.4/§5): ``binned`` feeds BOTH the local window
+    # and the bucket-total aggregate, and ``stats`` is a third pass over
+    # ``df`` — without a lineage cut one physical plan executes the
+    # caller's upstream pipeline three times.  A lazy localCheckpoint
+    # materializes the binned rows once (first consumer computes, the
+    # rest read the persisted blocks).  ``cut=False`` opts out (ADVICE
+    # r11): a caller whose ``df`` is already lineage-cut and bounded
+    # skips the second materialization barrier.
+    if cut:
+        binned = binned.localCheckpoint(eager=False)
     order = order_cols or [value_col if isinstance(value_col, str) else v]
     wloc = (
         Window.partitionBy(_PID)
@@ -121,6 +125,7 @@ def two_phase_cumsum(
     weights: dict[str, str | Column],
     order_cols: list[str] | None = None,
     n_buckets: int | None = None,
+    cut: bool = True,
 ) -> DataFrame:
     """Inclusive prefix sums of ``weights`` in global ``order_cols``
     order (default: by ``value_col``), computed two-phase.
@@ -165,11 +170,13 @@ def two_phase_cumsum(
         df.crossJoin(F.broadcast(stats))
         .withColumn(_PID, pid)
         .drop("_vmin", "_vmax")
-        # same lineage cut as two_phase_cummax_excl above: one
-        # materialization serves the window, the bucket totals and —
-        # through them — the offsets self-join
-        .localCheckpoint(eager=False)
     )
+    # same lineage cut (and the same cut=False opt-out) as
+    # two_phase_cummax_excl above: one materialization serves the
+    # window, the bucket totals and — through them — the offsets
+    # self-join
+    if cut:
+        binned = binned.localCheckpoint(eager=False)
     order = order_cols or [value_col if isinstance(value_col, str) else v]
     wloc = (
         Window.partitionBy(_PID)

@@ -109,9 +109,15 @@ def bpe_encode_tokens(doc: DataFrame, rounds: int = 3, top_n: int = 20) -> DataF
 
 def _run_merges(doc: DataFrame, rounds: int) -> tuple[DataFrame, DataFrame]:
     """Shared merge loop: returns (merge table, post-merge word state)."""
-    state = init_sequences(word_freq_table(doc))
+    # round 12 (guide §2.4/§5): the initial word table feeds round 1's
+    # pair counts AND round 1's merge — without a cut the corpus-sized
+    # tokenize+groupBy ran once per consumer
+    state = init_sequences(word_freq_table(doc)).localCheckpoint(eager=False)
     out: DataFrame | None = None
     for r in range(1, rounds + 1):
+        # the 1-row winner feeds BOTH the output row and the broadcast
+        # merge — cut it so the vocab-sized pair aggregation runs once
+        # per round, not twice (round 12, same class)
         top = (
             _pair_counts(state)
             .orderBy(F.desc("pair_cnt"), F.asc("pair"))
@@ -122,6 +128,7 @@ def _run_merges(doc: DataFrame, rounds: int) -> tuple[DataFrame, DataFrame]:
                 F.split("pair", " ").getItem(1).alias("_b"),
                 "pair_cnt",
             )
+            .localCheckpoint(eager=False)
         )
         row = top.select(
             "round", F.concat("_a", "_b").alias("merged_token"), "pair_cnt"

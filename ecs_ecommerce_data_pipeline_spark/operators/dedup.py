@@ -303,13 +303,26 @@ def incremental_lsh_candidates(
 
 
 def jaccard_pairs(
-    shingles: DataFrame,
+    shingles: DataFrame | None,
     candidates: DataFrame,
     threshold: float = 0.5,
     hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage after
     LSH blocking): |A ∩ B| / |A ∪ B| over distinct shingle sets.
+
+    Exactly ONE of ``shingles`` / ``hashes`` supplies the shingle sets:
+
+    * ``shingles``: (doc_id, shingle) text rows — hashed here via
+      ``md5_bigint``;
+    * ``hashes``: a prebuilt :func:`shingle_hashes` frame (doc_id, h1,
+      …) whose ``h1`` IS the ``md5_bigint`` key — pass this when the
+      caller already hashed the token stream for blocking, so it is
+      hashed exactly once across blocking AND verify.  When ``hashes``
+      is given, ``shingles`` is IGNORED (pass ``None``): supplying a
+      hashes frame built from a different/filtered shingle set than a
+      non-None ``shingles`` would silently change the Jaccard values,
+      so the API keeps the two sources structurally exclusive.
 
     Computed via the exploded representation: join candidates to both
     sides' shingles, count matches, combine with per-doc set sizes —
@@ -331,6 +344,10 @@ def jaccard_pairs(
     # is hashed exactly once across blocking AND verify.
     if hashes is not None:
         sh = hashes.select("doc_id", F.col("h1").alias("sh_h"))
+    elif shingles is None:
+        raise ValueError(
+            "jaccard_pairs: pass exactly one of shingles / hashes"
+        )
     else:
         sh = shingles.select(
             "doc_id", md5_bigint(F.col("shingle")).alias("sh_h")

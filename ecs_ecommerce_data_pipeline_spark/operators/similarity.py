@@ -2179,6 +2179,8 @@ def mmr_diversified_topk(
     lam: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shortlist_df: DataFrame | None = None,
+    vectors_df: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein):
     greedily pick k results from an exact-cosine shortlist maximizing
@@ -2206,23 +2208,37 @@ def mmr_diversified_topk(
     kk = int(k)
     # the |Q|·S shortlist feeds TWO subtrees (the distinct-corpus-id
     # broadcast and the probe side) — checkpoint it so the corpus-sized
-    # brute_force_topk stage runs once, not once per subtree
-    sl = brute_force_topk(
-        embeddings, query_ids, k=shortlist, id_col=id_col, vec_col=vec_col
-    ).select(
-        "query_id", "corpus_id", F.col("cosine_sim").alias("rel")
-    ).localCheckpoint()
-    v = as_double_array(vec_col)
-    cv = (
-        embeddings.select(F.col(id_col).alias("corpus_id"), v.alias("cvec"))
-        .join(
-            F.broadcast(
-                sl.select("corpus_id").distinct()
-            ),
-            "corpus_id",
+    # brute_force_topk stage runs once, not once per subtree.
+    # Round 12 (VERDICT r11 item 1): a caller that ALREADY materialized
+    # the same shortlist (and, optionally, the shortlist members'
+    # vectors) passes them via ``shortlist_df`` (query_id, corpus_id,
+    # rel) / ``vectors_df`` (corpus_id, cvec, cnrm) — without this,
+    # q_mmr_diversity_gain ran the corpus-sized brute-force scan TWICE
+    # (once for its own readout, once in here) plus a duplicate
+    # shortlist-vector scan.  Values are identical either way: the
+    # kernel consumes the same (rel, cvec, cnrm) doubles.
+    if shortlist_df is not None:
+        sl = shortlist_df.select("query_id", "corpus_id", "rel")
+    else:
+        sl = brute_force_topk(
+            embeddings, query_ids, k=shortlist, id_col=id_col, vec_col=vec_col
+        ).select(
+            "query_id", "corpus_id", F.col("cosine_sim").alias("rel")
+        ).localCheckpoint()
+    if vectors_df is not None:
+        cv = vectors_df.select("corpus_id", "cvec", "cnrm")
+    else:
+        v = as_double_array(vec_col)
+        cv = (
+            embeddings.select(F.col(id_col).alias("corpus_id"), v.alias("cvec"))
+            .join(
+                F.broadcast(
+                    sl.select("corpus_id").distinct()
+                ),
+                "corpus_id",
+            )
+            .withColumn("cnrm", norm(F.col("cvec")))
         )
-        .withColumn("cnrm", norm(F.col("cvec")))
-    )
     enriched = sl.join(F.broadcast(cv), "corpus_id")
 
     # Round-11 (guide §2.4 "remove shuffles outright", §4.2): the old
@@ -2354,11 +2370,18 @@ def _kpar_chain_single_task(
         j0 = int(np.argmin(ids))
         cand_idx = [j0]
         cnrm0 = nrm[j0]
-        # per-candidate cosine columns, kept for the final argmax
-        cos_cols = [
-            np.cumsum(M * M[j0][None, :], axis=1)[:, -1] / (nrm * cnrm0)
-        ]
-        mx = cos_cols[0].copy()
+        cos0 = np.cumsum(M * M[j0][None, :], axis=1)[:, -1] / (nrm * cnrm0)
+        mx = cos0.copy()
+        # round-12 (ADVICE r11, medium): the final attraction-weight
+        # argmax used to column_stack one full n-row cosine column PER
+        # candidate plus an equally-sized int64 tie matrix — ~(1+l·R)/dims
+        # times the n·dims state the dispatch gate bounds.  Max with
+        # smallest-vid tie-break is order-free, so a running
+        # (best cos, best vid) pair folded candidate-by-candidate is
+        # bit-identical (exact float compares) and keeps peak memory at
+        # O(n·dims).
+        best = cos0
+        bvid = np.full(ids.shape[0], int(ids[j0]), dtype=np.int64)
         stat_rows = []
         for r in range(1, rounds + 1):
             costq = np.maximum(
@@ -2391,17 +2414,17 @@ def _kpar_chain_single_task(
                     np.cumsum(M * M[i][None, :], axis=1)[:, -1]
                     / (nrm * nrm[i])
                 )
-                cos_cols.append(cos_i)
+                vid_i = int(ids[i])
+                take = (cos_i > best) | ((cos_i == best) & (vid_i < bvid))
+                best = np.where(take, cos_i, best)
+                bvid = np.where(take, np.int64(vid_i), bvid)
                 newmax = cos_i if newmax is None else np.maximum(newmax, cos_i)
             cand_idx.extend(picked)
             mx = np.maximum(mx, newmax)
         # attraction weights: per row, argmax over candidates of
-        # (cos, -cand_vid) — max cos, smallest candidate vid on ties
-        C = np.column_stack(cos_cols)
-        cvids = ids[np.array(cand_idx, dtype=np.int64)]
-        best = C.max(axis=1)
-        tie = np.where(C == best[:, None], cvids[None, :], np.int64(2**62))
-        winner = tie.min(axis=1)
+        # (cos, -cand_vid) — max cos, smallest candidate vid on ties —
+        # already folded incrementally into (best, bvid) above
+        winner = bvid
         uniq, cnt = np.unique(winner, return_counts=True)
         wmap = dict(zip(uniq.tolist(), cnt.tolist()))
         out = {
@@ -2563,7 +2586,15 @@ def kmeans_parallel_oversample(
         return math.sqrt(sd)
 
     dims = len(first[0]["vec"])
-    if int(head["n"]) * max(dims, 1) <= _kpar_single_task_doubles():
+    # Gate on n·max(dims, 1 + l·rounds) (ADVICE r11): dims bounds the
+    # kernel's O(n·dims) matrix, and 1 + l·rounds — the candidate-count
+    # ceiling — proxies the per-round interpreter work (one md5 draw per
+    # costly row per round), so a low-dim many-row corpus cannot sneak
+    # millions of pure-Python hash calls into one task.  The distributed
+    # loop above the gate is the 100 TB shape and handles it unchanged.
+    if int(head["n"]) * max(dims, 1 + l * rounds, 1) <= (
+        _kpar_single_task_doubles()
+    ):
         return _kpar_chain_single_task(
             embeddings.select(
                 F.col(id_col).cast("bigint").alias("vid"),
@@ -3073,10 +3104,19 @@ def split_ivf_cell(
     if new_cell is None:
         new_cell = int(centroids.agg(F.max("cell")).first()[0]) + 1
     seeds = farthest_point_seeds(members, k=2, id_col="vid", vec_col="vec")
+    # round 12 (VERDICT r11 item 4, guide §2.4/§5): the 2-means outputs
+    # are BOUNDED frames consumed by multiple subtrees — sub_assign
+    # (|cell| id pairs) feeds the centroid recompute AND the re-route
+    # join, and the ≤2-row sub-centroids feed the centroid-table union
+    # AND (in the residual split) the re-encode broadcast.  Without
+    # lineage cuts every consumer re-executed the whole nested
+    # assign→recompute chain over the members scan (the kmeans_refine
+    # depth² lesson one level deeper).  Lazy localCheckpoints make each
+    # run exactly once; values are unchanged.
     sub_assign = kmeans_refine(
         members, iters=iters, id_col="vid", vec_col="vec",
         init_centroids=seeds.select("cluster_id", "centroid"),
-    )
+    ).localCheckpoint(eager=False)
     sub_cents = recompute_centroids(
         members, sub_assign, id_col="vid", vec_col="vec"
     )
@@ -3088,6 +3128,9 @@ def split_ivf_cell(
     new_cent_rows = sub_cents.select(
         cellmap.alias("cell"), F.col("centroid").alias("cvec")
     ).withColumn("cnrm", norm(F.col("cvec")))
+    if not materialize:
+        # (the materialize branch below cuts it eagerly instead)
+        new_cent_rows = new_cent_rows.localCheckpoint(eager=False)
     moved = members.join(sub_assign, "vid").select(
         "vid", "vec", "nrm", cellmap.alias("cell")
     )
@@ -3137,7 +3180,11 @@ def split_ivfpq_cell(
         centroids, assignments, cell, new_cell=new_cell, iters=iters,
         materialize=materialize,
     )
-    moved = a2.filter(F.col("cell").isin([cell, new_cell]))
+    # bounded |cell| rows consumed by the residual re-encode AND the
+    # code re-route join — cut once (round 12, same class as above)
+    moved = a2.filter(F.col("cell").isin([cell, new_cell])).localCheckpoint(
+        eager=False
+    )
     code_cols = [c for c in codes.columns]
     if residual:
         dims = _vector_dims(assignments, "vec")

@@ -4450,6 +4450,10 @@ def q_mmr_diversity_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "corpus_id", F.col("cosine_sim").alias("rel"), "rnk"
     ).localCheckpoint()
     v = similarity.as_double_array("embedding")
+    # cv is a BOUNDED frame (≤ |Q|·S shortlist-member vectors) consumed
+    # by BOTH sides of the sims self-join AND the MMR kernel — each
+    # reference re-ran its corpus scan; one cut materializes it once
+    # (round 12, guide §2.4/§5)
     cv = (
         emb.select(F.col("vec_id").alias("cid"), v.alias("cvec"))
         .join(
@@ -4457,6 +4461,7 @@ def q_mmr_diversity_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
         )
         .withColumn("cnrm", similarity.norm(F.col("cvec")))
+        .localCheckpoint()
     )
     sa = sl.select("query_id", F.col("corpus_id").alias("ci")).join(
         cv.select(
@@ -4487,8 +4492,16 @@ def q_mmr_diversity_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     simq = F.floor(F.col("sim") * F.lit(1048576.0)).cast("bigint")
     relq = F.floor(F.col("rel") * F.lit(1048576.0)).cast("bigint")
     plain = sl.filter(F.col("rnk") <= _MMR_K).select("query_id", "corpus_id")
+    # round 12 (VERDICT r11 item 1): feed the operator the shortlist and
+    # vectors THIS query already materialized — the old call re-ran the
+    # corpus brute-force scan and the shortlist-vector scan inside the
+    # operator (same values, duplicate executions)
     mmr = similarity.mmr_diversified_topk(
-        emb, _QUERY_IDS, k=_MMR_K, shortlist=_MMR_S, lam=_MMR_LAM
+        emb, _QUERY_IDS, k=_MMR_K, shortlist=_MMR_S, lam=_MMR_LAM,
+        shortlist_df=sl.select("query_id", "corpus_id", "rel"),
+        vectors_df=cv.select(
+            F.col("cid").alias("corpus_id"), "cvec", "cnrm"
+        ),
     ).select("query_id", "corpus_id")
 
     def intralist(lst, out):

@@ -19,17 +19,12 @@ GATE = "SPARK_GRAFT_KPAR_SINGLE_TASK_DOUBLES"
 def _fixture(spark, n=240, dims=6):
     # md5-analytic deterministic vectors, a few near-duplicate ridges so
     # the cost distribution is non-trivial across rounds
-    u = (
-        "(('0x' || substr(md5(concat('kpt:', cast(vec_id as string), ':', "
-        "cast(d as string))), 1, 15))"
-    )
     vec = (
         f"transform(sequence(0, {dims - 1}), d -> "
         f"CAST(conv(substr(md5(concat('kpt:', cast(vec_id as string), ':', "
         f"cast(d as string))), 1, 15), 16, 10) AS DOUBLE) / 1152921504606846976.0"
         f" + CAST(vec_id % 4 AS DOUBLE))"
     )
-    _ = u
     return spark.range(n).select(
         F.col("id").cast("bigint").alias("vec_id"),
         F.expr(vec).alias("embedding"),

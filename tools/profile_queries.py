@@ -53,7 +53,9 @@ def main() -> None:
                 qs[name](spark, sf_dir).explain("formatted")
             out = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                "plans", "r11", f"{name}_current.txt",
+                "plans",
+                os.environ.get("PLANS_ROUND", "r12"),
+                f"{name}_{os.environ.get('PLAN_SUFFIX', 'current')}.txt",
             )
             os.makedirs(os.path.dirname(out), exist_ok=True)
             with open(out, "w") as f:
