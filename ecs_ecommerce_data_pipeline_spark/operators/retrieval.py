@@ -320,32 +320,37 @@ def hashed_dense_scores(
         F.sum("sign").cast("bigint").alias("w")
     )
     # the sparse weight rows feed BOTH the norm agg and the dot probe —
-    # persist so the token explode + hash runs once
-    tw = tw.persist()
-    try:
-        norms = tw.groupBy("doc_id").agg(
-            F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")
-        )
-        dots = (
-            tw.join(F.broadcast(qdf), "bucket")
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("w") * F.col("qweight")).cast("bigint").alias("dp"))
-        )
-        # n2 = 0 is possible (every bucket's signs cancelled): no
-        # direction to rank — excluded on both engines
-        scored = dots.join(norms, "doc_id").filter(F.col("n2") > 0).select(
-            "doc_id",
-            (
-                F.col("dp").cast("double")
-                / (F.sqrt(F.col("n2").cast("double")) * F.lit(qnrm))
-            ).alias("score"),
-        )
-        w = W.orderBy(F.desc("score"), F.asc("doc_id"))
-        out = (
-            scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rnk") <= k)
-            .localCheckpoint()
-        )
-    finally:
-        tw.unpersist()
-    return out
+    # cut once so the token explode + hash runs once.  Round 12: this
+    # was a persist() + EAGER result checkpoint (the unpersist needed a
+    # materialized result), which made every call pay ~8 driver-
+    # synchronized jobs at PLAN-BUILD time and serialized this channel
+    # before whatever the caller fuses it with (the RRF hybrid ran its
+    # two channels strictly one after the other).  A lazy localCheckpoint
+    # keeps the single-execution guarantee (first consumer materializes,
+    # the ContextCleaner reclaims the blocks when the plan is GC'd — no
+    # unpersist discipline needed), the operator returns a fully LAZY
+    # plan, and the caller's one action executes both fused channels
+    # with overlapping stages (guide §2.6's effect without threads).
+    tw = tw.localCheckpoint(eager=False)
+    norms = tw.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")
+    )
+    dots = (
+        tw.join(F.broadcast(qdf), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("qweight")).cast("bigint").alias("dp"))
+    )
+    # n2 = 0 is possible (every bucket's signs cancelled): no
+    # direction to rank — excluded on both engines
+    scored = dots.join(norms, "doc_id").filter(F.col("n2") > 0).select(
+        "doc_id",
+        (
+            F.col("dp").cast("double")
+            / (F.sqrt(F.col("n2").cast("double")) * F.lit(qnrm))
+        ).alias("score"),
+    )
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -149,6 +149,71 @@ def clean_text(col: str | Column = "text") -> Column:
     return F.trim(collapsed)
 
 
+def clean_staged_arrow(doc: DataFrame, text_col: str = "text") -> DataFrame:
+    """The dataset-build pipeline's clean + stats stage as ONE Arrow
+    kernel (round 12, guide §4.2): per document, the :func:`clean_text`
+    normalization plus the three gate statistics (word count, alpha
+    count, char count) computed in a single pass over the bytes, instead
+    of four separate Catalyst regex traversals of the full text.
+
+    Value contract (byte-identical to the Catalyst chain, A/B-verified
+    row-for-row at sf0.1 and oracle-gated at sf0.001/0.01):
+
+    * the three cleaning patterns are pure-ASCII classes — Java regex
+      and Python ``re`` agree byte-for-byte on them;
+    * trim is SPACE-only (``strip(' ')``), matching Spark/DuckDB
+      ``trim`` — a Python ``.strip()`` would also eat the newlines that
+      survive cleaning;
+    * the word split uses the explicit Java ``\\s`` class
+      ``[ \\t\\n\\x0b\\f\\r]`` — Python's ``\\s`` on str also matches
+      unicode whitespace (NEL, NBSP) that Java's default ``\\s`` does
+      not;
+    * ``lower()`` is omitted: case never changes whitespace, so the
+      word COUNT is unaffected (the Catalyst form lowers only as part
+      of its shared tokenize expression).
+
+    Returns (doc_id, text CLEANED, n_words, n_alpha, n_chars) —
+    ungated; the caller applies the quality predicate.  The kernel sees
+    only (doc_id, text), so column pruning at the scan is preserved by
+    the explicit select.
+    """
+    import re
+
+    import pandas as pd
+
+    def kernel(batches):
+        tag = re.compile(_TAG_PAT)
+        ctrl = re.compile(_CTRL_PAT)
+        ws2 = re.compile(_WS_PAT)
+        wsplit = re.compile(r"[ \t\n\x0b\f\r]+")
+        alpha = re.compile(r"[A-Za-z]")
+        for pdf in batches:
+            t = pdf[text_col].map(
+                lambda s: ws2.sub(
+                    " ", ctrl.sub("", tag.sub(" ", s or ""))
+                ).strip(" ")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text": t,
+                    "n_words": t.map(
+                        lambda s: len(wsplit.split(s.strip(" ")))
+                    ).astype("int64"),
+                    "n_alpha": t.map(
+                        lambda s: len(alpha.findall(s))
+                    ).astype("int64"),
+                    "n_chars": t.map(len).astype("int64"),
+                }
+            )
+
+    return doc.select("doc_id", F.col(text_col).alias(text_col)).mapInPandas(
+        kernel,
+        "doc_id bigint, text string, n_words bigint, n_alpha bigint,"
+        " n_chars bigint",
+    )
+
+
 def clean_stats(doc: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document cleaning report: cleaned text length plus what was
     removed (tag matches, control chars, collapsed whitespace runs) —

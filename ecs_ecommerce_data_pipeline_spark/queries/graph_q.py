@@ -306,11 +306,19 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    # Round 12: compact integer node ids through the whole chain (users
+    # even 2k, products odd 2k+1 — the q_pagerank round-11 treatment):
+    # the join+distinct shuffles 16 bytes/row instead of two 'u:'/'p:'
+    # strings, and the single-task kernel factorizes int64s instead of
+    # strings.  Rank values are relabel-invariant (they depend only on
+    # graph structure, the restart set and N), so the oracle — which
+    # stays in string space — still hash-matches after the labels are
+    # reconstructed on the bounded top-k output.
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
-            F.concat(F.lit("u:"), F.col("o_custkey")).alias("u"),
-            F.concat(F.lit("p:"), F.col("l_partkey")).alias("p"),
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_partkey") * 2 + 1).alias("p"),
         )
         .distinct()
         # pinned: pairs feeds BOTH the mirrored edge list and the seed
@@ -327,10 +335,17 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
+    # the oracle picks seeds by LEXICOGRAPHIC order of the 'u:<custkey>'
+    # strings ('u:10' < 'u:2') — order by the reconstructed label, keep
+    # the integer id
     seeds = (
         pairs.select(F.col("u").alias("node"))
         .distinct()
-        .orderBy("node")
+        .orderBy(
+            F.concat(
+                F.lit("u:"), F.shiftright(F.col("node"), 1).cast("string")
+            )
+        )
         .limit(_PPR_SEEDS)
     )
     ranks = personalized_pagerank(
@@ -339,7 +354,12 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranks is materialized (checkpointed) by the operator on both its
     # paths, and the seed collect ran inside it — safe to release
     pairs.unpersist()
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("u:"), F.shiftright(F.col("node"), 1)),
+    ).otherwise(F.concat(F.lit("p:"), F.shiftright(F.col("node"), 1)))
+    relabeled = ranks.select(label.alias("node"), "rank")
     w = W.orderBy(F.desc("rank"), F.asc("node"))
-    return ranks.withColumn("rnk", F.row_number().over(w)).filter(
+    return relabeled.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= _PPR_TOP
     ).select("node", "rank")

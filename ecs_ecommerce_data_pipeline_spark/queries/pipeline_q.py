@@ -28,7 +28,7 @@ from ..operators.bpe import SEP  # noqa: F401  (documents the \x01 family)
 from ..operators.dedup import normalize_text
 from ..operators.lmscore import bigram_lm_scores
 from ..operators.sampling import assign_split, pack_shards
-from ..operators.text import clean_text
+from ..operators.text import clean_staged_arrow, clean_text  # noqa: F401
 from ..sources.testdata import load_table
 
 _RARE_MAX = 0.05
@@ -126,18 +126,17 @@ def q_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clean → gate → dedup → LM-score → filter → split → pack →
     manifest, one composed plan (see module docstring)."""
     doc = load_table(spark, sf_dir, "documents")
-    cleaned = doc.select("doc_id", clean_text("text").alias("text"))
-    staged = cleaned.select(
-        "doc_id",
-        "text",
-        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-        .cast("bigint")
-        .alias("n_words"),
-        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]"))
-        .cast("bigint")
-        .alias("n_alpha"),
-        F.length("text").cast("bigint").alias("n_chars"),
-    ).filter((F.col("n_words") >= 5) & (F.col("n_alpha") * 10 >= F.col("n_chars") * 4))
+    # round 12 (guide §4.2; VERDICT item 7 — measured first): the
+    # clean + gate stage ran FOUR Catalyst regex traversals of the full
+    # text (3 regexp_replace + split-count + regexp_count); the Arrow
+    # kernel computes the same cleaned text and the same three gate
+    # statistics in one pass (A/B at sf0.1: 1.0 s -> 0.7 s warm on the
+    # stage, values row-identical; patterns are pure-ASCII classes so
+    # Java regex and Python re agree byte-for-byte — see
+    # operators.text.clean_staged_arrow's value contract)
+    staged = clean_staged_arrow(doc).filter(
+        (F.col("n_words") >= 5) & (F.col("n_alpha") * 10 >= F.col("n_chars") * 4)
+    )
     canon = (
         staged.groupBy(F.md5(normalize_text("text")).alias("text_hash"))
         .agg(
